@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session factory for the driver-facing mains (Verify/Bench) and
+  * tests. Mirrors the reference's session config (AQE + coalescing + Kryo,
+  * /root/reference/processor/streaming_processor.py:66-88) plus the local-mode
+  * essentials: shuffle partitions sized to cores (not the 200 default — on a
+  * real cluster this is instead handled by AQE coalescing from a higher
+  * initial value), UTC session time zone for oracle parity.
+  */
+object GraftSession {
+  def build(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.session.timeZone", "UTC")
+      // the events table's ns-precision timestamps exceed TimestampType's µs;
+      // read them as raw nanos longs (Tables.events derives ts_sec from them)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,333 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a pure plan builder `(spark, sfDir) =>
+  * DataFrame`; entries with a matching [[oracleSql]] are hash-compared by the
+  * driver against DuckDB running that SQL on the same parquet tables.
+  *
+  * Determinism contract shared by both sides (see graft.functions.Cols):
+  * exact decimal aggregation for money, single-IEEE-op + round(…,4) for
+  * ratios, epoch-second longs instead of raw timestamps (the parquet source
+  * is ns-precision; Spark truncates to µs while other engines keep ns, so
+  * whole seconds are the common grain), and a total ORDER BY on every query.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventAnalytics.hourlyMetrics(Tables.events(spark, "/root/testdata/sf0.001"))
+      .orderBy(col("hour_sec"))
+
+  // ----------------------------------------------------------------------
+  // Query registry. Names map to SURVEY.md §2 rows (see comments).
+  // ----------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- event-stream analytics (reference parity, SURVEY §2.4/§2.8/§2.11)
+    "q_hourly_metrics" -> ((s, d) => // T2+A2/A3/A6/A9
+      EventAnalytics.hourlyMetrics(Tables.events(s, d)).orderBy(col("hour_sec"))),
+    "q_session_metrics" -> ((s, d) => // A1+P4 (engine-side sessionization, T9)
+      Sessionize.sessionMetrics(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_id"))),
+    "q_conversion_by_duration" -> ((s, d) => // A12 (bucketed agg)
+      Sessionize.conversionByDurationBucket(Tables.events(s, d))
+        .orderBy(col("duration_bucket"))),
+    "q_dashboard_kpis" -> ((s, d) => // A10 global KPIs, tall layout
+      EventAnalytics.dashboardKpis(Tables.events(s, d)).orderBy(col("metric_key"))),
+    "q_event_type_distribution" -> ((s, d) => // A11/W1 ratio-to-total
+      EventAnalytics.eventTypeDistribution(Tables.events(s, d)).orderBy(col("event_type"))),
+    "q_top_entities" -> ((s, d) => // W2 top-N + S2 JSON parse
+      EventAnalytics.topEntities(Tables.events(s, d), 10)),
+    "q_last_window" -> ((s, d) => // P5/T11 trailing-window filter
+      EventAnalytics.lastWindowCounts(Tables.events(s, d), 86400).orderBy(col("event_type"))),
+
+    // --- relational / star-schema surface (SURVEY §2.3 J2, §2.5-§2.7)
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q_revenue_by_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
+    "q3_top_orders" -> ((s, d) => Relational.topOrdersByRevenue(s, d)),
+    "q_semi_join" -> ((s, d) => Relational.customersWithOrders(s, d)),
+    "q_anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q_window_topn" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
+    "q_order_priority_dist" -> ((s, d) => Relational.orderPriorityDistribution(s, d)),
+    "q_table_counts" -> ((s, d) => Relational.tableCounts(s, d)),
+    "q_price_buckets" -> ((s, d) => Relational.ordersByPriceBucket(s, d)),
+    "q_order_deciles" -> ((s, d) => Relational.orderValueDeciles(s, d)),
+
+    // --- text analysis (training-data pipeline surface)
+    "q_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_doc_fingerprints" -> ((s, d) =>
+      TextAnalysis.fingerprinted(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // --- deduplication
+    "q_exact_dedup_counts" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(md5(lower(col("text")))).as("distinct_docs"))
+        .orderBy(col("source"))),
+    "q_near_dup_minhash" -> ((s, d) => // MinHash+LSH candidates, est. Jaccard
+      Dedup.nearDupMinhash(Tables.documents(s, d), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_near_dup_verified" -> ((s, d) => // LSH candidates → exact n-gram Jaccard
+      Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5)),
+    "q_simhash_near_dup" -> ((s, d) =>
+      Dedup.nearDupSimhash(Tables.documents(s, d), 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // --- similarity search over embeddings
+    "q_embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
+    "q_knn_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.topKCosine(emb, emb.where(col("vec_id") < 5), 5)
+    }),
+    "q_near_dup_cosine" -> ((s, d) =>
+      Similarity.nearDupCosineExact(Tables.embeddings(s, d), 0.4)),
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.annCosineLsh(Tables.embeddings(s, d), 0.3, numPlanes = 8)),
+    "q_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))
+        .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))
+        .orderBy(col("label"))),
+
+    // --- multimodal plumbing (stubbed decode; real schema/batching)
+    "q_media_profile" -> ((s, d) =>
+      Multimodal.mediaProfile(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+  )
+
+  // ----------------------------------------------------------------------
+  // DuckDB oracle SQL. Omitted for ops whose internals are engine-specific
+  // (xxhash64 minhash/simhash signatures, seeded hyperplanes, mapPartitions
+  // decode) — the driver records a rows-only check for those.
+  // ----------------------------------------------------------------------
+
+  private val sessionCte =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+      |                   OR ts_sec - lag(ts_sec) OVER w > 3600
+      |            THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |sess AS (
+      |  SELECT *, user_id || '-' || CAST(CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS VARCHAR) AS session_id
+      |  FROM flagged),
+      |sm AS (
+      |  SELECT user_id, session_id,
+      |    min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+      |    CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS session_duration_seconds,
+      |    count(*) AS total_events,
+      |    count(*) FILTER (WHERE event_type = 'view') AS page_views,
+      |    count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |    count(*) FILTER (WHERE event_type = 'signup') AS signups,
+      |    count(*) FILTER (WHERE event_type = 'error') AS errors,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+      |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS total_purchase_amount,
+      |    (count(*) FILTER (WHERE event_type = 'purchase')) > 0 AS converted
+      |  FROM sess GROUP BY user_id, session_id)
+      |""".stripMargin
+
+  private val revenueDec =
+    """CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+      |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))""".stripMargin
+
+  private def pct(num: String, den: String) =
+    s"CAST(CASE WHEN $den > 0 THEN round(CAST($num AS DOUBLE) * 100.0 / CAST($den AS DOUBLE), 4) ELSE 0.0 END AS DECIMAL(18,4))"
+
+  private val docTokensCte =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |         string_split(text, ' ') AS toks, length(text) AS tlen
+      |  FROM documents)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_hourly_metrics" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+         |  count(*) AS total_events,
+         |  count(DISTINCT user_id) AS unique_users,
+         |  count(*) FILTER (WHERE event_type = 'view') AS page_views,
+         |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+         |  count(*) FILTER (WHERE event_type = 'signup') AS signups,
+         |  count(*) FILTER (WHERE event_type = 'error') AS errors,
+         |  $revenueDec AS revenue,
+         |  ${pct("count(*) FILTER (WHERE event_type = 'purchase')",
+                 "count(*) FILTER (WHERE event_type = 'view')")} AS conversion_rate
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_metrics" ->
+      (sessionCte + "SELECT * FROM sm ORDER BY user_id, session_id"),
+
+    "q_conversion_by_duration" ->
+      (sessionCte +
+        s"""SELECT CASE WHEN session_duration_seconds / 60.0 <= 5 THEN '0-5min'
+           |            WHEN session_duration_seconds / 60.0 <= 10 THEN '5-10min'
+           |            WHEN session_duration_seconds / 60.0 <= 15 THEN '10-15min'
+           |            WHEN session_duration_seconds / 60.0 <= 30 THEN '15-30min'
+           |            ELSE '30min+' END AS duration_bucket,
+           |  count(*) AS sessions,
+           |  count(*) FILTER (WHERE converted) AS converted_sessions,
+           |  ${pct("count(*) FILTER (WHERE converted)", "count(*)")} AS conversion_rate
+           |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_dashboard_kpis" ->
+      s"""WITH agg AS (SELECT
+         |    CAST(count(DISTINCT user_id) AS DOUBLE) AS tu,
+         |    CAST(count(*) AS DOUBLE) AS te,
+         |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS pu,
+         |    CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS pv,
+         |    CAST($revenueDec AS DOUBLE) AS rev
+         |  FROM events)
+         |SELECT metric_key, CAST(metric_value AS DECIMAL(18,4)) AS metric_value, metric_label FROM (
+         |  SELECT 'total_users' AS metric_key, tu AS metric_value, 'Total Users' AS metric_label FROM agg
+         |  UNION ALL SELECT 'total_events', te, 'Total Events' FROM agg
+         |  UNION ALL SELECT 'total_revenue', rev, 'Total Revenue' FROM agg
+         |  UNION ALL SELECT 'conversion_rate',
+         |    CASE WHEN pv > 0 THEN round(pu * 100.0 / pv, 4) ELSE 0.0 END, 'Conversion Rate (%)' FROM agg
+         |  UNION ALL SELECT 'avg_purchase_value',
+         |    CASE WHEN pu > 0 THEN round(rev / pu, 4) ELSE 0.0 END, 'Avg Purchase Value' FROM agg
+         |) ORDER BY metric_key""".stripMargin,
+
+    "q_event_type_distribution" ->
+      s"""WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+         |SELECT event_type, cnt,
+         |  ${pct("cnt", "sum(cnt) OVER ()")} AS pct_of_total
+         |FROM c ORDER BY event_type""".stripMargin,
+
+    "q_top_entities" ->
+      """WITH p AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT k, count(*) AS purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM p GROUP BY k ORDER BY revenue DESC, k ASC LIMIT 10""".stripMargin,
+
+    "q_last_window" ->
+      """WITH a AS (SELECT max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS anchor_sec FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events, a
+        |WHERE CAST(epoch(date_trunc('second', ts)) AS BIGINT) > anchor_sec - 86400
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  CAST(CASE WHEN count(*) > 0 THEN round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) ELSE 0.0 END AS DECIMAL(18,4)) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_revenue_by_region" ->
+      """SELECT r_name, count(*) AS line_count,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        |  CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS orderdate_sec,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS customers_with_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_topn" ->
+      """WITH pp AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rank_in_brand
+        |  FROM pp)
+        |SELECT p_brand, p_partkey, revenue, rank_in_brand
+        |FROM r WHERE rank_in_brand <= 3
+        |ORDER BY p_brand, rank_in_brand""".stripMargin,
+
+    "q_order_priority_dist" ->
+      s"""WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1)
+         |SELECT o_orderpriority, cnt, ${pct("cnt", "sum(cnt) OVER ()")} AS pct
+         |FROM c ORDER BY o_orderpriority""".stripMargin,
+
+    "q_table_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS table_name, count(*) AS row_count FROM events
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'customer', count(*) FROM customer
+        |) ORDER BY table_name""".stripMargin,
+
+    "q_price_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN '0-50k'
+        |            WHEN o_totalprice < 100000 THEN '50-100k'
+        |            WHEN o_totalprice < 200000 THEN '100-200k'
+        |            ELSE '200k+' END AS price_bucket,
+        |  count(*) AS orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_order_deciles" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT decile, count(*) AS orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_token_stats" ->
+      (docTokensCte +
+        """SELECT doc_id,
+          |  len(toks) AS n_tokens,
+          |  len(list_distinct(toks)) AS n_distinct_tokens,
+          |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS DECIMAL(18,4)) AS type_token_ratio,
+          |  CAST(round(CAST(tlen - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS DECIMAL(18,4)) AS mean_token_len
+          |FROM t ORDER BY doc_id""".stripMargin),
+
+    "q_exact_dedup_counts" ->
+      """SELECT source, count(*) AS docs,
+        |  count(DISTINCT md5(lower(text))) AS distinct_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_doc_fingerprints" ->
+      """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale architecture (the reason these shapes were chosen):
+  *  - Exact dedup is a hash-groupBy — one shuffle on the content hash, O(1)
+  *    state per group.
+  *  - MinHash signatures are computed via explode(shingles) → 64 `min`
+  *    aggregates → array. This keeps every per-shingle expression inside
+  *    whole-stage codegen and evaluates each shingle hash exactly once.
+  *    (The tempting alternative — one nested higher-order-function
+  *    expression per doc — re-evaluates the shingle pass inside every
+  *    permutation lambda because Catalyst collapses single-reference
+  *    projections: measured 60× slower. The groupBy formulation also gets
+  *    map-side partial mins, so the shuffle carries 64 longs per doc.)
+  *  - LSH candidate generation is an equi-join on (band, band_hash) buckets —
+  *    only colliding docs ever meet; candidate pairs are deduped on ids
+  *    before signatures are joined back for the Jaccard estimate.
+  *  - SimHash reduces each doc to one 64-bit code; near-dup search is a
+  *    pigeonhole self-join on 16-bit chunks, then exact Hamming via
+  *    bit_count(xor).
+  *  - All hash seeds/permutations are fixed constants: results are
+  *    deterministic across runs, partitions, and cluster sizes.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by normalized-content hash. Returns one row per
+    * duplicated fingerprint with the canonical (min) doc_id kept. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(lower(col("text"))).as("fingerprint"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_doc_id"))
+      .where(col("copies") > 1)
+
+  /** Corpus with exact duplicates removed (keep lowest doc_id per content).
+    * Implemented as a min-aggregation + semi join rather than dropDuplicates
+    * so the "which row survives" rule is deterministic (dropDuplicates keeps
+    * an arbitrary first row per partition ordering). */
+  def exactDeduped(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingling
+
+  /** One row per (doc_id, w-word shingle). The tokens array is projected
+    * first so the per-shingle lambda slices a materialized array (linear in
+    * doc length) instead of re-splitting the text per shingle (quadratic).
+    * Docs shorter than w contribute their full text as a single shingle. */
+  def shingleRows(docs: DataFrame, w: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) < w, array(concat_ws(" ", col("toks"))))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - (w - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(w))))))
+        .as("shingle"))
+
+  /** Column variant for small texts (kept for composition/tests). Prefer
+    * [[shingleRows]] in pipelines — see the class doc on evaluation cost. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < w, array(text)).otherwise(
+      transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  val MinhashPrime: Long = 2147483647L // 2^31-1; keeps a*h+b < 2^62 (ANSI-safe)
+  val NumHashes = 64
+  val BandRows  = 4 // 16 bands of 4 rows → catches Jaccard ≳ 0.5 w.h.p.
+
+  /** Fixed permutation coefficients (seeded, constant across runs). */
+  private val rnd   = new scala.util.Random(42)
+  private val permA = Seq.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+  private val permB = Seq.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+
+  /** (doc_id, sig) signature table — sig is an array of NumHashes longs;
+    * h_i(s) = (a_i * xxhash64(s) mod p + b_i) mod p, minimized over shingles.
+    * Explode → 64 codegen'd min-aggregates → array (see class doc). */
+  def signatures(docs: DataFrame): DataFrame = {
+    val hashed = shingleRows(docs)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
+    val minCols = (0 until NumHashes).map(i =>
+      min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(MinhashPrime))).as(s"m$i"))
+    hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs with signature-estimated Jaccard ≥ threshold.
+    * Banding: NumHashes/BandRows bands; docs colliding on any band's hash
+    * become candidates via an equi-join on (band, band_hash). */
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs  = signatures(docs)
+    val bands = NumHashes / BandRows
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("band_hash")))
+    val banded = sigs.select(
+      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+    // candidate pairs are deduped on ids BEFORE the signatures are joined
+    // back: the distinct shuffles 2 longs per row, not 2×64-long arrays
+    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val pairs = l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / NumHashes
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Cols.asDec4(est).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard for candidate pairs (the verify step after LSH, or
+    * a standalone near-dup detector when joined from any candidate source).
+    * Shingle sets come from the linear-time exploded form; both pair-side
+    * joins are shuffle-hash on doc_id. */
+  def verifyJaccard(docs: DataFrame, candidatePairs: DataFrame): DataFrame = {
+    val sets = shingleRows(docs)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidatePairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Cols.asDec4(inter / union).as("jaccard"))
+  }
+
+  /** End-to-end near-dup pipeline: LSH candidates → exact Jaccard ≥ t. */
+  def nearDupVerified(docs: DataFrame, estThreshold: Double = 0.3, exactThreshold: Double = 0.5): DataFrame =
+    verifyJaccard(docs, nearDupMinhash(docs, estThreshold).select(col("doc_a"), col("doc_b")))
+      .where(col("jaccard") >= exactThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document. Tokens are exploded, hashed once with
+    * xxhash64, and each of the 64 bit positions is summed as ±1; the sign
+    * vector reassembles into a long. One shuffle (groupBy doc_id) with O(64)
+    * state per doc — at 100 TB this is a standard map-side-combine agg. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val code = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), code.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 by
+    * default; the 4×16-bit pigeonhole banding is exhaustive for distance ≤ 3
+    * since at least one chunk must then be untouched). */
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupSimhashImpl(simhashes(docs), maxHamming)
+
+  private def nearDupSimhashImpl(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val chunkStructs = (0 until 4).map(j =>
+      struct(lit(j).as("chunk"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array(chunkStructs: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
+    val l = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

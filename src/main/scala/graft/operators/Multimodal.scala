@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The real decode step (image/audio codecs) is STUBBED — the container has
+  * no media libraries — behind [[MediaDecoder]]; [[DeterministicFakeDecoder]]
+  * derives plausible metadata purely from the bytes so the Spark-side
+  * contract (schema, batching, partitioning, null handling) is real and
+  * tested. In PySpark this layer would be `mapInPandas` with Arrow batches;
+  * the Scala-native equivalent is `mapPartitions` over a typed Dataset,
+  * which likewise amortizes per-batch setup (decoder init happens once per
+  * partition, not per row — the property that matters at 100 TB).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed envelope. */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded/feature-extracted metadata. */
+  case class MediaMeta(media_id: Long, kind: String, byte_len: Int,
+                       width: Int, height: Int, channels: Int,
+                       frames: Int, feature_norm: Double)
+
+  /** Decoder contract: one instance per partition; batch-friendly. */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): MediaMeta
+  }
+
+  /** The production decoder would wrap a codec library here. Left `???` on
+    * purpose — everything around it must work without it. */
+  object RealDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): MediaMeta = ??? // requires image/audio libs
+  }
+
+  /** Deterministic fake: metadata is a pure function of the payload bytes,
+    * so tests and oracle row-counts are stable. */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): MediaMeta = {
+      val n = r.payload.length
+      val h = java.util.Arrays.hashCode(r.payload)
+      MediaMeta(r.media_id, r.kind, n,
+        width = 64 + math.abs(h % 1024), height = 64 + math.abs((h / 7) % 1024),
+        channels = if (r.kind == "audio") 2 else 3,
+        frames = if (r.kind == "video") 1 + n % 300 else 1,
+        feature_norm = (math.abs(h).toDouble % 1000.0) / 1000.0)
+    }
+  }
+
+  /** Synthesize a media table from the documents table (text bytes as opaque
+    * payload) — stand-in for `spark.read.format("binaryFile")` at scale. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** The decode/feature-extract stage: mapPartitions so the decoder is
+    * instantiated once per partition (per task), mirroring Arrow-batch UDF
+    * economics. Returns a typed Dataset with the metadata schema. */
+  def decodeAll(media: DataFrame, decoder: MediaDecoder = DeterministicFakeDecoder): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val d = decoder // per-partition init point (open codec handles here)
+      it.map(d.decode)
+    }
+  }
+
+  /** Metadata profile per kind — the downstream aggregate a pipeline would
+    * use for partitioning decisions (e.g. bytes per partition budget). */
+  def mediaProfile(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeAll(media).groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("frames")).as("max_frames"))
+      .orderBy(col("kind"))
+  }
+}

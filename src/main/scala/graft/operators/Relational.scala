@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+import graft.sources.Tables
+
+/** Batch relational surface over the star schema — the join/aggregation
+  * breadth the reference exercises only as out-of-engine SQL against Postgres
+  * (SURVEY.md §2.3 J2, §2.11). Each method is a pure plan builder; Catalyst
+  * supplies pushdown, pruning, join selection and AQE.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - Dimension tables (region/nation/supplier/part/customer) are broadcast
+  *    explicitly — fact-side rows never shuffle for enrichment joins.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once; the
+  *    groupBy that follows reuses the same key where possible so Catalyst can
+  *    avoid a second exchange.
+  *  - Top-k is expressed as orderBy+limit → planned as TakeOrderedAndProject
+  *    (per-partition heap + driver merge of k rows), never a global sort.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: single-table scan + groupBy on two
+    * low-cardinality keys. Partial aggregation does almost all the work
+    * map-side; the exchange carries |flags×status| rows per partition. */
+  def pricingSummary(li: DataFrame): DataFrame =
+    // Literal cast to TIMESTAMP_NTZ to match the parquet column's type (the
+    // files carry isAdjustedToUTC=false): a same-type comparison keeps the
+    // predicate eligible for parquet pushdown — a column-side cast would not.
+    li.where(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(Cols.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+        sum(Cols.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+        // exact decimal arithmetic: operands are 2-decimal by contract, so
+        // dec2 casts are exact and the product/sum are order-independent
+        sum(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
+          .cast("decimal(18,2)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        Cols.avg4(sum(Cols.dec2(col("l_quantity"))), count(lit(1))).as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue by region: lineitem → supplier → nation → region, all three
+    * dimensions broadcast (supplier is small in TPC-H-ish data; at real scale
+    * supplier might be shuffle-joined — AQE would decide, the explicit hint
+    * here documents intent for the star-schema case). */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val su = Tables.supplier(spark, dir)
+    val na = Tables.nation(spark, dir)
+    val re = Tables.region(spark, dir)
+    li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("line_count"),
+        sum(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
+          .cast("decimal(18,2)").as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  /** TPC-H Q3-style: customer ⋈ orders ⋈ lineitem with filters on both sides,
+    * top-10 by revenue. Customer is broadcast; orders⋈lineitem shuffles on
+    * orderkey. Filters sit below the joins so they push into the scans. */
+  def topOrdersByRevenue(spark: SparkSession, dir: String, segment: String = "BUILDING", n: Int = 10): DataFrame = {
+    val cu = Tables.customer(spark, dir).where(col("c_mktsegment") === segment)
+    val or = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
+        .cast("decimal(18,2)").as("revenue"))
+      .select(col("l_orderkey"),
+        Cols.tsSec(col("o_orderdate")).as("orderdate_sec"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(n)
+  }
+
+  /** Customers with ≥1 order, per market segment — left SEMI join (EXISTS).
+    * Semi joins ship only the key column of the build side and stop probing
+    * at first match; at scale this is strictly cheaper than join+distinct. */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("customers_with_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Customers with no orders — left ANTI join (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Top-3 parts by revenue within each brand — ranking window (reference W2).
+    * The window partitions on brand after a keyed aggregation, so the sort is
+    * per-brand over |parts-per-brand| rows, not global. Ties broken on
+    * partkey for determinism. */
+  def topPartsPerBrand(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pa = Tables.part(spark, dir)
+    val perPart = li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(Cols.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    perPart.withColumn("rank_in_brand", row_number().over(w))
+      .where(col("rank_in_brand") <= n)
+      .orderBy(col("p_brand"), col("rank_in_brand"))
+  }
+
+  /** Order-priority distribution with ratio-to-total (A11 over star data). */
+  def orderPriorityDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+    counts.select(col("o_orderpriority"), col("cnt"),
+        Cols.pct4(col("cnt"), sum(col("cnt")).over(Window.partitionBy())).as("pct"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** UNION ALL of scalar health counts — parity with the reference's
+    * monitor_pipeline.sh:24-34 status query. */
+  def tableCounts(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("row_count")).select(lit(name).as("table_name"), col("row_count"))
+    one("events", Tables.events(spark, dir))
+      .unionByName(one("orders", Tables.orders(spark, dir)))
+      .unionByName(one("lineitem", Tables.lineitem(spark, dir)))
+      .unionByName(one("customer", Tables.customer(spark, dir)))
+      .orderBy(col("table_name"))
+  }
+
+  /** Orders bucketed by total price — bucketed aggregation (reference A12,
+    * notebook cell 4 pd.cut): CASE-chain bucketing keeps the whole thing in
+    * one codegen stage, no Bucketizer/ML dependency. */
+  def ordersByPriceBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("price_bucket",
+        when(col("o_totalprice") < 50000, "0-50k")
+          .when(col("o_totalprice") < 100000, "50-100k")
+          .when(col("o_totalprice") < 200000, "100-200k")
+          .otherwise("200k+"))
+      .groupBy(col("price_bucket"))
+      .agg(
+        count(lit(1)).as("orders"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total_value"))
+      .orderBy(col("price_bucket"))
+
+  /** Decile statistics over order totals via ntile — exercises ranking windows
+    * on a global ordering. The global window is the one operator here that
+    * does NOT scale as written (single-partition sort); at 100 TB you'd use
+    * approx_percentile instead, which is provided as the `_approx` variant. */
+  def orderValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), ntile(10).over(w).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("orders"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total_value"))
+      .orderBy(col("decile"))
+  }
+
+  /** Scale-path percentile: one-pass approximate quantiles, no global sort. */
+  def orderValueDecilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      percentile_approx(col("o_totalprice"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("deciles"))
+}

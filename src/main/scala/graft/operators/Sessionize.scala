@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Cols
+
+/** Engine-side gap sessionization + per-session metrics.
+  *
+  * The reference keeps session state in the *producer* (sessions end by
+  * escalating probability after 5 min, /root/reference/producer/producer.py:66-78)
+  * and the engine just groups by the producer-assigned `session_id`
+  * (/root/reference/processor/streaming_processor.py:172-195). The driver's
+  * `events` table carries no session_id, so we derive sessions in-engine with
+  * the standard event-time gap rule: a new session starts when the time since
+  * the user's previous event exceeds `gapSeconds`.
+  *
+  * Scale notes:
+  *  - One shuffle on `user_id`; the `lag` and the running `sum` share the same
+  *    (partition, order) spec, so Catalyst plans a single Exchange + Sort and
+  *    stacks both Window operators on it — verified via .explain("formatted").
+  *  - Ordering key is `event_id` (globally monotone in event time in this data,
+  *    and unique), making the whole derivation deterministic — no ties, no
+  *    nondeterministic row_number. At 100 TB, per-user data fits trivially in a
+  *    task (sessions are per-user streams); skew would only come from a single
+  *    pathological user and is absorbed by AQE skew handling on the exchange.
+  *  - For the streaming path use session_window / flatMapGroupsWithState
+  *    (see graft.streaming); this batch operator exists for replay/backfill,
+  *    which is how a 100 TB historical sessionization job would actually run.
+  */
+object Sessionize {
+  val DefaultGapSeconds = 3600L
+
+  /** Adds ts_sec, session_seq (1-based per user) and session_id columns. */
+  def withSessionId(events: DataFrame, gapSeconds: Long = DefaultGapSeconds): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events // requires the normalized `ts_sec` column (Tables.events)
+      .withColumn("is_new",
+        when(lag(col("ts_sec"), 1).over(byUser).isNull
+          || col("ts_sec") - lag(col("ts_sec"), 1).over(byUser) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(cum))
+      .withColumn("session_id", concat_ws("-", col("user_id"), col("session_seq")))
+      .drop("is_new")
+  }
+
+  /** Per-session metrics table — parity with analytics.user_sessions
+    * (/root/reference/db/init.sql:22-36, computed at
+    * streaming_processor.py:172-195): start/end, duration, funnel counts,
+    * converted flag, revenue. Single aggregation after sessionization; the
+    * groupBy keys are a superset of the window partition key, so no second
+    * shuffle is needed for the user_id co-location (Spark still hashes on the
+    * composite key; at scale, prefer grouping on (user_id, session_seq)). */
+  def sessionMetrics(events: DataFrame, gapSeconds: Long = DefaultGapSeconds): DataFrame =
+    withSessionId(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_sec")).as("start_sec"),
+        max(col("ts_sec")).as("end_sec"),
+        (max(col("ts_sec")) - min(col("ts_sec"))).cast("long").as("session_duration_seconds"),
+        count(lit(1)).as("total_events"),
+        Cols.countWhen(col("event_type") === "view").as("page_views"),
+        Cols.countWhen(col("event_type") === "click").as("clicks"),
+        Cols.countWhen(col("event_type") === "signup").as("signups"),
+        Cols.countWhen(col("event_type") === "error").as("errors"),
+        Cols.countWhen(col("event_type") === "purchase").as("purchases"),
+        Cols.sumDec2When(col("event_type") === "purchase", col("value"))
+          .as("total_purchase_amount"),
+        (Cols.countWhen(col("event_type") === "purchase") > 0).as("converted"))
+
+  /** Conversion rate by session-duration bucket — parity with the reference
+    * notebook's pd.cut analysis (/root/reference/data_analysis.ipynb cell 4):
+    * buckets 0-5 / 5-10 / 10-15 / 15-30 / 30+ minutes. */
+  def conversionByDurationBucket(events: DataFrame, gapSeconds: Long = DefaultGapSeconds): DataFrame = {
+    val mins = col("session_duration_seconds") / 60.0
+    sessionMetrics(events, gapSeconds)
+      .withColumn("duration_bucket",
+        when(mins <= 5, "0-5min").when(mins <= 10, "5-10min")
+          .when(mins <= 15, "10-15min").when(mins <= 30, "15-30min")
+          .otherwise("30min+"))
+      .groupBy(col("duration_bucket"))
+      .agg(
+        count(lit(1)).as("sessions"),
+        Cols.countWhen(col("converted")).as("converted_sessions"),
+        Cols.pct4(Cols.countWhen(col("converted")), count(lit(1))).as("conversion_rate"))
+  }
+}

