@@ -143,8 +143,10 @@ object SparkEntry {
     """CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
       |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))""".stripMargin
 
+  /** Floor-quantized percentage (mirror of Cols.pct4 — see Cols.q4 on why
+    * floor, not round). */
   private def pct(num: String, den: String) =
-    s"CAST(CASE WHEN $den > 0 THEN round(CAST($num AS DOUBLE) * 100.0 / CAST($den AS DOUBLE), 4) ELSE 0.0 END AS DECIMAL(18,4))"
+    s"CASE WHEN $den > 0 THEN CAST(CAST(floor((CAST($num AS DOUBLE) * 100.0 / CAST($den AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END"
 
   private val docTokensCte =
     """WITH t AS (
@@ -191,14 +193,14 @@ object SparkEntry {
          |    CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS pv,
          |    CAST($revenueDec AS DOUBLE) AS rev
          |  FROM events)
-         |SELECT metric_key, CAST(metric_value AS DECIMAL(18,4)) AS metric_value, metric_label FROM (
+         |SELECT metric_key, CAST(CAST(floor((metric_value) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS metric_value, metric_label FROM (
          |  SELECT 'total_users' AS metric_key, tu AS metric_value, 'Total Users' AS metric_label FROM agg
          |  UNION ALL SELECT 'total_events', te, 'Total Events' FROM agg
          |  UNION ALL SELECT 'total_revenue', rev, 'Total Revenue' FROM agg
          |  UNION ALL SELECT 'conversion_rate',
-         |    CASE WHEN pv > 0 THEN round(pu * 100.0 / pv, 4) ELSE 0.0 END, 'Conversion Rate (%)' FROM agg
+         |    CASE WHEN pv > 0 THEN pu * 100.0 / pv ELSE 0.0 END, 'Conversion Rate (%)' FROM agg
          |  UNION ALL SELECT 'avg_purchase_value',
-         |    CASE WHEN pu > 0 THEN round(rev / pu, 4) ELSE 0.0 END, 'Avg Purchase Value' FROM agg
+         |    CASE WHEN pu > 0 THEN rev / pu ELSE 0.0 END, 'Avg Purchase Value' FROM agg
          |) ORDER BY metric_key""".stripMargin,
 
     "q_event_type_distribution" ->
@@ -230,7 +232,7 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
         |  count(*) AS count_order,
-        |  CAST(CASE WHEN count(*) > 0 THEN round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) ELSE 0.0 END AS DECIMAL(18,4)) AS avg_qty
+        |  CASE WHEN count(*) > 0 THEN CAST(CAST(floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END AS avg_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -317,8 +319,8 @@ object SparkEntry {
         """SELECT doc_id,
           |  len(toks) AS n_tokens,
           |  len(list_distinct(toks)) AS n_distinct_tokens,
-          |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS DECIMAL(18,4)) AS type_token_ratio,
-          |  CAST(round(CAST(tlen - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS DECIMAL(18,4)) AS mean_token_len
+          |  CAST(CAST(floor((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS type_token_ratio,
+          |  CAST(CAST(floor((CAST(tlen - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS mean_token_len
           |FROM t ORDER BY doc_id""".stripMargin),
 
     "q_exact_dedup_counts" ->
@@ -329,5 +331,69 @@ object SparkEntry {
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang, source,
+        |    CAST(CAST(floor((CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS stopword_ratio,
+        |    CAST(CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+        |      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
+        |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS quality_score
+        |  FROM t)
+        |SELECT lang, source, count(*) AS docs,
+        |  CASE WHEN count(*) > 0 THEN CAST(CAST(floor((CAST(sum(quality_score) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END AS mean_quality,
+        |  CASE WHEN count(*) > 0 THEN CAST(CAST(floor((CAST(sum(stopword_ratio) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END AS mean_stopword_ratio
+        |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','es'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','zu','in','ist','ein'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','que','en','un','est'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_fr
+        |  FROM t)
+        |SELECT doc_id, labeled_lang,
+        |  CAST(CAST(floor((score_en) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS score_en,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       WHEN score_de >= score_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_embedding_norms" ->
+      """SELECT vec_id, label,
+        |  CAST(CAST(floor((sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q_emb, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |      FROM pairs)
+        |SELECT query_id, rank, neighbor_id, CAST(CAST(floor((cos) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_near_dup_cosine" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT vec_a, vec_b, CAST(CAST(floor((cos) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine FROM p)
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

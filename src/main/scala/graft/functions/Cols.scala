@@ -34,21 +34,34 @@ object Cols {
   /** Conditional count (reference A2, streaming_processor.py:179-181). */
   def countWhen(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
+  /** Quantize a double to 4 decimals, toward -∞: floor(x·10⁴)/10⁴.
+    *
+    * Why floor and not round: both engines compute the same IEEE double x,
+    * and `x * 10000.0` is again one identical IEEE op — so floor of it is
+    * bit-deterministic across engines. `round(x, 4)` is NOT: Spark rounds
+    * the exact binary expansion of x while other engines re-round via a
+    * double multiply, and the two disagree whenever x·10⁴ straddles a .5
+    * (observed in practice ~1/100 rows on ratio-heavy data).
+    * Range contract: |x|·10⁴ must stay below 2^53 (true for all ratios,
+    * cosines and money averages this engine emits). */
+  def q4(x: Column): Column =
+    (floor(x * 10000.0).cast(DecimalType(18, 4)) / 10000).cast(DecimalType(18, 4))
+
   /** Percentage ratio with divide-by-zero guard (reference A9,
     * streaming_processor.py:298-303): num*100.0/den in one double division
-    * over exact operands, rounded, fixed decimal type. */
+    * over exact operands, floor-quantized to a fixed decimal. */
   def pct4(num: Column, den: Column): Column =
-    when(den > 0, round(num.cast("double") * 100.0 / den.cast("double"), 4))
-      .otherwise(0.0).cast(DecimalType(18, 4))
+    when(den > 0, q4(num.cast("double") * 100.0 / den.cast("double")))
+      .otherwise(lit(0).cast(DecimalType(18, 4)))
 
-  /** Deterministic average: exact sum / exact count, single double division. */
+  /** Deterministic average: exact sum / exact count, single double division,
+    * floor-quantized. */
   def avg4(sumCol: Column, cnt: Column): Column =
-    when(cnt > 0, round(sumCol.cast("double") / cnt.cast("double"), 4))
-      .otherwise(0.0).cast(DecimalType(18, 4))
+    when(cnt > 0, q4(sumCol.cast("double") / cnt.cast("double")))
+      .otherwise(lit(0).cast(DecimalType(18, 4)))
 
-  /** Round a per-row double expression to a fixed decimal (safe: one IEEE op
-    * chain per row, no aggregation reordering involved). */
-  def asDec4(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+  /** Quantize a per-row double expression to a fixed decimal (see [[q4]]). */
+  def asDec4(c: Column): Column = q4(c)
 
   /** Epoch seconds of a genuine (µs/ms) timestamp column. Session TZ is UTC,
     * so NTZ wall-clock == epoch-as-UTC, matching a naive-timestamp oracle. */

@@ -79,13 +79,15 @@ object EventAnalytics {
       Cols.countWhen(col("event_type") === "view").cast("double").as("page_views"),
       Cols.sumDec2When(col("event_type") === "purchase", col("value"))
         .cast("double").as("total_revenue"))
+    // raw doubles here; the single floor-quantization happens on metric_value
+    // at the end (double round()s would not be oracle-deterministic)
     val kpis = wide.select(
       col("total_users"), col("total_events"), col("total_revenue"),
       when(col("page_views") > 0,
-        round(col("purchases") * 100.0 / col("page_views"), 4)).otherwise(0.0)
+        col("purchases") * 100.0 / col("page_views")).otherwise(0.0)
         .as("conversion_rate"),
       when(col("purchases") > 0,
-        round(col("total_revenue") / col("purchases"), 4)).otherwise(0.0)
+        col("total_revenue") / col("purchases")).otherwise(0.0)
         .as("avg_purchase_value"))
     // tall layout: stack(k, v) pairs, value as fixed decimal
     kpis.selectExpr(
@@ -97,7 +99,7 @@ object EventAnalytics {
          'avg_purchase_value', avg_purchase_value, 'Avg Purchase Value'
          ) as (metric_key, metric_value, metric_label)""")
       .select(col("metric_key"),
-        col("metric_value").cast(DecimalType(18, 4)).as("metric_value"),
+        Cols.q4(col("metric_value")).as("metric_value"),
         col("metric_label"))
   }
 

@@ -110,7 +110,9 @@ object Relational {
       .agg(sum(Cols.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("revenue"))
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey").asc)
-    perPart.withColumn("rank_in_brand", row_number().over(w))
+    // cast to long: the oracle's row_number() is 64-bit, and a schema compare
+    // would flag int32 vs int64 even when values agree
+    perPart.withColumn("rank_in_brand", row_number().over(w).cast("long"))
       .where(col("rank_in_brand") <= n)
       .orderBy(col("p_brand"), col("rank_in_brand"))
   }
@@ -159,7 +161,7 @@ object Relational {
   def orderValueDeciles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), ntile(10).over(w).as("decile"))
+      .select(col("o_orderkey"), col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("orders"),
         sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total_value"))

@@ -53,7 +53,7 @@ object Similarity {
         cosine(col("q_emb"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         Cols.asDec4(col("cos")).as("cosine"))

@@ -32,8 +32,8 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     docs.select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
       Cols.asDec4(size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
         .as("type_token_ratio"),
       Cols.asDec4((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks).cast("double"))
