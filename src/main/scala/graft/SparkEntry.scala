@@ -101,6 +101,11 @@ object SparkEntry {
     // --- multimodal plumbing (stubbed decode; real schema/batching)
     "q_media_profile" -> ((s, d) =>
       Multimodal.mediaProfile(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+
+    // --- structured streaming (T1/T2/T8: real streaming query, append mode,
+    //     memory sink; emits exactly the watermark-closed windows)
+    "q_streaming_hourly" -> ((s, d) =>
+      graft.streaming.StreamingHourly.closedHourlyMetrics(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -331,6 +336,26 @@ object SparkEntry {
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Streaming append-mode contract: a window is emitted iff its end is ≤
+    // the final watermark (max event-second − 600); verified empirically
+    // (watermark == window end does emit).
+    "q_streaming_hourly" ->
+      s"""WITH m AS (SELECT max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_sec FROM events),
+         |h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+         |    count(*) AS total_events,
+         |    count(*) FILTER (WHERE event_type = 'view') AS page_views,
+         |    count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+         |    count(*) FILTER (WHERE event_type = 'signup') AS signups,
+         |    count(*) FILTER (WHERE event_type = 'error') AS errors,
+         |    $revenueDec AS revenue,
+         |    ${pct("count(*) FILTER (WHERE event_type = 'purchase')",
+                   "count(*) FILTER (WHERE event_type = 'view')")} AS conversion_rate
+         |  FROM events GROUP BY 1)
+         |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
+         |ORDER BY hour_sec""".stripMargin,
 
     "q_quality_by_source" ->
       """WITH t AS (

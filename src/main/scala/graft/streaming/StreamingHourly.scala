@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+
+/** The reference's watermarked hourly aggregation (T1/T2) executed as a REAL
+  * Structured Streaming query over the driver's events table, with the
+  * memory sink capturing append-mode output.
+  *
+  * This is the oracle-checkable face of the streaming engine: in append
+  * mode only windows *closed by the watermark* are ever emitted, so the
+  * result equals the batch hourly aggregation restricted to windows whose
+  * end ≤ final watermark (max event time − 10 min) — a condition a SQL
+  * oracle can state exactly. The file source delivers the data, the no-data
+  * micro-batch after it advances the watermark and flushes closed windows.
+  */
+object StreamingHourly {
+  private val counter = new AtomicInteger()
+  val WatermarkSeconds = 600L
+
+  /** The file streaming source requires a directory; the testdata is a bare
+    * (read-only) parquet file, so stage a symlink dir under the JVM tmpdir. */
+  private def stagedDir(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val d   = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+    Files.createDirectories(d)
+    val link = d.resolve("events.parquet")
+    if (!Files.exists(link))
+      try Files.createSymbolicLink(link, src)
+      catch { case _: Throwable => Files.copy(src, link) }
+    d.toString
+  }
+
+  def closedHourlyMetrics(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path   = stagedDir(dir)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+
+    val agg = stream
+      .withWatermark("event_time", s"$WatermarkSeconds seconds")
+      .groupBy(window(col("event_time"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        Cols.countWhen(col("event_type") === "view").as("page_views"),
+        Cols.countWhen(col("event_type") === "click").as("clicks"),
+        Cols.countWhen(col("event_type") === "purchase").as("purchases"),
+        Cols.countWhen(col("event_type") === "signup").as("signups"),
+        Cols.countWhen(col("event_type") === "error").as("errors"),
+        Cols.sumDec2When(col("event_type") === "purchase", col("value")).as("revenue"),
+        Cols.pct4(
+          Cols.countWhen(col("event_type") === "purchase"),
+          Cols.countWhen(col("event_type") === "view")).as("conversion_rate"))
+      .select(unix_timestamp(col("w.start")).as("hour_sec"),
+        col("total_events"), col("page_views"), col("clicks"), col("purchases"),
+        col("signups"), col("errors"), col("revenue"), col("conversion_rate"))
+
+    val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable() // file batch + no-data watermark batch
+    } finally q.stop()
+    spark.table(name).orderBy(col("hour_sec"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest doc_id per identical text") {
+    val docs = docsDf((1L, "a b c"), (2L, "A B C"), (3L, "x y z"))
+    val kept = Dedup.exactDeduped(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L)) // 2 is a case-normalized dup of 1
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("minhash LSH finds heavily overlapping docs and not disjoint ones") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val far  = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = docsDf((1L, base), (2L, near), (3L, far))
+    val pairs = Dedup.nearDupMinhash(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("verifyJaccard computes the exact shingle-set Jaccard") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} → J = 1/3
+    val docs  = docsDf((1L, "a b c d"), (2L, "a b c e"))
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.verifyJaccard(docs, pairs).select("jaccard").head().getDecimal(0)
+    assert(j == new java.math.BigDecimal("0.3333"))
+  }
+
+  test("simhash: identical docs at distance 0, near docs close, disjoint docs far") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = docsDf((1L, base), (2L, base), (3L, (100 to 160).map(i => s"v$i").mkString(" ")))
+    val sh = Dedup.simhashes(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 6)
+    val pairs = Dedup.nearDupSimhash(docs, 3).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("near-dup pipeline on real corpus: estimates track exact jaccard") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val est = Dedup.nearDupMinhash(docs, 0.5).select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val verified = Dedup.verifyJaccard(docs, est.select("doc_a", "doc_b"))
+    val joined = est.join(verified, Seq("doc_a", "doc_b"))
+    val drifted = joined.where(abs(col("est_jaccard") - col("jaccard")) > 0.25).count()
+    assert(drifted == 0, "minhash estimate >0.25 away from exact jaccard")
+  }
+
+  test("embedding cosine: self-similarity 1, LSH candidates subset of exact pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .where(abs(col("c") - 1.0) > 1e-9).count()
+    assert(self == 0)
+    val exact = Similarity.nearDupCosineExact(emb, 0.3).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annCosineLsh(emb, 0.3, numPlanes = 8).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must not produce pairs the exact search rejects")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Invariants of the batch analytics operators (SURVEY.md §5 strategy #3). */
+class OperatorSpec extends SparkSpec {
+
+  test("session metrics: funnel counts partition total_events; converted ⇔ purchases>0; end ≥ start") {
+    val sm = Sessionize.sessionMetrics(Tables.events(spark, sf))
+    val bad = sm.where(
+      col("page_views") + col("clicks") + col("signups") + col("errors") + col("purchases") =!= col("total_events")
+        || (col("converted") =!= (col("purchases") > 0))
+        || col("end_sec") < col("start_sec")
+        || col("session_duration_seconds") =!= col("end_sec") - col("start_sec"))
+    assert(bad.count() == 0)
+  }
+
+  test("sessionization: session count equals gap-rule count and covers all events") {
+    val withIds = Sessionize.withSessionId(Tables.events(spark, sf))
+    val events  = Tables.events(spark, sf).count()
+    assert(withIds.count() == events) // no events lost or duplicated
+    val sessions = withIds.select(col("session_id")).distinct().count()
+    assert(sessions > 0 && sessions <= events)
+  }
+
+  test("hourly metrics: conversion_rate is 0 when page_views is 0; totals add up") {
+    val hm = EventAnalytics.hourlyMetrics(Tables.events(spark, sf))
+    assert(hm.where(col("page_views") === 0
+      && col("conversion_rate") =!= lit(BigDecimal(0))).count() == 0)
+    val bad = hm.where(col("page_views") + col("clicks") + col("purchases")
+      + col("signups") + col("errors") =!= col("total_events"))
+    assert(bad.count() == 0)
+  }
+
+  test("hourly approx distinct stays within HLL error of exact") {
+    val exact = EventAnalytics.hourlyMetrics(Tables.events(spark, sf))
+      .select(col("hour_sec"), col("unique_users"))
+    val approx = EventAnalytics.hourlyMetricsApprox(Tables.events(spark, sf))
+      .select(col("hour_sec"), col("unique_users_approx"))
+    val joined = exact.join(approx, "hour_sec")
+    val off = joined.where(
+      abs(col("unique_users_approx") - col("unique_users")) >
+        greatest(lit(2.0), col("unique_users") * 0.25)).count()
+    assert(off == 0, "approx_count_distinct drifted beyond 25%/±2 of exact")
+  }
+
+  test("event type distribution percentages sum to ~100") {
+    val total = EventAnalytics.eventTypeDistribution(Tables.events(spark, sf))
+      .agg(sum(col("pct_of_total"))).head().getDecimal(0)
+    assert((total.doubleValue() - 100.0).abs < 0.01)
+  }
+
+  test("dashboard KPIs contain the 5 metric keys") {
+    val keys = EventAnalytics.dashboardKpis(Tables.events(spark, sf))
+      .select(col("metric_key")).collect().map(_.getString(0)).toSet
+    assert(keys == Set("total_users", "total_events", "total_revenue",
+      "conversion_rate", "avg_purchase_value"))
+  }
+}

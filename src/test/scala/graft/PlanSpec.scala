@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Plan-shape assertions — the 100 TB design contract (broadcasts chosen,
+  * filters pushed to parquet, codegen engaged). These fail if a refactor
+  * silently degrades the physical plan even though results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame, mode: String = "formatted"): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain(mode) }
+    out.toString
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = planOf(Relational.revenueByRegion(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "star joins must not sort-merge: \n" + p)
+  }
+
+  test("semi/anti joins plan as join types, not distinct+join") {
+    assert(planOf(Relational.customersWithOrders(spark, sf)).contains("LeftSemi"))
+    assert(planOf(Relational.customersWithoutOrders(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = planOf(Relational.pricingSummary(Tables.lineitem(spark, sf)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scans prune columns (hourly metrics reads only what it needs)") {
+    val p = planOf(EventAnalytics.hourlyMetrics(Tables.events(spark, sf)))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("ts") && read.contains("event_type") && read.contains("value"))
+    assert(!read.contains("props"), s"props must be pruned from the scan: $read")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Relational.topOrdersByRevenue(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are whole-stage codegen'd") {
+    // codegen stages exist only in the AQE-finalized plan → execute first
+    val df = EventAnalytics.hourlyMetrics(Tables.events(spark, sf))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // '*' prefix marks whole-stage-codegen'd operators
+  }
+
+  test("sessionization uses a single exchange for both window functions") {
+    val p = planOf(operators.Sessionize.withSessionId(Tables.events(spark, sf)))
+    // count Exchange nodes in the plan tree (the '(n) Exchange' detail headers)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$p")
+  }
+}

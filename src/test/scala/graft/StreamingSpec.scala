@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.EventGenerator
+import graft.streaming._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermark append-mode emits a window exactly when watermark reaches its end") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().withColumn("event_time", timestamp_seconds(col("value")))
+      .withWatermark("event_time", "600 seconds")
+      .groupBy(window(col("event_time"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_probe").outputMode("append").start()
+    try {
+      mem.addData(4000L, 5000L) // window [3600, 7200)
+      q.processAllAvailable()
+      assert(spark.table("wm_probe").count() == 0) // watermark still below end
+      mem.addData(7800L) // watermark -> 7800-600 = 7200 == window end
+      q.processAllAvailable()
+      val rows = spark.table("wm_probe").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3600L, 2L)))
+    } finally q.stop()
+  }
+
+  test("late event beyond the watermark does not change a closed window") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().withColumn("event_time", timestamp_seconds(col("value")))
+      .withWatermark("event_time", "600 seconds")
+      .groupBy(window(col("event_time"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_probe").outputMode("append").start()
+    try {
+      mem.addData(4000L); q.processAllAvailable()
+      mem.addData(9000L); q.processAllAvailable() // closes [3600,7200)
+      mem.addData(4100L); q.processAllAvailable() // late: below watermark, dropped
+      val rows = spark.table("late_probe").where(col("ws") === 3600).collect()
+      assert(rows.length == 1 && rows(0).getLong(1) == 1L)
+    } finally q.stop()
+  }
+
+  test("parse repairs null/empty timestamps with the pinned clock") {
+    val clock = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val wire = Seq(
+      ("u1", """{"event_id":"e1","user_id":"u1","event_type":"page_view","timestamp":"2024-01-01T10:00:00Z"}"""),
+      ("u2", """{"event_id":"e2","user_id":"u2","event_type":"purchase","purchase_amount":12.34,"timestamp":""}"""),
+      ("u3", """{"event_id":"e3","user_id":"u3","event_type":"add_to_cart"}"""))
+      .toDF("key", "value").withColumn("timestamp", lit(clock))
+    val parsed = Parse.parse(wire, fixedClock = Some(clock)).collect()
+      .map(r => r.getAs[String]("event_id") -> r.getAs[java.sql.Timestamp]("event_time")).toMap
+    assert(parsed("e1") == java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T10:00:00Z")))
+    assert(parsed("e2") == clock && parsed("e3") == clock)
+  }
+
+  test("4-query pipeline runs end-to-end on generated wire data") {
+    implicit val sq = spark.sqlContext
+    val gen  = new EventGenerator(seed = 7)
+    val wire = gen.asWire(spark, 500).withColumn("timestamp", current_timestamp()).collect()
+    val mem  = MemoryStream[(String, String, java.sql.Timestamp)]
+    mem.addData(wire.map(r => (r.getString(0), r.getString(1),
+      r.getAs[java.sql.Timestamp](2))).toSeq)
+    val kafkaShaped = mem.toDF().toDF("key", "value", "timestamp")
+
+    val results = scala.collection.concurrent.TrieMap[String, Long]()
+    def sink(name: String): (DataFrame, Long) => Unit =
+      (df, _) => results.updateWith(name) { prev => Some(prev.getOrElse(0L) + df.count()) }
+
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val qs = ClickstreamPipeline.start(kafkaShaped,
+      ClickstreamPipeline.SinkSet(sink("raw"), sink("sessions"), sink("hourly"), sink("dashboard")),
+      ClickstreamPipeline.Config(ckpt,
+        rawTrigger = Trigger.ProcessingTime(0), sessionTrigger = Trigger.ProcessingTime(0),
+        hourlyTrigger = Trigger.ProcessingTime(0), dashboardTrigger = Trigger.ProcessingTime(0),
+        fixedClock = Some(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))))
+    try {
+      qs.foreach(_.processAllAvailable())
+      assert(results("raw") > 400) // all generated events audited
+      assert(results("sessions") > 0)
+      assert(results("dashboard") == 4) // 4 KPI rows per batch
+      // hourly is append-mode: windows may be open, so no row guarantee
+    } finally qs.foreach(_.stop())
+  }
+
+  test("streaming hourly equals batch hourly restricted to closed windows") {
+    val streamed = StreamingHourly.closedHourlyMetrics(spark, sf)
+    val events   = graft.sources.Tables.events(spark, sf)
+    val maxSec   = events.agg(max(col("ts_sec"))).head().getLong(0)
+    val batch = graft.operators.EventAnalytics.hourlyMetrics(events)
+      .where(col("hour_sec") + 3600 <= maxSec - StreamingHourly.WatermarkSeconds)
+      .drop("unique_users")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+}

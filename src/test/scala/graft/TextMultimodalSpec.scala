@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+import graft.sources.{EventGenerator, Tables}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats: counts and ratios consistent") {
+    val docs = Seq((1L, "a b b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(docs).head()
+    assert(r.getAs[Long]("n_tokens") == 4 && r.getAs[Long]("n_distinct_tokens") == 3)
+    assert(r.getAs[java.math.BigDecimal]("type_token_ratio") == new java.math.BigDecimal("0.7500"))
+    assert(r.getAs[java.math.BigDecimal]("mean_token_len") == new java.math.BigDecimal("1.0000"))
+  }
+
+  test("language id is deterministic and scores bounded") {
+    val out = TextAnalysis.languageId(Tables.documents(spark, sf))
+    assert(out.where(col("score_en") < 0 || col("score_en") > 1).count() == 0)
+    assert(out.where(col("predicted_lang").isNull).count() == 0)
+  }
+
+  test("quality score stays in [0,1]") {
+    val q = TextAnalysis.qualityScored(Tables.documents(spark, sf))
+    assert(q.where(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val a = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(m => m.byte_len > 0 && m.width >= 64 && m.channels >= 2))
+    val kinds = Multimodal.mediaProfile(media).select("kind").as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("label centroids have one vector of the embedding dimension per label") {
+    val c = Similarity.labelCentroids(Tables.embeddings(spark, sf)).collect()
+    assert(c.length == 10)
+    assert(c.forall(_.getSeq[Double](1).length == 64))
+  }
+
+  test("event generator: reference wire contract round-trips through from_json") {
+    val gen  = new EventGenerator(seed = 1)
+    val evs  = gen.events(300)
+    assert(evs.map(_.event_id).distinct.size == evs.size) // ids unique
+    assert(evs.forall(e => Set("page_view", "add_to_cart", "purchase")(e.event_type)))
+    assert(evs.filter(_.event_type == "purchase").forall(_.purchase_amount.isDefined))
+    // deterministic with same seed
+    assert(new EventGenerator(seed = 1).events(300) == evs)
+    val parsed = graft.streaming.Parse.parse(
+      gen.asWire(spark, 300).withColumn("timestamp", current_timestamp()),
+      fixedClock = Some(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+    assert(parsed.where(col("event_id").isNull).count() == 0)
+    assert(parsed.columns.contains("event_time") && parsed.columns.contains("processing_time"))
+  }
+}
