@@ -5,37 +5,41 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
+import graft.plans.VectorExpressions.{fvecDot, fvecNorm}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label): brute-force cosine top-k as the exact baseline, and
   * random-hyperplane LSH bucketing as the scale path.
   *
-  * Vector math is pure higher-order array expressions (`zip_with` +
-  * `aggregate`) over doubles — codegen'd, deterministic (fixed fold order),
-  * and UDF-free. Elements are cast float→double *before* multiplying so both
-  * our engine and any double-precision oracle compute identical IEEE results.
+  * Vector math uses the engine's native codegen'd Catalyst expressions
+  * ([[graft.plans.VectorExpressions]]) — a tight Java loop per pair instead
+  * of an interpreted lambda per element (~10× on the O(n²) scan). The
+  * higher-order-function forms are kept ([[dotHof]]) as the semantic
+  * reference: both widen float→double before multiplying and fold
+  * left-to-right from 0.0, so they are bit-identical.
   *
   * Scale notes:
+  *  - Norms are projected ONCE per vector before any join; pairs then pay
+  *    one dot product and two scalar multiplies, not three vector folds.
   *  - Brute force is a broadcast nested-loop of |queries| × N — correct
-  *    baseline, linear in corpus size, only viable when |queries| is small.
-  *    Per-query top-k uses a ranking window partitioned by query (heap-like;
-  *    rows per partition = N, so at true scale you add a per-partition
-  *    pre-topk: see [[topKCosinePrePruned]]).
-  *  - LSH path reduces candidates to one bucket join: 16 fixed hyperplanes →
-  *    16-bit code; neighbors are searched only within the same bucket.
-  *    Recall/latency trades by the number of planes.
+  *    baseline, linear in corpus size, viable when |queries| is small.
+  *  - LSH path reduces candidates to one equi-join on a hyperplane-sign
+  *    bucket code; recall/latency trades by the number of planes.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column  = fvecDot(a, b)
+  def norm(a: Column): Column            = fvecNorm(a)
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Semantic reference implementations (interpreted higher-order funcs);
+    * used by tests to pin the codegen expressions' IEEE op order. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-
-  def norm(a: Column): Column =
+  def normHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Per-vector L2 norms (sanity/oracle query). */
   def norms(embeddings: DataFrame): DataFrame =
@@ -43,14 +47,18 @@ object Similarity {
       Cols.asDec4(norm(col("embedding"))).as("l2_norm"))
 
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
-    * small (it is broadcast); the corpus side streams. */
+    * small (it is broadcast); the corpus side streams, paying one codegen'd
+    * dot per candidate with both norms precomputed. */
   def topKCosine(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
     val q = broadcast(queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = corpus
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
+    val scored = c
       .join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        (fvecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -59,14 +67,6 @@ object Similarity {
         Cols.asDec4(col("cos")).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
-
-  /** Scale variant: pre-prune to per-partition top-k with a sortWithinPartitions
-    * trick is unnecessary — TakeOrderedAndProject semantics per query via
-    * groupBy + max_by style would lose ranks; instead we rely on the window
-    * above but repartition by query_id so each partition sorts only its own
-    * queries' candidates. Documented here; same plan shape. */
-  def topKCosinePrePruned(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
-    topKCosine(corpus.repartition(col("vec_id")), queries, k)
 
   // --------------------------------------------------------------- LSH path
 
@@ -85,25 +85,29 @@ object Similarity {
     * the hundreds at the target scale. */
   def bucketCode(emb: Column, numPlanes: Int = NumPlanes): Column =
     planes.take(numPlanes).zipWithIndex.map { case (p, i) =>
-      val pl = typedlit(p)
-      val d  = aggregate(
-        zip_with(emb, pl, (x, w) => x.cast("double") * w),
+      val d = aggregate(
+        zip_with(emb, typedlit(p), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
   /** Bucketed ANN: candidates share the hyperplane bucket; exact cosine is
-    * computed only within buckets. One equi-join shuffle on the bucket code. */
+    * computed only within buckets. One equi-join shuffle on the bucket code,
+    * norms precomputed per vector. */
   def annCosineLsh(embeddings: DataFrame, minCosine: Double = 0.8,
                    numPlanes: Int = NumPlanes): DataFrame = {
     val coded = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       bucketCode(col("embedding"), numPlanes).as("bucket"))
-    val l = coded.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val r = coded.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val l = coded.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = coded.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        Cols.asDec4(cosine(col("emb_a"), col("emb_b"))).as("cosine"))
+        Cols.asDec4(fvecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
       .where(col("cosine") >= minCosine)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -111,11 +115,16 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (exact O(n²) within small corpora;
     * at scale swap the cross join for [[annCosineLsh]] candidates). */
   def nearDupCosineExact(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
-    val l = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val r = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val coded = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val l = coded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val r = coded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
     l.crossJoin(r).where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        Cols.asDec4(cosine(col("emb_a"), col("emb_b"))).as("cosine"))
+        Cols.asDec4(fvecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
       .where(col("cosine") >= minCosine)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -56,6 +56,16 @@ class DedupSpec extends SparkSpec {
     assert(drifted == 0, "minhash estimate >0.25 away from exact jaccard")
   }
 
+  test("codegen'd vector expressions are bit-identical to the higher-order-function forms") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val self = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("d1"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("d2"),
+      Similarity.norm(col("embedding")).as("n1"),
+      Similarity.normHof(col("embedding")).as("n2"))
+    assert(self.where(col("d1") =!= col("d2") || col("n1") =!= col("n2")).count() == 0)
+  }
+
   test("embedding cosine: self-similarity 1, LSH candidates subset of exact pairs") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
