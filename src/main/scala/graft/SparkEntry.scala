@@ -98,6 +98,22 @@ object SparkEntry {
         .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))
         .orderBy(col("label"))),
 
+    // --- A8 first/last-in-group, collect_list baskets, regexp extraction
+    "q_first_last_event" -> ((s, d) =>
+      EventAnalytics.firstLastPerUser(Tables.events(s, d)).orderBy(col("user_id"))),
+    "q_purchase_baskets" -> ((s, d) =>
+      EventAnalytics.purchaseBaskets(Tables.events(s, d)).orderBy(col("user_id"))),
+    "q_source_id_stats" -> ((s, d) =>
+      TextAnalysis.sourceIdStats(Tables.documents(s, d)).orderBy(col("even_source"))),
+
+    // --- reference wire-schema clickstream ops (generated seeded corpus:
+    //     URLs/product ids exist only in the reference contract, not the
+    //     driver tables → deterministic rows-only checks)
+    "q_page_type_dist" -> ((s, d) =>
+      Clickstream.pageTypeDistribution(Clickstream.generated(s))),
+    "q_product_metrics" -> ((s, d) => // J1 broadcast enrichment (dead table filled)
+      Clickstream.productMetrics(Clickstream.generated(s))),
+
     // --- multimodal plumbing (stubbed decode; real schema/batching)
     "q_media_profile" -> ((s, d) =>
       Multimodal.mediaProfile(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
@@ -336,6 +352,35 @@ object SparkEntry {
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_first_last_event" ->
+      """SELECT user_id,
+        |  min_by(event_type, event_id) AS first_event_type,
+        |  max_by(event_type, event_id) AS last_event_type,
+        |  min(event_id) AS first_event_id,
+        |  max(event_id) AS last_event_id,
+        |  count(*) AS events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_purchase_baskets" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT user_id, count(*) AS purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS basket
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_source_id_stats" ->
+      """WITH s AS (
+        |  SELECT coalesce(CAST(nullif(regexp_extract(source, '([0-9]+)', 1), '') AS BIGINT), -1) AS source_num,
+        |         n_chars
+        |  FROM documents)
+        |SELECT (source_num % 2 = 0) AS even_source, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(source_num) AS min_source, max(source_num) AS max_source
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Streaming append-mode contract: a window is emitted iff its end is ≤
     // the final watermark (max event-second − 600); verified empirically

@@ -134,6 +134,31 @@ object EventAnalytics {
   def withParsedProps(events: DataFrame): DataFrame =
     events.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
 
+  /** First/last event per user (reference A8 `first(col)` intent,
+    * streaming_processor.py:382-383, made deterministic: min_by/max_by on
+    * the monotone event_id instead of order-dependent first()). */
+  def firstLastPerUser(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_event_type"),
+        max_by(col("event_type"), col("event_id")).as("last_event_type"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("events"))
+
+  /** Purchased-entity baskets per user (reference §2.9 `collect_list` intent
+    * — cart reconstruction): sorted id list as a canonical string so the
+    * result is order-insensitive and oracle-comparable. */
+  def purchaseBaskets(events: DataFrame): DataFrame =
+    withParsedProps(events)
+      .where(col("event_type") === "purchase" && col("k").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("purchases"),
+        Cols.sumDec2(col("value")).as("revenue"),
+        concat_ws(",", transform(array_sort(collect_list(col("k"))),
+          x => x.cast("string"))).as("basket"))
+
   /** Events in the trailing window, anchored at max(ts) for determinism
     * (Grafana panel uses NOW() - INTERVAL '1 hour',
     * ecommerce-dashboard.json:18). The scalar max is computed as a subquery

@@ -93,6 +93,20 @@ object TextAnalysis {
         .otherwise("fr").as("predicted_lang"))
   }
 
+  /** Source-id extraction via regexp (reference §2.9 `regexp_replace`/
+    * `regexp_extract` intent — the URL/entity-id parsing surface): pulls the
+    * numeric id out of the source tag and aggregates per id parity. */
+  def sourceIdStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("source_num", // nullif: a non-match yields "" which ANSI cast rejects
+        coalesce(nullif(regexp_extract(col("source"), "([0-9]+)", 1), lit("")).cast("long"), lit(-1L)))
+      .groupBy((col("source_num") % 2 === 0).as("even_source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("source_num")).as("min_source"),
+        max(col("source_num")).as("max_source"))
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup key.
     * (The rolling/shingle hashes used for near-dup live in [[Dedup]].) */
   def fingerprinted(docs: DataFrame): DataFrame =

@@ -43,6 +43,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(c.forall(_.getSeq[Double](1).length == 64))
   }
 
+  test("page-type classification covers every generated URL") {
+    val dist = operators.Clickstream.pageTypeDistribution(
+      operators.Clickstream.generated(spark, 1000))
+    val types = dist.select("page_type").as[String].collect().toSet
+    assert(!types.contains("other"), s"unclassified URLs: $types")
+    assert(types.contains("product") && types.contains("checkout"))
+  }
+
+  test("product metrics enrichment: every product joined, conversion bounded") {
+    val pm = operators.Clickstream.productMetrics(operators.Clickstream.generated(spark, 1000))
+    assert(pm.where(col("product_name").isNull || col("category").isNull).count() == 0)
+    assert(pm.where(col("conversion_rate") < 0).count() == 0)
+    val plan = pm.queryExecution.executedPlan.toString
+    // fact side must not shuffle for the enrichment join
+    assert(pm.count() > 0 && plan.contains("BroadcastHashJoin"))
+  }
+
+  test("first/last per user agrees with direct lookup") {
+    val fl = operators.EventAnalytics.firstLastPerUser(Tables.events(spark, sf))
+    assert(fl.where(col("first_event_id") > col("last_event_id")).count() == 0)
+    val ev = Tables.events(spark, sf)
+    val joined = fl.join(ev, fl("first_event_id") === ev("event_id"))
+    assert(joined.where(col("first_event_type") =!= col("event_type")).count() == 0)
+  }
+
   test("event generator: reference wire contract round-trips through from_json") {
     val gen  = new EventGenerator(seed = 1)
     val evs  = gen.events(300)
