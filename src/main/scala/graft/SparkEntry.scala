@@ -93,6 +93,10 @@ object SparkEntry {
       Similarity.nearDupCosineExact(Tables.embeddings(s, d), 0.4)),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annCosineLsh(Tables.embeddings(s, d), 0.3, numPlanes = 8)),
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), 5)
+    }),
     "q_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))

@@ -129,6 +129,60 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // --------------------------------------------------------------- IVF path
+
+  /** IVF-style ANN: partition the corpus into cells around seed centroids,
+    * then search only the `nprobe` nearest cells per query.
+    *
+    * Centroid choice is deterministic (every ⌈N/k⌉-th vec_id) — a k-means
+    * refinement would drop recall error further but changes no plan shape.
+    * Two broadcast joins: corpus→cells (one pass, broadcast centroids) and
+    * query→probe-cells; the candidate join then shuffles on cell id only.
+    * At 100 TB the cell assignment becomes a write-time bucketing of the
+    * corpus table, making the probe side a partition-pruned scan. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic seed centroids: rank by vec_id, take every step-th
+    // (index-build-time step; window funcs must live in a projection)
+    val ranked = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .withColumn("step",
+        greatest(floor(count(lit(1)).over(Window.partitionBy()) / numCells), lit(1)))
+    val centroids = broadcast(
+      ranked.where(pmod(col("rn") - 1, col("step")) === 0)
+        .limit(numCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
+
+    def nearestCells(df: DataFrame, vecCol: String, outPrefix: String, take: Int): DataFrame = {
+      val scored = df.crossJoin(centroids)
+        .withColumn("c_dot", fvecDot(col(vecCol), col("c_emb")))
+      val w = Window.partitionBy(col(s"${outPrefix}_id")).orderBy(col("c_dot").desc, col("cell_id").asc)
+      scored.withColumn("cell_rank", row_number().over(w))
+        .where(col("cell_rank") <= take)
+        .drop("c_emb", "c_dot", "cell_rank")
+    }
+
+    val cells = nearestCells(
+      corpus.select(col("vec_id").as("corpus_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), "embedding", "corpus", 1)
+      .select(col("cell_id"), col("corpus_id"), col("embedding"), col("nrm"))
+    val probes = nearestCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm")), "q_emb", "query", nprobe)
+      .select(col("cell_id"), col("query_id"), col("q_emb"), col("q_nrm"))
+
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id").as("neighbor_id"),
+        (fvecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        Cols.asDec4(col("cos")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Label centroid distances: mean vector per label then pairwise cosine —
     * exercises array aggregation (element-wise mean via posexplode + groupBy). */
   def labelCentroids(embeddings: DataFrame): DataFrame = {

@@ -66,6 +66,17 @@ class DedupSpec extends SparkSpec {
     assert(self.where(col("d1") =!= col("d2") || col("n1") =!= col("n2")).count() == 0)
   }
 
+  test("IVF top-k recall: most exact neighbors recovered with nprobe=4/16 cells") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.topKCosine(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (exact=$exact ivf=$ivf)")
+  }
+
   test("embedding cosine: self-similarity 1, LSH candidates subset of exact pairs") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

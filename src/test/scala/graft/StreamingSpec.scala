@@ -91,6 +91,28 @@ class StreamingSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("streaming dedup within watermark drops redelivered events, keeps state bounded") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("event_id", "sec")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val deduped = StreamingDedup.byKeyWithinWatermark(stream, "event_time", "600 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dd_probe").outputMode("append").start()
+    try {
+      mem.addData(("a", 1000L), ("a", 1001L), ("b", 1000L)) // a redelivered in-batch
+      q.processAllAvailable()
+      assert(spark.table("dd_probe").select("event_id").as[String].collect().sorted.toSeq == Seq("a", "b"))
+      mem.addData(("a", 1002L)) // redelivered across batches, still within watermark
+      q.processAllAvailable()
+      assert(spark.table("dd_probe").count() == 2)
+      mem.addData(("c", 5000L)) // advances watermark beyond a/b state
+      q.processAllAvailable()
+      mem.addData(("a", 5001L)) // same key again AFTER eviction → passes through
+      q.processAllAvailable()
+      assert(spark.table("dd_probe").where(col("event_id") === "a").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming hourly equals batch hourly restricted to closed windows") {
     val streamed = StreamingHourly.closedHourlyMetrics(spark, sf)
     val events   = graft.sources.Tables.events(spark, sf)
