@@ -102,6 +102,10 @@ object SparkEntry {
         .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))
         .orderBy(col("label"))),
 
+    // --- spark.sql string surface (§2.11 consumer queries)
+    "q_pipeline_stats" -> ((s, d) => QueryLibrary.pipelineStats(s, d)),
+    "q_latest_hour" -> ((s, d) => QueryLibrary.latestHour(s, d)),
+
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
       EventAnalytics.firstLastPerUser(Tables.events(s, d)).orderBy(col("user_id"))),
@@ -356,6 +360,27 @@ object SparkEntry {
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_stats" ->
+      """SELECT
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  count(*) FILTER (WHERE event_type = 'view') AS page_views,
+        |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signups,
+        |  count(*) FILTER (WHERE event_type = 'error') AS errors,
+        |  min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS first_event_sec,
+        |  max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS last_event_sec
+        |FROM events""".stripMargin,
+
+    "q_latest_hour" ->
+      """SELECT * FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+        |    count(*) AS total_events,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        |  FROM events GROUP BY 1
+        |) ORDER BY hour_sec DESC LIMIT 1""".stripMargin,
 
     "q_first_last_event" ->
       """SELECT user_id,
