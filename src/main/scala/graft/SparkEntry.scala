@@ -102,6 +102,10 @@ object SparkEntry {
         .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))
         .orderBy(col("label"))),
 
+    // --- data-quality validation (reference PROJECT_SUMMARY declared intent)
+    "q_dq_events" -> ((s, d) => DataQuality.eventsReport(Tables.events(s, d))),
+    "q_dq_documents" -> ((s, d) => DataQuality.documentsReport(Tables.documents(s, d))),
+
     // --- spark.sql string surface (§2.11 consumer queries)
     "q_pipeline_stats" -> ((s, d) => QueryLibrary.pipelineStats(s, d)),
     "q_latest_hour" -> ((s, d) => QueryLibrary.latestHour(s, d)),
@@ -360,6 +364,48 @@ object SparkEntry {
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dq_events" ->
+      s"""WITH w AS (SELECT
+         |    count(*) AS total,
+         |    count(DISTINCT event_id) AS distinct_ids,
+         |    count(*) FILTER (WHERE event_id IS NULL) AS null_event_id,
+         |    count(*) FILTER (WHERE user_id IS NULL) AS null_user_id,
+         |    count(*) FILTER (WHERE ts IS NULL) AS null_ts,
+         |    count(*) FILTER (WHERE event_type NOT IN ('view','click','purchase','signup','error')) AS invalid_type,
+         |    count(*) FILTER (WHERE value < 0) AS negative_value,
+         |    count(*) FILTER (WHERE json_extract_string(props, '$$.k') IS NULL) AS unparseable_props,
+         |    count(*) FILTER (WHERE CAST(epoch(date_trunc('second', ts)) AS BIGINT) < 1577836800) AS ts_before_2020
+         |  FROM events),
+         |t AS (
+         |  SELECT 'null_event_id' AS check_name, null_event_id AS violations, total FROM w
+         |  UNION ALL SELECT 'null_user_id', null_user_id, total FROM w
+         |  UNION ALL SELECT 'null_ts', null_ts, total FROM w
+         |  UNION ALL SELECT 'invalid_type', invalid_type, total FROM w
+         |  UNION ALL SELECT 'negative_value', negative_value, total FROM w
+         |  UNION ALL SELECT 'unparseable_props', unparseable_props, total FROM w
+         |  UNION ALL SELECT 'ts_before_2020', ts_before_2020, total FROM w
+         |  UNION ALL SELECT 'duplicate_event_id', total - distinct_ids, total FROM w)
+         |SELECT check_name, CAST(violations AS BIGINT) AS violations, total,
+         |  ${pct("violations", "total")} AS violation_pct
+         |FROM t ORDER BY check_name""".stripMargin,
+
+    "q_dq_documents" ->
+      s"""WITH w AS (SELECT
+         |    count(*) AS total,
+         |    count(*) FILTER (WHERE text IS NULL) AS null_text,
+         |    count(*) FILTER (WHERE length(text) = 0) AS empty_text,
+         |    count(*) FILTER (WHERE n_chars <> length(text)) AS nchar_mismatch,
+         |    count(*) FILTER (WHERE lang NOT IN ('en','es','de','fr','zh')) AS unknown_lang
+         |  FROM documents),
+         |t AS (
+         |  SELECT 'null_text' AS check_name, null_text AS violations, total FROM w
+         |  UNION ALL SELECT 'empty_text', empty_text, total FROM w
+         |  UNION ALL SELECT 'nchar_mismatch', nchar_mismatch, total FROM w
+         |  UNION ALL SELECT 'unknown_lang', unknown_lang, total FROM w)
+         |SELECT check_name, CAST(violations AS BIGINT) AS violations, total,
+         |  ${pct("violations", "total")} AS violation_pct
+         |FROM t ORDER BY check_name""".stripMargin,
 
     "q_pipeline_stats" ->
       """SELECT

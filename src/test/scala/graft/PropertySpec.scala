@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Cols
+import graft.operators.{Dedup, Sessionize}
+
+/** Property-based invariants (SURVEY.md §5 strategy #3) over generated
+  * inputs — the invariants hold by construction of the operators, so the
+  * properties are deterministic, not statistical. Generators are driven
+  * with fixed seeds (no scalatest-scalacheck bridge in the offline deps,
+  * and fixed seeds keep CI deterministic anyway). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sample `n` deterministic cases from a generator. */
+  private def cases[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    cases(gen).foreach(body)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val eventTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  private val eventsGen: Gen[List[(Long, Long, Long, String, Double)]] =
+    Gen.listOfN(120, for {
+      user <- Gen.choose(0L, 5L)
+      ts   <- Gen.choose(1700000000L, 1700000000L + 7 * 86400L)
+      tpe  <- Gen.oneOf(eventTypes)
+      v    <- Gen.choose(1, 50000).map(_ / 100.0)
+    } yield (user, ts, tpe, v)).map(_.zipWithIndex.map {
+      case ((u, ts, t, v), i) => (i.toLong, ts, u, t, v)
+    })
+
+  private def toDf(rows: List[(Long, Long, Long, String, Double)]) =
+    rows.toDF("event_id", "ts_sec", "user_id", "event_type", "value")
+      // event_id must be monotone in event time per the sessionizer contract
+      .withColumn("event_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts_sec"), col("event_id"))).cast("long"))
+
+  test("sessionization invariants hold for arbitrary event sets") {
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val sm = Sessionize.sessionMetrics(toDf(rows))
+        val bad = sm.where(
+          col("page_views") + col("clicks") + col("signups") + col("errors") + col("purchases") =!= col("total_events")
+            || (col("converted") =!= (col("purchases") > 0))
+            || col("end_sec") < col("start_sec"))
+        assert(bad.count() == 0)
+        // every event lands in exactly one session
+        assert(sm.agg(sum(col("total_events"))).head().getLong(0) == rows.size)
+      }
+    }
+  }
+
+  test("exact dedup always removes an injected duplicate and nothing else") {
+    val textGen = Gen.listOfN(10,
+      Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" ")))
+    forAll(textGen) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = (texts :+ texts.head).zipWithIndex // inject dup of first text
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val deduped = Dedup.exactDeduped(docs)
+        assert(deduped.count() == texts.distinct.size)
+        // canonical row (lowest doc_id) always survives
+        assert(deduped.where(col("doc_id") === 0).count() == 1)
+      }
+    }
+  }
+
+  test("floor quantization: q4(x) is within (x-1e-4, x] for arbitrary ratios") {
+    val ratioGen = Gen.listOfN(50, for {
+      num <- Gen.choose(0L, 1000000L)
+      den <- Gen.choose(1L, 1000000L)
+    } yield (num, den))
+    forAll(ratioGen) { pairs =>
+      val df = pairs.toDF("num", "den")
+        .select((col("num").cast("double") / col("den").cast("double")).as("x"))
+        .select(col("x"), Cols.q4(col("x")).cast("double").as("q"))
+      val bad = df.where(col("q") > col("x") || col("x") - col("q") >= 1e-4 + 1e-12)
+      assert(bad.count() == 0)
+    }
+  }
+
+  test("minhash signature is permutation-stable: identical docs share signatures") {
+    val textGen = Gen.listOfN(6,
+      Gen.listOfN(20, Gen.oneOf((1 to 30).map(i => s"tok$i"))).map(_.mkString(" ")))
+    forAll(textGen) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = (texts ++ texts).zipWithIndex // every doc duplicated
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val sigs = Dedup.signatures(docs)
+          .select(col("doc_id"), col("sig")).as[(Long, Seq[Long])].collect().toMap
+        texts.indices.foreach { i =>
+          assert(sigs(i.toLong) == sigs((i + texts.size).toLong))
+        }
+      }
+    }
+  }
+}
