@@ -47,6 +47,21 @@ class OperatorSpec extends SparkSpec {
     assert(off == 0, "approx_count_distinct drifted beyond 25%/±2 of exact")
   }
 
+  test("salted aggregation equals direct aggregation and spreads the hot key") {
+    val ev = Tables.events(spark, sf)
+    // decimal values: float sums are order-dependent and would differ
+    // between the one-stage and two-stage plans by last-bit noise
+    val v = graft.functions.Cols.dec2(col("value"))
+    val salted = operators.Skew.saltedSumCount(
+      ev, Seq("event_type"), v, col("event_id"), salts = 8)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(sum(v).as("total"), count(lit(1)).as("rows"))
+    assert(salted.exceptAll(direct).count() == 0 && direct.exceptAll(salted).count() == 0)
+    salted.collect()
+    val p = salted.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2) // partial + merge stages
+  }
+
   test("event type distribution percentages sum to ~100") {
     val total = EventAnalytics.eventTypeDistribution(Tables.events(spark, sf))
       .agg(sum(col("pct_of_total"))).head().getDecimal(0)
