@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL-facing custom functions (fvec_dot / fvec_norm); on a cluster the
+    // same registration ships as spark.sql.extensions=graft.plans.GraftExtensions
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 }

@@ -8,6 +8,14 @@ import graft.functions.Cols
 /** Deduplication operators for the training-data pipeline: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard verification.
   *
+  * Algorithms follow the public literature: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997) with
+  * banded LSH candidate generation (Indyk & Motwani 1998; banding analysis
+  * as in Mining of Massive Datasets ch. 3), and SimHash 64-bit similarity
+  * signatures (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002) with the pigeonhole chunk search of Manku et al.
+  * (WWW 2007).
+  *
   * Scale architecture (the reason these shapes were chosen):
   *  - Exact dedup is a hash-groupBy — one shuffle on the content hash, O(1)
   *    state per group.

@@ -17,6 +17,8 @@ import graft.functions.Cols
   * end ≤ final watermark (max event time − 10 min) — a condition a SQL
   * oracle can state exactly. The file source delivers the data, the no-data
   * micro-batch after it advances the watermark and flushes closed windows.
+  * (Semantics per "Structured Streaming: A Declarative API for Real-Time
+  * Applications in Apache Spark", SIGMOD 2018.)
   */
 object StreamingHourly {
   private val counter = new AtomicInteger()
@@ -64,10 +66,18 @@ object StreamingHourly {
         col("signups"), col("errors"), col("revenue"), col("conversion_rate"))
 
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .start()
+    // ~720 hour groups: 32 shuffle partitions mean 32 state-store dirs per
+    // micro-batch of pure overhead; the partition count is baked into the
+    // checkpoint at first start, so pick a small one for this query and
+    // restore the session conf afterwards.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable() // file batch + no-data watermark batch
     } finally q.stop()

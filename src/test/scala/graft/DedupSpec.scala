@@ -56,6 +56,13 @@ class DedupSpec extends SparkSpec {
     assert(drifted == 0, "minhash estimate >0.25 away from exact jaccard")
   }
 
+  test("fvec functions are callable from SQL text (extension registration)") {
+    graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql_probe")
+    val r = spark.sql(
+      "SELECT abs(fvec_dot(embedding, embedding) - fvec_norm(embedding) * fvec_norm(embedding)) AS d FROM emb_sql_probe")
+    assert(r.where(col("d") > 1e-9).count() == 0)
+  }
+
   test("codegen'd vector expressions are bit-identical to the higher-order-function forms") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val self = emb.select(
