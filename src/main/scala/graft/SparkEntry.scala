@@ -52,7 +52,7 @@ object SparkEntry {
     "q_revenue_by_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.topOrdersByRevenue(s, d)),
     "q_semi_join" -> ((s, d) => Relational.customersWithOrders(s, d)),
-    "q_anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q_anti_join" -> ((s, d) => Relational.customersWithoutBigOrders(s, d)),
     "q_window_topn" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
     "q_order_priority_dist" -> ((s, d) => Relational.orderPriorityDistribution(s, d)),
     "q_table_counts" -> ((s, d) => Relational.tableCounts(s, d)),
@@ -300,7 +300,8 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_window_topn" ->

@@ -91,10 +91,14 @@ object Relational {
       .agg(count(lit(1)).as("customers_with_orders"))
       .orderBy(col("c_mktsegment"))
 
-  /** Customers with no orders — left ANTI join (NOT EXISTS). */
-  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+  /** Customers with no high-value order — left ANTI join (NOT EXISTS). The
+    * build side is pre-filtered (threshold pushes into the orders scan), so
+    * the anti join probes a small hash relation. (Plain "no orders at all"
+    * would be vacuously empty in this data — every customer has orders.) */
+  def customersWithoutBigOrders(spark: SparkSession, dir: String, threshold: Double = 450000.0): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(spark, dir).where(col("o_totalprice") > threshold),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 

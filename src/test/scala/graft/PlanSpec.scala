@@ -24,7 +24,7 @@ class PlanSpec extends SparkSpec {
 
   test("semi/anti joins plan as join types, not distinct+join") {
     assert(planOf(Relational.customersWithOrders(spark, sf)).contains("LeftSemi"))
-    assert(planOf(Relational.customersWithoutOrders(spark, sf)).contains("LeftAnti"))
+    assert(planOf(Relational.customersWithoutBigOrders(spark, sf)).contains("LeftAnti"))
   }
 
   test("pricing summary pushes the shipdate filter into the parquet scan") {
