@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Bucketing, Tables}
+
+/** Bucketed co-located joins: the write-once / join-shuffle-free pattern
+  * for repeated fact-fact joins at scale. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join on the bucket key runs with zero exchanges") {
+    Seq("bkt_lineitem", "bkt_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { // stale location from an interrupted prior run
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    Bucketing.writeBucketed(Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      "bkt_lineitem", "l_orderkey", buckets = 4, sortCol = Some("l_orderkey"))
+    Bucketing.writeBucketed(Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "bkt_orders", "l_orderkey", buckets = 4, sortCol = Some("l_orderkey"))
+
+    val joined = Bucketing.bucketedJoin(spark, "bkt_lineitem", "bkt_orders", "l_orderkey")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_extendedprice")).as("s"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+
+    // same join without bucketing DOES shuffle (or broadcasts) — the bucketed
+    // layout is what removed the exchange, not data size
+    val unbucketed = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+      .groupBy(col("l_orderkey")).agg(sum(col("l_extendedprice")).as("s"))
+    unbucketed.collect()
+    val up = unbucketed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(up.contains("Exchange") || up.contains("Broadcast"))
+  }
+}

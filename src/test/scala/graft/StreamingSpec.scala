@@ -113,6 +113,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked session mode emits closed sessions with bounded state") {
+    implicit val sq = spark.sqlContext
+    val gen  = new EventGenerator(seed = 11)
+    val wire = gen.asWire(spark, 400).withColumn("timestamp", current_timestamp()).collect()
+    val mem  = MemoryStream[(String, String, java.sql.Timestamp)]
+    mem.addData(wire.map(r => (r.getString(0), r.getString(1), r.getAs[java.sql.Timestamp](2))).toSeq)
+    val kafkaShaped = mem.toDF().toDF("key", "value", "timestamp")
+    val rows = new java.util.concurrent.atomic.AtomicLong()
+    val ckpt = Files.createTempDirectory("graft_wm_ckpt").toString
+    val qs = ClickstreamPipeline.start(kafkaShaped,
+      ClickstreamPipeline.SinkSet( // foreachBatch must consume every partition
+        (df, _) => { df.count(); () },
+        (df, _) => { rows.addAndGet(df.count()); () },
+        (df, _) => { df.count(); () },
+        (df, _) => { df.count(); () }),
+      ClickstreamPipeline.Config(ckpt,
+        rawTrigger = Trigger.ProcessingTime(0), sessionTrigger = Trigger.ProcessingTime(0),
+        hourlyTrigger = Trigger.ProcessingTime(0), dashboardTrigger = Trigger.ProcessingTime(0),
+        watermarkSessions = true,
+        fixedClock = Some(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))))
+    try {
+      // event times span ~minutes; push late anchors far beyond every session
+      // so the watermark closes them all. Two anchor batches: the first
+      // advances the watermark, the second *carries* the emission (the async
+      // no-data micro-batch isn't awaited by processAllAvailable).
+      Seq("2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z").foreach { ts =>
+        mem.addData(Seq(("anchor",
+          s"""{"event_id":"anchor-$ts","user_id":"anchor","event_type":"page_view","timestamp":"$ts"}""",
+          java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))))
+        qs.foreach(_.processAllAvailable())
+      }
+      assert(rows.get() > 0, "no closed sessions emitted in watermarked append mode")
+    } finally qs.foreach(_.stop())
+  }
+
   test("checkpoint restart: recovered query re-reads nothing; upsert sink converges") {
     val dataDir = Files.createTempDirectory("graft_src").toString
     val ckpt    = Files.createTempDirectory("graft_ck").toString
