@@ -89,6 +89,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.topKCosine(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_knn_topk_agg" -> ((s, d) => { // heap aggregate: same answer, no sort
+      val emb = Tables.embeddings(s, d)
+      Similarity.topKCosineAgg(emb, emb.where(col("vec_id") < 5), 5)
+    }),
     "q_near_dup_cosine" -> ((s, d) =>
       Similarity.nearDupCosineExact(Tables.embeddings(s, d), 0.4)),
     "q_ann_lsh" -> ((s, d) =>
@@ -187,6 +191,20 @@ object SparkEntry {
       |         string_split(text, ' ') AS toks, length(text) AS tlen
       |  FROM documents)
       |""".stripMargin
+
+  private val knnOracleSql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q_emb, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |      FROM pairs)
+        |SELECT query_id, rank, neighbor_id, CAST(CAST(floor((cos) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_hourly_metrics" ->
@@ -517,19 +535,11 @@ object SparkEntry {
         |  CAST(CAST(floor((sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
-    "q_knn_cosine" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-        |pairs AS (
-        |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    list_reduce(list_transform(list_zip(q_emb, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
-        |      / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-        |         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
-        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-        |r AS (SELECT query_id, neighbor_id, cos,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |      FROM pairs)
-        |SELECT query_id, rank, neighbor_id, CAST(CAST(floor((cos) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_topk_agg" -> knnOracleSql,
+
+    "q_knn_cosine" -> knnOracleSql,
+
+    
 
     "q_near_dup_cosine" ->
       """WITH p AS (

@@ -68,6 +68,28 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Top-k via the engine's heap aggregate ([[graft.plans.TopKAggregate]])
+    * instead of a ranking window: candidates never sort or shuffle — each
+    * partition keeps an O(k) heap per query and ships only k pairs. Same
+    * output contract (and oracle) as [[topKCosine]]; this is the plan you
+    * run when candidates-per-query is large. */
+  def topKCosineAgg(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
+    val scored = c.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (fvecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.topk(
+        struct(col("cos"), col("neighbor_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"), Cols.asDec4(col("p.score")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------- LSH path
 
   val NumPlanes = 16

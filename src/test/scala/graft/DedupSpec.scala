@@ -56,6 +56,14 @@ class DedupSpec extends SparkSpec {
     assert(drifted == 0, "minhash estimate >0.25 away from exact jaccard")
   }
 
+  test("heap top-k aggregate matches the ranking-window top-k exactly") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val win = Similarity.topKCosine(emb, queries, 5).collect().map(_.toString).toSeq
+    val agg = Similarity.topKCosineAgg(emb, queries, 5).collect().map(_.toString).toSeq
+    assert(agg == win)
+  }
+
   test("fvec functions are callable from SQL text (extension registration)") {
     graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql_probe")
     val r = spark.sql(
