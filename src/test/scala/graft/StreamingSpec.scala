@@ -184,6 +184,43 @@ class StreamingSpec extends SparkSpec {
     assert(upserted.toMap == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0)) // pk upsert converged
   }
 
+  test("stateful sessionizer closes on gap, duration cap, and watermark timeout") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StatefulSessionizer._
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val typed = mem.toDF().toDF("user_id", "event_type", "ts_sec", "purchase_amount")
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .as[Event]
+    val out = sessionize(typed, gapSeconds = 600, maxDurationSeconds = 3000)
+    val q = out.writeStream.format("memory").queryName("sess_state").outputMode("append").start()
+    try {
+      // u1: two bursts 1000-1100 and 2000-2100 (gap 900 > 600 → first closes)
+      mem.addData(("u1", "view", 1000L, 0.0), ("u1", "purchase", 1100L, 9.99))
+      q.processAllAvailable()
+      mem.addData(("u1", "view", 2000L, 0.0), ("u1", "view", 2100L, 0.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_state").as[ClosedSession].collect()
+      assert(afterGap.exists(s => s.user_id == "u1" && s.close_reason == "gap"
+        && s.events == 2 && s.purchases == 1 && s.revenue == 9.99))
+      // u2: dense events (gaps ≤ 500 < 600) whose total span exceeds the
+      // 3000 s duration cap — only the cap can close this session
+      mem.addData((1000L to 4100L by 500L).map(t => ("u2", "view", t, 0.0)): _*)
+      mem.addData(("u2", "view", 4200L, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_state").as[ClosedSession].collect()
+        .exists(s => s.user_id == "u2" && s.close_reason == "max_duration"))
+      // u3 goes quiet; other-user traffic advances the watermark past
+      // u3.last + gap → u3's open session flushes via event-time timeout
+      // (two anchor batches: timeouts fire on the batch AFTER the watermark
+      // advances, and processAllAvailable doesn't await no-data batches)
+      mem.addData(("u3", "view", 100000L, 0.0)); q.processAllAvailable()
+      mem.addData(("u4", "view", 300000L, 0.0)); q.processAllAvailable()
+      mem.addData(("u4", "view", 300001L, 0.0)); q.processAllAvailable()
+      val flushed = spark.table("sess_state").as[ClosedSession].collect()
+      assert(flushed.exists(s => s.user_id == "u3" && s.close_reason == "timeout"))
+    } finally q.stop()
+  }
+
   test("streaming hourly equals batch hourly restricted to closed windows") {
     val streamed = StreamingHourly.closedHourlyMetrics(spark, sf)
     val events   = graft.sources.Tables.events(spark, sf)
