@@ -180,6 +180,29 @@ object SparkEntry {
     """CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
       |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))""".stripMargin
 
+  /** The hyperplane-LSH oracle embeds the engine's seeded plane constants as
+    * SQL double literals (Double.toString round-trips exactly) and mirrors
+    * the fold/sign/bucket logic, so even the ANN path is hash-checkable. */
+  private val annLshOracleSql: String = {
+    def dotPlane(p: Seq[Double]) = {
+      val arr = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_reduce(list_transform(list_zip(embedding, $arr), s -> CAST(s[1] AS DOUBLE) * s[2]), (x, y) -> x + y)"
+    }
+    val bucket = graft.operators.Similarity.planes.take(8).zipWithIndex
+      .map { case (p, i) => s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString(" + ")
+    val pairDot = "list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    val norm = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, $norm AS nrm, $bucket AS bucket
+       |  FROM embeddings)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(CAST(floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Floor-quantized percentage (mirror of Cols.pct4 — see Cols.q4 on why
     * floor, not round). */
   private def pct(num: String, den: String) =
@@ -534,6 +557,8 @@ object SparkEntry {
       """SELECT vec_id, label,
         |  CAST(CAST(floor((sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_ann_lsh" -> annLshOracleSql,
 
     "q_knn_topk_agg" -> knnOracleSql,
 

@@ -95,8 +95,11 @@ object Similarity {
   val NumPlanes = 16
   val Dim       = 64
 
-  /** Fixed random hyperplanes (seeded; constants baked into the plan). */
-  private val planes: Seq[Seq[Double]] = {
+  /** Fixed random hyperplanes (seeded; constants baked into the plan).
+    * Exposed so the SQL oracle can embed the identical constants — Scala's
+    * Double.toString round-trips exactly, so both engines see the same
+    * plane vectors bit-for-bit. */
+  val planes: Seq[Seq[Double]] = {
     val r = new scala.util.Random(7)
     Seq.fill(NumPlanes)(Seq.fill(Dim)(r.nextGaussian()))
   }
