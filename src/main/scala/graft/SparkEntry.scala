@@ -560,6 +560,76 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracleSql,
 
+    // Golden-value oracles: these two queries run over the seeded generator
+    // corpus (deterministic, scale-factor independent), so their expected
+    // rows are pinned as literals. Regenerate via tools/check_oracle.py dump
+    // if the generator or classification logic changes intentionally.
+    "q_page_type_dist" ->
+      ("""
+        |SELECT * FROM (VALUES
+        |  ('cart', CAST(544 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('category', CAST(296 AS BIGINT), CAST(8 AS BIGINT)),
+        |  ('checkout', CAST(210 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('homepage', CAST(159 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('product', CAST(618 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('search', CAST(128 AS BIGINT), CAST(8 AS BIGINT))
+        |) AS t(page_type, views, distinct_entities) ORDER BY page_type""".stripMargin),
+
+    "q_product_metrics" ->
+      ("""
+        |SELECT * FROM (VALUES
+        |  ('prod_0000', 'Product 0000', 'home', CAST(10 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(60.0000 AS DECIMAL(18,4)), CAST(4871.08 AS DECIMAL(12,2))),
+        |  ('prod_0001', 'Product 0001', 'books', CAST(8 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(1862.68 AS DECIMAL(12,2))),
+        |  ('prod_0002', 'Product 0002', 'toys', CAST(11 AS BIGINT), CAST(6 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DECIMAL(18,4)), CAST(4174.73 AS DECIMAL(12,2))),
+        |  ('prod_0003', 'Product 0003', 'electronics', CAST(11 AS BIGINT), CAST(17 AS BIGINT), CAST(3 AS BIGINT), CAST(27.2727 AS DECIMAL(18,4)), CAST(4975.86 AS DECIMAL(12,2))),
+        |  ('prod_0004', 'Product 0004', 'sports', CAST(16 AS BIGINT), CAST(7 AS BIGINT), CAST(5 AS BIGINT), CAST(31.2500 AS DECIMAL(18,4)), CAST(3853.13 AS DECIMAL(12,2))),
+        |  ('prod_0005', 'Product 0005', 'beauty', CAST(11 AS BIGINT), CAST(11 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DECIMAL(18,4)), CAST(5746.21 AS DECIMAL(12,2))),
+        |  ('prod_0006', 'Product 0006', 'automotive', CAST(11 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DECIMAL(18,4)), CAST(11031.02 AS DECIMAL(12,2))),
+        |  ('prod_0007', 'Product 0007', 'clothing', CAST(13 AS BIGINT), CAST(7 AS BIGINT), CAST(3 AS BIGINT), CAST(23.0769 AS DECIMAL(18,4)), CAST(5116.74 AS DECIMAL(12,2))),
+        |  ('prod_0008', 'Product 0008', 'electronics', CAST(6 AS BIGINT), CAST(11 AS BIGINT), CAST(7 AS BIGINT), CAST(116.6666 AS DECIMAL(18,4)), CAST(7271.90 AS DECIMAL(12,2))),
+        |  ('prod_0009', 'Product 0009', 'toys', CAST(11 AS BIGINT), CAST(21 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DECIMAL(18,4)), CAST(8113.53 AS DECIMAL(12,2))),
+        |  ('prod_0010', 'Product 0010', 'sports', CAST(13 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(7.6923 AS DECIMAL(18,4)), CAST(846.42 AS DECIMAL(12,2))),
+        |  ('prod_0011', 'Product 0011', 'beauty', CAST(10 AS BIGINT), CAST(12 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DECIMAL(18,4)), CAST(3968.86 AS DECIMAL(12,2))),
+        |  ('prod_0012', 'Product 0012', 'automotive', CAST(16 AS BIGINT), CAST(15 AS BIGINT), CAST(4 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(1285.78 AS DECIMAL(12,2))),
+        |  ('prod_0013', 'Product 0013', 'clothing', CAST(13 AS BIGINT), CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DECIMAL(18,4)), CAST(4406.01 AS DECIMAL(12,2))),
+        |  ('prod_0014', 'Product 0014', 'home', CAST(10 AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DECIMAL(18,4)), CAST(777.35 AS DECIMAL(12,2))),
+        |  ('prod_0015', 'Product 0015', 'books', CAST(9 AS BIGINT), CAST(8 AS BIGINT), CAST(3 AS BIGINT), CAST(33.3333 AS DECIMAL(18,4)), CAST(1593.46 AS DECIMAL(12,2))),
+        |  ('prod_0016', 'Product 0016', 'toys', CAST(7 AS BIGINT), CAST(13 AS BIGINT), CAST(3 AS BIGINT), CAST(42.8571 AS DECIMAL(18,4)), CAST(1990.46 AS DECIMAL(12,2))),
+        |  ('prod_0017', 'Product 0017', 'electronics', CAST(16 AS BIGINT), CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(56.2500 AS DECIMAL(18,4)), CAST(6199.32 AS DECIMAL(12,2))),
+        |  ('prod_0018', 'Product 0018', 'clothing', CAST(11 AS BIGINT), CAST(15 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DECIMAL(18,4)), CAST(8576.52 AS DECIMAL(12,2))),
+        |  ('prod_0019', 'Product 0019', 'automotive', CAST(13 AS BIGINT), CAST(12 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DECIMAL(18,4)), CAST(5996.32 AS DECIMAL(12,2))),
+        |  ('prod_0020', 'Product 0020', 'electronics', CAST(18 AS BIGINT), CAST(13 AS BIGINT), CAST(5 AS BIGINT), CAST(27.7777 AS DECIMAL(18,4)), CAST(4571.82 AS DECIMAL(12,2))),
+        |  ('prod_0021', 'Product 0021', 'toys', CAST(16 AS BIGINT), CAST(12 AS BIGINT), CAST(2 AS BIGINT), CAST(12.5000 AS DECIMAL(18,4)), CAST(5494.82 AS DECIMAL(12,2))),
+        |  ('prod_0022', 'Product 0022', 'books', CAST(7 AS BIGINT), CAST(14 AS BIGINT), CAST(4 AS BIGINT), CAST(57.1428 AS DECIMAL(18,4)), CAST(3595.45 AS DECIMAL(12,2))),
+        |  ('prod_0023', 'Product 0023', 'home', CAST(11 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DECIMAL(18,4)), CAST(4533.01 AS DECIMAL(12,2))),
+        |  ('prod_0024', 'Product 0024', 'clothing', CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DECIMAL(18,4)), CAST(2812.31 AS DECIMAL(12,2))),
+        |  ('prod_0025', 'Product 0025', 'automotive', CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(33.3333 AS DECIMAL(18,4)), CAST(4873.58 AS DECIMAL(12,2))),
+        |  ('prod_0026', 'Product 0026', 'beauty', CAST(9 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT), CAST(77.7777 AS DECIMAL(18,4)), CAST(7481.80 AS DECIMAL(12,2))),
+        |  ('prod_0027', 'Product 0027', 'sports', CAST(16 AS BIGINT), CAST(20 AS BIGINT), CAST(6 AS BIGINT), CAST(37.5000 AS DECIMAL(18,4)), CAST(8372.99 AS DECIMAL(12,2))),
+        |  ('prod_0028', 'Product 0028', 'home', CAST(14 AS BIGINT), CAST(9 AS BIGINT), CAST(5 AS BIGINT), CAST(35.7142 AS DECIMAL(18,4)), CAST(2903.97 AS DECIMAL(12,2))),
+        |  ('prod_0029', 'Product 0029', 'books', CAST(16 AS BIGINT), CAST(12 AS BIGINT), CAST(4 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(7379.24 AS DECIMAL(12,2))),
+        |  ('prod_0030', 'Product 0030', 'clothing', CAST(12 AS BIGINT), CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DECIMAL(18,4)), CAST(139.30 AS DECIMAL(12,2))),
+        |  ('prod_0031', 'Product 0031', 'automotive', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(7193.63 AS DECIMAL(12,2))),
+        |  ('prod_0032', 'Product 0032', 'beauty', CAST(13 AS BIGINT), CAST(10 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DECIMAL(18,4)), CAST(4662.99 AS DECIMAL(12,2))),
+        |  ('prod_0033', 'Product 0033', 'sports', CAST(12 AS BIGINT), CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DECIMAL(18,4)), CAST(537.84 AS DECIMAL(12,2))),
+        |  ('prod_0034', 'Product 0034', 'electronics', CAST(8 AS BIGINT), CAST(7 AS BIGINT), CAST(4 AS BIGINT), CAST(50.0000 AS DECIMAL(18,4)), CAST(8725.63 AS DECIMAL(12,2))),
+        |  ('prod_0035', 'Product 0035', 'toys', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DECIMAL(18,4)), CAST(783.80 AS DECIMAL(12,2))),
+        |  ('prod_0036', 'Product 0036', 'books', CAST(10 AS BIGINT), CAST(17 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DECIMAL(18,4)), CAST(1505.19 AS DECIMAL(12,2))),
+        |  ('prod_0037', 'Product 0037', 'home', CAST(9 AS BIGINT), CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(100.0000 AS DECIMAL(18,4)), CAST(14099.64 AS DECIMAL(12,2))),
+        |  ('prod_0038', 'Product 0038', 'sports', CAST(10 AS BIGINT), CAST(13 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DECIMAL(18,4)), CAST(4356.09 AS DECIMAL(12,2))),
+        |  ('prod_0039', 'Product 0039', 'beauty', CAST(9 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(11.1111 AS DECIMAL(18,4)), CAST(833.59 AS DECIMAL(12,2))),
+        |  ('prod_0040', 'Product 0040', 'toys', CAST(11 AS BIGINT), CAST(14 AS BIGINT), CAST(3 AS BIGINT), CAST(27.2727 AS DECIMAL(18,4)), CAST(4186.99 AS DECIMAL(12,2))),
+        |  ('prod_0041', 'Product 0041', 'electronics', CAST(12 AS BIGINT), CAST(8 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(3737.19 AS DECIMAL(12,2))),
+        |  ('prod_0042', 'Product 0042', 'home', CAST(13 AS BIGINT), CAST(12 AS BIGINT), CAST(7 AS BIGINT), CAST(53.8461 AS DECIMAL(18,4)), CAST(4824.01 AS DECIMAL(12,2))),
+        |  ('prod_0043', 'Product 0043', 'books', CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(100.0000 AS DECIMAL(18,4)), CAST(1958.90 AS DECIMAL(12,2))),
+        |  ('prod_0044', 'Product 0044', 'automotive', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(3 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(4793.79 AS DECIMAL(12,2))),
+        |  ('prod_0045', 'Product 0045', 'clothing', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(4 AS BIGINT), CAST(33.3333 AS DECIMAL(18,4)), CAST(5850.67 AS DECIMAL(12,2))),
+        |  ('prod_0046', 'Product 0046', 'sports', CAST(10 AS BIGINT), CAST(6 AS BIGINT), CAST(7 AS BIGINT), CAST(70.0000 AS DECIMAL(18,4)), CAST(6226.99 AS DECIMAL(12,2))),
+        |  ('prod_0047', 'Product 0047', 'beauty', CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DECIMAL(18,4)), CAST(5417.23 AS DECIMAL(12,2))),
+        |  ('prod_0048', 'Product 0048', 'books', CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(5648.42 AS DECIMAL(12,2))),
+        |  ('prod_0049', 'Product 0049', 'home', CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(12132.67 AS DECIMAL(12,2)))
+        |) AS t(product_id, product_name, category, total_views, total_cart_adds, total_purchases, conversion_rate, revenue) ORDER BY product_id""".stripMargin),
+
     "q_knn_topk_agg" -> knnOracleSql,
 
     "q_knn_cosine" -> knnOracleSql,

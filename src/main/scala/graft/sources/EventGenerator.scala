@@ -70,7 +70,7 @@ class EventGenerator(seed: Long = 42L, numUsers: Int = 100, numProducts: Int = 5
       clock += 200 + rnd.nextInt(2000)
       // maintain ≥10 live sessions (producer.py:200-202)
       if (sessions.size < 10) {
-        val uid = s"user_${rnd.nextInt(numUsers)}%04d"
+        val uid = f"user_${rnd.nextInt(numUsers)}%04d"
         sessions = sessions :+ SessionState(uid, uuid(), clock, clock, 0, Nil, 0)
       }
       val si = rnd.nextInt(sessions.size)
@@ -89,7 +89,7 @@ class EventGenerator(seed: Long = 42L, numUsers: Int = 100, numProducts: Int = 5
           else "page_view"
         val productId =
           if (eventType == "page_view" && rnd.nextDouble() < 0.5) None
-          else Some(s"prod_${rnd.nextInt(numProducts)}%04d")
+          else Some(f"prod_${rnd.nextInt(numProducts)}%04d")
         // cart-sum × U(0.95,1.05) or U(20,500) (producer.py:119-136)
         val amount = if (eventType == "purchase") {
           val base = if (s.cartItems.nonEmpty) s.cartItems.size * price() else 20 + rnd.nextDouble() * 480
