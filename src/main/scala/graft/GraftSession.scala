@@ -12,7 +12,16 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def build(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Large streaming state (sessions over millions of users) outgrows the
+    // default in-heap HDFS-backed store; RocksDB keeps state off-heap with
+    // incremental checkpoints. Opt-in here (local tests don't need it), the
+    // default on a real cluster deployment.
+    val stateStore =
+      if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val spark = SparkSession.builder()
+      .config("spark.sql.streaming.stateStore.providerClass", stateStore)
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
