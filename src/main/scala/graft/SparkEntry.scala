@@ -203,6 +203,47 @@ object SparkEntry {
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** IVF oracle: mirrors the deterministic centroid selection (every step-th
+    * vec_id), single-cell assignment, nprobe=4 probing, and top-5 ranking in
+    * plain SQL — every stage is data-derived, so it is fully checkable. */
+  private val ivfOracleSql: String = {
+    val norm = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    s"""WITH ranked AS (
+       |  SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn,
+       |    greatest(CAST(floor(CAST(count(*) OVER () AS DOUBLE) / 16) AS BIGINT), 1) AS step
+       |  FROM embeddings),
+       |centroids AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM ranked
+       |  WHERE (rn - 1) % step = 0 AND rn <= step * 16),
+       |corpus_cells AS (
+       |  SELECT cell_id, corpus_id, embedding, nrm FROM (
+       |    SELECT c.cell_id, e.vec_id AS corpus_id, e.embedding, $norm AS nrm,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dot("e.embedding", "c.c_emb")} DESC, c.cell_id ASC) AS cr
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE cr = 1),
+       |probes AS (
+       |  SELECT cell_id, query_id, q_emb, q_nrm FROM (
+       |    SELECT c.cell_id, e.vec_id AS query_id, e.embedding AS q_emb, $norm AS q_nrm,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dot("e.embedding", "c.c_emb")} DESC, c.cell_id ASC) AS cr
+       |    FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 5)
+       |  WHERE cr <= 4),
+       |scored AS (
+       |  SELECT p.query_id, cc.corpus_id AS neighbor_id,
+       |    ${dot("p.q_emb", "cc.embedding")} / (p.q_nrm * cc.nrm) AS cos
+       |  FROM corpus_cells cc JOIN probes p ON cc.cell_id = p.cell_id
+       |  WHERE cc.corpus_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, neighbor_id,
+       |  CAST(CAST(floor(cos * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Floor-quantized percentage (mirror of Cols.pct4 — see Cols.q4 on why
     * floor, not round). */
   private def pct(num: String, den: String) =
@@ -559,6 +600,8 @@ object SparkEntry {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_ann_lsh" -> annLshOracleSql,
+
+    "q_ivf_topk" -> ivfOracleSql,
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

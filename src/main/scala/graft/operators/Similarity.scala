@@ -174,8 +174,10 @@ object Similarity {
       .withColumn("step",
         greatest(floor(count(lit(1)).over(Window.partitionBy()) / numCells), lit(1)))
     val centroids = broadcast(
-      ranked.where(pmod(col("rn") - 1, col("step")) === 0)
-        .limit(numCells)
+      // rn bound instead of limit(): limit-after-filter has no ordering
+      // contract, the rank predicate is deterministic by construction
+      ranked.where(pmod(col("rn") - 1, col("step")) === 0
+          && col("rn") <= col("step") * numCells)
         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
 
     def nearestCells(df: DataFrame, vecCol: String, outPrefix: String, take: Int): DataFrame = {
