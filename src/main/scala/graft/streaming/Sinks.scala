@@ -23,7 +23,47 @@ import org.apache.spark.sql.DataFrame
   * double count(), :135,:159 — isEmpty is the cheap form).
   */
 object Sinks {
-  final case class Jdbc(url: String, user: String, password: String) {
+
+  /** Upsert SQL dialects. The reference targets PostgreSQL (`ON CONFLICT`);
+    * `AnsiMerge` covers MERGE-speaking databases (Derby/Oracle/SQL Server)
+    * and lets the upsert flow be exercised against the embedded Derby that
+    * ships with Spark (JdbcSinkSpec). */
+  sealed trait UpsertDialect {
+    def sql(table: String, temp: String, cols: Seq[String], pk: String,
+            updateCols: Seq[String]): String
+    /** MERGE cannot drop the staging table in the same statement batch. */
+    def dropTempSql(temp: String): String
+  }
+
+  // Staging-side column references are double-quoted: Spark's JDBC writer
+  // creates the staging table with quoted (case-preserved) identifiers, so
+  // unquoted references would case-fold away from them on ANSI databases.
+  // Target-side references stay unquoted, matching user-written DDL.
+  case object PostgresOnConflict extends UpsertDialect {
+    def sql(table: String, temp: String, cols: Seq[String], pk: String,
+            updateCols: Seq[String]): String = {
+      val sets = updateCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"""INSERT INTO $table (${cols.mkString(", ")})
+         |SELECT ${cols.map(c => s""""$c"""").mkString(", ")} FROM $temp
+         |ON CONFLICT ($pk) DO UPDATE SET $sets""".stripMargin
+    }
+    def dropTempSql(temp: String): String = s"DROP TABLE IF EXISTS $temp"
+  }
+
+  case object AnsiMerge extends UpsertDialect {
+    def sql(table: String, temp: String, cols: Seq[String], pk: String,
+            updateCols: Seq[String]): String = {
+      val sets = updateCols.map(c => s"""t.$c = s."$c"""").mkString(", ")
+      s"""MERGE INTO $table t USING $temp s ON t.$pk = s."$pk"
+         |WHEN MATCHED THEN UPDATE SET $sets
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |VALUES (${cols.map(c => s"""s."$c"""").mkString(", ")})""".stripMargin
+    }
+    def dropTempSql(temp: String): String = s"DROP TABLE $temp"
+  }
+
+  final case class Jdbc(url: String, user: String, password: String,
+                        dialect: UpsertDialect = PostgresOnConflict) {
     private def props = {
       val p = new java.util.Properties()
       p.setProperty("user", user); p.setProperty("password", password)
@@ -35,23 +75,17 @@ object Sinks {
       if (!batch.isEmpty)
         batch.write.mode("append").jdbc(url, table, props)
 
-    /** S4: temp-table + ON CONFLICT upsert (PostgreSQL dialect, as the
-      * reference's psycopg2 SQL at :236-256). */
+    /** S4: temp-table + upsert (reference flow, streaming_processor.py:197-274:
+      * stage the batch, one set-based upsert, drop the stage). */
     def upsert(table: String, pk: String, updateCols: Seq[String])(batch: DataFrame, batchId: Long): Unit =
       if (!batch.isEmpty) {
         val temp = s"${table.replace('.', '_')}_staging_$batchId"
         batch.write.mode("overwrite").jdbc(url, temp, props)
-        val cols = batch.columns
-        val sets = updateCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
-        val sql =
-          s"""INSERT INTO $table (${cols.mkString(", ")})
-             |SELECT ${cols.mkString(", ")} FROM $temp
-             |ON CONFLICT ($pk) DO UPDATE SET $sets""".stripMargin
         val conn = DriverManager.getConnection(url, user, password)
         try {
           val st = conn.createStatement()
-          st.execute(sql)
-          st.execute(s"DROP TABLE IF EXISTS $temp")
+          st.execute(dialect.sql(table, temp, batch.columns.toSeq, pk, updateCols))
+          st.execute(dialect.dropTempSql(temp))
         } finally conn.close()
       }
 
