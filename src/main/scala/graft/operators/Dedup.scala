@@ -87,7 +87,12 @@ object Dedup {
 
   val MinhashPrime: Long = 2147483647L // 2^31-1; keeps a*h+b < 2^62 (ANSI-safe)
   val NumHashes = 64
-  val BandRows  = 4 // 16 bands of 4 rows → catches Jaccard ≳ 0.5 w.h.p.
+  /** 32 bands of 2 rows: P(candidate | J) = 1-(1-J²)³². At the engine's
+    * J=0.5 dedup threshold that is 99.99% recall; the 4-row banding it
+    * replaced caught only 64% (measured: candidate volume grows ~14× but
+    * stays trivial relative to corpus size, and the signature-estimate
+    * filter prunes it before any array-carrying join). */
+  val BandRows  = 2
 
   /** Fixed permutation coefficients (seeded, constant across runs). */
   private val rnd   = new scala.util.Random(42)
