@@ -8,6 +8,21 @@ import graft.sources.{Bucketing, Tables}
   * for repeated fact-fact joins at scale. */
 class BucketingSpec extends SparkSpec {
 
+  test("partitioned parquet sink enables partition-pruned scans") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, sf)
+      .withColumn("event_date", date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd"))
+    graft.streaming.Sinks.parquetAppend(out, Seq("event_date"))(events, 0L)
+    val firstDate = events.agg(min(col("event_date"))).head().getString(0)
+    val read = spark.read.parquet(out).where(col("event_date") === firstDate)
+    read.collect()
+    val p = read.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains(s"PartitionFilters: [isnotnull(event_date"),
+      s"date filter must prune partitions, not scan+filter:\n$p")
+    assert(read.count() == events.where(col("event_date") === firstDate).count())
+  }
+
   test("bucketed join on the bucket key runs with zero exchanges") {
     Seq("bkt_lineitem", "bkt_orders").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
