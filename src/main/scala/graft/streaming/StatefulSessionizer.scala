@@ -65,7 +65,11 @@ object StatefulSessionizer {
                 case _ => ()
               }
               cur = Some(cur match {
-                case Some(s) => SessionState(s.start_sec, e.ts_sec, s.events + 1,
+                case Some(s) => SessionState(
+                  // late-but-in-watermark events may arrive out of order
+                  // across batches; session bounds only ever widen
+                  math.min(s.start_sec, e.ts_sec), math.max(s.last_sec, e.ts_sec),
+                  s.events + 1,
                   s.purchases + (if (e.event_type == "purchase") 1 else 0),
                   s.revenue + e.purchase_amount)
                 case None => SessionState(e.ts_sec, e.ts_sec, 1,
