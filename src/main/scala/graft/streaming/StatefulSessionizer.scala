@@ -22,7 +22,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulSessionizer {
 
   case class Event(user_id: String, event_type: String, ts_sec: Long,
-                   purchase_amount: Double)
+                   purchase_amount: Double, event_time: java.sql.Timestamp)
 
   case class SessionState(start_sec: Long, last_sec: Long, events: Long,
                           purchases: Long, revenue: Double)
@@ -40,7 +40,7 @@ object StatefulSessionizer {
       ClosedSession(u, s.start_sec, s.last_sec, s.last_sec - s.start_sec,
         s.events, s.purchases, s.revenue, reason)
 
-    events
+    events // event_time is part of the Event contract, so this always resolves
       .withWatermark("event_time", "1 hour")
       .as[Event]
       .groupByKey(_.user_id)
@@ -56,25 +56,41 @@ object StatefulSessionizer {
             val sorted = it.toSeq.sortBy(e => (e.ts_sec, e.event_type))
             var cur    = state.getOption
             val closed = List.newBuilder[ClosedSession]
+            def purchases(e: Event) = if (e.event_type == "purchase") 1L else 0L
+            def revenue(e: Event)   = if (e.event_type == "purchase") e.purchase_amount else 0.0
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts_sec - s.last_sec > gapSeconds =>
-                  closed += close(user, s, "gap"); cur = None
-                case Some(s) if e.ts_sec - s.start_sec > maxDurationSeconds =>
-                  closed += close(user, s, "max_duration"); cur = None
-                case _ => ()
+                case Some(s) if e.ts_sec < s.start_sec - gapSeconds =>
+                  // far-backward late (still above the watermark): it belongs
+                  // to an earlier, already-passed period — bridging it into
+                  // the live session would create an internal dead zone wider
+                  // than the gap rule allows, so emit it as its own session
+                  closed += ClosedSession(user, e.ts_sec, e.ts_sec, 0, 1,
+                    purchases(e), revenue(e), "late")
+                case other =>
+                  other match {
+                    case Some(s) if e.ts_sec - s.last_sec > gapSeconds =>
+                      closed += close(user, s, "gap"); cur = None
+                    case Some(s) if e.ts_sec - s.start_sec > maxDurationSeconds =>
+                      closed += close(user, s, "max_duration"); cur = None
+                    case _ => ()
+                  }
+                  cur = Some(cur match {
+                    case Some(s) => SessionState(
+                      // in-watermark out-of-order events widen bounds
+                      // monotonically (never shrink)
+                      math.min(s.start_sec, e.ts_sec), math.max(s.last_sec, e.ts_sec),
+                      s.events + 1, s.purchases + purchases(e), s.revenue + revenue(e))
+                    case None => SessionState(e.ts_sec, e.ts_sec, 1, purchases(e), revenue(e))
+                  })
+                  // backward widening can push the span over the cap, which
+                  // the pre-merge check (keyed on the incoming ts) cannot see
+                  cur = cur.flatMap { s =>
+                    if (s.last_sec - s.start_sec > maxDurationSeconds) {
+                      closed += close(user, s, "max_duration"); None
+                    } else Some(s)
+                  }
               }
-              cur = Some(cur match {
-                case Some(s) => SessionState(
-                  // late-but-in-watermark events may arrive out of order
-                  // across batches; session bounds only ever widen
-                  math.min(s.start_sec, e.ts_sec), math.max(s.last_sec, e.ts_sec),
-                  s.events + 1,
-                  s.purchases + (if (e.event_type == "purchase") 1 else 0),
-                  s.revenue + e.purchase_amount)
-                case None => SessionState(e.ts_sec, e.ts_sec, 1,
-                  if (e.event_type == "purchase") 1 else 0, e.purchase_amount)
-              })
             }
             cur match {
               case Some(s) =>

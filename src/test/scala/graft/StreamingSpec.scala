@@ -221,6 +221,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer: in-watermark out-of-order events widen, detach, and cap correctly") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StatefulSessionizer._
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val typed = mem.toDF().toDF("user_id", "event_type", "ts_sec", "purchase_amount")
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .as[Event]
+    val out = sessionize(typed, gapSeconds = 600, maxDurationSeconds = 3000)
+    val q = out.writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      mem.addData(("u5", "view", 10000L, 0.0), ("u5", "view", 10100L, 0.0))
+      q.processAllAvailable() // watermark -> 10100 - 3600 = 6500
+      // 9800 is within gap of the session start (widens); 7000 is beyond the
+      // backward gap (own "late" session) but above the 6500 watermark
+      mem.addData(("u5", "purchase", 7000L, 5.0), ("u5", "view", 9800L, 0.0))
+      q.processAllAvailable()
+      val late = spark.table("sess_ooo").as[ClosedSession].collect()
+      assert(late.exists(s => s.user_id == "u5" && s.close_reason == "late"
+        && s.start_sec == 7000 && s.events == 1 && s.revenue == 5.0))
+      // u6: span 2900 (under the 3000 cap); a backward-late event widens the
+      // span to 3001 → the post-merge cap check must close it
+      mem.addData((12000L to 14500L by 500L).map(t => ("u6", "view", t, 0.0))
+        :+ (("u6", "view", 14900L, 0.0)): _*)
+      q.processAllAvailable() // watermark -> 14900 - 3600 = 11300
+      mem.addData(("u6", "view", 11899L, 0.0))
+      q.processAllAvailable()
+      val capped = spark.table("sess_ooo").as[ClosedSession].collect()
+      assert(capped.exists(s => s.user_id == "u6" && s.close_reason == "max_duration"
+        && s.duration_seconds == 3001))
+    } finally q.stop()
+  }
+
   test("streaming hourly equals batch hourly restricted to closed windows") {
     val streamed = StreamingHourly.closedHourlyMetrics(spark, sf)
     val events   = graft.sources.Tables.events(spark, sf)
