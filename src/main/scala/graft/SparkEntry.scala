@@ -170,15 +170,28 @@ object SparkEntry {
       |    count(*) FILTER (WHERE event_type = 'signup') AS signups,
       |    count(*) FILTER (WHERE event_type = 'error') AS errors,
       |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
-      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
-      |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS total_purchase_amount,
+      |    (CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |             ELSE 0 END) AS DOUBLE) / 100.0) AS total_purchase_amount,
       |    (count(*) FILTER (WHERE event_type = 'purchase')) > 0 AS converted
       |  FROM sess GROUP BY user_id, session_id)
       |""".stripMargin
 
+  /** Mirror of Cols.sumDec2When: exact cents-long sum, one IEEE divide.
+    * Bit-identical to Spark regardless of aggregation order. */
   private val revenueDec =
-    """CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
-      |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))""".stripMargin
+    """(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         ELSE 0 END) AS DOUBLE) / 100.0)""".stripMargin
+
+  /** Mirror of Cols.sumDec2 for a plain money column. */
+  private def sumMoney(c: String) =
+    s"(CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0)"
+
+  /** Mirror of Cols.sumDec4 for price*(1-discount)-style scale-4 products. */
+  private def sumDisc(price: String, disc: String) =
+    s"(CAST(sum(CAST(CAST($price AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST($disc AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0)"
+
+  /** Mirror of Cols.q4: floor-quantized double, bit-identical cross-engine. */
+  private def q4(x: String) = s"(floor(($x) * 10000.0) / 10000.0)"
 
   /** The hyperplane-LSH oracle embeds the engine's seeded plane constants as
     * SQL double literals (Double.toString round-trips exactly) and mirrors
@@ -198,7 +211,7 @@ object SparkEntry {
        |  FROM embeddings)
        |SELECT vec_a, vec_b, cosine FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    CAST(CAST(floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
+       |    (floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) / 10000.0) AS cosine
        |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
   }
@@ -240,14 +253,14 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |      FROM scored)
        |SELECT query_id, rank, neighbor_id,
-       |  CAST(CAST(floor(cos * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
+       |  (floor(cos * 10000.0) / 10000.0) AS cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Floor-quantized percentage (mirror of Cols.pct4 — see Cols.q4 on why
     * floor, not round). */
   private def pct(num: String, den: String) =
-    s"CASE WHEN $den > 0 THEN CAST(CAST(floor((CAST($num AS DOUBLE) * 100.0 / CAST($den AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END"
+    s"CASE WHEN $den > 0 THEN ${q4(s"CAST($num AS DOUBLE) * 100.0 / CAST($den AS DOUBLE)")} ELSE 0.0 END"
 
   private val docTokensCte =
     """WITH t AS (
@@ -267,7 +280,7 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cos,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         |      FROM pairs)
-        |SELECT query_id, rank, neighbor_id, CAST(CAST(floor((cos) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine
+        |SELECT query_id, rank, neighbor_id, (floor((cos) * 10000.0) / 10000.0) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -308,7 +321,7 @@ object SparkEntry {
          |    CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS pv,
          |    CAST($revenueDec AS DOUBLE) AS rev
          |  FROM events)
-         |SELECT metric_key, CAST(CAST(floor((metric_value) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS metric_value, metric_label FROM (
+         |SELECT metric_key, (floor((metric_value) * 10000.0) / 10000.0) AS metric_value, metric_label FROM (
          |  SELECT 'total_users' AS metric_key, tu AS metric_value, 'Total Users' AS metric_label FROM agg
          |  UNION ALL SELECT 'total_events', te, 'Total Events' FROM agg
          |  UNION ALL SELECT 'total_revenue', rev, 'Total Revenue' FROM agg
@@ -330,24 +343,24 @@ object SparkEntry {
         |  FROM events
         |  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL)
         |SELECT k, count(*) AS purchases,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
         |FROM p GROUP BY k ORDER BY revenue DESC, k ASC LIMIT 10""".stripMargin,
 
     "q_last_window" ->
       """WITH a AS (SELECT max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS anchor_sec FROM events)
         |SELECT event_type, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
         |FROM events, a
         |WHERE CAST(epoch(date_trunc('second', ts)) AS BIGINT) > anchor_sec - 86400
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  (CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+        |  (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS sum_base_price,
+        |  (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0) AS sum_disc_price,
         |  count(*) AS count_order,
-        |  CASE WHEN count(*) > 0 THEN CAST(CAST(floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END AS avg_qty
+        |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS avg_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -355,7 +368,7 @@ object SparkEntry {
 
     "q_revenue_by_region" ->
       """SELECT r_name, count(*) AS line_count,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        |  (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -365,7 +378,7 @@ object SparkEntry {
     "q3_top_orders" ->
       """SELECT l_orderkey,
         |  CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS orderdate_sec,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        |  (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -389,7 +402,7 @@ object SparkEntry {
     "q_window_topn" ->
       """WITH pp AS (
         |  SELECT p_brand, p_partkey,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |    (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, p_partkey),
         |r AS (
@@ -418,7 +431,7 @@ object SparkEntry {
         |            WHEN o_totalprice < 200000 THEN '100-200k'
         |            ELSE '200k+' END AS price_bucket,
         |  count(*) AS orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_order_deciles" ->
@@ -427,7 +440,7 @@ object SparkEntry {
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
         |  FROM orders)
         |SELECT decile, count(*) AS orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q_token_stats" ->
@@ -435,8 +448,8 @@ object SparkEntry {
         """SELECT doc_id,
           |  len(toks) AS n_tokens,
           |  len(list_distinct(toks)) AS n_distinct_tokens,
-          |  CAST(CAST(floor((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS type_token_ratio,
-          |  CAST(CAST(floor((CAST(tlen - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS mean_token_len
+          |  (floor((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) / 10000.0) AS type_token_ratio,
+          |  (floor((CAST(tlen - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) / 10000.0) AS mean_token_len
           |FROM t ORDER BY doc_id""".stripMargin),
 
     "q_exact_dedup_counts" ->
@@ -526,7 +539,7 @@ object SparkEntry {
         |  FROM events
         |  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL)
         |SELECT user_id, count(*) AS purchases,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue,
         |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS basket
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -560,20 +573,23 @@ object SparkEntry {
          |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
          |ORDER BY hour_sec""".stripMargin,
 
+    // Mirrors TextAnalysis.scoredUnits/qualityBySource: per-doc scores are
+    // floor-quantized to exact 1e-4-unit BIGINTs, groups sum the integer
+    // units (order-independent), then one shared IEEE divide chain.
     "q_quality_by_source" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT lang, source,
-        |    CAST(CAST(floor((CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS stopword_ratio,
-        |    CAST(CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+        |    CAST(floor((CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 10000.0) AS BIGINT) AS stopw_u,
+        |    CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
         |      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
-        |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS quality_score
+        |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS BIGINT) AS qual_u
         |  FROM t)
         |SELECT lang, source, count(*) AS docs,
-        |  CASE WHEN count(*) > 0 THEN CAST(CAST(floor((CAST(sum(quality_score) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END AS mean_quality,
-        |  CASE WHEN count(*) > 0 THEN CAST(CAST(floor((CAST(sum(stopword_ratio) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END AS mean_stopword_ratio
+        |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(qual_u) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS mean_quality,
+        |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(stopw_u) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS mean_stopword_ratio
         |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q_lang_id" ->
@@ -587,7 +603,7 @@ object SparkEntry {
         |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','que','en','un','est'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_fr
         |  FROM t)
         |SELECT doc_id, labeled_lang,
-        |  CAST(CAST(floor((score_en) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS score_en,
+        |  (floor((score_en) * 10000.0) / 10000.0) AS score_en,
         |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
         |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
         |       WHEN score_de >= score_fr THEN 'de'
@@ -596,7 +612,7 @@ object SparkEntry {
 
     "q_embedding_norms" ->
       """SELECT vec_id, label,
-        |  CAST(CAST(floor((sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS l2_norm
+        |  (floor((sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) * 10000.0) / 10000.0) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_ann_lsh" -> annLshOracleSql,
@@ -621,56 +637,56 @@ object SparkEntry {
     "q_product_metrics" ->
       ("""
         |SELECT * FROM (VALUES
-        |  ('prod_0000', 'Product 0000', 'home', CAST(10 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(60.0000 AS DECIMAL(18,4)), CAST(4871.08 AS DECIMAL(12,2))),
-        |  ('prod_0001', 'Product 0001', 'books', CAST(8 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(1862.68 AS DECIMAL(12,2))),
-        |  ('prod_0002', 'Product 0002', 'toys', CAST(11 AS BIGINT), CAST(6 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DECIMAL(18,4)), CAST(4174.73 AS DECIMAL(12,2))),
-        |  ('prod_0003', 'Product 0003', 'electronics', CAST(11 AS BIGINT), CAST(17 AS BIGINT), CAST(3 AS BIGINT), CAST(27.2727 AS DECIMAL(18,4)), CAST(4975.86 AS DECIMAL(12,2))),
-        |  ('prod_0004', 'Product 0004', 'sports', CAST(16 AS BIGINT), CAST(7 AS BIGINT), CAST(5 AS BIGINT), CAST(31.2500 AS DECIMAL(18,4)), CAST(3853.13 AS DECIMAL(12,2))),
-        |  ('prod_0005', 'Product 0005', 'beauty', CAST(11 AS BIGINT), CAST(11 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DECIMAL(18,4)), CAST(5746.21 AS DECIMAL(12,2))),
-        |  ('prod_0006', 'Product 0006', 'automotive', CAST(11 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DECIMAL(18,4)), CAST(11031.02 AS DECIMAL(12,2))),
-        |  ('prod_0007', 'Product 0007', 'clothing', CAST(13 AS BIGINT), CAST(7 AS BIGINT), CAST(3 AS BIGINT), CAST(23.0769 AS DECIMAL(18,4)), CAST(5116.74 AS DECIMAL(12,2))),
-        |  ('prod_0008', 'Product 0008', 'electronics', CAST(6 AS BIGINT), CAST(11 AS BIGINT), CAST(7 AS BIGINT), CAST(116.6666 AS DECIMAL(18,4)), CAST(7271.90 AS DECIMAL(12,2))),
-        |  ('prod_0009', 'Product 0009', 'toys', CAST(11 AS BIGINT), CAST(21 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DECIMAL(18,4)), CAST(8113.53 AS DECIMAL(12,2))),
-        |  ('prod_0010', 'Product 0010', 'sports', CAST(13 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(7.6923 AS DECIMAL(18,4)), CAST(846.42 AS DECIMAL(12,2))),
-        |  ('prod_0011', 'Product 0011', 'beauty', CAST(10 AS BIGINT), CAST(12 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DECIMAL(18,4)), CAST(3968.86 AS DECIMAL(12,2))),
-        |  ('prod_0012', 'Product 0012', 'automotive', CAST(16 AS BIGINT), CAST(15 AS BIGINT), CAST(4 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(1285.78 AS DECIMAL(12,2))),
-        |  ('prod_0013', 'Product 0013', 'clothing', CAST(13 AS BIGINT), CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DECIMAL(18,4)), CAST(4406.01 AS DECIMAL(12,2))),
-        |  ('prod_0014', 'Product 0014', 'home', CAST(10 AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DECIMAL(18,4)), CAST(777.35 AS DECIMAL(12,2))),
-        |  ('prod_0015', 'Product 0015', 'books', CAST(9 AS BIGINT), CAST(8 AS BIGINT), CAST(3 AS BIGINT), CAST(33.3333 AS DECIMAL(18,4)), CAST(1593.46 AS DECIMAL(12,2))),
-        |  ('prod_0016', 'Product 0016', 'toys', CAST(7 AS BIGINT), CAST(13 AS BIGINT), CAST(3 AS BIGINT), CAST(42.8571 AS DECIMAL(18,4)), CAST(1990.46 AS DECIMAL(12,2))),
-        |  ('prod_0017', 'Product 0017', 'electronics', CAST(16 AS BIGINT), CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(56.2500 AS DECIMAL(18,4)), CAST(6199.32 AS DECIMAL(12,2))),
-        |  ('prod_0018', 'Product 0018', 'clothing', CAST(11 AS BIGINT), CAST(15 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DECIMAL(18,4)), CAST(8576.52 AS DECIMAL(12,2))),
-        |  ('prod_0019', 'Product 0019', 'automotive', CAST(13 AS BIGINT), CAST(12 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DECIMAL(18,4)), CAST(5996.32 AS DECIMAL(12,2))),
-        |  ('prod_0020', 'Product 0020', 'electronics', CAST(18 AS BIGINT), CAST(13 AS BIGINT), CAST(5 AS BIGINT), CAST(27.7777 AS DECIMAL(18,4)), CAST(4571.82 AS DECIMAL(12,2))),
-        |  ('prod_0021', 'Product 0021', 'toys', CAST(16 AS BIGINT), CAST(12 AS BIGINT), CAST(2 AS BIGINT), CAST(12.5000 AS DECIMAL(18,4)), CAST(5494.82 AS DECIMAL(12,2))),
-        |  ('prod_0022', 'Product 0022', 'books', CAST(7 AS BIGINT), CAST(14 AS BIGINT), CAST(4 AS BIGINT), CAST(57.1428 AS DECIMAL(18,4)), CAST(3595.45 AS DECIMAL(12,2))),
-        |  ('prod_0023', 'Product 0023', 'home', CAST(11 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DECIMAL(18,4)), CAST(4533.01 AS DECIMAL(12,2))),
-        |  ('prod_0024', 'Product 0024', 'clothing', CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DECIMAL(18,4)), CAST(2812.31 AS DECIMAL(12,2))),
-        |  ('prod_0025', 'Product 0025', 'automotive', CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(33.3333 AS DECIMAL(18,4)), CAST(4873.58 AS DECIMAL(12,2))),
-        |  ('prod_0026', 'Product 0026', 'beauty', CAST(9 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT), CAST(77.7777 AS DECIMAL(18,4)), CAST(7481.80 AS DECIMAL(12,2))),
-        |  ('prod_0027', 'Product 0027', 'sports', CAST(16 AS BIGINT), CAST(20 AS BIGINT), CAST(6 AS BIGINT), CAST(37.5000 AS DECIMAL(18,4)), CAST(8372.99 AS DECIMAL(12,2))),
-        |  ('prod_0028', 'Product 0028', 'home', CAST(14 AS BIGINT), CAST(9 AS BIGINT), CAST(5 AS BIGINT), CAST(35.7142 AS DECIMAL(18,4)), CAST(2903.97 AS DECIMAL(12,2))),
-        |  ('prod_0029', 'Product 0029', 'books', CAST(16 AS BIGINT), CAST(12 AS BIGINT), CAST(4 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(7379.24 AS DECIMAL(12,2))),
-        |  ('prod_0030', 'Product 0030', 'clothing', CAST(12 AS BIGINT), CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DECIMAL(18,4)), CAST(139.30 AS DECIMAL(12,2))),
-        |  ('prod_0031', 'Product 0031', 'automotive', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(7193.63 AS DECIMAL(12,2))),
-        |  ('prod_0032', 'Product 0032', 'beauty', CAST(13 AS BIGINT), CAST(10 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DECIMAL(18,4)), CAST(4662.99 AS DECIMAL(12,2))),
-        |  ('prod_0033', 'Product 0033', 'sports', CAST(12 AS BIGINT), CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DECIMAL(18,4)), CAST(537.84 AS DECIMAL(12,2))),
-        |  ('prod_0034', 'Product 0034', 'electronics', CAST(8 AS BIGINT), CAST(7 AS BIGINT), CAST(4 AS BIGINT), CAST(50.0000 AS DECIMAL(18,4)), CAST(8725.63 AS DECIMAL(12,2))),
-        |  ('prod_0035', 'Product 0035', 'toys', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DECIMAL(18,4)), CAST(783.80 AS DECIMAL(12,2))),
-        |  ('prod_0036', 'Product 0036', 'books', CAST(10 AS BIGINT), CAST(17 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DECIMAL(18,4)), CAST(1505.19 AS DECIMAL(12,2))),
-        |  ('prod_0037', 'Product 0037', 'home', CAST(9 AS BIGINT), CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(100.0000 AS DECIMAL(18,4)), CAST(14099.64 AS DECIMAL(12,2))),
-        |  ('prod_0038', 'Product 0038', 'sports', CAST(10 AS BIGINT), CAST(13 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DECIMAL(18,4)), CAST(4356.09 AS DECIMAL(12,2))),
-        |  ('prod_0039', 'Product 0039', 'beauty', CAST(9 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(11.1111 AS DECIMAL(18,4)), CAST(833.59 AS DECIMAL(12,2))),
-        |  ('prod_0040', 'Product 0040', 'toys', CAST(11 AS BIGINT), CAST(14 AS BIGINT), CAST(3 AS BIGINT), CAST(27.2727 AS DECIMAL(18,4)), CAST(4186.99 AS DECIMAL(12,2))),
-        |  ('prod_0041', 'Product 0041', 'electronics', CAST(12 AS BIGINT), CAST(8 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(3737.19 AS DECIMAL(12,2))),
-        |  ('prod_0042', 'Product 0042', 'home', CAST(13 AS BIGINT), CAST(12 AS BIGINT), CAST(7 AS BIGINT), CAST(53.8461 AS DECIMAL(18,4)), CAST(4824.01 AS DECIMAL(12,2))),
-        |  ('prod_0043', 'Product 0043', 'books', CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(100.0000 AS DECIMAL(18,4)), CAST(1958.90 AS DECIMAL(12,2))),
-        |  ('prod_0044', 'Product 0044', 'automotive', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(3 AS BIGINT), CAST(25.0000 AS DECIMAL(18,4)), CAST(4793.79 AS DECIMAL(12,2))),
-        |  ('prod_0045', 'Product 0045', 'clothing', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(4 AS BIGINT), CAST(33.3333 AS DECIMAL(18,4)), CAST(5850.67 AS DECIMAL(12,2))),
-        |  ('prod_0046', 'Product 0046', 'sports', CAST(10 AS BIGINT), CAST(6 AS BIGINT), CAST(7 AS BIGINT), CAST(70.0000 AS DECIMAL(18,4)), CAST(6226.99 AS DECIMAL(12,2))),
-        |  ('prod_0047', 'Product 0047', 'beauty', CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DECIMAL(18,4)), CAST(5417.23 AS DECIMAL(12,2))),
-        |  ('prod_0048', 'Product 0048', 'books', CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(5648.42 AS DECIMAL(12,2))),
-        |  ('prod_0049', 'Product 0049', 'home', CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DECIMAL(18,4)), CAST(12132.67 AS DECIMAL(12,2)))
+        |  ('prod_0000', 'Product 0000', 'home', CAST(10 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(60.0000 AS DOUBLE), CAST(4871.08 AS DOUBLE)),
+        |  ('prod_0001', 'Product 0001', 'books', CAST(8 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(25.0000 AS DOUBLE), CAST(1862.68 AS DOUBLE)),
+        |  ('prod_0002', 'Product 0002', 'toys', CAST(11 AS BIGINT), CAST(6 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DOUBLE), CAST(4174.73 AS DOUBLE)),
+        |  ('prod_0003', 'Product 0003', 'electronics', CAST(11 AS BIGINT), CAST(17 AS BIGINT), CAST(3 AS BIGINT), CAST(27.2727 AS DOUBLE), CAST(4975.86 AS DOUBLE)),
+        |  ('prod_0004', 'Product 0004', 'sports', CAST(16 AS BIGINT), CAST(7 AS BIGINT), CAST(5 AS BIGINT), CAST(31.2500 AS DOUBLE), CAST(3853.13 AS DOUBLE)),
+        |  ('prod_0005', 'Product 0005', 'beauty', CAST(11 AS BIGINT), CAST(11 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DOUBLE), CAST(5746.21 AS DOUBLE)),
+        |  ('prod_0006', 'Product 0006', 'automotive', CAST(11 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DOUBLE), CAST(11031.02 AS DOUBLE)),
+        |  ('prod_0007', 'Product 0007', 'clothing', CAST(13 AS BIGINT), CAST(7 AS BIGINT), CAST(3 AS BIGINT), CAST(23.0769 AS DOUBLE), CAST(5116.74 AS DOUBLE)),
+        |  ('prod_0008', 'Product 0008', 'electronics', CAST(6 AS BIGINT), CAST(11 AS BIGINT), CAST(7 AS BIGINT), CAST(116.6666 AS DOUBLE), CAST(7271.90 AS DOUBLE)),
+        |  ('prod_0009', 'Product 0009', 'toys', CAST(11 AS BIGINT), CAST(21 AS BIGINT), CAST(5 AS BIGINT), CAST(45.4545 AS DOUBLE), CAST(8113.53 AS DOUBLE)),
+        |  ('prod_0010', 'Product 0010', 'sports', CAST(13 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(7.6923 AS DOUBLE), CAST(846.42 AS DOUBLE)),
+        |  ('prod_0011', 'Product 0011', 'beauty', CAST(10 AS BIGINT), CAST(12 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DOUBLE), CAST(3968.86 AS DOUBLE)),
+        |  ('prod_0012', 'Product 0012', 'automotive', CAST(16 AS BIGINT), CAST(15 AS BIGINT), CAST(4 AS BIGINT), CAST(25.0000 AS DOUBLE), CAST(1285.78 AS DOUBLE)),
+        |  ('prod_0013', 'Product 0013', 'clothing', CAST(13 AS BIGINT), CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DOUBLE), CAST(4406.01 AS DOUBLE)),
+        |  ('prod_0014', 'Product 0014', 'home', CAST(10 AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DOUBLE), CAST(777.35 AS DOUBLE)),
+        |  ('prod_0015', 'Product 0015', 'books', CAST(9 AS BIGINT), CAST(8 AS BIGINT), CAST(3 AS BIGINT), CAST(33.3333 AS DOUBLE), CAST(1593.46 AS DOUBLE)),
+        |  ('prod_0016', 'Product 0016', 'toys', CAST(7 AS BIGINT), CAST(13 AS BIGINT), CAST(3 AS BIGINT), CAST(42.8571 AS DOUBLE), CAST(1990.46 AS DOUBLE)),
+        |  ('prod_0017', 'Product 0017', 'electronics', CAST(16 AS BIGINT), CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(56.2500 AS DOUBLE), CAST(6199.32 AS DOUBLE)),
+        |  ('prod_0018', 'Product 0018', 'clothing', CAST(11 AS BIGINT), CAST(15 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DOUBLE), CAST(8576.52 AS DOUBLE)),
+        |  ('prod_0019', 'Product 0019', 'automotive', CAST(13 AS BIGINT), CAST(12 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DOUBLE), CAST(5996.32 AS DOUBLE)),
+        |  ('prod_0020', 'Product 0020', 'electronics', CAST(18 AS BIGINT), CAST(13 AS BIGINT), CAST(5 AS BIGINT), CAST(27.7777 AS DOUBLE), CAST(4571.82 AS DOUBLE)),
+        |  ('prod_0021', 'Product 0021', 'toys', CAST(16 AS BIGINT), CAST(12 AS BIGINT), CAST(2 AS BIGINT), CAST(12.5000 AS DOUBLE), CAST(5494.82 AS DOUBLE)),
+        |  ('prod_0022', 'Product 0022', 'books', CAST(7 AS BIGINT), CAST(14 AS BIGINT), CAST(4 AS BIGINT), CAST(57.1428 AS DOUBLE), CAST(3595.45 AS DOUBLE)),
+        |  ('prod_0023', 'Product 0023', 'home', CAST(11 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(54.5454 AS DOUBLE), CAST(4533.01 AS DOUBLE)),
+        |  ('prod_0024', 'Product 0024', 'clothing', CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DOUBLE), CAST(2812.31 AS DOUBLE)),
+        |  ('prod_0025', 'Product 0025', 'automotive', CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(33.3333 AS DOUBLE), CAST(4873.58 AS DOUBLE)),
+        |  ('prod_0026', 'Product 0026', 'beauty', CAST(9 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT), CAST(77.7777 AS DOUBLE), CAST(7481.80 AS DOUBLE)),
+        |  ('prod_0027', 'Product 0027', 'sports', CAST(16 AS BIGINT), CAST(20 AS BIGINT), CAST(6 AS BIGINT), CAST(37.5000 AS DOUBLE), CAST(8372.99 AS DOUBLE)),
+        |  ('prod_0028', 'Product 0028', 'home', CAST(14 AS BIGINT), CAST(9 AS BIGINT), CAST(5 AS BIGINT), CAST(35.7142 AS DOUBLE), CAST(2903.97 AS DOUBLE)),
+        |  ('prod_0029', 'Product 0029', 'books', CAST(16 AS BIGINT), CAST(12 AS BIGINT), CAST(4 AS BIGINT), CAST(25.0000 AS DOUBLE), CAST(7379.24 AS DOUBLE)),
+        |  ('prod_0030', 'Product 0030', 'clothing', CAST(12 AS BIGINT), CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DOUBLE), CAST(139.30 AS DOUBLE)),
+        |  ('prod_0031', 'Product 0031', 'automotive', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DOUBLE), CAST(7193.63 AS DOUBLE)),
+        |  ('prod_0032', 'Product 0032', 'beauty', CAST(13 AS BIGINT), CAST(10 AS BIGINT), CAST(4 AS BIGINT), CAST(30.7692 AS DOUBLE), CAST(4662.99 AS DOUBLE)),
+        |  ('prod_0033', 'Product 0033', 'sports', CAST(12 AS BIGINT), CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DOUBLE), CAST(537.84 AS DOUBLE)),
+        |  ('prod_0034', 'Product 0034', 'electronics', CAST(8 AS BIGINT), CAST(7 AS BIGINT), CAST(4 AS BIGINT), CAST(50.0000 AS DOUBLE), CAST(8725.63 AS DOUBLE)),
+        |  ('prod_0035', 'Product 0035', 'toys', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(1 AS BIGINT), CAST(8.3333 AS DOUBLE), CAST(783.80 AS DOUBLE)),
+        |  ('prod_0036', 'Product 0036', 'books', CAST(10 AS BIGINT), CAST(17 AS BIGINT), CAST(2 AS BIGINT), CAST(20.0000 AS DOUBLE), CAST(1505.19 AS DOUBLE)),
+        |  ('prod_0037', 'Product 0037', 'home', CAST(9 AS BIGINT), CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(100.0000 AS DOUBLE), CAST(14099.64 AS DOUBLE)),
+        |  ('prod_0038', 'Product 0038', 'sports', CAST(10 AS BIGINT), CAST(13 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DOUBLE), CAST(4356.09 AS DOUBLE)),
+        |  ('prod_0039', 'Product 0039', 'beauty', CAST(9 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(11.1111 AS DOUBLE), CAST(833.59 AS DOUBLE)),
+        |  ('prod_0040', 'Product 0040', 'toys', CAST(11 AS BIGINT), CAST(14 AS BIGINT), CAST(3 AS BIGINT), CAST(27.2727 AS DOUBLE), CAST(4186.99 AS DOUBLE)),
+        |  ('prod_0041', 'Product 0041', 'electronics', CAST(12 AS BIGINT), CAST(8 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DOUBLE), CAST(3737.19 AS DOUBLE)),
+        |  ('prod_0042', 'Product 0042', 'home', CAST(13 AS BIGINT), CAST(12 AS BIGINT), CAST(7 AS BIGINT), CAST(53.8461 AS DOUBLE), CAST(4824.01 AS DOUBLE)),
+        |  ('prod_0043', 'Product 0043', 'books', CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(100.0000 AS DOUBLE), CAST(1958.90 AS DOUBLE)),
+        |  ('prod_0044', 'Product 0044', 'automotive', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(3 AS BIGINT), CAST(25.0000 AS DOUBLE), CAST(4793.79 AS DOUBLE)),
+        |  ('prod_0045', 'Product 0045', 'clothing', CAST(12 AS BIGINT), CAST(11 AS BIGINT), CAST(4 AS BIGINT), CAST(33.3333 AS DOUBLE), CAST(5850.67 AS DOUBLE)),
+        |  ('prod_0046', 'Product 0046', 'sports', CAST(10 AS BIGINT), CAST(6 AS BIGINT), CAST(7 AS BIGINT), CAST(70.0000 AS DOUBLE), CAST(6226.99 AS DOUBLE)),
+        |  ('prod_0047', 'Product 0047', 'beauty', CAST(10 AS BIGINT), CAST(9 AS BIGINT), CAST(3 AS BIGINT), CAST(30.0000 AS DOUBLE), CAST(5417.23 AS DOUBLE)),
+        |  ('prod_0048', 'Product 0048', 'books', CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DOUBLE), CAST(5648.42 AS DOUBLE)),
+        |  ('prod_0049', 'Product 0049', 'home', CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(5 AS BIGINT), CAST(41.6666 AS DOUBLE), CAST(12132.67 AS DOUBLE))
         |) AS t(product_id, product_name, category, total_views, total_cart_adds, total_purchases, conversion_rate, revenue) ORDER BY product_id""".stripMargin),
 
     "q_knn_topk_agg" -> knnOracleSql,
@@ -687,7 +703,7 @@ object SparkEntry {
         |         * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cosine FROM (
-        |  SELECT vec_a, vec_b, CAST(CAST(floor((cos) * 10000.0) AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4)) AS cosine FROM p)
+        |  SELECT vec_a, vec_b, (floor((cos) * 10000.0) / 10000.0) AS cosine FROM p)
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -9,27 +9,48 @@ import org.apache.spark.sql.types.DecimalType
   * Why this exists: at cluster scale Spark's partial aggregation order is
   * nondeterministic, so `sum(double)` can differ bit-for-bit between runs and
   * between engines. Every money/metric aggregate therefore goes through exact
-  * decimal arithmetic (order-independent) or a single IEEE double operation on
-  * exact operands followed by an explicit `round` + decimal cast. This is what
-  * makes results hash-comparable against a DuckDB oracle *and* stable across
-  * re-partitions / AQE re-plans on a real cluster.
+  * integer (cents) arithmetic — order-independent — and every ratio through a
+  * single IEEE double operation on exact operands followed by floor
+  * quantization. This makes results hash-comparable against a DuckDB oracle
+  * *and* stable across re-partitions / AQE re-plans on a real cluster.
+  *
+  * Output-type contract: every non-integral result column is a DOUBLE whose
+  * bits are reproducible on any engine executing the same op sequence
+  * (exact integer → one or two IEEE divides). Doubles — unlike decimals —
+  * also *render* identically under every consumer (Arrow, pandas, DuckDB),
+  * so a string/hash compare of results is representation-independent.
+  * Decimals are used only as an intermediate to read 2-decimal money doubles
+  * exactly; they never appear in an output schema.
   *
   * Reference parity: the reference stores money as DECIMAL(10,2) and rates as
-  * DECIMAL(5,2) (/root/reference/db/init.sql:31,46); we standardize on
-  * DECIMAL(18,2) / DECIMAL(18,4) which contain those ranges at 100 TB row
-  * counts without overflow.
+  * DECIMAL(5,2) (/root/reference/db/init.sql:31,46); cents-longs contain those
+  * ranges exactly up to 2^53 cents (~90 trillion dollars) — ample at 100 TB
+  * row counts — and aggregate faster than decimals (single-word adds).
   */
 object Cols {
-  /** Cast a double to DECIMAL(18,2) *before* aggregation — exact from there on. */
+  /** Cast a 2-decimal money double to DECIMAL(18,2) — exact by data contract. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Order-independent exact sum of a money-like double column. */
-  def sumDec2(c: Column): Column = sum(dec2(c)).cast(DecimalType(18, 2))
+  /** Exact integer cents of a 2-decimal money double. dec2(c)*100 is
+    * integral, so the long cast is exact; from here every aggregate is
+    * order-independent 64-bit integer arithmetic. */
+  def cents(c: Column): Column = (dec2(c) * 100).cast("long")
+
+  /** Order-independent exact sum of a money-like double column, rendered as
+    * a double: exact cents sum, then one IEEE divide (exact for sums below
+    * 2^53 cents). */
+  def sumDec2(c: Column): Column = sum(cents(c)).cast("double") / 100.0
 
   /** Conditional revenue-style sum (reference A3,
-    * streaming_processor.py:289): exact decimal, 0.00 when no match. */
+    * streaming_processor.py:289): exact cents, 0.0 when no match. */
   def sumDec2When(cond: Column, c: Column): Column =
-    sum(when(cond, dec2(c)).otherwise(dec2(lit(0)))).cast(DecimalType(18, 2))
+    sum(when(cond, cents(c)).otherwise(0L)).cast("double") / 100.0
+
+  /** Exact sum of a scale-4 decimal product (money × ratio, e.g.
+    * price·(1−discount)): the product is integral in 1e-4 units, summed as
+    * longs, rendered with one IEEE divide. */
+  def sumDec4(prod: Column): Column =
+    sum((prod * 10000).cast("long")).cast("double") / 10000.0
 
   /** Conditional count (reference A2, streaming_processor.py:179-181). */
   def countWhen(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
@@ -42,25 +63,33 @@ object Cols {
     * the exact binary expansion of x while other engines re-round via a
     * double multiply, and the two disagree whenever x·10⁴ straddles a .5
     * (observed in practice ~1/100 rows on ratio-heavy data).
+    * Spark's floor returns a long; long→double is exact below 2^53, and the
+    * final divide is one more shared IEEE op — so the result bits equal any
+    * engine's floor(x*10000.0)/10000.0.
     * Range contract: |x|·10⁴ must stay below 2^53 (true for all ratios,
     * cosines and money averages this engine emits). */
-  def q4(x: Column): Column =
-    (floor(x * 10000.0).cast(DecimalType(18, 4)) / 10000).cast(DecimalType(18, 4))
+  def q4(x: Column): Column = floor(x * 10000.0).cast("double") / 10000.0
 
   /** Percentage ratio with divide-by-zero guard (reference A9,
     * streaming_processor.py:298-303): num*100.0/den in one double division
-    * over exact operands, floor-quantized to a fixed decimal. */
+    * over exact operands, floor-quantized. */
   def pct4(num: Column, den: Column): Column =
     when(den > 0, q4(num.cast("double") * 100.0 / den.cast("double")))
-      .otherwise(lit(0).cast(DecimalType(18, 4)))
+      .otherwise(lit(0.0))
 
-  /** Deterministic average: exact sum / exact count, single double division,
-    * floor-quantized. */
+  /** Deterministic average: exact sum (already rendered double) / exact
+    * count, single double division, floor-quantized. */
   def avg4(sumCol: Column, cnt: Column): Column =
     when(cnt > 0, q4(sumCol.cast("double") / cnt.cast("double")))
-      .otherwise(lit(0).cast(DecimalType(18, 4)))
+      .otherwise(lit(0.0))
 
-  /** Quantize a per-row double expression to a fixed decimal (see [[q4]]). */
+  /** Floor-quantized mean of a 2-decimal money column: exact cents sum, then
+    * two IEEE divides (/100.0, /count) mirrored verbatim in the oracle. */
+  def avgMoney4(c: Column, cnt: Column): Column =
+    when(cnt > 0, q4(sum(cents(c)).cast("double") / 100.0 / cnt.cast("double")))
+      .otherwise(lit(0.0))
+
+  /** Quantize a per-row double expression (see [[q4]]). */
   def asDec4(c: Column): Column = q4(c)
 
   /** Epoch seconds of a genuine (µs/ms) timestamp column. Session TZ is UTC,

@@ -62,9 +62,8 @@ object Clickstream {
         Cols.pct4(
           Cols.countWhen(col("event_type") === "purchase"),
           Cols.countWhen(col("event_type") === "page_view")).as("conversion_rate"),
-        sum(when(col("event_type") === "purchase", col("purchase_amount"))
-          .otherwise(lit(java.math.BigDecimal.ZERO)).cast("decimal(12,2)"))
-          .cast("decimal(12,2)").as("revenue"))
+        Cols.sumDec2When(col("event_type") === "purchase", col("purchase_amount"))
+          .as("revenue"))
       .orderBy(col("product_id"))
   }
 

@@ -33,14 +33,14 @@ object Relational {
     li.where(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(Cols.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-        sum(Cols.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
-        // exact decimal arithmetic: operands are 2-decimal by contract, so
-        // dec2 casts are exact and the product/sum are order-independent
-        sum(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
-          .cast("decimal(18,2)").as("sum_disc_price"),
+        Cols.sumDec2(col("l_quantity")).as("sum_qty"),
+        Cols.sumDec2(col("l_extendedprice")).as("sum_base_price"),
+        // exact integer arithmetic: operands are 2-decimal by contract, so
+        // the cents/1e-4-unit casts are exact and sums are order-independent
+        Cols.sumDec4(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"),
-        Cols.avg4(sum(Cols.dec2(col("l_quantity"))), count(lit(1))).as("avg_qty"))
+        Cols.avgMoney4(col("l_quantity"), count(lit(1))).as("avg_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Revenue by region: lineitem → supplier → nation → region, all three
@@ -58,8 +58,8 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("line_count"),
-        sum(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
-          .cast("decimal(18,2)").as("revenue"))
+        Cols.sumDec4(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
+          .as("revenue"))
       .orderBy(col("r_name"))
   }
 
@@ -73,8 +73,8 @@ object Relational {
     li.join(or, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
-        .cast("decimal(18,2)").as("revenue"))
+      .agg(Cols.sumDec4(Cols.dec2(col("l_extendedprice")) * (Cols.dec2(lit(1)) - Cols.dec2(col("l_discount"))))
+        .as("revenue"))
       .select(col("l_orderkey"),
         Cols.tsSec(col("o_orderdate")).as("orderdate_sec"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -111,7 +111,7 @@ object Relational {
     val pa = Tables.part(spark, dir)
     val perPart = li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
-      .agg(sum(Cols.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("revenue"))
+      .agg(Cols.sumDec2(col("l_extendedprice")).as("revenue"))
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey").asc)
     // cast to long: the oracle's row_number() is 64-bit, and a schema compare
@@ -155,7 +155,7 @@ object Relational {
       .groupBy(col("price_bucket"))
       .agg(
         count(lit(1)).as("orders"),
-        sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total_value"))
+        Cols.sumDec2(col("o_totalprice")).as("total_value"))
       .orderBy(col("price_bucket"))
 
   /** Decile statistics over order totals via ntile — exercises ranking windows
@@ -168,7 +168,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("orders"),
-        sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total_value"))
+        Cols.sumDec2(col("o_totalprice")).as("total_value"))
       .orderBy(col("decile"))
   }
 

@@ -43,29 +43,41 @@ object TextAnalysis {
   /** Quality score in [0,1]: combines length band, type-token ratio and
     * stopword presence — the standard cheap pre-filter before expensive
     * dedup/training steps. Deterministic integer/ratio arithmetic only. */
-  def qualityScored(docs: DataFrame): DataFrame = {
+  /** Per-doc raw score expressions plus their exact 1e-4-unit integer
+    * quantizations (floor(x·10⁴) as long). Aggregations sum the integer
+    * units — order-independent — never the quantized doubles. */
+  private def scoredUnits(docs: DataFrame): DataFrame = {
     val toks  = tokens(col("text"))
     val nTok  = size(toks).cast("double")
     val ttr   = size(array_distinct(toks)).cast("double") / nTok
     val stopw = size(filter(toks, t => t.isin(Stopwords.en: _*))).cast("double") / nTok
     val lenOk = when(col("n_chars").between(100, 5000), 1.0).otherwise(0.0)
+    val qual  = (lenOk + least(ttr * 2.0, lit(1.0)) + least(stopw * 5.0, lit(1.0))) / 3.0
     docs.select(
       col("doc_id"), col("lang"), col("source"),
-      Cols.asDec4(ttr).as("type_token_ratio"),
-      Cols.asDec4(stopw).as("stopword_ratio"),
-      Cols.asDec4((lenOk + least(ttr * 2.0, lit(1.0)) + least(stopw * 5.0, lit(1.0))) / 3.0)
-        .as("quality_score"))
+      floor(ttr * 10000.0).as("ttr_u"),
+      floor(stopw * 10000.0).as("stopw_u"),
+      floor(qual * 10000.0).as("qual_u"))
   }
 
+  def qualityScored(docs: DataFrame): DataFrame =
+    scoredUnits(docs).select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("ttr_u").cast("double") / 10000.0).as("type_token_ratio"),
+      (col("stopw_u").cast("double") / 10000.0).as("stopword_ratio"),
+      (col("qual_u").cast("double") / 10000.0).as("quality_score"))
+
   /** Corpus-level quality profile per (lang, source) — the judge-facing
-    * aggregate view: doc counts, exact char totals, mean quality. */
+    * aggregate view: doc counts, mean of the quantized per-doc scores.
+    * Sums run over the exact integer units, so the group means are
+    * bit-deterministic across engines and partitionings. */
   def qualityBySource(docs: DataFrame): DataFrame =
-    qualityScored(docs)
+    scoredUnits(docs)
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("docs"),
-        Cols.avg4(sum(col("quality_score")), count(lit(1))).as("mean_quality"),
-        Cols.avg4(sum(col("stopword_ratio")), count(lit(1))).as("mean_stopword_ratio"))
+        Cols.avg4(sum(col("qual_u")).cast("double") / 10000.0, count(lit(1))).as("mean_quality"),
+        Cols.avg4(sum(col("stopw_u")).cast("double") / 10000.0, count(lit(1))).as("mean_stopword_ratio"))
       .orderBy(col("lang"), col("source"))
 
   /** Language ID via stopword-list voting (n-gram-free heuristic that is

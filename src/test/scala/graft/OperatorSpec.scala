@@ -64,8 +64,8 @@ class OperatorSpec extends SparkSpec {
 
   test("event type distribution percentages sum to ~100") {
     val total = EventAnalytics.eventTypeDistribution(Tables.events(spark, sf))
-      .agg(sum(col("pct_of_total"))).head().getDecimal(0)
-    assert((total.doubleValue() - 100.0).abs < 0.01)
+      .agg(sum(col("pct_of_total"))).head().getDouble(0)
+    assert((total - 100.0).abs < 0.01)
   }
 
   test("dashboard KPIs contain the 5 metric keys") {

@@ -12,8 +12,8 @@ class TextMultimodalSpec extends SparkSpec {
     val docs = Seq((1L, "a b b c")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenStats(docs).head()
     assert(r.getAs[Long]("n_tokens") == 4 && r.getAs[Long]("n_distinct_tokens") == 3)
-    assert(r.getAs[java.math.BigDecimal]("type_token_ratio") == new java.math.BigDecimal("0.7500"))
-    assert(r.getAs[java.math.BigDecimal]("mean_token_len") == new java.math.BigDecimal("1.0000"))
+    assert(r.getAs[Double]("type_token_ratio") == 0.75)
+    assert(r.getAs[Double]("mean_token_len") == 1.0)
   }
 
   test("language id is deterministic and scores bounded") {
