@@ -74,13 +74,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           countDistinct(md5(lower(col("text")))).as("distinct_docs"))
         .orderBy(col("source"))),
+    // portable-hash variants: every sketch value is reproducible in the SQL
+    // oracle (Dedup.PortableHash); xxhash64 FastHash is the scale path
     "q_near_dup_minhash" -> ((s, d) => // MinHash+LSH candidates, est. Jaccard
-      Dedup.nearDupMinhash(Tables.documents(s, d), 0.5)
+      Dedup.nearDupMinhash(Tables.documents(s, d), 0.5, Dedup.PortableHash)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_near_dup_verified" -> ((s, d) => // LSH candidates → exact n-gram Jaccard
-      Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5)),
-    "q_simhash_near_dup" -> ((s, d) =>
-      Dedup.nearDupSimhash(Tables.documents(s, d), 6)
+      Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash)),
+    "q_simhash_near_dup" -> ((s, d) => // 48-bit simhash, exhaustive d ≤ 3
+      Dedup.nearDupSimhash(Tables.documents(s, d), 3, Dedup.PortableHash, bits = 48)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // --- similarity search over embeddings
@@ -192,6 +194,49 @@ object SparkEntry {
 
   /** Mirror of Cols.q4: floor-quantized double, bit-identical cross-engine. */
   private def q4(x: String) = s"(floor(($x) * 10000.0) / 10000.0)"
+
+  /** Mirror of Dedup.PortableHash: first 48 bits of md5 as a BIGINT. */
+  private def md5h48(x: String) =
+    s"CAST(('0x' || substring(md5($x), 1, 12)) AS BIGINT)"
+
+  /** Shared CTE chain mirroring Dedup.{shingleRows, signatures(PortableHash),
+    * nearDupMinhash}: 3-word shingles → 48-bit md5 hashes → 64 permuted
+    * min-hashes → 32 packed 2-row band keys → candidate pairs → signature
+    * match-count estimate. Every step is the same integer arithmetic the
+    * engine runs, so est_jaccard is bit-identical. */
+  private lazy val minhashCte: String = {
+    val permValues = graft.operators.Dedup.perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(1, len(toks) - 1),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+       |  FROM tk),
+       |hs AS (
+       |  SELECT doc_id, ${md5h48("shingle")} % 2147483647 AS h FROM sh),
+       |perm(i, a, b) AS (VALUES $permValues),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+       |  FROM hs, perm GROUP BY doc_id, i),
+       |banded AS (
+       |  SELECT doc_id, i // 2 AS band,
+       |    sum(CASE WHEN i % 2 = 0 THEN m * 2147483648 ELSE m END) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 2),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+       |    AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    ${q4("CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 64")} AS est_jaccard
+       |  FROM cand p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+       |  GROUP BY p.doc_a, p.doc_b)
+       |""".stripMargin
+  }
 
   /** The hyperplane-LSH oracle embeds the engine's seeded plane constants as
     * SQL double literals (Double.toString round-trips exactly) and mirrors
@@ -705,5 +750,75 @@ object SparkEntry {
         |SELECT vec_a, vec_b, cosine FROM (
         |  SELECT vec_a, vec_b, (floor((cos) * 10000.0) / 10000.0) AS cosine FROM p)
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_near_dup_minhash" ->
+      (minhashCte +
+        """SELECT doc_a, doc_b, est_jaccard FROM est
+          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Mirror of Dedup.{verifyJaccard, nearDupVerified}: LSH candidates at
+    // est ≥ 0.3, then exact Jaccard over distinct shingle sets.
+    "q_near_dup_verified" ->
+      (minhashCte +
+        s""", sets AS (
+           |  SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id),
+           |ver AS (
+           |  SELECT e.doc_a, e.doc_b,
+           |    ${q4("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.s, b.s))) AS DOUBLE)")} AS jaccard
+           |  FROM est e
+           |  JOIN sets a ON a.doc_id = e.doc_a
+           |  JOIN sets b ON b.doc_id = e.doc_b
+           |  WHERE e.est_jaccard >= 0.3)
+           |SELECT doc_a, doc_b, jaccard FROM ver
+           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Brute-force O(n²) Hamming scan — the semantic spec the engine's
+    // pigeonhole banding provably equals for maxHamming ≤ 3.
+    "q_simhash_near_dup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${md5h48("t.t")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) t),
+         |bits AS (
+         |  SELECT doc_id, r.i, sum(CASE WHEN ((h >> r.i) & 1) = 1 THEN 1 ELSE -1 END) AS b
+         |  FROM tok, range(48) r(i) GROUP BY doc_id, r.i),
+         |code AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN b > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM code a JOIN code b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirror of Similarity.labelCentroids + the registered norm projection:
+    // exact 1e-4-unit component sums, shared divide chain, left-fold norm.
+    "q_label_centroids" ->
+      s"""WITH e AS (
+         |  SELECT label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+         |  FROM embeddings, range(64) r(i)),
+         |m AS (
+         |  SELECT label, pos,
+         |    (CAST(sum(CAST(floor(v * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) AS mean_v
+         |  FROM e GROUP BY label, pos),
+         |c AS (SELECT label, list(mean_v ORDER BY pos) AS centroid FROM m GROUP BY label)
+         |SELECT label,
+         |  ${q4("sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b))")} AS centroid_norm
+         |FROM c ORDER BY label""".stripMargin,
+
+    // Mirror of Multimodal.{mediaFromDocuments, DeterministicFakeDecoder,
+    // mediaProfile}: metadata is a pure function of byte length and the
+    // portable 48-bit md5 value of the payload.
+    "q_media_profile" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |    strlen(text) AS byte_len,
+         |    ${md5h48("text")} AS h
+         |  FROM documents)
+         |SELECT kind, count(*) AS n,
+         |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+         |  CAST(max(64 + h % 1024) AS BIGINT) AS max_width,
+         |  CAST(max(CASE WHEN kind = 'video' THEN 1 + byte_len % 300 ELSE 1 END) AS BIGINT) AS max_frames
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
   )
 }

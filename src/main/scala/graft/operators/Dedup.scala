@@ -83,6 +83,21 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(w)))))
   }
 
+  // ---------------------------------------------------------------- hashing
+
+  /** Pluggable token/shingle hash. */
+  type HashFn = Column => Column
+
+  /** Scale-path hash: xxhash64 — fastest, engine-specific. */
+  val FastHash: HashFn = xxhash64(_)
+
+  /** Portable 48-bit content hash: integer value of the first 12 hex chars
+    * of md5. Any engine with md5() computes the identical value (DuckDB:
+    * `CAST('0x' || substring(md5(s), 1, 12) AS BIGINT)`), which makes every
+    * sketch built on it externally oracle-checkable. ~2-3× the cost of
+    * xxhash64 — use [[FastHash]] when no cross-engine check is needed. */
+  val PortableHash: HashFn = c => conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
   // ---------------------------------------------------------------- minhash
 
   val MinhashPrime: Long = 2147483647L // 2^31-1; keeps a*h+b < 2^62 (ANSI-safe)
@@ -94,19 +109,22 @@ object Dedup {
     * filter prunes it before any array-carrying join). */
   val BandRows  = 2
 
-  /** Fixed permutation coefficients (seeded, constant across runs). */
+  /** Fixed permutation coefficients (seeded, constant across runs); public
+    * so the SQL oracle can embed the identical constants. */
   private val rnd   = new scala.util.Random(42)
-  private val permA = Seq.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
-  private val permB = Seq.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+  val perms: Seq[(Long, Long)] = Seq.fill(NumHashes)(
+    (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
 
   /** (doc_id, sig) signature table — sig is an array of NumHashes longs;
-    * h_i(s) = (a_i * xxhash64(s) mod p + b_i) mod p, minimized over shingles.
+    * h_i(s) = (a_i * hash(s) mod p + b_i) mod p, minimized over shingles.
     * Explode → 64 codegen'd min-aggregates → array (see class doc). */
-  def signatures(docs: DataFrame): DataFrame = {
+  def signatures(docs: DataFrame, hash: HashFn = FastHash): DataFrame = {
     val hashed = shingleRows(docs)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
-    val minCols = (0 until NumHashes).map(i =>
-      min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(MinhashPrime))).as(s"m$i"))
+      .select(col("doc_id"), pmod(hash(col("shingle")), lit(MinhashPrime)).as("h"))
+    val minCols = (0 until NumHashes).map { i =>
+      val (a, b) = perms(i)
+      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
     hashed.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
@@ -114,14 +132,19 @@ object Dedup {
   }
 
   /** LSH candidate pairs with signature-estimated Jaccard ≥ threshold.
-    * Banding: NumHashes/BandRows bands; docs colliding on any band's hash
-    * become candidates via an equi-join on (band, band_hash). */
-  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs  = signatures(docs)
+    * Banding: NumHashes/BandRows bands; docs colliding on any band's key
+    * become candidates via an equi-join on (band, band_hash). The band key
+    * packs the two 31-bit row values into one collision-free 62-bit long
+    * (m₀·2³¹ + m₁) — as compact as hashing the slice but exact, and
+    * reproducible in plain SQL. */
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5,
+                     hash: HashFn = FastHash): DataFrame = {
+    val sigs  = signatures(docs, hash)
     val bands = NumHashes / BandRows
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("band_hash")))
+        (element_at(col("sig"), b * BandRows + 1) * lit(2147483648L)
+          + element_at(col("sig"), b * BandRows + 2)).as("band_hash")))
     val banded = sigs.select(
       col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
@@ -163,41 +186,51 @@ object Dedup {
   }
 
   /** End-to-end near-dup pipeline: LSH candidates → exact Jaccard ≥ t. */
-  def nearDupVerified(docs: DataFrame, estThreshold: Double = 0.3, exactThreshold: Double = 0.5): DataFrame =
-    verifyJaccard(docs, nearDupMinhash(docs, estThreshold).select(col("doc_a"), col("doc_b")))
+  def nearDupVerified(docs: DataFrame, estThreshold: Double = 0.3,
+                      exactThreshold: Double = 0.5, hash: HashFn = FastHash): DataFrame =
+    verifyJaccard(docs, nearDupMinhash(docs, estThreshold, hash).select(col("doc_a"), col("doc_b")))
       .where(col("jaccard") >= exactThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document. Tokens are exploded, hashed once with
-    * xxhash64, and each of the 64 bit positions is summed as ±1; the sign
-    * vector reassembles into a long. One shuffle (groupBy doc_id) with O(64)
-    * state per doc — at 100 TB this is a standard map-side-combine agg. */
-  def simhashes(docs: DataFrame): DataFrame = {
+  /** `bits`-wide SimHash per document (64 on the fast path, 48 on the
+    * portable-hash path). Tokens are exploded, hashed once, and each bit
+    * position is summed as ±1; the sign vector reassembles into a long. One
+    * shuffle (groupBy doc_id) with O(bits) state per doc — at 100 TB this is
+    * a standard map-side-combine agg. */
+  def simhashes(docs: DataFrame, hash: HashFn = FastHash, bits: Int = 64): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
+      .select(col("doc_id"), hash(col("t")).as("h"))
+    val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
         .as(s"b$i")
     }
-    val code = (0 until 64)
+    val code = (0 until bits)
       .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), code.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 by
-    * default; the 4×16-bit pigeonhole banding is exhaustive for distance ≤ 3
-    * since at least one chunk must then be untouched). */
-  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    nearDupSimhashImpl(simhashes(docs), maxHamming)
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. The 4-chunk
+    * pigeonhole banding (Manku et al., WWW 2007) is exhaustive only for
+    * maxHamming < 4 — at distance ≤ 3 at least one chunk must be untouched —
+    * so that bound is enforced; the result then equals a brute-force O(n²)
+    * Hamming scan, which is exactly what the SQL oracle runs. */
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3,
+                     hash: HashFn = FastHash, bits: Int = 64): DataFrame =
+    nearDupSimhashImpl(simhashes(docs, hash, bits), maxHamming, bits)
 
-  private def nearDupSimhashImpl(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val chunkStructs = (0 until 4).map(j =>
+  private def nearDupSimhashImpl(sh: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
+    val chunks = 4
+    require(maxHamming < chunks,
+      s"$chunks-chunk pigeonhole search is exhaustive only for maxHamming < $chunks")
+    require(bits % chunks == 0, "simhash width must split evenly into chunks")
+    val cb = bits / chunks
+    val chunkStructs = (0 until chunks).map(j =>
       struct(lit(j).as("chunk"),
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
+        shiftright(col("simhash"), j * cb).bitwiseAND(lit((1L << cb) - 1)).as("ckey")))
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(array(chunkStructs: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
@@ -208,7 +241,7 @@ object Dedup {
     l.join(r, Seq("chunk", "ckey"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -36,17 +36,22 @@ object Multimodal {
     def decode(r: MediaRecord): MediaMeta = ??? // requires image/audio libs
   }
 
-  /** Deterministic fake: metadata is a pure function of the payload bytes,
-    * so tests and oracle row-counts are stable. */
+  /** Deterministic fake: metadata is a pure function of the payload bytes
+    * via the first 48 bits of md5 — the same value any SQL engine derives
+    * from its md5() hex output (`'0x' || substring(md5(x),1,12)`), so the
+    * profile over decoded metadata is fully oracle-checkable. */
   object DeterministicFakeDecoder extends MediaDecoder {
     def decode(r: MediaRecord): MediaMeta = {
       val n = r.payload.length
-      val h = java.util.Arrays.hashCode(r.payload)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+      // first 6 digest bytes big-endian == integer value of the first 12 hex
+      // chars of the md5 string
+      val h = md.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
       MediaMeta(r.media_id, r.kind, n,
-        width = 64 + math.abs(h % 1024), height = 64 + math.abs((h / 7) % 1024),
+        width = (64L + h % 1024L).toInt, height = (64L + (h / 7L) % 1024L).toInt,
         channels = if (r.kind == "audio") 2 else 3,
-        frames = if (r.kind == "video") 1 + n % 300 else 1,
-        feature_norm = (math.abs(h).toDouble % 1000.0) / 1000.0)
+        frames = if (r.kind == "video") (1L + n.toLong % 300L).toInt else 1,
+        feature_norm = (h % 1000L).toDouble / 1000.0)
     }
   }
 
@@ -80,8 +85,8 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n"),
         sum(col("byte_len")).as("total_bytes"),
-        max(col("width")).as("max_width"),
-        max(col("frames")).as("max_frames"))
+        max(col("width")).cast("long").as("max_width"),
+        max(col("frames")).cast("long").as("max_frames"))
       .orderBy(col("kind"))
   }
 }

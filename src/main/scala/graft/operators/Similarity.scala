@@ -210,13 +210,19 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Label centroid distances: mean vector per label then pairwise cosine —
-    * exercises array aggregation (element-wise mean via posexplode + groupBy). */
+  /** Mean vector per label — exercises array aggregation (element-wise mean
+    * via posexplode + groupBy). Components are floor-quantized to exact
+    * 1e-4-unit longs before summing, so the group means are independent of
+    * partition/aggregation order (a raw double sum is not) and the result is
+    * bit-reproducible on any engine — including the SQL oracle. */
   def labelCentroids(embeddings: DataFrame): DataFrame = {
     val exploded = embeddings.select(col("label"),
       posexplode(col("embedding")).as(Seq("pos", "v")))
     exploded.groupBy(col("label"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("mean_v"))
+      .agg(sum(floor(col("v").cast("double") * 10000.0)).as("s_u"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s_u").cast("double") / 10000.0 / col("n").cast("double")).as("mean_v"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
