@@ -103,6 +103,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_ivf_kmeans_topk" -> ((s, d) => { // Lloyd-refined index, same probe plan
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfKmeansTopK(emb, emb.where(col("vec_id") < 5), 5)
+    }),
     "q_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))
@@ -115,6 +119,10 @@ object SparkEntry {
     // --- spark.sql string surface (§2.11 consumer queries)
     "q_pipeline_stats" -> ((s, d) => QueryLibrary.pipelineStats(s, d)),
     "q_latest_hour" -> ((s, d) => QueryLibrary.latestHour(s, d)),
+
+    // --- as-of join (purchase→view attribution; union+window composition)
+    "q_asof_attribution" -> ((s, d) =>
+      AsOfJoin.purchaseAttribution(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -299,6 +307,60 @@ object SparkEntry {
        |      FROM scored)
        |SELECT query_id, rank, neighbor_id,
        |  (floor(cos * 10000.0) / 10000.0) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of Similarity.{seedCentroids, kmeansCentroids, ivfKmeansTopK}:
+    * the two Lloyd rounds are unrolled as CTE layers; centroid means use the
+    * same exact 1e-4-unit integer sums as the engine, so assignments — and
+    * therefore the refined index and final top-k — are bit-identical. */
+  private val ivfKmeansOracleSql: String = {
+    val norm = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    def assign(cents: String) =
+      s"""SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dot("e.embedding", "c.c_emb")} DESC, c.cell_id ASC) AS cr
+         |    FROM embeddings e CROSS JOIN $cents c)
+         |  WHERE cr = 1""".stripMargin
+    def centUpdate(assigned: String) =
+      s"""SELECT cell_id, list(c ORDER BY pos) AS c_emb FROM (
+         |    SELECT cell_id, r.i AS pos,
+         |      (CAST(sum(CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) AS c
+         |    FROM $assigned, range(64) r(i) GROUP BY cell_id, r.i)
+         |  GROUP BY cell_id""".stripMargin
+    s"""WITH ranked AS (
+       |  SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn,
+       |    greatest(CAST(floor(CAST(count(*) OVER () AS DOUBLE) / 16) AS BIGINT), 1) AS step
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM ranked
+       |  WHERE (rn - 1) % step = 0 AND rn <= step * 16),
+       |a1 AS (${assign("cent0")}),
+       |cent1 AS (${centUpdate("a1")}),
+       |a2 AS (${assign("cent1")}),
+       |cent2 AS (${centUpdate("a2")}),
+       |af AS (${assign("cent2")}),
+       |corpus_cells AS (
+       |  SELECT cell_id, vec_id AS corpus_id, embedding, $norm AS nrm FROM af),
+       |probes AS (
+       |  SELECT cell_id, query_id, q_emb, q_nrm FROM (
+       |    SELECT c.cell_id, e.vec_id AS query_id, e.embedding AS q_emb, $norm AS q_nrm,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dot("e.embedding", "c.c_emb")} DESC, c.cell_id ASC) AS cr
+       |    FROM embeddings e CROSS JOIN cent2 c WHERE e.vec_id < 5)
+       |  WHERE cr <= 4),
+       |scored AS (
+       |  SELECT p.query_id, cc.corpus_id AS neighbor_id,
+       |    ${dot("p.q_emb", "cc.embedding")} / (p.q_nrm * cc.nrm) AS cos
+       |  FROM corpus_cells cc JOIN probes p ON cc.cell_id = p.cell_id
+       |  WHERE cc.corpus_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, neighbor_id, ${q4("cos")} AS cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -663,6 +725,24 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracleSql,
 
     "q_ivf_topk" -> ivfOracleSql,
+
+    "q_ivf_kmeans_topk" -> ivfKmeansOracleSql,
+
+    // Native ASOF LEFT JOIN states the as-of semantics directly — the
+    // union+window composition in AsOfJoin must reproduce it exactly
+    // (equal timestamps match; unattributed purchases keep nulls).
+    "q_asof_attribution" ->
+      """WITH v0 AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, ts_sec, max(event_id) AS view_id FROM v0 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_sec,
+        |  v.view_id AS attributed_view_id, p.ts_sec - v.ts_sec AS lag_sec
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec
+        |ORDER BY p.event_id""".stripMargin,
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

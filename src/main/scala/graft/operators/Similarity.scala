@@ -210,6 +210,84 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic seed centroids: every ⌈N/numCells⌉-th vec_id (an
+    * index-build-time choice; see [[ivfTopK]]). */
+  def seedCentroids(corpus: DataFrame, numCells: Int = 16): DataFrame = {
+    val ranked = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .withColumn("step",
+        greatest(floor(count(lit(1)).over(Window.partitionBy()) / numCells), lit(1)))
+    ranked.where(pmod(col("rn") - 1, col("step")) === 0
+        && col("rn") <= col("step") * numCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+  }
+
+  /** Nearest-cell assignment by dot product (ties broken on cell_id). */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("c_dot", fvecDot(col("embedding"), col("c_emb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_dot").desc, col("cell_id").asc)
+    scored.withColumn("cr", row_number().over(w)).where(col("cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+  }
+
+  /** Lloyd-refined centroids: `iters` rounds of assign → recompute-mean.
+    * Component means go through exact 1e-4-unit long sums (the
+    * [[labelCentroids]] trick), so every round — and therefore the final
+    * index — is bit-deterministic across partitionings and engines; the SQL
+    * oracle unrolls the same rounds. Each round costs one broadcast-join
+    * pass over the corpus plus a centroid-sized aggregation — the standard
+    * distributed Lloyd shape that holds at any corpus size. */
+  def kmeansCentroids(corpus: DataFrame, numCells: Int = 16, iters: Int = 2): DataFrame = {
+    var cents = seedCentroids(corpus, numCells)
+    for (_ <- 1 to iters) {
+      cents = assignCells(corpus.select(col("vec_id"), col("embedding")), cents)
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * 10000.0)).as("s_u"),
+          count(lit(1)).as("n"))
+        .select(col("cell_id"), col("pos"),
+          (col("s_u").cast("double") / 10000.0 / col("n").cast("double")).as("c"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+        .select(col("cell_id"), transform(col("pairs"), p => p.getField("c")).as("c_emb"))
+    }
+    cents
+  }
+
+  /** IVF top-k over a k-means-refined index: tighter cells than the seed
+    * index → higher recall at the same nprobe. Same query-time plan as
+    * [[ivfTopK]]: broadcast centroids, one candidate join on cell id. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    numCells: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, numCells, iters)
+
+    val corp = corpus.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cells = assignCells(corp.select(col("vec_id"), col("embedding")), cents)
+      .join(corp.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("cell_id"), col("vec_id").as("corpus_id"), col("embedding"), col("nrm"))
+
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+    val probeScored = qs.crossJoin(broadcast(cents))
+      .withColumn("c_dot", fvecDot(col("q_emb"), col("c_emb")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("c_dot").desc, col("cell_id").asc)
+    val probes = probeScored.withColumn("cr", row_number().over(pw))
+      .where(col("cr") <= nprobe)
+      .select(col("cell_id"), col("query_id"), col("q_emb"), col("q_nrm"))
+
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id").as("neighbor_id"),
+        (fvecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        Cols.asDec4(col("cos")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Mean vector per label — exercises array aggregation (element-wise mean
     * via posexplode + groupBy). Components are floor-quantized to exact
     * 1e-4-unit longs before summing, so the group means are independent of

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Similarity}
+import graft.sources.Tables
+
+/** Semantics of the as-of join composition and the k-means-refined IVF. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfBackward: latest prior row wins, equal ts matches, no-match yields nulls") {
+    val left = Seq(
+      (1L, 100L, 10L), // has a view at the same second → matches (<=)
+      (1L, 50L, 11L),  // matches the view at 40
+      (2L, 70L, 12L),  // user 2's only view is later → null
+      (3L, 10L, 13L)   // user 3 has no views at all → null
+    ).toDF("user_id", "ts_sec", "event_id")
+    val right = Seq(
+      (1L, 100L, 5L), (1L, 40L, 4L), (1L, 40L, 3L), // dup ts 40: max id 4 wins
+      (2L, 80L, 6L)
+    ).toDF("user_id", "ts_sec", "view_id")
+
+    val out = AsOfJoin.asOfBackward(left, right, Seq("user_id"), "ts_sec", Seq("view_id"))
+      .select("event_id", "asof_ts_sec", "asof_view_id").as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    assert(out(10L) == (Some(100L), Some(5L)))
+    assert(out(11L) == (Some(40L), Some(4L))) // deterministic tie-break on dup ts
+    assert(out(12L) == (None, None))
+    assert(out(13L) == (None, None))
+  }
+
+  test("purchase attribution: every attributed view precedes (or ties) its purchase") {
+    val out = AsOfJoin.purchaseAttribution(Tables.events(spark, sf))
+    assert(out.count() > 0)
+    assert(out.where(col("lag_sec") < 0).count() == 0) // never attributes the future
+    // attributed view ids must be real view events of the same user
+    val views = Tables.events(spark, sf).where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("attributed_view_id"))
+    val bogus = out.where(col("attributed_view_id").isNotNull)
+      .join(views, Seq("user_id", "attributed_view_id"), "left_anti")
+    assert(bogus.count() == 0)
+  }
+
+  test("kmeans centroids: at most numCells cells, iteration is repartition-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.kmeansCentroids(emb, numCells = 16, iters = 2)
+    val n = cents.count()
+    assert(n > 0 && n <= 16)
+    // bit-determinism across physical layouts: same centroids from a skewed
+    // repartition (the whole point of the integer-unit mean)
+    val centsRepart = Similarity.kmeansCentroids(emb.repartition(7), numCells = 16, iters = 2)
+    val a = cents.select(col("cell_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = centsRepart.select(col("cell_id"), col("c_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+  }
+
+  test("kmeans IVF recall: refined index finds most of the exact top-5") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.topKCosine(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKmeansTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size == exact.size)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall") // nprobe=4/16 cells; sanity floor
+  }
+}
