@@ -67,6 +67,10 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_doc_fingerprints" -> ((s, d) =>
       TextAnalysis.fingerprinted(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_token_classes" -> ((s, d) => // RE2-safe regex tokenization classes
+      TextAnalysis.tokenClasses(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_vocab_stats" -> ((s, d) => // vocabulary tf/df top-20
+      TextAnalysis.vocabStats(Tables.documents(s, d), 20)),
 
     // --- deduplication
     "q_exact_dedup_counts" -> ((s, d) =>
@@ -74,6 +78,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           countDistinct(md5(lower(col("text")))).as("distinct_docs"))
         .orderBy(col("source"))),
+    "q_exact_dedup_keep" -> ((s, d) => // survivor profile after exact dedup
+      Dedup.survivorsBySource(Tables.documents(s, d))),
     // portable-hash variants: every sketch value is reproducible in the SQL
     // oracle (Dedup.PortableHash); xxhash64 FastHash is the scale path
     "q_near_dup_minhash" -> ((s, d) => // MinHash+LSH candidates, est. Jaccard
@@ -563,6 +569,28 @@ object SparkEntry {
       """SELECT source, count(*) AS docs,
         |  count(DISTINCT md5(lower(text))) AS distinct_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_exact_dedup_keep" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
+        |SELECT source, count(*) AS surviving_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS surviving_chars
+        |FROM documents JOIN k USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_classes" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+')) AS word_tokens,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS number_tokens,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+        |FROM t WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY doc_freq DESC, term_freq DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars

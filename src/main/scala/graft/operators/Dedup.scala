@@ -59,6 +59,15 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Post-dedup corpus profile per source — what survives exact dedup and
+    * how many characters it keeps (the number a data-pipeline budget cares
+    * about). */
+  def survivorsBySource(docs: DataFrame): DataFrame =
+    exactDeduped(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("surviving_docs"), sum(col("n_chars")).as("surviving_chars"))
+      .orderBy(col("source"))
+
   // ------------------------------------------------------------- shingling
 
   /** One row per (doc_id, w-word shingle). The tokens array is projected

@@ -105,6 +105,32 @@ object TextAnalysis {
         .otherwise("fr").as("predicted_lang"))
   }
 
+  /** Per-doc token-class counts via RE2-safe patterns (letter runs, digit
+    * runs, single punctuation) — the portable face of [[tokensRegex]]: plain
+    * alternation-free character classes run identically under java.util.regex
+    * and RE2-based engines, so the result is oracle-checkable (the
+    * lookaround-based [[tokensRegex]] is not — RE2 has no lookarounds). */
+  def tokenClasses(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).cast("long").as("word_tokens"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("number_tokens"),
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("punct_tokens"))
+
+  /** Corpus vocabulary statistics: term frequency and document frequency per
+    * token, top-N under a total deterministic order — the vocabulary-building
+    * pass of a training-data pipeline. One explode + one shuffle on token;
+    * at 100 TB this is the canonical word-count shape (map-side combine on
+    * the partial counts; the exact per-doc distinct for doc_freq rides the
+    * same exchange via count(distinct doc_id) partial aggregation). */
+  def vocabStats(docs: DataFrame, n: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term_freq").desc, col("token").asc)
+      .limit(n)
+
   /** Source-id extraction via regexp (reference §2.9 `regexp_replace`/
     * `regexp_extract` intent — the URL/entity-id parsing surface): pulls the
     * numeric id out of the source tag and aggregates per id parity. */

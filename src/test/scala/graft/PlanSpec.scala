@@ -52,6 +52,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p) // '*' prefix marks whole-stage-codegen'd operators
   }
 
+  test("as-of join costs two exchanges: right pre-agg + one window shuffle") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sf)
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_sec"), col("event_id").as("view_id"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_sec"), col("event_id"))
+    val p = planOf(AsOfJoin.asOfBackward(purchases, views, Seq("user_id"), "ts_sec", Seq("view_id")))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected right-agg + window shuffles only, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sessionization uses a single exchange for both window functions") {
     val p = planOf(operators.Sessionize.withSessionId(Tables.events(spark, sf)))
     // count Exchange nodes in the plan tree (the '(n) Exchange' detail headers)
