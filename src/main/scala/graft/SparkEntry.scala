@@ -126,9 +126,12 @@ object SparkEntry {
     "q_pipeline_stats" -> ((s, d) => QueryLibrary.pipelineStats(s, d)),
     "q_latest_hour" -> ((s, d) => QueryLibrary.latestHour(s, d)),
 
-    // --- as-of join (purchase→view attribution; union+window composition)
+    // --- as-of join (purchase→view attribution): composed and native
+    //     variants share one oracle — same results, different physical plans
     "q_asof_attribution" -> ((s, d) =>
       AsOfJoin.purchaseAttribution(Tables.events(s, d))),
+    "q_asof_native" -> ((s, d) => // custom LogicalPlan+Strategy+Exec route
+      AsOfJoin.purchaseAttributionNative(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -395,6 +398,19 @@ object SparkEntry {
         |      FROM pairs)
         |SELECT query_id, rank, neighbor_id, (floor((cos) * 10000.0) / 10000.0) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val asofOracleSql: String =
+    """WITH v0 AS (
+      |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_id
+      |  FROM events WHERE event_type = 'view'),
+      |v AS (SELECT user_id, ts_sec, max(event_id) AS view_id FROM v0 GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.ts_sec,
+      |  v.view_id AS attributed_view_id, p.ts_sec - v.ts_sec AS lag_sec
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec
+      |ORDER BY p.event_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_hourly_metrics" ->
@@ -756,21 +772,12 @@ object SparkEntry {
 
     "q_ivf_kmeans_topk" -> ivfKmeansOracleSql,
 
-    // Native ASOF LEFT JOIN states the as-of semantics directly — the
-    // union+window composition in AsOfJoin must reproduce it exactly
-    // (equal timestamps match; unattributed purchases keep nulls).
-    "q_asof_attribution" ->
-      """WITH v0 AS (
-        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_id
-        |  FROM events WHERE event_type = 'view'),
-        |v AS (SELECT user_id, ts_sec, max(event_id) AS view_id FROM v0 GROUP BY 1, 2),
-        |p AS (
-        |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT p.user_id, p.event_id, p.ts_sec,
-        |  v.view_id AS attributed_view_id, p.ts_sec - v.ts_sec AS lag_sec
-        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec
-        |ORDER BY p.event_id""".stripMargin,
+    // Native ASOF LEFT JOIN states the as-of semantics directly — both the
+    // union+window composition and the custom physical operator must
+    // reproduce it exactly (equal timestamps match; unattributed purchases
+    // keep nulls).
+    "q_asof_attribution" -> asofOracleSql,
+    "q_asof_native" -> asofOracleSql,
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

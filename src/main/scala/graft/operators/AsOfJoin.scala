@@ -83,18 +83,57 @@ object AsOfJoin {
         ++ payload.map(p => col(s"__asof_hit.$p").as(s"asof_$p")): _*)
   }
 
-  /** Purchase→view attribution over the generic events table: each purchase
-    * joined as-of to the user's most recent view at or before it, with the
-    * attribution lag in seconds. Null view/lag = unattributed purchase. */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
+  /** Native-operator variant of [[asOfBackward]]: plans the engine's
+    * [[graft.plans.AsOfJoinExec]] (constant-memory streaming merge, one
+    * exchange per side) instead of the union+window composition. Identical
+    * output contract — both variants share one SQL oracle. */
+  def asOfBackwardNative(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                         tsCol: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lp = left.queryExecution.analyzed
+    // Both sides often scan the same relation; the analyzer's
+    // DeduplicateRelations then re-ids the right subtree without visiting a
+    // custom node's captured attributes. Exposing the right side through a
+    // fresh-exprId alias projection makes the node's references stable: the
+    // dedup rewrite happens below the aliases and stops there.
+    val rpRaw = right.queryExecution.analyzed
+    val aliases = rpRaw.output.map(a => Alias(a, a.name)())
+    val rp = Project(aliases, rpRaw)
+    val rOut = aliases.map(_.toAttribute)
+    def find(out: Seq[Attribute], n: String) = out.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"column $n not found in ${out.map(_.name)}"))
+    def lattr(n: String) = find(lp.output, n)
+    def rattr(n: String) = find(rOut, n)
+    val asofOut = (tsCol +: payload).map { n =>
+      AttributeReference(s"asof_$n", rattr(n).dataType, nullable = true)()
+    }
+    org.apache.spark.sql.graft.bridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lp, rp,
+        keyCols.map(lattr), keyCols.map(rattr),
+        lattr(tsCol), rattr(tsCol), payload.map(rattr), asofOut))
+  }
+
+  private def attribution(events: DataFrame,
+      join: (DataFrame, DataFrame, Seq[String], String, Seq[String]) => DataFrame): DataFrame = {
     val views = events.where(col("event_type") === "view")
       .select(col("user_id"), col("ts_sec"), col("event_id").as("view_id"))
     val purchases = events.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_sec"), col("event_id"))
-    asOfBackward(purchases, views, Seq("user_id"), "ts_sec", Seq("view_id"))
+    join(purchases, views, Seq("user_id"), "ts_sec", Seq("view_id"))
       .select(col("user_id"), col("event_id"), col("ts_sec"),
         col("asof_view_id").as("attributed_view_id"),
         (col("ts_sec") - col("asof_ts_sec")).as("lag_sec"))
       .orderBy(col("event_id"))
   }
+
+  /** Purchase→view attribution over the generic events table: each purchase
+    * joined as-of to the user's most recent view at or before it, with the
+    * attribution lag in seconds. Null view/lag = unattributed purchase. */
+  def purchaseAttribution(events: DataFrame): DataFrame =
+    attribution(events, asOfBackward)
+
+  /** [[purchaseAttribution]] through the native physical operator. */
+  def purchaseAttributionNative(events: DataFrame): DataFrame =
+    attribution(events, asOfBackwardNative)
 }

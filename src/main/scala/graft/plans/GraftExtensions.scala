@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotDescriptor)
     ext.injectFunction(normDescriptor)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -36,11 +37,13 @@ object GraftExtensions {
       info("fvec_norm", "fvec_norm(a) - L2 norm of a float/double vector as double"),
       (exprs: Seq[Expression]) => FloatVectorNorm(exprs(0)))
 
-  /** Register on an already-built session (temp-function registry). */
+  /** Register on an already-built session (temp-function registry +
+    * experimental strategies). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fvec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fvec_norm", exprs => FloatVectorNorm(exprs.head), "built-in")
+    org.apache.spark.sql.graft.bridge.addStrategy(spark, AsOfJoinStrategy)
   }
 }

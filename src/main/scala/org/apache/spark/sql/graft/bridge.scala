@@ -1,15 +1,30 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Column ⇄ Expression bridge. Spark 4's public Column no longer exposes its
-  * Catalyst expression; the conversion lives in the sql-private classic
-  * module, so this shim sits inside the org.apache.spark.sql package — the
-  * standard pattern for Catalyst-level extensions built against Spark's
-  * public jars. */
+/** Column ⇄ Expression (and plan ⇄ DataFrame) bridge. Spark 4's public
+  * Column/Dataset no longer expose their Catalyst internals; the conversions
+  * live in the sql-private classic module, so this shim sits inside the
+  * org.apache.spark.sql package — the standard pattern for Catalyst-level
+  * extensions built against Spark's public jars. */
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Session-level physical-strategy registration (cluster deployments use
+    * SparkSessionExtensions.injectPlannerStrategy instead). */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }

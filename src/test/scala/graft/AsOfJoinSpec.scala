@@ -43,6 +43,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(bogus.count() == 0)
   }
 
+  test("native as-of exec: same crafted-edge-case results as the composition") {
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 70L, 12L), (3L, 10L, 13L))
+      .toDF("user_id", "ts_sec", "event_id")
+    val right = Seq((1L, 100L, 5L), (1L, 40L, 4L), (1L, 40L, 3L), (2L, 80L, 6L))
+      .toDF("user_id", "ts_sec", "view_id")
+    val out = AsOfJoin.asOfBackwardNative(left, right, Seq("user_id"), "ts_sec", Seq("view_id"))
+      .select("event_id", "asof_ts_sec", "asof_view_id").as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) == (Some(100L), Some(5L)))
+    assert(out(11L) == (Some(40L), Some(4L))) // dup-ts tie: largest payload wins
+    assert(out(12L) == (None, None))
+    assert(out(13L) == (None, None))
+  }
+
+  test("native as-of exec equals the union+window composition on real data") {
+    val events = Tables.events(spark, sf)
+    val a = AsOfJoin.purchaseAttribution(events).collect().toSeq
+    val b = AsOfJoin.purchaseAttributionNative(events).collect().toSeq
+    assert(a == b)
+  }
+
+  test("native as-of plans the custom operator with one exchange per side") {
+    val events = Tables.events(spark, sf)
+    val df = AsOfJoin.purchaseAttributionNative(events)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window") && !p.contains("Union"), p)
+  }
+
   test("kmeans centroids: at most numCells cells, iteration is repartition-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Similarity.kmeansCentroids(emb, numCells = 16, iters = 2)
