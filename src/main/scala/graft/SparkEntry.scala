@@ -132,6 +132,8 @@ object SparkEntry {
       AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "q_asof_native" -> ((s, d) => // custom LogicalPlan+Strategy+Exec route
       AsOfJoin.purchaseAttributionNative(Tables.events(s, d))),
+    "q_purchase_context" -> ((s, d) => // constant-bound range join as window
+      EventAnalytics.purchaseContext(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -778,6 +780,25 @@ object SparkEntry {
     // keep nulls).
     "q_asof_attribution" -> asofOracleSql,
     "q_asof_native" -> asofOracleSql,
+
+    "q_purchase_context" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, ts_sec,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec
+        |            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS views_last_hour,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec
+        |            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS clicks_last_hour
+        |  FROM e)
+        |SELECT user_id, event_id, ts_sec,
+        |  CAST(views_last_hour AS BIGINT) AS views_last_hour,
+        |  CAST(clicks_last_hour AS BIGINT) AS clicks_last_hour
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

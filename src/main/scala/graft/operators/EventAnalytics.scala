@@ -129,6 +129,27 @@ object EventAnalytics {
       .orderBy(col("revenue").desc, col("k").asc)
       .limit(n)
 
+  /** Per-purchase trailing-window context: how many views/clicks the user
+    * made in the hour up to (and including) the purchase second. A range
+    * join (`v.ts BETWEEN p.ts - 3600 AND p.ts`) would plan as a nested-loop
+    * at scale; expressed as a RANGE window frame it is one shuffle on
+    * user_id + one per-partition sort — the same trick as the as-of
+    * composition, and the scalable form of interval joins whose bound is a
+    * constant. */
+  def purchaseContext(events: DataFrame, windowSeconds: Long = 3600): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .withColumn("views_last_hour",
+        Cols.countWhen(col("event_type") === "view").over(w))
+      .withColumn("clicks_last_hour",
+        Cols.countWhen(col("event_type") === "click").over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("views_last_hour"), col("clicks_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
   /** Parse the JSON props payload against a fixed contract (reference S2:
     * from_json with explicit schema, streaming_processor.py:109-115). */
   def withParsedProps(events: DataFrame): DataFrame =
