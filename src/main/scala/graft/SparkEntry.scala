@@ -13,8 +13,11 @@ import graft.sources.Tables
   * driver against DuckDB running that SQL on the same parquet tables.
   *
   * Determinism contract shared by both sides (see graft.functions.Cols):
-  * exact decimal aggregation for money, single-IEEE-op + round(…,4) for
-  * ratios, epoch-second longs instead of raw timestamps (the parquet source
+  * output schemas carry only strings/longs/booleans/bit-exact doubles
+  * (never decimals — consumers render them differently), money sums run in
+  * exact integer cents with one final IEEE divide, ratios are one IEEE
+  * division floor-quantized to 4 decimals, sketches hash via a portable
+  * 48-bit md5 value, timestamps are epoch-second longs (the parquet source
   * is ns-precision; Spark truncates to µs while other engines keep ns, so
   * whole seconds are the common grain), and a total ORDER BY on every query.
   */
