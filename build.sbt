@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // array-heavy operators (collect_list, explode fan-outs) allocate in
+  // humongous-region territory; a roomy heap + pause target keeps GC from
+  // charging multi-second stalls to whichever query happens to be running
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseG1GC",
+  "-XX:MaxGCPauseMillis=200",
 )

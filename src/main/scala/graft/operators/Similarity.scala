@@ -222,14 +222,21 @@ object Similarity {
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
   }
 
-  /** Nearest-cell assignment by dot product (ties broken on cell_id). */
-  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("c_dot", fvecDot(col("embedding"), col("c_emb")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_dot").desc, col("cell_id").asc)
-    scored.withColumn("cr", row_number().over(w)).where(col("cr") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-  }
+  /** Nearest-cell assignment by dot product (ties broken on cell_id).
+    * Argmax is an aggregation, not a ranking window: max over a
+    * (dot, -cell_id, cell_id) struct gives "highest dot, then lowest cell"
+    * with map-side partial combine — the shuffle carries one row per vector
+    * instead of one per (vector, centroid), and nothing sorts. Same
+    * semantics as `row_number() OVER (ORDER BY dot DESC, cell ASC) = 1`,
+    * which is what the SQL oracle states. */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct(fvecDot(col("embedding"), col("c_emb")).as("dot"),
+          (-col("cell_id")).as("neg_cell"), col("cell_id").as("cell_id")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("best.cell_id").as("cell_id"))
 
   /** Lloyd-refined centroids: `iters` rounds of assign → recompute-mean.
     * Component means go through exact 1e-4-unit long sums (the
