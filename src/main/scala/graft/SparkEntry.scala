@@ -74,6 +74,8 @@ object SparkEntry {
       TextAnalysis.tokenClasses(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_vocab_stats" -> ((s, d) => // vocabulary tf/df top-20
       TextAnalysis.vocabStats(Tables.documents(s, d), 20)),
+    "q_tfidf_top_terms" -> ((s, d) => // ratio-idf characteristic terms
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
 
     // --- deduplication
     "q_exact_dedup_counts" -> ((s, d) =>
@@ -162,6 +164,8 @@ object SparkEntry {
     //     memory sink; emits exactly the watermark-closed windows)
     "q_streaming_hourly" -> ((s, d) =>
       graft.streaming.StreamingHourly.closedHourlyMetrics(s, d)),
+    "q_streaming_interval_join" -> ((s, d) => // stream-stream interval join
+      graft.streaming.StreamingJoin.purchaseViewPairs(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -613,6 +617,26 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY doc_freq DESC, term_freq DESC, token ASC LIMIT 20""".stripMargin,
 
+    "q_tfidf_top_terms" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |dfreq AS (
+         |  SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, token, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+         |  FROM s)
+         |SELECT doc_id, rank, token, ${q4("score")} AS tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -728,6 +752,20 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
          |ORDER BY hour_sec""".stripMargin,
+
+    // Inner watermarked interval joins need no closure for completeness, so
+    // the streamed pairs equal the batch range join.
+    "q_streaming_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, ts_sec AS v_sec FROM e WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, v.view_id, p.p_sec, v.v_sec
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.v_sec BETWEEN p.p_sec - 3600 AND p.p_sec
+        |ORDER BY purchase_id, view_id""".stripMargin,
 
     // Mirrors TextAnalysis.scoredUnits/qualityBySource: per-doc scores are
     // floor-quantized to exact 1e-4-unit BIGINTs, groups sum the integer

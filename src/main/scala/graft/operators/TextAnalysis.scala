@@ -131,6 +131,30 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("term_freq").desc, col("token").asc)
       .limit(n)
 
+  /** Top-k characteristic terms per document by tf·idf, with idf as the
+    * plain N/df ratio rather than log(N/df): log is not correctly-rounded
+    * IEEE and differs across math libraries, while one division is — the
+    * monotone transform changes no ranking, only the score scale. Two
+    * shuffles (tf and df share the token key) plus a per-doc top-k window. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), Cols.q4(col("score")).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Source-id extraction via regexp (reference §2.9 `regexp_replace`/
     * `regexp_extract` intent — the URL/entity-id parsing surface): pulls the
     * numeric id out of the source tag and aggregates per id parity. */

@@ -25,8 +25,9 @@ object StreamingHourly {
   val WatermarkSeconds = 600L
 
   /** The file streaming source requires a directory; the testdata is a bare
-    * (read-only) parquet file, so stage a symlink dir under the JVM tmpdir. */
-  private def stagedDir(dir: String): String = {
+    * (read-only) parquet file, so stage a symlink dir under the JVM tmpdir.
+    * Shared by every file-source streaming query over the events table. */
+  private[streaming] def stagedEventsDir(dir: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet")
     val d   = Paths.get(System.getProperty("java.io.tmpdir"),
@@ -41,7 +42,7 @@ object StreamingHourly {
 
   def closedHourlyMetrics(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path   = stagedDir(dir)
+    val path   = stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))

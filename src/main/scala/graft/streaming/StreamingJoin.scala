@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join (reference T-class semantics the
+  * reference itself never reaches — its processor only does stream-static):
+  * each purchase pairs with every view by the same user in the trailing
+  * hour, as a REAL self-joined streaming query.
+  *
+  * Scale/state contract: both sides carry a watermark and the join condition
+  * bounds event time on both sides, so the state store retains only the
+  * trailing (interval + watermark) window per side — O(events/hour) state,
+  * independent of stream length (Structured Streaming's watermarked
+  * interval-join state eviction). An INNER interval join emits each pair
+  * exactly when both rows have arrived; unlike append-mode aggregation no
+  * watermark closure is needed for completeness, so the streamed result
+  * equals the batch range join — the SQL-oracle condition.
+  */
+object StreamingJoin {
+  private val counter = new AtomicInteger()
+  val IntervalSeconds = 3600L
+
+  def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path   = StreamingHourly.stagedEventsDir(dir)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+
+    val purchases = stream.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_sec").as("p_sec"), col("event_time").as("p_time"))
+      .withWatermark("p_time", "600 seconds")
+    val views = stream.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_sec").as("v_sec"), col("event_time").as("v_time"))
+      .withWatermark("v_time", "600 seconds")
+
+    val joined = purchases.join(views,
+        expr(s"""v_user = p_user
+                |AND v_time >= p_time - INTERVAL $IntervalSeconds SECONDS
+                |AND v_time <= p_time""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_sec"), col("v_sec"))
+
+    val name = s"graft_stream_join_${counter.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("purchase_id"), col("view_id"))
+  }
+}
