@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.functions.Cols
-import graft.operators.{Dedup, Sessionize}
+import graft.operators.{AsOfJoin, Dedup, Sessionize}
 
 /** Property-based invariants (SURVEY.md §5 strategy #3) over generated
   * inputs — the invariants hold by construction of the operators, so the
@@ -100,6 +100,29 @@ class PropertySpec extends SparkSpec {
           assert(sigs(i.toLong) == sigs((i + texts.size).toLong))
         }
       }
+    }
+  }
+
+  test("as-of join: native operator == composition == in-memory model on random events") {
+    forAll(eventsGen) { rows =>
+      val events = toDf(rows)
+      val composed = AsOfJoin.purchaseAttribution(events)
+        .collect().map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4)))).toSeq
+      val native = AsOfJoin.purchaseAttributionNative(events)
+        .collect().map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4)))).toSeq
+      assert(native == composed)
+      // in-memory reference model over the same rows toDf produces (toDf
+      // re-ranks event_id monotone in (ts, original id)):
+      val ranked = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((_, ts, u, t, v), i) => (i.toLong + 1, ts, u, t, v) }
+      val views = ranked.filter(_._4 == "view")
+      val expected = ranked.filter(_._4 == "purchase").sortBy(_._1).map { p =>
+        val cand = views.filter(v => v._3 == p._3 && v._2 <= p._2)
+        val best = if (cand.isEmpty) None else Some(cand.maxBy(v => (v._2, v._1)))
+        (p._1, best.map(_._1), best.map(v => p._2 - v._2))
+      }
+      assert(composed == expected.map { case (id, v, l) =>
+        (id, v.map(x => x: Any), l.map(x => x: Any)) })
     }
   }
 }
