@@ -159,6 +159,8 @@ object SparkEntry {
     // --- multimodal plumbing (stubbed decode; real schema/batching)
     "q_media_profile" -> ((s, d) =>
       Multimodal.mediaProfile(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    "q_media_features" -> ((s, d) => // decode → feature-extract → profile
+      Multimodal.featureProfile(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
 
     // --- structured streaming (T1/T2/T8: real streaming query, append mode,
     //     memory sink; emits exactly the watermark-closed windows)
@@ -981,6 +983,26 @@ object SparkEntry {
          |SELECT label,
          |  ${q4("sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b))")} AS centroid_norm
          |FROM c ORDER BY label""".stripMargin,
+
+    // Mirror of Multimodal.{featureVectors, featureProfile}: 8 feature
+    // components are 12-bit md5 windows / 4096.0; the row norm is the same
+    // left-fold sqrt both engines compute, quantized to integer units
+    // before the group mean.
+    "q_media_features" -> {
+      val comps = (0 until 8).map(j =>
+        s"(CAST(('0x' || substring(md5(text), ${1 + j * 3}, 3)) AS BIGINT) / 4096.0)")
+        .mkString("[", ", ", "]")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |    CAST(floor(sqrt(list_reduce(list_transform($comps, x -> x * x), (a, b) -> a + b)) * 10000.0) AS BIGINT) AS norm_u
+         |  FROM documents)
+         |SELECT kind, count(*) AS n,
+         |  CASE WHEN count(*) > 0
+         |    THEN (floor((CAST(sum(norm_u) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0)
+         |    ELSE 0.0 END AS mean_feature_norm
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+    },
 
     // Mirror of Multimodal.{mediaFromDocuments, DeterministicFakeDecoder,
     // mediaProfile}: metadata is a pure function of byte length and the

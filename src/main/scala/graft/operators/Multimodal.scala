@@ -76,6 +76,48 @@ object Multimodal {
     }
   }
 
+  /** Extracted feature vector per media row (the embedding-production stage
+    * of a multimodal pipeline; a real implementation would run the codec +
+    * a vision/audio encoder here). */
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Double])
+
+  /** Feature extraction via mapPartitions: the MessageDigest — stand-in for
+    * a codec/encoder handle — is instantiated once per partition and reused
+    * across rows (digest() resets it), the economics that matter when the
+    * per-row work is a model forward pass. The 8 components are 12-bit
+    * windows of the payload's md5, scaled to [0,1) — a pure function of the
+    * bytes that any SQL engine reproduces from its md5() hex output, so the
+    * whole stage is oracle-checkable. */
+  def featureVectors(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      it.map { r =>
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        val fs = Array.tabulate(8)(j =>
+          java.lang.Long.parseLong(hex.substring(j * 3, j * 3 + 3), 16) / 4096.0)
+        MediaFeatures(r.media_id, r.kind, fs)
+      }
+    }
+  }
+
+  /** Per-kind feature profile: count and mean feature-vector L2 norm. The
+    * per-row norm is floor-quantized to exact 1e-4-unit longs before the
+    * group sum, so the means are aggregation-order independent. */
+  def featureProfile(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    featureVectors(media)
+      .select(col("media_id"), col("kind"),
+        floor(graft.plans.VectorExpressions.fvecNorm(col("features")) * 10000.0).as("norm_u"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Cols.avg4(sum(col("norm_u")).cast("double") / 10000.0,
+          count(lit(1))).as("mean_feature_norm"))
+      .orderBy(col("kind"))
+  }
+
   /** Metadata profile per kind — the downstream aggregate a pipeline would
     * use for partitioning decisions (e.g. bytes per partition budget). */
   def mediaProfile(media: DataFrame): DataFrame = {
