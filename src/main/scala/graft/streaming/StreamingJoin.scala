@@ -49,7 +49,9 @@ object StreamingJoin {
 
     val name = s"graft_stream_join_${counter.incrementAndGet()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // join output is a few hundred rows; state-store open/commit per
+    // partition per side per micro-batch dominates, so keep partitions low
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try joined.writeStream
         .format("memory").queryName(name)
