@@ -83,6 +83,18 @@ object AsOfJoin {
         ++ payload.map(p => col(s"__asof_hit.$p").as(s"asof_$p")): _*)
   }
 
+  /** Forward as-of join: earliest right row with `right.ts >= left.ts` per
+    * key (the "next event after" lookup — e.g. first view following a
+    * campaign touch). Reduces to the backward join under time negation;
+    * ties at equal (key, ts) resolve to the max payload, like backward. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  tsCol: String, payload: Seq[String]): DataFrame = {
+    def negTs(df: DataFrame) = df.withColumn(tsCol, -col(tsCol))
+    asOfBackward(negTs(left), negTs(right), keyCols, tsCol, payload)
+      .withColumn(tsCol, -col(tsCol))
+      .withColumn(s"asof_$tsCol", -col(s"asof_$tsCol"))
+  }
+
   /** Native-operator variant of [[asOfBackward]]: plans the engine's
     * [[graft.plans.AsOfJoinExec]] (constant-memory streaming merge, one
     * exchange per side) instead of the union+window composition. Identical

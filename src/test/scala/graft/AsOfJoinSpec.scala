@@ -43,6 +43,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(bogus.count() == 0)
   }
 
+  test("asOfForward: earliest following row wins, equal ts matches, none after yields nulls") {
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 90L, 12L))
+      .toDF("user_id", "ts_sec", "event_id")
+    val right = Seq((1L, 100L, 5L), (1L, 60L, 4L), (2L, 80L, 6L))
+      .toDF("user_id", "ts_sec", "view_id")
+    val out = AsOfJoin.asOfForward(left, right, Seq("user_id"), "ts_sec", Seq("view_id"))
+      .select("event_id", "asof_ts_sec", "asof_view_id").as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) == (Some(100L), Some(5L))) // equal ts matches forward too
+    assert(out(11L) == (Some(60L), Some(4L)))  // earliest at-or-after 50
+    assert(out(12L) == (None, None))           // nothing at-or-after 90 for user 2
+  }
+
   test("native as-of exec: same crafted-edge-case results as the composition") {
     val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 70L, 12L), (3L, 10L, 13L))
       .toDF("user_id", "ts_sec", "event_id")

@@ -65,6 +65,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("kmeans cell assignment aggregates (map-side combine), never sort-windows") {
+    import org.apache.spark.sql.functions.col
+    val p = planOf(Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 16, 1))
+    // seed-centroid selection contributes exactly two Windows (row_number
+    // rank + count-over-all step); the per-vector argmax must be a
+    // HashAggregate and add none
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows == 2, s"argmax must not plan as a ranking window:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("purchase-context range frames cost one exchange plus the output sort") {
+    val p = planOf(EventAnalytics.purchaseContext(Tables.events(spark, sf)))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"window + output sort only, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sessionization uses a single exchange for both window functions") {
     val p = planOf(operators.Sessionize.withSessionId(Tables.events(spark, sf)))
     // count Exchange nodes in the plan tree (the '(n) Exchange' detail headers)
