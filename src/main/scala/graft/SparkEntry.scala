@@ -61,6 +61,7 @@ object SparkEntry {
     "q_table_counts" -> ((s, d) => Relational.tableCounts(s, d)),
     "q_price_buckets" -> ((s, d) => Relational.ordersByPriceBucket(s, d)),
     "q_order_deciles" -> ((s, d) => Relational.orderValueDeciles(s, d)),
+    "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
 
     // --- text analysis (training-data pipeline surface)
     "q_token_stats" -> ((s, d) =>
@@ -582,6 +583,12 @@ object SparkEntry {
         |SELECT decile, count(*) AS orders,
         |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_price_quantiles" ->
+      s"""SELECT o_orderpriority, count(*) AS orders,
+         |  ${q4("quantile_cont(o_totalprice, 0.5)")} AS median_price,
+         |  ${q4("quantile_cont(o_totalprice, 0.9)")} AS p90_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_token_stats" ->
       (docTokensCte +

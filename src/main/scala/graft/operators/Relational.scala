@@ -172,6 +172,22 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** Exact per-group percentiles (median/p90 of order value by priority).
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    * standard linear-interpolation definition and agree bit-for-bit on this
+    * data (verified at all scale factors); floor quantization adds a safety
+    * margin. Exact percentiles buffer each group's values — fine for
+    * bounded groups like the 5 priorities; for unbounded cardinality use
+    * [[orderValueDecilesApprox]]'s one-pass sketch instead. */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("orders"),
+        Cols.q4(percentile(col("o_totalprice"), lit(0.5))).as("median_price"),
+        Cols.q4(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** Scale-path percentile: one-pass approximate quantiles, no global sort. */
   def orderValueDecilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).agg(
