@@ -62,6 +62,8 @@ object SparkEntry {
     "q_price_buckets" -> ((s, d) => Relational.ordersByPriceBucket(s, d)),
     "q_order_deciles" -> ((s, d) => Relational.orderValueDeciles(s, d)),
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
+    "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
+    "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
 
     // --- text analysis (training-data pipeline surface)
     "q_token_stats" -> ((s, d) =>
@@ -589,6 +591,26 @@ object SparkEntry {
          |  ${q4("quantile_cont(o_totalprice, 0.5)")} AS median_price,
          |  ${q4("quantile_cont(o_totalprice, 0.9)")} AS p90_price
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |l AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+        |em AS (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM l),
+        |ib AS (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM l)
+        |SELECT * FROM (
+        |  SELECT 'urgent_minus_low' AS segment, count(*) AS customers,
+        |    CAST(sum(o_custkey) AS BIGINT) AS key_checksum FROM em
+        |  UNION ALL
+        |  SELECT 'urgent_and_low', count(*), CAST(sum(o_custkey) AS BIGINT) FROM ib
+        |) ORDER BY segment""".stripMargin,
+
+    "q_order_rollup" ->
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+         |  coalesce(o_orderstatus, 'ALL') AS status,
+         |  count(*) AS orders,
+         |  ${sumMoney("o_totalprice")} AS total_value
+         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY priority, status""".stripMargin,
 
     "q_token_stats" ->
       (docTokensCte +

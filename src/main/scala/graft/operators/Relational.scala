@@ -172,6 +172,37 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** Set-operation surface (§2.7 beyond UNION ALL): customers who placed an
+    * urgent order but never a low-priority one (EXCEPT), and those who
+    * placed both (INTERSECT). Spark plans these as left-anti/left-semi
+    * aggregates over distinct keys — same dedup-set semantics as SQL. */
+  def prioritySegments(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def keysOf(p: String) = orders.where(col("o_orderpriority") === p)
+      .select(col("o_custkey")).distinct()
+    val urgent = keysOf("1-URGENT")
+    val low    = keysOf("5-LOW")
+    def summarize(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("customers"), sum(col("o_custkey")).as("key_checksum"))
+        .select(lit(name).as("segment"), col("customers"), col("key_checksum"))
+    summarize("urgent_minus_low", urgent.except(low))
+      .unionByName(summarize("urgent_and_low", urgent.intersect(low)))
+      .orderBy(col("segment"))
+  }
+
+  /** Rollup aggregation (subtotals + grand total) over order priority and
+    * ship mode proxies — the OLAP grouping-sets surface. Aggregated-out
+    * levels are labelled explicitly (coalesce) so ordering and hashing
+    * never depend on engine NULL-sort conventions. */
+  def orderRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("orders"), Cols.sumDec2(col("o_totalprice")).as("total_value"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("orders"), col("total_value"))
+      .orderBy(col("priority"), col("status"))
+
   /** Exact per-group percentiles (median/p90 of order value by priority).
     * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
     * standard linear-interpolation definition and agree bit-for-bit on this
