@@ -64,6 +64,8 @@ object SparkEntry {
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
+    "q_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)), // wide pivot
+    "q_daily_cumulative" -> ((s, d) => Relational.dailyCumulativeRevenue(s, d)),
 
     // --- text analysis (training-data pipeline surface)
     "q_token_stats" -> ((s, d) =>
@@ -603,6 +605,24 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'urgent_and_low', count(*), CAST(sum(o_custkey) AS BIGINT) FROM ib
         |) ORDER BY segment""".stripMargin,
+
+    "q_status_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_daily_cumulative" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) / 86400.0) * 86400 AS BIGINT) AS day_sec,
+        |    count(*) AS orders,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day_sec, orders,
+        |  (CAST(cents AS DOUBLE) / 100.0) AS revenue,
+        |  (CAST(sum(cents) OVER (ORDER BY day_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS cumulative_revenue
+        |FROM d ORDER BY day_sec""".stripMargin,
 
     "q_order_rollup" ->
       s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -203,6 +203,34 @@ object Relational {
         col("orders"), col("total_value"))
       .orderBy(col("priority"), col("status"))
 
+  /** Pivot (§2.4 wide layout): order counts by priority, one column per
+    * order status. The status domain is closed and passed explicitly —
+    * an unpinned pivot would first run a distinct scan to discover it. */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("status_f"),
+        coalesce(col("O"), lit(0L)).as("status_o"),
+        coalesce(col("P"), lit(0L)).as("status_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Daily revenue with a running cumulative total — the canonical
+    * time-series dashboard shape (ROWS running frame over the daily
+    * aggregate, so the window input is |days|, not |orders|). */
+  def dailyCumulativeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy((floor(Cols.tsSec(col("o_orderdate")) / 86400.0) * 86400).cast("long").as("day_sec"))
+      .agg(count(lit(1)).as("orders"), sum(Cols.cents(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy(col("day_sec")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("day_sec"), col("orders"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (sum(col("cents")).over(w).cast("double") / 100.0).as("cumulative_revenue"))
+      .orderBy(col("day_sec"))
+  }
+
   /** Exact per-group percentiles (median/p90 of order value by priority).
     * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
     * standard linear-interpolation definition and agree bit-for-bit on this
