@@ -66,6 +66,7 @@ object SparkEntry {
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
     "q_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)), // wide pivot
     "q_daily_cumulative" -> ((s, d) => Relational.dailyCumulativeRevenue(s, d)),
+    "q_daily_delta" -> ((s, d) => Relational.dailyRevenueDelta(s, d)), // lag/lead
 
     // --- text analysis (training-data pipeline surface)
     "q_token_stats" -> ((s, d) =>
@@ -622,6 +623,17 @@ object SparkEntry {
         |SELECT day_sec, orders,
         |  (CAST(cents AS DOUBLE) / 100.0) AS revenue,
         |  (CAST(sum(cents) OVER (ORDER BY day_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS cumulative_revenue
+        |FROM d ORDER BY day_sec""".stripMargin,
+
+    "q_daily_delta" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) / 86400.0) * 86400 AS BIGINT) AS day_sec,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day_sec,
+        |  (CAST(cents AS DOUBLE) / 100.0) AS revenue,
+        |  (CAST(lag(cents, 1) OVER (ORDER BY day_sec) AS DOUBLE) / 100.0) AS prev_revenue,
+        |  (CAST(cents - lag(cents, 1) OVER (ORDER BY day_sec) AS DOUBLE) / 100.0) AS delta
         |FROM d ORDER BY day_sec""".stripMargin,
 
     "q_order_rollup" ->

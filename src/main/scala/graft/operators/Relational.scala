@@ -231,6 +231,21 @@ object Relational {
       .orderBy(col("day_sec"))
   }
 
+  /** Day-over-day revenue movement: previous day's revenue (lag) and the
+    * delta, in exact cents until the output edge. Lag/lead over the daily
+    * aggregate — |days| window input, same shape as the cumulative series. */
+  def dailyRevenueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy((floor(Cols.tsSec(col("o_orderdate")) / 86400.0) * 86400).cast("long").as("day_sec"))
+      .agg(sum(Cols.cents(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy(col("day_sec"))
+    daily.select(col("day_sec"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (lag(col("cents"), 1).over(w).cast("double") / 100.0).as("prev_revenue"),
+        ((col("cents") - lag(col("cents"), 1).over(w)).cast("double") / 100.0).as("delta"))
+      .orderBy(col("day_sec"))
+  }
+
   /** Exact per-group percentiles (median/p90 of order value by priority).
     * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
     * standard linear-interpolation definition and agree bit-for-bit on this
