@@ -174,6 +174,8 @@ object SparkEntry {
       graft.streaming.StreamingHourly.closedHourlyMetrics(s, d)),
     "q_streaming_interval_join" -> ((s, d) => // stream-stream interval join
       graft.streaming.StreamingJoin.purchaseViewPairs(s, d)),
+    "q_streaming_outer_join" -> ((s, d) => // watermark-closed outer emission
+      graft.streaming.StreamingJoin.purchaseViewPairsOuter(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -815,6 +817,31 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
          |ORDER BY hour_sec""".stripMargin,
+
+    // Outer emission rule (verified empirically at every scale factor): a
+    // null row appears iff the purchase is unmatched AND its timestamp is
+    // strictly below the final global watermark = min(max purchase time,
+    // max view time) − 600.
+    "q_streaming_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |m AS (SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts_sec END),
+        |                   max(CASE WHEN event_type = 'view' THEN ts_sec END)) - 600 AS wg FROM e),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, ts_sec AS v_sec FROM e WHERE event_type = 'view')
+        |SELECT * FROM (
+        |  SELECT p.user_id, p.purchase_id, v.view_id, p.p_sec, v.v_sec
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.v_sec BETWEEN p.p_sec - 3600 AND p.p_sec
+        |  UNION ALL
+        |  SELECT p.user_id, p.purchase_id, CAST(NULL AS BIGINT), p.p_sec, CAST(NULL AS BIGINT)
+        |  FROM p, m
+        |  WHERE p.p_sec < m.wg AND NOT EXISTS (
+        |    SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |      AND v.v_sec BETWEEN p.p_sec - 3600 AND p.p_sec)
+        |) ORDER BY purchase_id, view_id""".stripMargin,
 
     // Inner watermarked interval joins need no closure for completeness, so
     // the streamed pairs equal the batch range join.

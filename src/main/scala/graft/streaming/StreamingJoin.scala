@@ -23,7 +23,22 @@ object StreamingJoin {
   private val counter = new AtomicInteger()
   val IntervalSeconds = 3600L
 
-  def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Left-outer variant: unmatched purchases surface with null view columns
+    * once the watermark proves no match can arrive (left-side state expiry).
+    * The emission rule — verified empirically at all three scale factors —
+    * is `p_sec < min(max purchase time, max view time) − 10 min`: the
+    * global watermark is the MINIMUM of the two streams' watermarks, and
+    * for this condition shape (`v_time <= p_time` binding) a left row is
+    * finalizable as soon as the global watermark passes its own timestamp.
+    * Purchases after that point still emit their inner matches but never a
+    * null row. The SQL oracle states exactly this condition. */
+  def purchaseViewPairsOuter(spark: SparkSession, dir: String): DataFrame =
+    runJoin(spark, dir, "left_outer")
+
+  def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame =
+    runJoin(spark, dir, "inner")
+
+  private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = StreamingHourly.stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
@@ -43,7 +58,8 @@ object StreamingJoin {
     val joined = purchases.join(views,
         expr(s"""v_user = p_user
                 |AND v_time >= p_time - INTERVAL $IntervalSeconds SECONDS
-                |AND v_time <= p_time""".stripMargin))
+                |AND v_time <= p_time""".stripMargin),
+        joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         col("p_sec"), col("v_sec"))
 
