@@ -176,6 +176,8 @@ object SparkEntry {
       graft.streaming.StreamingJoin.purchaseViewPairs(s, d)),
     "q_streaming_outer_join" -> ((s, d) => // watermark-closed outer emission
       graft.streaming.StreamingJoin.purchaseViewPairsOuter(s, d)),
+    "q_streaming_sessions" -> ((s, d) => // session_window, append mode
+      graft.streaming.StreamingSessions.closedSessions(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -817,6 +819,34 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
          |ORDER BY hour_sec""".stripMargin,
+
+    // session_window semantics: events ≥ gap apart split (the ≥ batch gap
+    // rule on time-ordered events; same-second ties share a session either
+    // way); emitted end = last event + gap; append emits iff end ≤ final
+    // watermark — the tumbling-window closure rule, verified empirically.
+    "q_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |m AS (SELECT max(ts_sec) - 600 AS wm FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL OR ts_sec - lag(ts_sec) OVER w >= 3600
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sm AS (
+        |  SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) + 3600 AS end_sec,
+        |    count(*) AS events,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        |    (CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0) AS revenue
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, start_sec, end_sec, events, purchases, revenue
+        |FROM sm, m WHERE end_sec <= wm
+        |ORDER BY user_id, start_sec""".stripMargin,
 
     // Outer emission rule (verified empirically at every scale factor): a
     // null row appears iff the purchase is unmatched AND its timestamp is
