@@ -13,8 +13,13 @@ object Bench {
     // tiny streaming run pays the one-time state-store/micro-batch class
     // loading that otherwise lands on the first streaming query measured
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    try graft.streaming.StreamingSessions.closedSessions(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // smallest sibling scale factor if present, else the bench data itself
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
+    }
+    try graft.streaming.StreamingSessions.closedSessions(spark, warmDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] streaming warm-up skipped: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

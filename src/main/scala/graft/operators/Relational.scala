@@ -217,15 +217,19 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("status_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** Shared daily aggregate for the time-series queries: exact cents plus
+    * order counts per UTC day bucket. */
+  private def dailyCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy((floor(Cols.tsSec(col("o_orderdate")) / 86400.0) * 86400).cast("long").as("day_sec"))
+      .agg(count(lit(1)).as("orders"), sum(Cols.cents(col("o_totalprice"))).as("cents"))
+
   /** Daily revenue with a running cumulative total — the canonical
     * time-series dashboard shape (ROWS running frame over the daily
     * aggregate, so the window input is |days|, not |orders|). */
   def dailyCumulativeRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(spark, dir)
-      .groupBy((floor(Cols.tsSec(col("o_orderdate")) / 86400.0) * 86400).cast("long").as("day_sec"))
-      .agg(count(lit(1)).as("orders"), sum(Cols.cents(col("o_totalprice"))).as("cents"))
     val w = Window.orderBy(col("day_sec")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.select(col("day_sec"), col("orders"),
+    dailyCents(spark, dir).select(col("day_sec"), col("orders"),
         (col("cents").cast("double") / 100.0).as("revenue"),
         (sum(col("cents")).over(w).cast("double") / 100.0).as("cumulative_revenue"))
       .orderBy(col("day_sec"))
@@ -235,11 +239,8 @@ object Relational {
     * delta, in exact cents until the output edge. Lag/lead over the daily
     * aggregate — |days| window input, same shape as the cumulative series. */
   def dailyRevenueDelta(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(spark, dir)
-      .groupBy((floor(Cols.tsSec(col("o_orderdate")) / 86400.0) * 86400).cast("long").as("day_sec"))
-      .agg(sum(Cols.cents(col("o_totalprice"))).as("cents"))
     val w = Window.orderBy(col("day_sec"))
-    daily.select(col("day_sec"),
+    dailyCents(spark, dir).select(col("day_sec"),
         (col("cents").cast("double") / 100.0).as("revenue"),
         (lag(col("cents"), 1).over(w).cast("double") / 100.0).as("prev_revenue"),
         ((col("cents") - lag(col("cents"), 1).over(w)).cast("double") / 100.0).as("delta"))

@@ -246,9 +246,11 @@ object Similarity {
     * pass over the corpus plus a centroid-sized aggregation — the standard
     * distributed Lloyd shape that holds at any corpus size. */
   def kmeansCentroids(corpus: DataFrame, numCells: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var cents = seedCentroids(corpus, numCells)
     for (_ <- 1 to iters) {
-      cents = assignCells(corpus.select(col("vec_id"), col("embedding")), cents)
+      val updated = assignCells(corpus.select(col("vec_id"), col("embedding")), cents)
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(sum(floor(col("v").cast("double") * 10000.0)).as("s_u"),
@@ -258,6 +260,11 @@ object Similarity {
         .groupBy(col("cell_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
         .select(col("cell_id"), transform(col("pairs"), p => p.getField("c")).as("c_emb"))
+      // materialize each round: centroids are k×dim values, so collecting is
+      // the standard distributed-Lloyd step — otherwise round N's lineage
+      // replays rounds 1..N-1 (and every later consumer replays them again)
+      cents = updated.select(col("cell_id"), col("c_emb")).as[(Long, Seq[Double])]
+        .collect().sortBy(_._1).toSeq.toDF("cell_id", "c_emb")
     }
     cents
   }

@@ -80,6 +80,7 @@ case class AsOfJoinExec(
     val tsType = leftTs.dataType
     val lTsAttr = leftTs
     val rTsAttr = rightTs
+    val outAttrs = output
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -91,6 +92,9 @@ case class AsOfJoinExec(
       val tsOrd  = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
       val nullPay: InternalRow = new GenericInternalRow(payloadWithTs.length)
       val joined = new JoinedRow
+      // physical-operator row contract: downstream consumers (collect, sort,
+      // shuffle) cast to UnsafeRow, so the JoinedRow must be re-materialized
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
 
       var rRow: InternalRow = if (ri.hasNext) ri.next() else null
       var heldKey: UnsafeRow = null
@@ -119,7 +123,7 @@ case class AsOfJoinExec(
           }
         }
         val hit = heldKey != null && keyOrd.compare(heldKey, lKey) == 0
-        joined(lRow, if (hit) heldPay else nullPay)
+        outProj(joined(lRow, if (hit) heldPay else nullPay))
       }
     }
   }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,7 +19,6 @@ import graft.functions.Cols
   * Applications in Apache Spark", SIGMOD 2018.)
   */
 object StreamingHourly {
-  private val counter = new AtomicInteger()
   val WatermarkSeconds = 600L
 
   /** The file streaming source requires a directory; the testdata is a bare
@@ -66,22 +63,9 @@ object StreamingHourly {
         col("total_events"), col("page_views"), col("clicks"), col("purchases"),
         col("signups"), col("errors"), col("revenue"), col("conversion_rate"))
 
-    val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    // ~720 hour groups: 32 shuffle partitions mean 32 state-store dirs per
-    // micro-batch of pure overhead; the partition count is baked into the
-    // checkpoint at first start, so pick a small one for this query and
-    // restore the session conf afterwards.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try {
-      q.processAllAvailable() // file batch + no-data watermark batch
-    } finally q.stop()
-    spark.table(name).orderBy(col("hour_sec"))
+    // ~720 hour groups: a small partition count avoids per-micro-batch
+    // state-store overhead (see MemorySinkRunner)
+    MemorySinkRunner.run(spark, agg, "graft_stream_hourly", shufflePartitions = 8)
+      .orderBy(col("hour_sec"))
   }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,7 +18,6 @@ import org.apache.spark.sql.functions._
   * equals the batch range join — the SQL-oracle condition.
   */
 object StreamingJoin {
-  private val counter = new AtomicInteger()
   val IntervalSeconds = 3600L
 
   /** Left-outer variant: unmatched purchases surface with null view columns
@@ -63,18 +60,9 @@ object StreamingJoin {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         col("p_sec"), col("v_sec"))
 
-    val name = s"graft_stream_join_${counter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     // join output is a few hundred rows; state-store open/commit per
     // partition per side per micro-batch dominates, so keep partitions low
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try joined.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy(col("purchase_id"), col("view_id"))
+    MemorySinkRunner.run(spark, joined, "graft_stream_join", shufflePartitions = 4)
+      .orderBy(col("purchase_id"), col("view_id"))
   }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,7 +19,6 @@ import graft.functions.Cols
   * scale factor — which is exactly the condition the SQL oracle states.
   */
 object StreamingSessions {
-  private val counter = new AtomicInteger()
   val GapSeconds = 3600L
   val WatermarkSeconds = 600L
 
@@ -46,16 +43,7 @@ object StreamingSessions {
         unix_timestamp(col("w.end")).as("end_sec"),
         col("events"), col("purchases"), col("revenue"))
 
-    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy(col("user_id"), col("start_sec"))
+    MemorySinkRunner.run(spark, agg, "graft_stream_sessions", shufflePartitions = 8)
+      .orderBy(col("user_id"), col("start_sec"))
   }
 }

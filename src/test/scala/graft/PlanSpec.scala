@@ -65,15 +65,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("kmeans cell assignment aggregates (map-side combine), never sort-windows") {
+  test("kmeans index is materialized; query plan windows are the two rank stages only") {
     import org.apache.spark.sql.functions.col
-    val p = planOf(Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 16, 1))
-    // seed-centroid selection contributes exactly two Windows (row_number
-    // rank + count-over-all step); the per-vector argmax must be a
-    // HashAggregate and add none
-    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
-    assert(windows == 2, s"argmax must not plan as a ranking window:\n$p")
-    assert(p.contains("HashAggregate"), p)
+    // the refined index is collected per Lloyd round (standard distributed
+    // k-means), so the centroid table arrives as a broadcast-ready local
+    // relation with no lineage to replay
+    val cents = planOf(Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 16, 1))
+    assert(cents.contains("LocalTableScan"), cents)
+    assert(!cents.contains("Window"), s"materialized index must carry no lineage:\n$cents")
+    // the search itself: cell assignment is a HashAggregate argmax (never a
+    // ranking window); the only Windows are the probe rank and final top-k
+    val emb = Tables.embeddings(spark, sf)
+    val p = planOf(Similarity.ivfKmeansTopK(emb, emb.where(col("vec_id") < 5), 5))
+    // \b excludes WindowGroupLimit (the rank-limit pushdown helper nodes)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).size
+    assert(windows == 2, s"expected probe-rank + top-k windows only, got $windows:\n$p")
+    // max-over-struct argmax plans as SortAggregate (struct types are not
+    // hash-aggregable) — still a partial-combining aggregate, never a window
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
   }
 
   test("purchase-context range frames cost one exchange plus the output sort") {

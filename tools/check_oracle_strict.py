@@ -34,8 +34,8 @@ for name, sql in sorted(oracle.items()):
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         print(f"FAIL {name}: columns {gc} != {ec}"); fail += 1; failed.append(name); continue
-    g = got[gc].map(str).reset_index(drop=True)
-    e = exp[gc].map(str).reset_index(drop=True)
+    g = got[gc].astype(str).reset_index(drop=True)
+    e = exp[gc].astype(str).reset_index(drop=True)
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} != {len(e)}"); fail += 1; failed.append(name); continue
     if not g.equals(e):
