@@ -70,6 +70,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(13L) == (None, None))
   }
 
+  test("native as-of output honors the UnsafeRow contract (raw collect/sort, no projection)") {
+    val left = Seq((1L, 100L, 10L), (2L, 70L, 12L)).toDF("user_id", "ts_sec", "event_id")
+    val right = Seq((1L, 90L, 5L)).toDF("user_id", "ts_sec", "view_id")
+    val raw = AsOfJoin.asOfBackwardNative(left, right, Seq("user_id"), "ts_sec", Seq("view_id"))
+    // no select() on top: collect and sort consume the exec's rows directly
+    assert(raw.collect().length == 2)
+    assert(raw.orderBy(col("event_id")).collect().map(_.getLong(2)).toSeq == Seq(10L, 12L))
+  }
+
   test("native as-of exec equals the union+window composition on real data") {
     val events = Tables.events(spark, sf)
     val a = AsOfJoin.purchaseAttribution(events).collect().toSeq
