@@ -299,20 +299,18 @@ object SparkEntry {
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** IVF oracle: mirrors the deterministic centroid selection (every step-th
-    * vec_id), single-cell assignment, nprobe=4 probing, and top-5 ranking in
-    * plain SQL — every stage is data-derived, so it is fully checkable. */
+  /** IVF oracle: mirrors the deterministic centroid selection (min vec_id
+    * per md5₄₈-hash bucket — Similarity.seedCentroids), single-cell
+    * assignment, nprobe=4 probing, and top-5 ranking in plain SQL — every
+    * stage is data-derived, so it is fully checkable. */
   private val ivfOracleSql: String = {
     val norm = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
-    s"""WITH ranked AS (
-       |  SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn,
-       |    greatest(CAST(floor(CAST(count(*) OVER () AS DOUBLE) / 16) AS BIGINT), 1) AS step
-       |  FROM embeddings),
-       |centroids AS (
-       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM ranked
-       |  WHERE (rn - 1) % step = 0 AND rn <= step * 16),
+    s"""WITH centroids AS (
+       |  SELECT min(vec_id) AS cell_id, arg_min(embedding, vec_id) AS c_emb
+       |  FROM embeddings
+       |  GROUP BY ${md5h48("CAST(vec_id AS VARCHAR)")} % 16),
        |corpus_cells AS (
        |  SELECT cell_id, corpus_id, embedding, nrm FROM (
        |    SELECT c.cell_id, e.vec_id AS corpus_id, e.embedding, $norm AS nrm,
@@ -361,13 +359,10 @@ object SparkEntry {
          |      (CAST(sum(CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) AS c
          |    FROM $assigned, range(64) r(i) GROUP BY cell_id, r.i)
          |  GROUP BY cell_id""".stripMargin
-    s"""WITH ranked AS (
-       |  SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn,
-       |    greatest(CAST(floor(CAST(count(*) OVER () AS DOUBLE) / 16) AS BIGINT), 1) AS step
-       |  FROM embeddings),
-       |cent0 AS (
-       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM ranked
-       |  WHERE (rn - 1) % step = 0 AND rn <= step * 16),
+    s"""WITH cent0 AS (
+       |  SELECT min(vec_id) AS cell_id, arg_min(embedding, vec_id) AS c_emb
+       |  FROM embeddings
+       |  GROUP BY ${md5h48("CAST(vec_id AS VARCHAR)")} % 16),
        |a1 AS (${assign("cent0")}),
        |cent1 AS (${centUpdate("a1")}),
        |a2 AS (${assign("cent1")}),

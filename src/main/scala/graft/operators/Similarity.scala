@@ -159,26 +159,16 @@ object Similarity {
   /** IVF-style ANN: partition the corpus into cells around seed centroids,
     * then search only the `nprobe` nearest cells per query.
     *
-    * Centroid choice is deterministic (every ⌈N/k⌉-th vec_id) — a k-means
-    * refinement would drop recall error further but changes no plan shape.
+    * Centroid choice is deterministic (min vec_id per hash bucket, see
+    * [[seedCentroids]]) — a k-means refinement would drop recall error
+    * further but changes no plan shape.
     * Two broadcast joins: corpus→cells (one pass, broadcast centroids) and
     * query→probe-cells; the candidate join then shuffles on cell id only.
     * At 100 TB the cell assignment becomes a write-time bucketing of the
     * corpus table, making the probe side a partition-pruned scan. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
               numCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic seed centroids: rank by vec_id, take every step-th
-    // (index-build-time step; window funcs must live in a projection)
-    val ranked = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
-      .withColumn("step",
-        greatest(floor(count(lit(1)).over(Window.partitionBy()) / numCells), lit(1)))
-    val centroids = broadcast(
-      // rn bound instead of limit(): limit-after-filter has no ordering
-      // contract, the rank predicate is deterministic by construction
-      ranked.where(pmod(col("rn") - 1, col("step")) === 0
-          && col("rn") <= col("step") * numCells)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
+    val centroids = broadcast(seedCentroids(corpus, numCells))
 
     def nearestCells(df: DataFrame, vecCol: String, outPrefix: String, take: Int): DataFrame = {
       val scored = df.crossJoin(centroids)
@@ -210,17 +200,23 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic seed centroids: every ⌈N/numCells⌉-th vec_id (an
-    * index-build-time choice; see [[ivfTopK]]). */
-  def seedCentroids(corpus: DataFrame, numCells: Int = 16): DataFrame = {
-    val ranked = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
-      .withColumn("step",
-        greatest(floor(count(lit(1)).over(Window.partitionBy()) / numCells), lit(1)))
-    ranked.where(pmod(col("rn") - 1, col("step")) === 0
-        && col("rn") <= col("step") * numCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-  }
+  /** Deterministic seed centroids: the min-vec_id vector of each of
+    * `numCells` portable-hash buckets (`md5₄₈(vec_id) % numCells`).
+    *
+    * This is one hash-partitioned aggregation with map-side combine — no
+    * global sort, no single-partition window — so the index build holds at
+    * any corpus size (the previous every-⌈N/k⌉-th-rank rule needed a
+    * one-task `row_number() OVER (ORDER BY vec_id)` over the whole corpus).
+    * Still bit-deterministic and oracle-expressible: both engines compute
+    * the identical md5-derived bucket and the identical min. Hash buckets
+    * can in principle be empty (→ fewer than numCells cells); assignment
+    * and probing are agnostic to the cell count. */
+  def seedCentroids(corpus: DataFrame, numCells: Int = 16): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .groupBy((Dedup.PortableHash(col("vec_id").cast("string")) % numCells).as("bucket"))
+      .agg(min(col("vec_id")).as("cell_id"),
+        min_by(col("embedding"), col("vec_id")).as("c_emb"))
+      .select(col("cell_id"), col("c_emb"))
 
   /** Nearest-cell assignment by dot product (ties broken on cell_id).
     * Argmax is an aggregation, not a ranking window: max over a

@@ -85,6 +85,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
   }
 
+  test("IVF index build never funnels through a single partition") {
+    import org.apache.spark.sql.functions.col
+    // seed selection is one hash-bucket aggregation: no window, no
+    // SinglePartition exchange anywhere (the former every-⌈N/k⌉-th-rank rule
+    // needed a one-task global row_number — the 100 TB killer)
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = planOf(Similarity.seedCentroids(emb, 16))
+    assert(!seeds.contains("Window"), s"seed build must not window:\n$seeds")
+    assert(!seeds.contains("SinglePartition"), seeds)
+    val p = planOf(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), 5))
+    assert(!p.contains("SinglePartition"), s"IVF query plan funnels to one task:\n$p")
+  }
+
   test("purchase-context range frames cost one exchange plus the output sort") {
     val p = planOf(EventAnalytics.purchaseContext(Tables.events(spark, sf)))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
