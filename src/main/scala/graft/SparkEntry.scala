@@ -61,6 +61,8 @@ object SparkEntry {
     "q_table_counts" -> ((s, d) => Relational.tableCounts(s, d)),
     "q_price_buckets" -> ((s, d) => Relational.ordersByPriceBucket(s, d)),
     "q_order_deciles" -> ((s, d) => Relational.orderValueDeciles(s, d)),
+    "q_order_deciles_approx" -> ((s, d) => // histogram deciles: the scale path
+      Relational.orderValueDecilesHist(s, d)),
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
@@ -112,8 +114,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.topKCosineAgg(emb, emb.where(col("vec_id") < 5), 5)
     }),
-    "q_near_dup_cosine" -> ((s, d) =>
-      Similarity.nearDupCosineExact(Tables.embeddings(s, d), 0.4)),
+    "q_near_dup_cosine" -> ((s, d) => // multi-table LSH candidates + exact verify
+      Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annCosineLsh(Tables.embeddings(s, d), 0.3, numPlanes = 8)),
     "q_ivf_topk" -> ((s, d) => {
@@ -297,6 +299,36 @@ object SparkEntry {
        |    (floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) / 10000.0) AS cosine
        |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Mirror of Similarity.nearDupCosineLsh (4 tables × 4 planes): per-table
+    * bucket equi-joins, exact-cosine verification, set-distinct merge. The
+    * plane constants are embedded verbatim (Double.toString round-trips),
+    * so both engines code identical buckets. */
+  private val nearDupCosineLshOracleSql: String = {
+    def dotPlane(p: Seq[Double]) = {
+      val arr = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_reduce(list_transform(list_zip(embedding, $arr), s -> CAST(s[1] AS DOUBLE) * s[2]), (x, y) -> x + y)"
+    }
+    def bucket(t: Int) = graft.operators.Similarity.planes.slice(t * 4, t * 4 + 4)
+      .zipWithIndex
+      .map { case (p, i) => s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString(" + ")
+    val pairDot = "list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    val norm = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    val perTable = (0 until 4).map { t =>
+      s"""  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    (floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) / 10000.0) AS cosine
+         |  FROM coded a JOIN coded b ON a.b$t = b.b$t AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, $norm AS nrm,
+       |    ${(0 until 4).map(t => s"${bucket(t)} AS b$t").mkString(",\n    ")}
+       |  FROM embeddings),
+       |cand AS (
+       |$perTable)
+       |SELECT DISTINCT vec_a, vec_b, cosine FROM cand
+       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** IVF oracle: mirrors the deterministic centroid selection (min vec_id
@@ -587,6 +619,23 @@ object SparkEntry {
         |SELECT decile, count(*) AS orders,
         |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // Mirror of Relational.orderValueDecilesHist: bounded histogram →
+    // running sum → integer rank test (10·cum ≥ i·n ⟺ cum ≥ ⌈i·n/10⌉).
+    "q_order_deciles_approx" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket, count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum, sum(cnt) OVER () AS n
+        |  FROM b),
+        |sel AS (
+        |  SELECT r.i AS decile, min(c.bucket) AS bucket
+        |  FROM range(1, 10) r(i) JOIN c ON 10 * c.cum >= r.i * c.n
+        |  GROUP BY r.i)
+        |SELECT decile, CAST(bucket AS DOUBLE) * 1000.0 AS value_lo,
+        |  (CAST(bucket AS DOUBLE) + 1) * 1000.0 AS value_hi
+        |FROM sel ORDER BY decile""".stripMargin,
 
     "q_price_quantiles" ->
       s"""SELECT o_orderpriority, count(*) AS orders,
@@ -1032,16 +1081,7 @@ object SparkEntry {
 
     
 
-    "q_near_dup_cosine" ->
-      """WITH p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
-        |      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-        |         * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cosine FROM (
-        |  SELECT vec_a, vec_b, (floor((cos) * 10000.0) / 10000.0) AS cosine FROM p)
-        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_near_dup_cosine" -> nearDupCosineLshOracleSql,
 
     "q_near_dup_minhash" ->
       (minhashCte +

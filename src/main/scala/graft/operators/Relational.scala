@@ -268,4 +268,37 @@ object Relational {
     Tables.orders(spark, dir).agg(
       percentile_approx(col("o_totalprice"),
         array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("deciles"))
+
+  /** Scale-path deciles via a fixed-width value histogram — the registered,
+    * oracle-checked alternative to [[orderValueDeciles]]'s global ntile.
+    *
+    * Shape: one map-side-combined groupBy on `floor(value/width)` (histogram
+    * size is bounded by the VALUE RANGE / width — a few hundred buckets —
+    * independent of row count), a running-sum window over that bounded
+    * histogram, then each decile boundary is the first bucket whose
+    * cumulative count reaches ceil(i·n/10). The rank test is pure integer
+    * (`10·cum ≥ i·n` ⟺ `cum ≥ ⌈i·n/10⌉` for integral cum), so both engines
+    * agree exactly; the boundary is resolved to the bucket edges
+    * [lo, hi) — deterministic to bucket resolution, no value interpolation.
+    * At 100 TB: the only per-row work is the histogram aggregation; windows
+    * and the 9-threshold range join touch ≤ |buckets| rows. */
+  def orderValueDecilesHist(spark: SparkSession, dir: String,
+                            width: Double = 1000.0): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = hist.select(col("bucket"),
+      sum(col("cnt")).over(wCum).as("cum"), sum(col("cnt")).over(wAll).as("n"))
+    val deciles = spark.range(1, 10).select(col("id").as("decile"))
+    deciles.join(cum, lit(10) * col("cum") >= col("decile") * col("n"))
+      .groupBy(col("decile"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("decile"),
+        (col("bucket").cast("double") * width).as("value_lo"),
+        ((col("bucket") + 1).cast("double") * width).as("value_hi"))
+      .orderBy(col("decile"))
+  }
 }

@@ -104,17 +104,21 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(Dim)(r.nextGaussian()))
   }
 
-  /** Hyperplane-sign bucket code. `numPlanes` trades recall vs bucket size:
-    * more planes → smaller buckets → fewer comparisons, lower recall. Sized
-    * so that expected bucket occupancy ≈ corpus_size / 2^numPlanes stays in
-    * the hundreds at the target scale. */
-  def bucketCode(emb: Column, numPlanes: Int = NumPlanes): Column =
-    planes.take(numPlanes).zipWithIndex.map { case (p, i) =>
+  /** Hyperplane-sign bucket code over an explicit plane slice. */
+  def bucketCodeOf(emb: Column, planeSlice: Seq[Seq[Double]]): Column =
+    planeSlice.zipWithIndex.map { case (p, i) =>
       val d = aggregate(
         zip_with(emb, typedlit(p), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
+
+  /** Hyperplane-sign bucket code. `numPlanes` trades recall vs bucket size:
+    * more planes → smaller buckets → fewer comparisons, lower recall. Sized
+    * so that expected bucket occupancy ≈ corpus_size / 2^numPlanes stays in
+    * the hundreds at the target scale. */
+  def bucketCode(emb: Column, numPlanes: Int = NumPlanes): Column =
+    bucketCodeOf(emb, planes.take(numPlanes))
 
   /** Bucketed ANN: candidates share the hyperplane bucket; exact cosine is
     * computed only within buckets. One equi-join shuffle on the bucket code,
@@ -137,8 +141,48 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, the scale path: multi-table
+    * hyperplane LSH (each table = a disjoint slice of [[planes]]) generates
+    * candidates, exact cosine verifies them, and a set-distinct merges the
+    * tables. This is the production near-dup shape — every emitted pair is
+    * truly ≥ `minCosine` (verification is exact; no false positives) and
+    * per-pair recall is 1−(1−p^b)^T with p = 1−θ/π: ≥ 96% for genuine
+    * near-duplicates (cosine ≥ 0.9) at the default 4×4 config, lower for
+    * moderate-similarity pairs by design (the config dial is tables ×
+    * planes-per-table). Cost: T bounded equi-joins on bucket codes — no
+    * cartesian anywhere, candidates shrink 2^planesPerTable-fold per table.
+    *
+    * [[nearDupCosineExact]] is the O(n²) oracle anchor; DedupSpec pins this
+    * plan's soundness (⊆ exact) and its recall on the test corpus. */
+  def nearDupCosineLsh(embeddings: DataFrame, minCosine: Double = 0.4,
+                       numTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    require(numTables * planesPerTable <= planes.size,
+      s"plane pool has ${planes.size} planes; need numTables*planesPerTable")
+    val codes = (0 until numTables).map { t =>
+      bucketCodeOf(col("embedding"),
+        planes.slice(t * planesPerTable, (t + 1) * planesPerTable)).as(s"b$t")
+    }
+    val coded = embeddings.select(
+      Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")) ++ codes: _*)
+    val tagged = coded.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until numTables).map(t => col(s"b$t")): _*))
+          .as(Seq("tbl", "bucket")))
+    val l = tagged.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = tagged.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    l.join(r, Seq("tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Cols.asDec4(fvecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct() // a pair can collide in several tables; cosine is deterministic
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact O(n²) within small corpora;
-    * at scale swap the cross join for [[annCosineLsh]] candidates). */
+    * the registered scale path is [[nearDupCosineLsh]]). */
   def nearDupCosineExact(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
     val coded = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

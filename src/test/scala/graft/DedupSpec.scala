@@ -103,4 +103,21 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "LSH must not produce pairs the exact search rejects")
   }
+
+  test("multi-table LSH near-dup: sound vs exact, recall amplified over one table") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.nearDupCosineExact(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val multi = Similarity.nearDupCosineLsh(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(exact), "verification must reject non-near-dup candidates")
+    // one table of the same total planes-per-pair selectivity
+    val one = Similarity.annCosineLsh(emb, 0.4, numPlanes = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(multi.size >= one.size, s"union of 4 tables (${multi.size}) must cover ≥ 1 table (${one.size})")
+    info(s"recall at cos≥0.4 on the deterministic corpus: ${multi.size}/${exact.size} (1 table: ${one.size})")
+    // pinned floor: data + planes are fixed, so this is a constant, not flake
+    assert(multi.size.toDouble >= 0.35 * exact.size,
+      s"multi-table recall collapsed: ${multi.size}/${exact.size}")
+  }
 }

@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"IVF query plan funnels to one task:\n$p")
   }
 
+  test("near-dup cosine plans as bucket equi-joins, never a cartesian") {
+    val p = planOf(Similarity.nearDupCosineLsh(Tables.embeddings(spark, sf), 0.4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must join on LSH buckets:\n$p")
+  }
+
   test("purchase-context range frames cost one exchange plus the output sort") {
     val p = planOf(EventAnalytics.purchaseContext(Tables.events(spark, sf)))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
