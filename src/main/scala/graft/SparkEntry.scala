@@ -180,6 +180,8 @@ object SparkEntry {
       graft.streaming.StreamingJoin.purchaseViewPairsOuter(s, d)),
     "q_streaming_sessions" -> ((s, d) => // session_window, append mode
       graft.streaming.StreamingSessions.closedSessions(s, d)),
+    "q_streaming_update_mode" -> ((s, d) => // T8 update mode, latest per key
+      graft.streaming.StreamingSessions.updatedUserHourly(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -891,6 +893,23 @@ object SparkEntry {
         |SELECT user_id, start_sec, end_sec, events, purchases, revenue
         |FROM sm, m WHERE end_sec <= wm
         |ORDER BY user_id, start_sec""".stripMargin,
+
+    // Update mode emits the latest value of EVERY group, including windows
+    // still open at the final watermark (latest-per-key consumer, reference
+    // dashboard semantics): the full batch aggregation, no closure filter —
+    // the semantic difference from append-mode q_streaming_hourly.
+    "q_streaming_update_mode" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(floor(ts_sec / 3600.0) * 3600 AS BIGINT) AS hour_sec,
+        |  count(*) AS events,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        |  (CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0) AS revenue
+        |FROM e GROUP BY user_id, hour_sec
+        |ORDER BY user_id, hour_sec""".stripMargin,
 
     // Outer emission rule (verified empirically at every scale factor): a
     // null row appears iff the purchase is unmatched AND its timestamp is

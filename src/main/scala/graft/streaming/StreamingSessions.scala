@@ -22,7 +22,7 @@ object StreamingSessions {
   val GapSeconds = 3600L
   val WatermarkSeconds = 600L
 
-  def closedSessions(spark: SparkSession, dir: String): DataFrame = {
+  private def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = StreamingHourly.stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
@@ -30,7 +30,7 @@ object StreamingSessions {
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
-    val agg = stream
+    stream
       .withWatermark("event_time", s"$WatermarkSeconds seconds")
       .groupBy(col("user_id"),
         session_window(col("event_time"), s"$GapSeconds seconds").as("w"))
@@ -42,8 +42,53 @@ object StreamingSessions {
         unix_timestamp(col("w.start")).as("start_sec"),
         unix_timestamp(col("w.end")).as("end_sec"),
         col("events"), col("purchases"), col("revenue"))
+  }
 
-    MemorySinkRunner.run(spark, agg, "graft_stream_sessions", shufflePartitions = 8)
+  def closedSessions(spark: SparkSession, dir: String): DataFrame =
+    MemorySinkRunner.run(spark, sessionAgg(spark, dir), "graft_stream_sessions",
+        shufflePartitions = 8)
       .orderBy(col("user_id"), col("start_sec"))
+
+  /** T8 update mode — the reference's live-dashboard flow
+    * (streaming_processor.py runs its session/dashboard queries in update
+    * mode and upserts each batch by key, :268,:388): every micro-batch
+    * emits the CURRENT value of each updated group and the consumer keeps
+    * the latest row per key. Spark rejects update mode for `session_window`
+    * aggregations (merging windows have no stable key — SQLSTATE 42KDE), so
+    * the update-mode surface is a STABLE-key aggregation: per-user hourly
+    * activity, exactly the reference's upsert-target shape.
+    *
+    * The "upsert" here is a deterministic latest-per-key reduction: per
+    * (user_id, hour) the event count grows monotonically across emissions,
+    * so max over the (events, …) struct IS the newest state — no
+    * arrival-order dependence. Unlike append mode (q_streaming_hourly),
+    * windows still open at the final watermark are included — that is the
+    * append/update semantic difference, and the oracle states it by having
+    * NO closure filter. */
+  def updatedUserHourly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path   = StreamingHourly.stagedEventsDir(dir)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+
+    val agg = stream
+      .withWatermark("event_time", s"$WatermarkSeconds seconds")
+      .groupBy(col("user_id"), window(col("event_time"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("events"),
+        Cols.countWhen(col("event_type") === "purchase").as("purchases"),
+        Cols.sumDec2When(col("event_type") === "purchase", col("value")).as("revenue"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("hour_sec"),
+        col("events"), col("purchases"), col("revenue"))
+
+    MemorySinkRunner.run(spark, agg, "graft_stream_user_hourly",
+        shufflePartitions = 8, outputMode = "update")
+      .groupBy(col("user_id"), col("hour_sec"))
+      .agg(max(struct(col("events"), col("purchases"), col("revenue"))).as("s"))
+      .select(col("user_id"), col("hour_sec"), col("s.events").as("events"),
+        col("s.purchases").as("purchases"), col("s.revenue").as("revenue"))
+      .orderBy(col("user_id"), col("hour_sec"))
   }
 }

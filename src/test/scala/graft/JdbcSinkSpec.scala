@@ -53,4 +53,28 @@ class JdbcSinkSpec extends SparkSpec {
     }
     assert(rows == Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
   }
+
+  test("Postgres dialect emits the reference's ON CONFLICT statement shape") {
+    // Pins the untestable-offline dialect textually against the reference's
+    // upsert (processor/streaming_processor.py:236-256): same column list,
+    // same SELECT-from-staging shape, same ON CONFLICT (session_id) DO
+    // UPDATE SET c = EXCLUDED.c list (all columns except the key/immutables).
+    val cols = Seq("session_id", "user_id", "start_time", "end_time",
+      "session_duration_seconds", "page_views", "add_to_cart_events",
+      "purchases", "total_purchase_amount", "converted", "total_events",
+      "created_at", "updated_at")
+    val updateCols = Seq("end_time", "session_duration_seconds", "page_views",
+      "add_to_cart_events", "purchases", "total_purchase_amount", "converted",
+      "updated_at")
+    val sql = Sinks.PostgresOnConflict.sql(
+      "analytics.user_sessions", "user_sessions_staging_7", cols,
+      "session_id", updateCols)
+    val expected =
+      """INSERT INTO analytics.user_sessions (session_id, user_id, start_time, end_time, session_duration_seconds, page_views, add_to_cart_events, purchases, total_purchase_amount, converted, total_events, created_at, updated_at)
+        |SELECT "session_id", "user_id", "start_time", "end_time", "session_duration_seconds", "page_views", "add_to_cart_events", "purchases", "total_purchase_amount", "converted", "total_events", "created_at", "updated_at" FROM user_sessions_staging_7
+        |ON CONFLICT (session_id) DO UPDATE SET end_time = EXCLUDED.end_time, session_duration_seconds = EXCLUDED.session_duration_seconds, page_views = EXCLUDED.page_views, add_to_cart_events = EXCLUDED.add_to_cart_events, purchases = EXCLUDED.purchases, total_purchase_amount = EXCLUDED.total_purchase_amount, converted = EXCLUDED.converted, updated_at = EXCLUDED.updated_at""".stripMargin
+    assert(sql == expected, s"dialect drifted from the reference statement:\n$sql")
+    assert(Sinks.PostgresOnConflict.dropTempSql("user_sessions_staging_7")
+      == "DROP TABLE IF EXISTS user_sessions_staging_7")
+  }
 }
