@@ -18,8 +18,14 @@ object Bench {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sib.isDirectory) sib.getPath else sfDir
     }
-    try graft.streaming.StreamingSessions.closedSessions(spark, warmDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] streaming warm-up skipped: $e") }
+    // warm-up cost must not scale with the bench input: only a smaller
+    // sibling scale factor is worth streaming end-to-end
+    if (warmDir != sfDir) {
+      System.err.println(s"[bench] streaming warm-up on $warmDir")
+      try graft.streaming.StreamingSessions.closedSessions(spark, warmDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] streaming warm-up skipped: $e") }
+    } else System.err.println(
+      s"[bench] no smaller sibling of $sfDir; skipping streaming warm-up")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -49,8 +49,12 @@ object AsOfJoin {
                    tsCol: String, payload: Seq[String]): DataFrame = {
     val pay = struct((tsCol +: payload).map(col): _*)
     // one deterministic right row per (key, ts): max over the carried struct
-    // (ts leads the struct, so this is "max by remaining fields" at equal ts)
+    // (ts leads the struct, so this is "max by remaining fields" at equal ts).
+    // Null ordering values are never valid candidates (SQL ASOF inequality
+    // semantics; nulls-first asc ordering would otherwise slot them before
+    // every left row) — drop them up front, matching AsOfJoinExec.
     val r1 = right
+      .where(col(tsCol).isNotNull)
       .groupBy((keyCols :+ tsCol).map(col): _*)
       .agg(max(pay).as("__asof_pay"))
       .select(keyCols.map(col) :+ col(tsCol) :+ col("__asof_pay")
@@ -86,7 +90,14 @@ object AsOfJoin {
   /** Forward as-of join: earliest right row with `right.ts >= left.ts` per
     * key (the "next event after" lookup — e.g. first view following a
     * campaign touch). Reduces to the backward join under time negation;
-    * ties at equal (key, ts) resolve to the max payload, like backward. */
+    * ties at equal (key, ts) resolve to the max payload, like backward.
+    *
+    * Contract: `tsCol` must be NUMERIC time (epoch seconds/millis as
+    * long/int/double — the engine-wide timestamp grain), with values
+    * strictly above Long.MinValue so negation cannot overflow; null ts
+    * rows pass through unmatched (−null = null, and the backward join
+    * ignores null ordering values). [[asOfBackward]]'s any-total-order
+    * claim applies to the backward direction only. */
   def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                   tsCol: String, payload: Seq[String]): DataFrame = {
     def negTs(df: DataFrame) = df.withColumn(tsCol, -col(tsCol))

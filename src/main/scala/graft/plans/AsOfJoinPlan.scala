@@ -112,6 +112,12 @@ case class AsOfJoinExec(
             heldKey = null; heldPay = null
             rRow = if (ri.hasNext) ri.next() else null
             advancing = rRow != null
+          } else if (c == 0 && rTsProj(rRow).isNullAt(0)) {
+            // a null ordering value is never a valid as-of candidate (nulls
+            // sort first, so the <= test would otherwise hold it); SQL ASOF
+            // and the composed variant both ignore such rows
+            rRow = if (ri.hasNext) ri.next() else null
+            advancing = rRow != null
           } else if (c == 0 && tsOrd.compare(rTsProj(rRow), lTsRow) <= 0) {
             // candidate at or before the left timestamp: hold it (later rows
             // in sort order overwrite — latest ts / largest payload wins)
@@ -122,7 +128,10 @@ case class AsOfJoinExec(
             advancing = false // right is ahead of this left row
           }
         }
-        val hit = heldKey != null && keyOrd.compare(heldKey, lKey) == 0
+        // a null LEFT ordering value can never satisfy right.ts <= left.ts
+        // either (nulls-first sort puts such rows before any candidate)
+        val hit = !lTsRow.isNullAt(0) &&
+          heldKey != null && keyOrd.compare(heldKey, lKey) == 0
         outProj(joined(lRow, if (hit) heldPay else nullPay))
       }
     }

@@ -70,6 +70,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(13L) == (None, None))
   }
 
+  test("native as-of exec ignores null ordering values on both sides") {
+    val left = Seq(
+      (1L, Some(100L), 10L), // real candidate below → matches
+      (1L, None, 11L),       // null left ts: can never satisfy right<=left
+      (2L, Some(50L), 12L)   // user 2's only view has null ts → no match
+    ).toDF("user_id", "ts_sec", "event_id")
+    val right = Seq(
+      (1L, Some(90L), 5L), (1L, None, 4L), // null right ts: never held
+      (2L, Option.empty[Long], 6L)
+    ).toDF("user_id", "ts_sec", "view_id")
+    val out = AsOfJoin.asOfBackwardNative(left, right, Seq("user_id"), "ts_sec", Seq("view_id"))
+      .select("event_id", "asof_ts_sec", "asof_view_id").as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) == (Some(90L), Some(5L))) // null candidate skipped, real one held
+    assert(out(11L) == (None, None))
+    assert(out(12L) == (None, None))
+    // parity with the composed variant on the same data
+    val comp = AsOfJoin.asOfBackward(left, right, Seq("user_id"), "ts_sec", Seq("view_id"))
+      .select("event_id", "asof_ts_sec", "asof_view_id").as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(comp == out, s"composed $comp != native $out")
+  }
+
   test("native as-of output honors the UnsafeRow contract (raw collect/sort, no projection)") {
     val left = Seq((1L, 100L, 10L), (2L, 70L, 12L)).toDF("user_id", "ts_sec", "event_id")
     val right = Seq((1L, 90L, 5L)).toDF("user_id", "ts_sec", "view_id")
