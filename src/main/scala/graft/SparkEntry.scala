@@ -100,6 +100,8 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_near_dup_verified" -> ((s, d) => // LSH candidates → exact n-gram Jaccard
       Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash)),
+    "q_jaccard_join" -> ((s, d) => // EXACT prefix-filter similarity join (PPJoin family)
+      Dedup.jaccardJoinPrefix(Tables.documents(s, d), 1, 2)),
     "q_simhash_near_dup" -> ((s, d) => // 48-bit simhash, exhaustive d ≤ 3
       Dedup.nearDupSimhash(Tables.documents(s, d), 3, Dedup.PortableHash, bits = 48)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1122,6 +1124,41 @@ object SparkEntry {
            |  WHERE e.est_jaccard >= 0.3)
            |SELECT doc_a, doc_b, jaccard FROM ver
            |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Mirror of Dedup.jaccardJoinPrefix (t = 1/2): same shingles, same
+    // canonical (df, shingle) order, same integer prefix/size bounds, same
+    // exact-Jaccard verification. The prefix filter is EXACT (AllPairs
+    // theorem), so this equals a brute-force all-pairs Jaccard ≥ 0.5.
+    "q_jaccard_join" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |docs_o AS (
+         |  SELECT s.doc_id, list(s.shingle ORDER BY d.df, s.shingle) AS ord, count(*) AS sz
+         |  FROM sh s JOIN df d ON s.shingle = d.shingle GROUP BY s.doc_id),
+         |pre AS (
+         |  SELECT doc_id, sz,
+         |    unnest(list_slice(ord, 1, CAST(sz - floor((sz * 1 + 1) / 2) + 1 AS BIGINT))) AS shingle
+         |  FROM docs_o),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  WHERE 2 * a.sz >= 1 * b.sz AND 2 * b.sz >= 1 * a.sz),
+         |sets AS (SELECT doc_id, list_distinct(list(shingle)) AS st FROM sh GROUP BY doc_id),
+         |ver AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ${q4("CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.st, b.st))) AS DOUBLE)")} AS jaccard
+         |  FROM cand c
+         |  JOIN sets a ON a.doc_id = c.doc_a
+         |  JOIN sets b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM ver
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Brute-force O(n²) Hamming scan — the semantic spec the engine's
     // pigeonhole banding provably equals for maxHamming ≤ 3.

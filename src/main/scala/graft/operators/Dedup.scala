@@ -201,6 +201,53 @@ object Dedup {
       .where(col("jaccard") >= exactThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin family: Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW 2007; Xiao et al., WWW 2008) — every pair with
+    * J ≥ num/den is found, with no O(n²) scan and no LSH recall loss.
+    *
+    * Principle: order each doc's shingle set by ascending document
+    * frequency (rarest first, shingle text as tie-break — a canonical total
+    * order both engines can state); a doc of set-size s only needs its
+    * first p = s − ⌈t·s⌉ + 1 shingles indexed, because a pair sharing NONE
+    * of either prefix cannot reach overlap t·|A∪B|. Candidates come from
+    * one equi-join on prefix shingles + the size filter (den·sa ≥ num·sb ∧
+    * den·sb ≥ num·sa), then exact Jaccard verifies. The threshold is a
+    * rational num/den so every length computation is integer-exact in any
+    * engine.
+    *
+    * Scale shape: df-count is one map-side-combined aggregation; per-doc
+    * ordering sorts each doc's own shingles (no global sort); the candidate
+    * join hits only docs sharing a RARE shingle — on natural corpora the
+    * prefix index is dominated by df=1 shingles that join to nothing.
+    * Skew guard: a shingle shared by all docs lands at the END of the
+    * canonical order, so it enters prefixes only for tiny sets. */
+  def jaccardJoinPrefix(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
+    require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
+    val sh = shingleRows(docs).distinct()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        count(lit(1)).as("s"))
+    // p = s − ⌈t·s⌉ + 1; ⌈a/b⌉ = floor((a+b−1)/b), exact in double below 2^52
+    val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
+    val pre = ordered
+      .select(col("doc_id"), col("s"),
+        explode(slice(col("ord"), lit(1), p)).as("pr"))
+      .select(col("doc_id"), col("s"), col("pr.shingle").as("shingle"))
+    val l = pre.select(col("shingle"), col("doc_id").as("doc_a"), col("s").as("sa"))
+    val r = pre.select(col("shingle"), col("doc_id").as("doc_b"), col("s").as("sb"))
+    val cand = l.join(r, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b")
+        && lit(den) * col("sa") >= lit(num) * col("sb")
+        && lit(den) * col("sb") >= lit(num) * col("sa"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyJaccard(docs, cand)
+      .where(col("jaccard") >= lit(num).cast("double") / lit(den).cast("double"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** `bits`-wide SimHash per document (64 on the fast path, 48 on the

@@ -104,6 +104,21 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH must not produce pairs the exact search rejects")
   }
 
+  test("prefix-filter Jaccard join is EXACT: equals brute-force all-pairs at t=1/2") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .where(col("doc_a") < col("doc_b"))
+    val brute = Dedup.verifyJaccard(docs, allPairs).where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val pj = Dedup.jaccardJoinPrefix(docs, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "corpus must contain near-dup pairs for this test to bite")
+    assert(pj == brute,
+      s"prefix filter must lose nothing: missing=${brute -- pj} extra=${pj -- brute}")
+  }
+
   test("multi-table LSH near-dup: sound vs exact, recall amplified over one table") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.nearDupCosineExact(emb, 0.4)
