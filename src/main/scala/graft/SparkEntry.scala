@@ -63,6 +63,14 @@ object SparkEntry {
     "q_order_deciles" -> ((s, d) => Relational.orderValueDeciles(s, d)),
     "q_order_deciles_approx" -> ((s, d) => // histogram deciles: the scale path
       Relational.orderValueDecilesHist(s, d)),
+    "q_salted_agg" -> ((s, d) => { // skew-aware two-stage aggregation
+      val ev = Tables.events(s, d)
+      Skew.saltedSumCount(ev, Seq("event_type"),
+          graft.functions.Cols.cents(col("value")), col("event_id"), 16)
+        .select(col("event_type"),
+          (col("total").cast("double") / 100.0).as("total_value"), col("rows"))
+        .orderBy(col("event_type"))
+    }),
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
@@ -102,6 +110,11 @@ object SparkEntry {
       Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash)),
     "q_jaccard_join" -> ((s, d) => // EXACT prefix-filter similarity join (PPJoin family)
       Dedup.jaccardJoinPrefix(Tables.documents(s, d), 1, 2)),
+    "q_dedup_clusters" -> ((s, d) => // connected components over near-dup pairs
+      Dedup.dedupClusters(Dedup.jaccardJoinPrefix(Tables.documents(s, d), 1, 2))
+        .orderBy(col("doc_id"))),
+    "q_deterministic_sample" -> ((s, d) => // content-addressed 1/5 corpus sample
+      Sampling.sampleProfile(Tables.documents(s, d), 1, 5)),
     "q_simhash_near_dup" -> ((s, d) => // 48-bit simhash, exhaustive d ≤ 3
       Dedup.nearDupSimhash(Tables.documents(s, d), 3, Dedup.PortableHash, bits = 48)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -184,6 +197,8 @@ object SparkEntry {
       graft.streaming.StreamingSessions.closedSessions(s, d)),
     "q_streaming_update_mode" -> ((s, d) => // T8 update mode, latest per key
       graft.streaming.StreamingSessions.updatedUserHourly(s, d)),
+    "q_streaming_complete_mode" -> ((s, d) => // T8 complete mode, sink replaced per batch
+      graft.streaming.StreamingHourly.completeTypeTotals(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -334,6 +349,39 @@ object SparkEntry {
        |SELECT DISTINCT vec_a, vec_b, cosine FROM cand
        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** Shared CTE chain of the prefix-filter Jaccard join oracle (mirror of
+    * Dedup.jaccardJoinPrefix, t = 1/2): shingling, df-canonical ordering,
+    * integer prefix/size bounds, exact-Jaccard verification → `ver`. */
+  private lazy val prefixJaccardCte: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(1, len(toks) - 1),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+       |  FROM tk),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+       |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |docs_o AS (
+       |  SELECT s.doc_id, list(s.shingle ORDER BY d.df, s.shingle) AS ord, count(*) AS sz
+       |  FROM sh s JOIN df d ON s.shingle = d.shingle GROUP BY s.doc_id),
+       |pre AS (
+       |  SELECT doc_id, sz,
+       |    unnest(list_slice(ord, 1, CAST(sz - floor((sz * 1 + 1) / 2) + 1 AS BIGINT))) AS shingle
+       |  FROM docs_o),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE 2 * a.sz >= 1 * b.sz AND 2 * b.sz >= 1 * a.sz),
+       |sets AS (SELECT doc_id, list_distinct(list(shingle)) AS st FROM sh GROUP BY doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    ${q4("CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.st, b.st))) AS DOUBLE)")} AS jaccard
+       |  FROM cand c
+       |  JOIN sets a ON a.doc_id = c.doc_a
+       |  JOIN sets b ON b.doc_id = c.doc_b)
+       |""".stripMargin
 
   /** IVF oracle: mirrors the deterministic centroid selection (min vec_id
     * per md5₄₈-hash bucket — Similarity.seedCentroids), single-cell
@@ -640,6 +688,28 @@ object SparkEntry {
         |SELECT decile, CAST(bucket AS DOUBLE) * 1000.0 AS value_lo,
         |  (CAST(bucket AS DOUBLE) + 1) * 1000.0 AS value_hi
         |FROM sel ORDER BY decile""".stripMargin,
+
+    // Salting is invisible in the result: the oracle is the plain group-by.
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value,
+        |  count(*) AS rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Membership is a pure function of md5(tag:doc_id) — identical sample
+    // in any engine.
+    "q_deterministic_sample" ->
+      s"""SELECT source, count(*) AS sampled_docs, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+         |FROM documents
+         |WHERE ${md5h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 5 < 1
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Complete mode replaces the sink with the full aggregation each batch:
+    // the final table is simply the batch aggregate over everything.
+    "q_streaming_complete_mode" ->
+      """SELECT event_type, count(*) AS events,
+        |  (CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0) AS revenue
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_price_quantiles" ->
       s"""SELECT o_orderpriority, count(*) AS orders,
@@ -1130,35 +1200,32 @@ object SparkEntry {
     // exact-Jaccard verification. The prefix filter is EXACT (AllPairs
     // theorem), so this equals a brute-force all-pairs Jaccard ≥ 0.5.
     "q_jaccard_join" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-         |sh0 AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |    ELSE list_transform(range(1, len(toks) - 1),
-         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
-         |  FROM tk),
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-         |docs_o AS (
-         |  SELECT s.doc_id, list(s.shingle ORDER BY d.df, s.shingle) AS ord, count(*) AS sz
-         |  FROM sh s JOIN df d ON s.shingle = d.shingle GROUP BY s.doc_id),
-         |pre AS (
-         |  SELECT doc_id, sz,
-         |    unnest(list_slice(ord, 1, CAST(sz - floor((sz * 1 + 1) / 2) + 1 AS BIGINT))) AS shingle
-         |  FROM docs_o),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  WHERE 2 * a.sz >= 1 * b.sz AND 2 * b.sz >= 1 * a.sz),
-         |sets AS (SELECT doc_id, list_distinct(list(shingle)) AS st FROM sh GROUP BY doc_id),
-         |ver AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    ${q4("CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.st, b.st))) AS DOUBLE)")} AS jaccard
-         |  FROM cand c
-         |  JOIN sets a ON a.doc_id = c.doc_a
-         |  JOIN sets b ON b.doc_id = c.doc_b)
-         |SELECT doc_a, doc_b, jaccard FROM ver
-         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      (prefixJaccardCte +
+        """SELECT doc_a, doc_b, jaccard FROM ver
+          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Mirror of Dedup.dedupClusters over the prefix-join pairs: 5 unrolled
+    // rounds of synchronous min-label propagation — both engines run the
+    // SAME rounds, so labels agree even before convergence (and DedupSpec
+    // asserts round 5 is a fixpoint on the test corpora).
+    "q_dedup_clusters" -> {
+      val layers = (1 to 5).map { i =>
+        s"""l$i AS (
+           |  SELECT v.doc_id, least(v.label, coalesce(min(l.label), v.label)) AS label
+           |  FROM l${i - 1} v
+           |  LEFT JOIN edge e ON e.src = v.doc_id
+           |  LEFT JOIN l${i - 1} l ON l.doc_id = e.dst
+           |  GROUP BY v.doc_id, v.label)""".stripMargin
+      }.mkString(",\n")
+      prefixJaccardCte +
+        s""", pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+           |edge AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edge),
+           |$layers
+           |SELECT doc_id, label AS cluster_id FROM l5 ORDER BY doc_id""".stripMargin
+    },
 
     // Brute-force O(n²) Hamming scan — the semantic spec the engine's
     // pigeonhole banding provably equals for maxHamming ≤ 3.

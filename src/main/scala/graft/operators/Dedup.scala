@@ -248,6 +248,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------- dedup clusters
+
+  /** Near-dup CLUSTER assignment — the step after pair detection in a real
+    * dedup pipeline (pairs chain: A~B, B~C ⟹ {A,B,C} keep one): connected
+    * components over the pair graph via `rounds` rounds of synchronous
+    * min-label propagation. Each round every vertex takes the min of its
+    * own and its neighbors' previous labels — one edge⋈label join plus one
+    * min-aggregation per round, all hash-partitioned, no global structure
+    * (the standard large-graph CC recipe; converges once `rounds` reaches
+    * the component diameter, and near-dup components are shallow by
+    * construction). Deterministic: labels are min doc_ids, rounds are
+    * fixed — any two engines running the same rounds agree bit-for-bit
+    * even before convergence. Returns (doc_id, cluster_id = component-min
+    * doc_id) for every vertex that appears in a pair. */
+  def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      labels = labels
+        .join(nbr.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** `bits`-wide SimHash per document (64 on the fast path, 48 on the

@@ -68,4 +68,26 @@ object StreamingHourly {
     MemorySinkRunner.run(spark, agg, "graft_stream_hourly", shufflePartitions = 8)
       .orderBy(col("hour_sec"))
   }
+
+  /** T8 complete mode — the third output mode: every micro-batch REPLACES
+    * the sink with the full aggregate-so-far (the memory sink truncates per
+    * batch), so after the last batch the table IS the total aggregation —
+    * no closure rule, no latest-per-key reduction. Legal without a
+    * watermark because complete mode never evicts state; bounded here by
+    * the key domain (|event types|), which is the only regime where
+    * complete mode is 100 TB-sane. */
+  def completeTypeTotals(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path   = stagedEventsDir(dir)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        Cols.sumDec2When(col("event_type") === "purchase", col("value")).as("revenue"))
+
+    MemorySinkRunner.run(spark, agg, "graft_stream_complete",
+        shufflePartitions = 4, outputMode = "complete")
+      .orderBy(col("event_type"))
+  }
 }

@@ -119,6 +119,22 @@ class DedupSpec extends SparkSpec {
       s"prefix filter must lose nothing: missing=${brute -- pj} extra=${pj -- brute}")
   }
 
+  test("dedup clusters: min-label propagation reaches a fixpoint, ids are component minima") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardJoinPrefix(docs, 1, 2).select("doc_a", "doc_b")
+    val c5 = Dedup.dedupClusters(pairs, 5).as[(Long, Long)].collect().toMap
+    val c6 = Dedup.dedupClusters(pairs, 6).as[(Long, Long)].collect().toMap
+    assert(c5 == c6, "5 rounds must be a fixpoint on the test corpus")
+    // connectivity: every near-dup pair must land in one cluster
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(c5(a) == c5(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical ids: each cluster is labeled by its minimum member
+    c5.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid not labeled by min member")
+    }
+  }
+
   test("multi-table LSH near-dup: sound vs exact, recall amplified over one table") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.nearDupCosineExact(emb, 0.4)
