@@ -26,7 +26,13 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] streaming warm-up skipped: $e") }
     } else System.err.println(
       s"[bench] no smaller sibling of $sfDir; skipping streaming warm-up")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the run for local iteration;
+    // the driver never sets it, so round benches always cover everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -181,8 +181,14 @@ object Dedup {
     * a standalone near-dup detector when joined from any candidate source).
     * Shingle sets come from the linear-time exploded form; both pair-side
     * joins are shuffle-hash on doc_id. */
-  def verifyJaccard(docs: DataFrame, candidatePairs: DataFrame): DataFrame = {
-    val sets = shingleRows(docs)
+  def verifyJaccard(docs: DataFrame, candidatePairs: DataFrame): DataFrame =
+    verifyJaccardOnShingles(shingleRows(docs), candidatePairs)
+
+  /** [[verifyJaccard]] over an already-built (doc_id, shingle) table — use
+    * when the caller has materialized shingles for candidate generation so
+    * verification doesn't re-shingle the corpus. */
+  def verifyJaccardOnShingles(shingleTable: DataFrame, candidatePairs: DataFrame): DataFrame = {
+    val sets = shingleTable
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -221,10 +227,20 @@ object Dedup {
     * join hits only docs sharing a RARE shingle — on natural corpora the
     * prefix index is dominated by df=1 shingles that join to nothing.
     * Skew guard: a shingle shared by all docs lands at the END of the
-    * canonical order, so it enters prefixes only for tiny sets. */
+    * canonical order, so it enters prefixes only for tiny sets.
+    *
+    * Verification counts shared shingles with narrow joins on the
+    * (doc_id, shingle) table (inter = matched-row count per pair,
+    * union = sa + sb − inter) instead of hauling whole shingle-set arrays
+    * through the candidate join — identical value on distinct sets, and
+    * the shuffled rows stay a few longs wide no matter how long the
+    * documents are. */
   def jaccardJoinPrefix(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
     require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
-    val sh = shingleRows(docs).distinct()
+    // the (doc_id, shingle) table feeds THREE consumers (df counts, prefix
+    // ordering, exact verification) — materialize it once instead of
+    // re-shingling the corpus per consumer
+    val sh = shingleRows(docs).distinct().localCheckpoint()
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ordered = sh.join(df, Seq("shingle"))
       .groupBy(col("doc_id"))
@@ -243,7 +259,17 @@ object Dedup {
         && lit(den) * col("sa") >= lit(num) * col("sb")
         && lit(den) * col("sb") >= lit(num) * col("sa"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    verifyJaccard(docs, cand)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = ordered.select(col("doc_id"), col("s"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Cols.asDec4(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= lit(num).cast("double") / lit(den).cast("double"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -261,20 +287,31 @@ object Dedup {
     * construction). Deterministic: labels are min doc_ids, rounds are
     * fixed — any two engines running the same rounds agree bit-for-bit
     * even before convergence. Returns (doc_id, cluster_id = component-min
-    * doc_id) for every vertex that appears in a pair. */
+    * doc_id) for every vertex that appears in a pair.
+    *
+    * Shape: min over N(v) ∪ {v} each round — folding the self-loop into
+    * the edge set makes a round ONE equi-join plus ONE min-aggregation
+    * (identical result to least(own, min-of-neighbors), since a vertex's
+    * own previous label rides in on its self-loop). Labels are referenced
+    * once per round, so the plan grows linearly in `rounds` and runs as a
+    * single pipelined job; only the edge set — referenced every round and
+    * derived from the expensive pair-detection join — is eagerly
+    * materialized with `localCheckpoint` (distributed, executor-resident,
+    * lineage-truncating; swap for reliable `checkpoint` on a long-lived
+    * cluster where executor loss mid-iteration must be survivable). */
   def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint()
+    val edges = undirected.unionByName(
+      undirected.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+    var labels = undirected.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to rounds) {
-      val nbr = edges
+      labels = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      labels = labels
-        .join(nbr.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("doc_id"), col("label"))
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
