@@ -93,6 +93,18 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, d) => // ratio-idf characteristic terms
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
 
+    // --- corpus curation (repetition / contamination / sampling / gate)
+    "q_repetition_stats" -> ((s, d) => // Gopher-style duplicate-3-gram signal
+      CorpusFilters.repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_contamination" -> ((s, d) => // benchmark n-gram overlap check
+      CorpusFilters.contaminationProfile(Tables.documents(s, d), 20, 5)),
+    "q_stratified_sample" -> ((s, d) => // per-source quota hash-sampling
+      CorpusFilters.stratifiedSampleProfile(Tables.documents(s, d), 10)),
+    "q_quality_gate" -> ((s, d) => // composite keep/drop with reasons
+      CorpusFilters.qualityGateProfile(Tables.documents(s, d))),
+    "q_redact_events" -> ((s, d) => // RE2-safe PII scrub profile
+      Redact.eventsProfile(Tables.events(s, d))),
+
     // --- deduplication
     "q_exact_dedup_counts" -> ((s, d) =>
       Tables.documents(s, d).groupBy(col("source"))
@@ -1040,6 +1052,115 @@ object SparkEntry {
         |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(qual_u) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS mean_quality,
         |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(stopw_u) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS mean_stopword_ratio
         |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Mirror of CorpusFilters.repetitionStats: NON-distinct shingle counts
+    // per doc, so duplicate 3-grams are visible.
+    "q_repetition_stats" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM tk),
+         |pc AS (SELECT doc_id, shingle, count(*) AS c FROM sh0 GROUP BY doc_id, shingle)
+         |SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_shingles,
+         |  CAST(count(*) AS BIGINT) AS distinct_shingles,
+         |  ${q4("CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS dup_ngram_frac,
+         |  ${q4("CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS top_ngram_frac
+         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Benchmark = deterministic 1/20 hash-sample; a candidate doc is
+    // contaminated iff it shares ≥ 5 distinct 3-grams with the benchmark.
+    "q_contamination" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE ${md5h48("'bench:' || CAST(doc_id AS VARCHAR)")} % 20 < 1),
+         |bsh AS (SELECT DISTINCT s.shingle FROM sh s JOIN bench b ON s.doc_id = b.doc_id),
+         |shared AS (
+         |  SELECT s.doc_id, count(*) AS c FROM sh s JOIN bsh USING (shingle)
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM bench) GROUP BY s.doc_id),
+         |g AS (
+         |  SELECT d.source, count(*) AS docs_checked,
+         |    CAST(sum(CASE WHEN coalesce(sc.c, 0) >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs
+         |  FROM documents d LEFT JOIN shared sc ON d.doc_id = sc.doc_id
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
+         |  GROUP BY d.source)
+         |SELECT source, docs_checked, contaminated_docs,
+         |  ${pct("contaminated_docs", "docs_checked")} AS contamination_rate
+         |FROM g ORDER BY source""".stripMargin,
+
+    // Membership and per-stratum rate are pure functions of md5₄₈ —
+    // identical sample under any engine or partitioning.
+    "q_stratified_sample" ->
+      s"""WITH g AS (
+         |  SELECT source,
+         |    CAST(${md5h48("source")} % 3 + 1 AS BIGINT) AS rate_num,
+         |    count(*) AS total_docs,
+         |    CAST(sum(CASE WHEN ${md5h48("'strat:' || CAST(doc_id AS VARCHAR)")} % 10
+         |      < ${md5h48("source")} % 3 + 1 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+         |  FROM documents GROUP BY source)
+         |SELECT source, rate_num, total_docs, sampled_docs,
+         |  ${pct("sampled_docs", "total_docs")} AS realized_rate
+         |FROM g ORDER BY source""".stripMargin,
+
+    // The gate compares the SAME 1e-4-quantized doubles the per-doc
+    // operators emit, so flags are bit-deterministic across engines.
+    "q_quality_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM t),
+         |pc AS (SELECT doc_id, shingle, count(*) AS c FROM sh0 GROUP BY doc_id, shingle),
+         |rep AS (
+         |  SELECT doc_id,
+         |    ${q4("CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS dup_frac
+         |  FROM pc GROUP BY doc_id),
+         |scored AS (
+         |  SELECT t.doc_id, t.source,
+         |    t.n_chars BETWEEN 100 AND 5000 AS len_ok,
+         |    ${q4("CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.2 AS ttr_ok,
+         |    ${q4("CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.02 AS stop_ok,
+         |    rep.dup_frac <= 0.7 AS rep_ok
+         |  FROM t JOIN rep ON t.doc_id = rep.doc_id)
+         |SELECT source, count(*) AS docs,
+         |  CAST(sum(CASE WHEN len_ok AND ttr_ok AND stop_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |  CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS len_drop,
+         |  CAST(sum(CASE WHEN NOT ttr_ok THEN 1 ELSE 0 END) AS BIGINT) AS ttr_drop,
+         |  CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS stopword_drop,
+         |  CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS repetition_drop
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    // DuckDB regexp_replace replaces only the first match without the 'g'
+    // flag — Spark always replaces all, so every pass carries 'g'.
+    "q_redact_events" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    len(regexp_extract_all(props, '[0-9]{2,}')) AS runs,
+        |    length(props) AS raw_len,
+        |    length(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(props, 'https?://[^ ]+', '<URL>', 'g'),
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+        |        '[0-9]{2,}', '<NUM>', 'g')) AS red_len
+        |  FROM events)
+        |SELECT event_type, count(*) AS events,
+        |  CAST(sum(runs) AS BIGINT) AS digit_runs,
+        |  CAST(sum(raw_len) AS BIGINT) AS raw_chars,
+        |  CAST(sum(red_len) AS BIGINT) AS redacted_chars
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+
+/** Corpus-curation operators — the filtering stages of a training-data
+  * pipeline that sit between raw ingest and dedup/training: repetition
+  * (boilerplate) scoring, benchmark-contamination detection, stratified
+  * sampling, and the composite keep/drop quality gate. (Repetition and
+  * contamination rules follow the published curation recipes of
+  * Gopher/RefinedWeb-style pipelines; everything here is exact integer /
+  * quantized-double arithmetic so results are engine-portable.)
+  *
+  * Scale shapes: repetition is the word-count pattern (explode → two
+  * map-side-combined aggregations, one shuffle key = (doc, shingle) then
+  * doc); contamination is a semi-join against the benchmark n-gram set
+  * (small benchmark → Spark broadcasts it; a corpus-sized right side
+  * degrades gracefully to a bucketed shuffle join); sampling is a pure
+  * per-row filter with no shuffle at all.
+  */
+object CorpusFilters {
+
+  // ------------------------------------------------------------ repetition
+
+  /** Per-document n-gram repetition statistics: total / distinct 3-gram
+    * counts, duplicate-fraction (1 − distinct/total) and the most-repeated
+    * single 3-gram's share — the Gopher-style "repetitive document" signal.
+    * Two aggregations, both map-side combinable; nothing is quadratic in
+    * document length. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val perShingle = Dedup.shingleRows(docs)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c"))
+    perShingle.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_shingles"),
+        count(lit(1)).as("distinct_shingles"),
+        max(col("c")).as("maxc"))
+      .select(col("doc_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("distinct_shingles").cast("long").as("distinct_shingles"),
+        Cols.asDec4(lit(1.0) - col("distinct_shingles").cast("double")
+          / col("n_shingles").cast("double")).as("dup_ngram_frac"),
+        Cols.asDec4(col("maxc").cast("double") / col("n_shingles").cast("double"))
+          .as("top_ngram_frac"))
+  }
+
+  // --------------------------------------------------------- contamination
+
+  /** Benchmark-contamination check: which training documents share at least
+    * `minShared` distinct 3-grams with a held-out "benchmark" set? The
+    * benchmark here is a deterministic 1/`den` hash-sample of the corpus
+    * itself (so the check is self-contained and oracle-reproducible); in
+    * production the benchmark table is the external eval set. Returns the
+    * per-source contamination profile.
+    *
+    * Shape: benchmark n-grams are DISTINCT'd before the join — the join key
+    * set scales with the benchmark, not the corpus, which is why real
+    * contamination checks broadcast it. */
+  def contaminationProfile(docs: DataFrame, den: Int = 20, minShared: Int = 5): DataFrame = {
+    val isBench = Dedup.PortableHash(concat(lit("bench:"), col("doc_id").cast("string")))
+      .%(den) < 1
+    val benchGrams = Dedup.shingleRows(docs.where(isBench))
+      .select(col("shingle")).distinct()
+    val candGrams = Dedup.shingleRows(docs.where(!isBench)).distinct()
+    val shared = candGrams.join(benchGrams, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
+    docs.where(!isBench)
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(coalesce(col("shared_grams"), lit(0L)) >= minShared, 1L).otherwise(0L)
+          .as("contaminated"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_checked"),
+        sum(col("contaminated")).as("contaminated_docs"))
+      .select(col("source"), col("docs_checked"), col("contaminated_docs"),
+        Cols.pct4(col("contaminated_docs").cast("double"), col("docs_checked").cast("double"))
+          .as("contamination_rate"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------- stratified sampling
+
+  /** Stratified deterministic sample: each source stratum gets its own
+    * rate num/`den` with num = 1 + md5₄₈(source) mod 3 — a stand-in for the
+    * per-domain quota table a curation pipeline carries. Membership stays a
+    * pure function of (doc_id, source), so the stratified sample is
+    * reproducible anywhere; the whole operator is one filter + one
+    * aggregation. */
+  def stratifiedSampleProfile(docs: DataFrame, den: Int = 10): DataFrame = {
+    val rateNum = (Dedup.PortableHash(col("source")) % 3 + 1).cast("long")
+    val member  = Dedup.PortableHash(concat(lit("strat:"), col("doc_id").cast("string")))
+      .%(den) < rateNum
+    docs.select(col("source"), rateNum.as("rate_num"),
+        when(member, 1L).otherwise(0L).as("m"))
+      .groupBy(col("source"), col("rate_num"))
+      .agg(count(lit(1)).as("total_docs"), sum(col("m")).as("sampled_docs"))
+      .select(col("source"), col("rate_num"), col("total_docs"), col("sampled_docs"),
+        Cols.pct4(col("sampled_docs").cast("double"), col("total_docs").cast("double"))
+          .as("realized_rate"))
+      .orderBy(col("source"))
+  }
+
+  // ----------------------------------------------------------- quality gate
+
+  /** Composite keep/drop gate — the rule stack run once over the corpus
+    * before expensive dedup/training stages: length band, type-token ratio,
+    * stopword presence, and n-gram repetition, each a named reason so the
+    * per-source profile shows WHY documents drop. Flags compare the same
+    * 1e-4-quantized doubles the per-doc operators expose, so the gate is
+    * exactly the composition of its published parts. */
+  def qualityGateProfile(docs: DataFrame): DataFrame = {
+    val perDoc = TextAnalysis.qualityScored(docs)
+      .join(repetitionStats(docs).select(col("doc_id"), col("dup_ngram_frac")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val lenOk  = col("n_chars").between(100, 5000)
+    val ttrOk  = col("type_token_ratio") >= 0.2
+    val stopOk = col("stopword_ratio") >= 0.02
+    val repOk  = col("dup_ngram_frac") <= 0.7
+    perDoc
+      .select(col("source"),
+        when(lenOk && ttrOk && stopOk && repOk, 1L).otherwise(0L).as("kept"),
+        when(!lenOk, 1L).otherwise(0L).as("len_drop"),
+        when(!ttrOk, 1L).otherwise(0L).as("ttr_drop"),
+        when(!stopOk, 1L).otherwise(0L).as("stopword_drop"),
+        when(!repOk, 1L).otherwise(0L).as("repetition_drop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("kept")).as("kept"),
+        sum(col("len_drop")).as("len_drop"), sum(col("ttr_drop")).as("ttr_drop"),
+        sum(col("stopword_drop")).as("stopword_drop"),
+        sum(col("repetition_drop")).as("repetition_drop"))
+      .orderBy(col("source"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusFilters, Redact}
+
+class CorpusFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redaction masks emails, urls, phones, digit runs on inline PII") {
+    val rows = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 415-555-1234 today"),
+      (2L, "see https://example.com/a?b=1 and code 99 plus 7 single"),
+      (3L, "clean text with no sensitive content here")
+    ).toDF("id", "text")
+    val out = rows.select(col("id"), Redact.redactAll(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact <EMAIL> or call <PHONE> today")
+    assert(out(2L) == "see <URL> and code <NUM> plus 7 single") // 1-digit run kept
+    assert(out(3L) == "clean text with no sensitive content here")
+  }
+
+  test("redaction order: credentialed URL never leaks userinfo to the email pass") {
+    val s = Seq((1L, "go http://user:pw@host.example.com/path now")).toDF("id", "text")
+    val r = s.select(Redact.redactAll(col("text")).as("r")).as[String].head()
+    assert(r == "go <URL> now")
+  }
+
+  test("repetition stats: all-repeated doc scores high, all-distinct doc zero") {
+    val docs = Seq(
+      (1L, Array.fill(10)("a b c").flatMap(_.split(" ")).mkString(" ")), // a b c ×10
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "))                     // no repeats
+    ).toDF("doc_id", "text")
+    val m = CorpusFilters.repetitionStats(docs)
+      .select(col("doc_id"), col("dup_ngram_frac")).as[(Long, Double)].collect().toMap
+    assert(m(1L) > 0.8, s"repeated doc got ${m(1L)}")
+    assert(m(2L) == 0.0, s"distinct doc got ${m(2L)}")
+  }
+
+  test("contamination: rates bounded and benchmark docs excluded from checking") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val prof = CorpusFilters.contaminationProfile(docs, 20, 5)
+    val checked = prof.agg(sum(col("docs_checked"))).as[Long].head()
+    val total = docs.count()
+    assert(checked < total, "benchmark docs must not be checked")
+    prof.collect().foreach { r =>
+      val rate = r.getAs[Double]("contamination_rate")
+      assert(rate >= 0.0 && rate <= 100.0)
+      assert(r.getAs[Long]("contaminated_docs") <= r.getAs[Long]("docs_checked"))
+    }
+  }
+
+  test("stratified sample: realized rate tracks the per-source quota") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    CorpusFilters.stratifiedSampleProfile(docs, 10).collect().foreach { r =>
+      val target = r.getAs[Long]("rate_num") * 10.0 // percent
+      val realized = r.getAs[Double]("realized_rate")
+      assert(realized >= 0.0 && realized <= 100.0)
+      // hash sampling at small n is noisy; just require the right ballpark
+      assert(math.abs(realized - target) < 25.0,
+        s"source ${r.getString(0)}: realized $realized vs target $target")
+    }
+  }
+
+  test("quality gate: drop reasons account for every non-kept document") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    CorpusFilters.qualityGateProfile(docs).collect().foreach { r =>
+      val docsN = r.getAs[Long]("docs")
+      val kept  = r.getAs[Long]("kept")
+      val drops = Seq("len_drop", "ttr_drop", "stopword_drop", "repetition_drop")
+        .map(r.getAs[Long](_)).sum
+      assert(kept <= docsN)
+      assert(drops >= docsN - kept, "every dropped doc must have at least one reason")
+    }
+  }
+}
