@@ -300,8 +300,12 @@ object Dedup {
     * lineage-truncating; swap for reliable `checkpoint` on a long-lived
     * cluster where executor loss mid-iteration must be survivable). */
   def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
-    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // checkpoint BEFORE mirroring: the union references `pairs` twice, and
+    // an un-materialized pair plan (e.g. the whole prefix-filter join)
+    // would execute once per branch
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val undirected = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     val edges = undirected.unionByName(
       undirected.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
