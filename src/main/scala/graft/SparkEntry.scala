@@ -104,6 +104,10 @@ object SparkEntry {
       CorpusFilters.qualityGateProfile(Tables.documents(s, d))),
     "q_redact_events" -> ((s, d) => // RE2-safe PII scrub profile
       Redact.eventsProfile(Tables.events(s, d))),
+    "q_token_packing" -> ((s, d) => // fixed-budget sequence packing bins
+      CorpusFilters.tokenPackingProfile(Tables.documents(s, d), 2000)),
+    "q_mixture_weights" -> ((s, d) => // uniform-share mixture reweighting
+      CorpusFilters.mixtureWeights(Tables.documents(s, d))),
 
     // --- deduplication
     "q_exact_dedup_counts" -> ((s, d) =>
@@ -1139,6 +1143,32 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS stopword_drop,
          |  CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS repetition_drop
          |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    // Greedy packing is a pure function of the per-source (doc_id-ordered)
+    // running token count — both engines bin by start offset.
+    "q_token_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000) AS BIGINT) AS bin,
+        |  count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_mixture_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+         |  FROM documents GROUP BY source),
+         |g AS (SELECT CAST(sum(source_tokens) AS BIGINT) AS total_tokens,
+         |             count(*) AS n_sources FROM per)
+         |SELECT source, source_tokens,
+         |  ${pct("source_tokens", "total_tokens")} AS token_share,
+         |  ${q4("CAST(total_tokens AS DOUBLE) / CAST(n_sources * source_tokens AS DOUBLE)")} AS mixture_weight
+         |FROM per CROSS JOIN g ORDER BY source""".stripMargin,
 
     // DuckDB regexp_replace replaces only the first match without the 'g'
     // flag — Spark always replaces all, so every pass carries 'g'.

@@ -101,6 +101,53 @@ object CorpusFilters {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------- token packing
+
+  /** Sequence-packing plan: assign documents to fixed-token-budget training
+    * bins, greedily in deterministic (source, doc_id) order — each doc's bin
+    * is the budget-quotient of its START offset in the stratum's running
+    * token count (docs may straddle a boundary; the packer downstream
+    * handles the split). One window per source stratum — the sort is
+    * per-partition, never global — then one aggregation.
+    * Returns per (source, bin): packed docs and token sum. */
+  def tokenPackingProfile(docs: DataFrame, budgetTokens: Int = 2000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nTok = size(TextAnalysis.tokens(col("text"))).cast("long")
+    docs.select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / budgetTokens)
+          .cast("long").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  // -------------------------------------------------------- mixture weights
+
+  /** Data-mixture reweighting: the per-source sampling weight that moves the
+    * corpus toward a UNIFORM token share across sources (weight =
+    * equal-share / actual-share) — the knob a pre-training mixture schedule
+    * turns. Global totals ride a broadcast one-row aggregate; no global
+    * sort, no single-partition window. */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val nTok = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val per = docs.select(col("source"), nTok.as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("source_tokens"))
+    val global = per.agg(sum(col("source_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(global))
+      .select(col("source"), col("source_tokens"),
+        Cols.pct4(col("source_tokens").cast("double"), col("total_tokens").cast("double"))
+          .as("token_share"),
+        Cols.asDec4(col("total_tokens").cast("double")
+          / (col("n_sources") * col("source_tokens")).cast("double"))
+          .as("mixture_weight"))
+      .orderBy(col("source"))
+  }
+
   // ----------------------------------------------------------- quality gate
 
   /** Composite keep/drop gate — the rule stack run once over the corpus

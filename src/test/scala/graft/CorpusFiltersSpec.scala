@@ -62,6 +62,38 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("token packing: bins partition each stratum's tokens; no lost tokens") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val packed = CorpusFilters.tokenPackingProfile(docs, 500)
+    val totalPacked = packed.agg(sum(col("tokens"))).as[Long].head()
+    val totalDirect = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .as[Long].head()
+    assert(totalPacked == totalDirect, "packing must conserve tokens")
+    // bins are dense from 0 within each source (greedy start-offset rule)
+    packed.groupBy(col("source"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") == 0L)
+        assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1, "bins must be contiguous")
+      }
+  }
+
+  test("mixture weights: inverse to token share, equal-share source gets ~1.0") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = CorpusFilters.mixtureWeights(docs).collect()
+    val shares  = rows.map(r => r.getAs[Double]("token_share"))
+    val weights = rows.map(r => r.getAs[Double]("mixture_weight"))
+    // heavier share ⇒ strictly smaller weight (both are q4 of exact ratios)
+    val byShare = shares.zip(weights).sortBy(_._1)
+    byShare.sliding(2).foreach { case Array((s1, w1), (s2, w2)) =>
+      if (s2 > s1) assert(w2 <= w1, s"share $s2 > $s1 but weight $w2 > $w1")
+    }
+    val equalShare = 100.0 / rows.length
+    shares.zip(weights).foreach { case (s, w) =>
+      if (math.abs(s - equalShare) < 0.5) assert(math.abs(w - 1.0) < 0.15)
+    }
+  }
+
   test("quality gate: drop reasons account for every non-kept document") {
     val docs = graft.sources.Tables.documents(spark, sf)
     CorpusFilters.qualityGateProfile(docs).collect().foreach { r =>
