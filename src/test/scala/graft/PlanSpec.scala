@@ -117,4 +117,36 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$p")
   }
+
+  test("deterministic sampling is a pure scan-side filter — no shuffle before the agg") {
+    val p = planOf(Sampling.hashSample(Tables.documents(spark, sf),
+      org.apache.spark.sql.functions.col("doc_id"), 1, 5))
+    assert(!p.contains("Exchange"), s"hash sampling must not shuffle:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
+  test("contamination joins on n-grams — never a cartesian") {
+    val p = planOf(CorpusFilters.contaminationProfile(Tables.documents(spark, sf), 20, 5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must equi-join on shingle:\n$p")
+  }
+
+  test("token packing windows per stratum — no single-partition global sort") {
+    val p = planOf(CorpusFilters.tokenPackingProfile(Tables.documents(spark, sf), 2000))
+    assert(p.contains("Window"), p)
+    // a global window would hashpartition by nothing / SinglePartition
+    assert(!p.contains("SinglePartition"), s"window must partition by source:\n$p")
+  }
+
+  test("mixture weights broadcast the one-row global aggregate") {
+    val p = planOf(CorpusFilters.mixtureWeights(Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global totals must broadcast:\n$p")
+  }
+
+  test("redaction is projection-only — rides the scan with zero exchanges before the agg") {
+    val p = planOf(operators.Redact.eventsProfile(Tables.events(spark, sf)))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"redact profile = scan → partial agg → final agg → sort:\n$p")
+  }
 }
