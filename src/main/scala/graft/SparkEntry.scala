@@ -56,6 +56,8 @@ object SparkEntry {
     "q3_top_orders" -> ((s, d) => Relational.topOrdersByRevenue(s, d)),
     "q_semi_join" -> ((s, d) => Relational.customersWithOrders(s, d)),
     "q_anti_join" -> ((s, d) => Relational.customersWithoutBigOrders(s, d)),
+    "q_bloom_semi_join" -> ((s, d) => // runtime-filter semi join (bloom prefilter)
+      BloomJoin.highValueLineitemRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_window_topn" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
     "q_order_priority_dist" -> ((s, d) => Relational.orderPriorityDistribution(s, d)),
     "q_table_counts" -> ((s, d) => Relational.tableCounts(s, d)),
@@ -643,6 +645,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    // The bloom prefilter is invisible in the result (no false negatives;
+    // false positives removed by the exact semi join): oracle is the plain
+    // membership query.
+    "q_bloom_semi_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  ${sumDisc("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_window_topn" ->
       """WITH pp AS (
