@@ -129,7 +129,10 @@ object SparkEntry {
     "q_jaccard_join" -> ((s, d) => // EXACT prefix-filter similarity join (PPJoin family)
       Dedup.jaccardJoinPrefix(Tables.documents(s, d), 1, 2)),
     "q_dedup_clusters" -> ((s, d) => // connected components over near-dup pairs
-      Dedup.dedupClusters(Dedup.jaccardJoinPrefix(Tables.documents(s, d), 1, 2))
+      // clusters over the LSH-verified pair stream — the pair source a
+      // 100 TB dedup pipeline actually feeds CC (the exact prefix join is
+      // the small-corpus/audit path, oracle-checked as q_jaccard_join)
+      Dedup.dedupClusters(Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash))
         .orderBy(col("doc_id"))),
     "q_deterministic_sample" -> ((s, d) => // content-addressed 1/5 corpus sample
       Sampling.sampleProfile(Tables.documents(s, d), 1, 5)),
@@ -1380,8 +1383,19 @@ object SparkEntry {
            |  LEFT JOIN l${i - 1} l ON l.doc_id = e.dst
            |  GROUP BY v.doc_id, v.label)""".stripMargin
       }.mkString(",\n")
-      prefixJaccardCte +
-        s""", pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+      // pairs = the LSH-verified stream (mirror of q_near_dup_verified) —
+      // the pair source the engine's q_dedup_clusters actually clusters
+      minhashCte +
+        s""", sets AS (
+           |  SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id),
+           |ver AS (
+           |  SELECT e.doc_a, e.doc_b,
+           |    ${q4("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.s, b.s))) AS DOUBLE)")} AS jaccard
+           |  FROM est e
+           |  JOIN sets a ON a.doc_id = e.doc_a
+           |  JOIN sets b ON b.doc_id = e.doc_b
+           |  WHERE e.est_jaccard >= 0.3),
+           |pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
            |edge AS (
            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
            |  UNION ALL SELECT doc_b, doc_a FROM pairs),

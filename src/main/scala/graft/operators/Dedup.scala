@@ -248,25 +248,41 @@ object Dedup {
         count(lit(1)).as("s"))
     // p = s − ⌈t·s⌉ + 1; ⌈a/b⌉ = floor((a+b−1)/b), exact in double below 2^52
     val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
+    // materialize the prefix table: the candidate self-join references it
+    // through two different alias projections, which defeats exchange reuse
+    // — without this the shingle→df→sort aggregation chain runs twice
     val pre = ordered
       .select(col("doc_id"), col("s"),
-        explode(slice(col("ord"), lit(1), p)).as("pr"))
-      .select(col("doc_id"), col("s"), col("pr.shingle").as("shingle"))
-    val l = pre.select(col("shingle"), col("doc_id").as("doc_a"), col("s").as("sa"))
-    val r = pre.select(col("shingle"), col("doc_id").as("doc_b"), col("s").as("sb"))
+        posexplode(slice(col("ord"), lit(1), p)).as(Seq("pos", "pr")))
+      .select(col("doc_id"), col("s"), col("pos"), col("pr.shingle").as("shingle"))
+      .localCheckpoint()
+    val l = pre.select(col("shingle"), col("doc_id").as("doc_a"), col("s").as("sa"),
+      col("pos").as("pa"))
+    val r = pre.select(col("shingle"), col("doc_id").as("doc_b"), col("s").as("sb"),
+      col("pos").as("pb"))
+    // PPJoin positional filter (Xiao et al. '08): the matched token at
+    // 0-based canonical rank i leaves at most s−i overlap; a pair needs
+    // overlap α = ⌈t·(sa+sb)/(1+t)⌉, so occurrences with
+    // min(sa−pa, sb−pb) < α can't carry the pair. A genuinely similar
+    // pair always survives via its FIRST shared prefix token (no shared
+    // tokens precede it, so its suffix bound ≥ the true overlap ≥ α).
+    // This is what keeps candidate volume near the verified-pair count
+    // instead of the prefix-collision count.
+    val alpha = floor((lit(num) * (col("sa") + col("sb")) + (num + den - 1)) / (num + den))
+    // set sizes ride through the candidate join (two extra longs per row —
+    // functionally dependent on the doc ids, so the distinct is unchanged),
+    // sparing a second pass over `ordered` for a trailing size lookup
     val cand = l.join(r, Seq("shingle"))
       .where(col("doc_a") < col("doc_b")
         && lit(den) * col("sa") >= lit(num) * col("sb")
-        && lit(den) * col("sb") >= lit(num) * col("sa"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val inter = cand
+        && lit(den) * col("sb") >= lit(num) * col("sa")
+        && least(col("sa") - col("pa"), col("sb") - col("pb")) >= alpha)
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sizes = ordered.select(col("doc_id"), col("s"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"),
         Cols.asDec4(col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
