@@ -150,6 +150,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.topKCosineAgg(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_embedding_quant" -> ((s, d) => // int8 scalar-quantization profile
+      Quantize.quantStats(Tables.embeddings(s, d))),
+    "q_quantized_knn" -> ((s, d) => { // integer-dot candidate stage of int8 ANN
+      val emb = Tables.embeddings(s, d)
+      Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), 5)
+    }),
     "q_near_dup_cosine" -> ((s, d) => // multi-table LSH candidates + exact verify
       Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)),
     "q_ann_lsh" -> ((s, d) =>
@@ -1335,6 +1341,51 @@ object SparkEntry {
     "q_knn_topk_agg" -> knnOracleSql,
 
     "q_knn_cosine" -> knnOracleSql,
+
+    // Mirror of Quantize.quantStats: scale = 127/max|v| (float abs/max are
+    // exact, one IEEE divide), codes via floor(x*scale + 0.5) — every op
+    // IEEE-exact, so doubles hash bit-for-bit without quantization.
+    "q_embedding_quant" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, embedding,
+        |    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+        |  FROM base)
+        |SELECT vec_id, label, scale,
+        |  list_reduce(list_transform(embedding,
+        |    x -> abs(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))), (a, b) -> a + b) AS q_l1,
+        |  CASE WHEN scale > 0 THEN
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))
+        |  ELSE 0.0 END AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Mirror of Quantize.quantizedTopK: the scoring is 64-bit INTEGER dot
+    // products of the int8 codes — exactly portable, no IEEE anywhere.
+    "q_quantized_knn" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+        |  FROM embeddings),
+        |coded AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |      (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END) + 0.5) AS BIGINT)) AS q
+        |  FROM base),
+        |pairs AS (
+        |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(c.q, qq.q), s -> s[1] * s[2]), (x, y) -> x + y) AS q_dot
+        |  FROM coded c JOIN coded qq ON c.vec_id <> qq.vec_id
+        |  WHERE qq.vec_id < 5),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, q_dot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY q_dot DESC, neighbor_id ASC) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, q_dot FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     
 

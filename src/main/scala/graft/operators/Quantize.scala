@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions.ivecDot
+
+/** Scalar int8 quantization of embedding vectors — the standard 4× memory /
+  * bandwidth cut before large-scale similarity search (float32 → int8 with
+  * a per-vector scale; FAISS's `SQ8`, public quantization literature).
+  *
+  * At 100 TB the embedding column dominates scan and shuffle cost, and the
+  * ANN candidate stage only needs approximate scores: quantized vectors
+  * shrink every downstream exchange 4×, and candidate scoring becomes pure
+  * 64-bit INTEGER dot products ([[graft.plans.VectorExpressions.IntVectorDot]])
+  * — deterministic across engines and accumulation orders by construction
+  * (integer addition commutes exactly; no IEEE rounding anywhere), which is
+  * also what makes every query here oracle-checkable bit-for-bit.
+  *
+  * Quantization rule (all IEEE-exact ops, mirrored verbatim in the oracle
+  * SQL): scale = 127 / max|v| (0 for a zero vector), qᵢ = ⌊vᵢ·scale + ½⌋ —
+  * floor(x+0.5) rather than round() because half-up float rounding is
+  * specified identically everywhere, while round() half-even/half-away
+  * conventions differ across engines.
+  */
+object Quantize {
+
+  /** max|vᵢ| as double: float abs is exact, widening is exact. */
+  private def vmax(emb: Column): Column =
+    array_max(transform(emb, x => abs(x))).cast("double")
+
+  private def scaleOf(emb: Column): Column = {
+    val m = vmax(emb)
+    when(m > 0.0, lit(127.0) / m).otherwise(lit(0.0))
+  }
+
+  /** int8 code array (as array<long> in-plan; at rest this packs to 1
+    * byte/element — see scaladoc). */
+  private def codes(emb: Column, scale: Column): Column =
+    transform(emb, x => floor(x.cast("double") * scale + 0.5).cast("long"))
+
+  /** Per-vector quantization profile: the scale, the integer L1 mass of the
+    * codes, and the worst per-element reconstruction error — what a
+    * quantization-quality gate reads before switching the ANN fleet to
+    * int8. One narrow pass, no shuffle. */
+  def quantStats(embeddings: DataFrame): DataFrame = {
+    val scale = col("__scale")
+    embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        scaleOf(col("embedding")).as("__scale"))
+      .select(col("vec_id"), col("label"), scale.as("scale"),
+        aggregate(transform(col("embedding"),
+            x => abs(floor(x.cast("double") * scale + 0.5).cast("long"))),
+          lit(0L), (acc, v) => acc + v).as("q_l1"),
+        when(scale > 0.0,
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double") - floor(x.cast("double") * scale + 0.5) / scale))))
+          .otherwise(lit(0.0)).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Quantized top-k: rank corpus vectors per query by the INTEGER dot of
+    * their int8 codes (descending, neighbor id ascending on ties). This is
+    * the candidate stage of a quantized ANN pipeline — a float rescore of
+    * the top candidates follows in production; the registered query pins
+    * the quantized stage itself, which is exactly portable. Queries
+    * broadcast; the corpus side streams with one codegen'd integer dot per
+    * pair. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    def coded(df: DataFrame, idAs: String, qAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        codes(col("embedding"), scaleOf(col("embedding"))).as(qAs))
+    val c = coded(corpus, "neighbor_id", "q_c")
+    val q = broadcast(coded(queries, "query_id", "q_q"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ivecDot(col("q_c"), col("q_q")).as("q_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("q_dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for float-vector math.
   *
@@ -115,9 +115,67 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Integer-array element accessor (int or long arrays → long). */
+  private def intGetter(dt: DataType): (ArrayData, Int) => Long = dt match {
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toLong
+    case ArrayType(LongType, _)    => (a, i) => a.getLong(i)
+    case other => throw new IllegalArgumentException(s"ivec over $other")
+  }
+
+  private def genIntGet(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(IntegerType, _) => s"(long) $arr.getInt($i)"
+    case ArrayType(LongType, _)    => s"$arr.getLong($i)"
+    case other => throw new IllegalArgumentException(s"ivec over $other")
+  }
+
+  /** Σ aᵢ·bᵢ over two array<int|long> columns, as long — the scoring loop
+    * of quantized (int8) similarity search. Pure 64-bit integer arithmetic:
+    * no rounding, no accumulation-order sensitivity, portable across
+    * engines bit-for-bit (overflow-free for int8 payloads up to ~2^46
+    * elements). */
+  case class IntVectorDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "ivec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val gl = intGetter(left.dataType)
+      val gr = intGetter(right.dataType)
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += gl(x, i) * gr(y, i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${genIntGet(left.dataType, a, i)} * ${genIntGet(right.dataType, b, i)};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // Spark 4 Columns are plan-node handles; the bridge converts to/from
   // Catalyst expressions (see org.apache.spark.sql.graft.bridge).
   import org.apache.spark.sql.graft.bridge.{column, expression}
   def fvecDot(a: Column, b: Column): Column = column(FloatVectorDot(expression(a), expression(b)))
   def fvecNorm(a: Column): Column = column(FloatVectorNorm(expression(a)))
+  def ivecDot(a: Column, b: Column): Column = column(IntVectorDot(expression(a), expression(b)))
 }
