@@ -49,6 +49,8 @@ object SparkEntry {
       EventAnalytics.topEntities(Tables.events(s, d), 10)),
     "q_last_window" -> ((s, d) => // P5/T11 trailing-window filter
       EventAnalytics.lastWindowCounts(Tables.events(s, d), 86400).orderBy(col("event_type"))),
+    "q_heavy_hitters" -> ((s, d) => // Misra-Gries sketch -> exact verify
+      HeavyHitters.heavyEntities(Tables.events(s, d), 127)),
 
     // --- relational / star-schema surface (SURVEY §2.3 J2, §2.5-§2.7)
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -601,6 +603,17 @@ object SparkEntry {
         |SELECT k, count(*) AS purchases,
         |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
         |FROM p GROUP BY k ORDER BY revenue DESC, k ASC LIMIT 10""".stripMargin,
+
+    // The MG sketch is invisible in the result (candidate superset + exact
+    // recount): the oracle is the plain GROUP BY ... HAVING census.
+    "q_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS entity
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT entity, count(*) AS n_events FROM k GROUP BY entity
+        |HAVING count(*) * 128 > (SELECT count(*) FROM k)
+        |ORDER BY n_events DESC, entity ASC""".stripMargin,
 
     "q_last_window" ->
       """WITH a AS (SELECT max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS anchor_sec FROM events)

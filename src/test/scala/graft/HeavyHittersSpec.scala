@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HeavyHitters
+import graft.plans.FrequentItemsAggregate
+import graft.sources.Tables
+
+/** Misra–Gries sketch: the no-false-dismissal guarantee and the verified
+  * census contract. */
+class HeavyHittersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("every key above n/(capacity+1) is in the candidate set, any partitioning") {
+    // skewed synthetic stream: key 1 at 40%, key 2 at 20%, tail uniform
+    val rows = (Seq.fill(4000)(1L) ++ Seq.fill(2000)(2L)
+      ++ (0 until 4000).map(i => 100L + i % 500))
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = rows.toDF("k").repartition(parts)
+        .agg(FrequentItemsAggregate.candidates(col("k"), 9).as("c"))
+        .select(explode(col("c")).as("k")).as[Long].collect().toSet
+      // threshold n/10 = 1000: keys 1 and 2 must always survive
+      assert(cands.contains(1L) && cands.contains(2L), s"parts=$parts: $cands")
+      assert(cands.size <= 9, s"capacity overflow: ${cands.size}")
+    }
+  }
+
+  test("verified heavy-entity census equals the exact GROUP BY ... HAVING") {
+    val events = Tables.events(spark, sf)
+    val keyed = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("entity"))
+      .where(col("entity").isNotNull)
+    val exact = keyed.groupBy(col("entity")).agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("n_total"))))
+      .where(col("n_events") * 128 > col("n_total"))
+      .select(col("entity"), col("n_events"))
+    val sketched = HeavyHitters.heavyEntities(events, 127)
+      .select(col("entity"), col("n_events"))
+    assert(sketched.exceptAll(exact).isEmpty && exact.exceptAll(sketched).isEmpty)
+  }
+
+  test("sketch aggregation does not shuffle per-key rows (partial aggregation)") {
+    val events = Tables.events(spark, sf)
+    val keyed = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("entity"))
+      .where(col("entity").isNotNull)
+    val sk = keyed.agg(FrequentItemsAggregate.candidates(col("entity"), 127))
+    val plan = sk.queryExecution.sparkPlan.toString
+    // global agg: partial ObjectHashAggregate per partition, single-row final
+    assert(plan.contains("mg_frequent"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "sketch must reduce via partial aggregation, not a per-key shuffle:\n" + plan)
+  }
+}
