@@ -51,6 +51,8 @@ object SparkEntry {
       EventAnalytics.lastWindowCounts(Tables.events(s, d), 86400).orderBy(col("event_type"))),
     "q_heavy_hitters" -> ((s, d) => // Misra-Gries sketch -> exact verify
       HeavyHitters.heavyEntities(Tables.events(s, d), 127)),
+    "q_bm25_top_docs" -> ((s, d) => // BM25 ranking, fixed query-term set
+      TextAnalysis.bm25TopDocs(Tables.documents(s, d), Seq("join", "filter", "stream"), 10)),
 
     // --- relational / star-schema surface (SURVEY §2.3 J2, §2.5-§2.7)
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -228,6 +230,8 @@ object SparkEntry {
       graft.streaming.StreamingSessions.updatedUserHourly(s, d)),
     "q_streaming_complete_mode" -> ((s, d) => // T8 complete mode, sink replaced per batch
       graft.streaming.StreamingHourly.completeTypeTotals(s, d)),
+    "q_streaming_dedup" -> ((s, d) => // at-least-once redelivery, deduped in-stream
+      graft.streaming.StreamingDedup.dedupedTypeCounts(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -761,6 +765,12 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0) AS revenue
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Double delivery is fully suppressed by within-watermark dedup state,
+    // so the streamed result equals the plain batch census.
+    "q_streaming_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_price_quantiles" ->
       s"""SELECT o_orderpriority, count(*) AS orders,
          |  ${q4("quantile_cont(o_totalprice, 0.5)")} AS median_price,
@@ -871,6 +881,35 @@ object SparkEntry {
          |  FROM s)
          |SELECT doc_id, rank, token, ${q4("score")} AS tfidf
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Mirror of TextAnalysis.bm25TopDocs: rational idf, same IEEE op order,
+    // per-term floor-quantization to integer micro-units BEFORE the per-doc
+    // sum (so accumulation is exact integer addition on both engines).
+    "q_bm25_top_docs" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |globals AS (
+        |  SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE)
+        |         / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl,
+        |    (SELECT count(*) FROM documents) AS n_docs),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('join', 'filter', 'stream') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ((CAST(g.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2 /
+        |         (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / g.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN globals g)
+        |SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+        |  CAST(sum(term_micro) AS DOUBLE) / 1000000.0 AS bm25
+        |FROM s GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars

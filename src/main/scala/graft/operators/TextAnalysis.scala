@@ -155,6 +155,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 document ranking for a fixed query-term set (Robertson–Spärck
+    * Jones weighting with the k1/b length normalization; the engine's idf
+    * is the RATIONAL (N − df + ½)/(df + ½) — log is not correctly-rounded
+    * IEEE across math libraries (same policy as [[tfidfTopTerms]]), and
+    * the monotone transform keeps per-term ordering while every remaining
+    * op is exact-division/multiply double arithmetic.
+    *
+    * Determinism: the per-(doc, term) score is floor-quantized to integer
+    * MICRO-units before the per-doc sum, so accumulation is 64-bit integer
+    * addition — partition-order-proof and engine-portable; one IEEE divide
+    * renders the final double.
+    *
+    * Scale shape: tokens explode once; tf of the query terms is a filtered
+    * map-side-combined agg (the `isin` prunes before the shuffle — query
+    * terms are a constant handful, so the tf/df tables are tiny); doc
+    * lengths ride the same token table; globals broadcast; final ranking
+    * is a top-k (TakeOrderedAndProject), not a global sort. */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val globals = tokens.agg(count(lit(1)).as("n_tokens"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select((col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avgdl"),
+        col("n_docs"))
+    val tf = tokens.where(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(globals))
+      .select(col("doc_id"), floor(idf * norm * lit(1e6)).as("term_micro"))
+      .groupBy(col("doc_id")).agg(sum(col("term_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / 1000000.0).as("bm25"))
+  }
+
   /** Source-id extraction via regexp (reference §2.9 `regexp_replace`/
     * `regexp_extract` intent — the URL/entity-id parsing surface): pulls the
     * numeric id out of the source tag and aggregates per id parity. */

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Streaming exact deduplication (north-star extension, SURVEY.md §7 step 8).
   *
@@ -25,4 +26,24 @@ object StreamingDedup {
                            keys: Seq[String] = Seq("event_id")): DataFrame =
     stream.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Oracle-facing run: the events stream delivered TWICE (the same file
+    * source consumed by two union branches — simulated at-least-once
+    * redelivery), deduplicated by event_id within the watermark, then
+    * profiled per event type on the captured output. Every duplicate is
+    * suppressed by the watermark-bounded state, so the result equals the
+    * plain batch census of the source — which is the SQL oracle. */
+  def dedupedTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path   = StreamingHourly.stagedEventsDir(dir)
+    val schema = spark.read.parquet(path).schema
+    def src(): DataFrame = spark.readStream.schema(schema).parquet(path)
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+    val doubled = src().unionByName(src())
+    val deduped = byKeyWithinWatermark(doubled, "event_time", "10 minutes")
+      .select(col("event_id"), col("event_type"))
+    MemorySinkRunner.run(spark, deduped, "graft_stream_dedup", shufflePartitions = 8)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
 }
