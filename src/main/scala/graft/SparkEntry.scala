@@ -77,6 +77,18 @@ object SparkEntry {
           (col("total").cast("double") / 100.0).as("total_value"), col("rows"))
         .orderBy(col("event_type"))
     }),
+    "q_salted_join" -> ((s, d) => { // skew-spread shuffle join, salt invisible
+      val li = Tables.lineitem(s, d).withColumn("p_partkey", col("l_partkey"))
+      val pt = Tables.part(s, d)
+      Skew.saltedJoin(li, pt, Seq("p_partkey"),
+          col("l_orderkey") * 10 + col("l_linenumber"), 16)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Cols.sumDec4(graft.functions.Cols.dec2(col("l_extendedprice"))
+            * (graft.functions.Cols.dec2(lit(1)) - graft.functions.Cols.dec2(col("l_discount"))))
+            .as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
@@ -742,6 +754,13 @@ object SparkEntry {
         |SELECT decile, CAST(bucket AS DOUBLE) * 1000.0 AS value_lo,
         |  (CAST(bucket AS DOUBLE) + 1) * 1000.0 AS value_hi
         |FROM sel ORDER BY decile""".stripMargin,
+
+    // Salting is invisible in the result: the oracle is the plain join.
+    "q_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${sumDisc("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // Salting is invisible in the result: the oracle is the plain group-by.
     "q_salted_agg" ->

@@ -149,4 +149,24 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"redact profile = scan → partial agg → final agg → sort:\n$p")
   }
+
+  test("salted join shuffles on (key, salt) and never broadcasts the replicated side") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf).withColumn("p_partkey", col("l_partkey"))
+    val p = planOf(Skew.saltedJoin(li, Tables.part(spark, sf), Seq("p_partkey"),
+      col("l_orderkey") * 10 + col("l_linenumber"), 16))
+    assert(!p.contains("BroadcastHashJoin"),
+      s"replicated side must not broadcast (that would defeat the salting):\n$p")
+    assert(p.contains("_salt"), p)
+    val partLine = p.linesIterator.find(l =>
+      l.contains("hashpartitioning") && l.contains("_salt")).getOrElse("")
+    assert(partLine.nonEmpty, s"join exchange must hash on the salt too:\n$p")
+  }
+
+  test("bm25 ranks via top-k, not a global sort, and tf prunes to the term set in the scan stage") {
+    val p = planOf(TextAnalysis.bm25TopDocs(Tables.documents(spark, sf), Seq("join", "filter"), 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("token#") && p.contains("IN (join,filter)") || p.contains("INSET"),
+      s"term filter must prune before the tf shuffle:\n$p")
+  }
 }
