@@ -66,8 +66,10 @@ class BloomFilterSpec extends SparkSpec {
     val tree = q.queryExecution.sparkPlan
     val physical = tree.toString
     assert(physical.contains("bloom_might_contain"), "probe expression missing from plan")
-    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"),
-      "bloom row should broadcast, not shuffle")
+    // the filter is an embedded literal: no join machinery of any kind may
+    // sit between the scan and the probe predicate
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "bloom must embed as a literal, not ride a nested-loop join")
     // the probe filter must sit UNDER the exact semi join: the whole point
     // is dropping rows before that join's exchange
     val semiJoinNodes = tree.collect {
