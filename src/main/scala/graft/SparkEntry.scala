@@ -152,6 +152,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q_deterministic_sample" -> ((s, d) => // content-addressed 1/5 corpus sample
       Sampling.sampleProfile(Tables.documents(s, d), 1, 5)),
+    "q_group_sample" -> ((s, d) => // exactly-k-per-source quota sample
+      Sampling.groupSampleProfile(Tables.documents(s, d), 40)),
     "q_simhash_near_dup" -> ((s, d) => // 48-bit simhash, exhaustive d ≤ 3
       Dedup.nearDupSimhash(Tables.documents(s, d), 3, Dedup.PortableHash, bits = 48)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -775,6 +777,18 @@ object SparkEntry {
       s"""SELECT source, count(*) AS sampled_docs, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
          |FROM documents
          |WHERE ${md5h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 5 < 1
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of Sampling.groupSample: rank by the salted content hash
+    // inside each source, keep the first 40 — same keys, same sample.
+    "q_group_sample" ->
+      s"""WITH r AS (
+         |  SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${md5h48("'gs:' || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+         |  FROM documents)
+         |SELECT source, count(*) AS sampled_docs, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+         |FROM r WHERE rn <= 40
          |GROUP BY source ORDER BY source""".stripMargin,
 
     // Complete mode replaces the sink with the full aggregation each batch:

@@ -31,4 +31,29 @@ object Sampling {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
       .orderBy(col("source"))
+
+  /** Exactly-k-per-group sample: rank each group's rows by a salted content
+    * hash (a deterministic shuffle of the group — same keys, same sample,
+    * any engine) and keep the first k. The fixed-quota complement to the
+    * rate-based [[hashSample]] (rates drift with group size; quotas pin the
+    * per-stratum budget — few-shot pools, eval slices, per-source caps).
+    *
+    * Scale shape: one hash-partitioned window per group, no global
+    * structure; the rank never leaves its exchange. At extreme group sizes
+    * the same contract runs as groupBy + a bounded top-k heap
+    * ([[graft.plans.TopKAggregate]]) instead of a full per-group sort. */
+  def groupSample(docs: DataFrame, groupCol: Column, keyCol: Column, k: Int,
+                  tag: String = "gs"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(Dedup.PortableHash(concat(lit(tag + ":"), keyCol.cast("string"))).asc,
+        keyCol.asc)
+    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-source profile of the exactly-k quota sample. */
+  def groupSampleProfile(docs: DataFrame, k: Int = 40): DataFrame =
+    groupSample(docs, col("source"), col("doc_id"), k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy(col("source"))
 }
