@@ -170,6 +170,8 @@ object SparkEntry {
     }),
     "q_embedding_quant" -> ((s, d) => // int8 scalar-quantization profile
       Quantize.quantStats(Tables.embeddings(s, d))),
+    "q_random_projection" -> ((s, d) => // JL sketch, hash-derived sign matrix
+      Similarity.randomProjection(Tables.embeddings(s, d), 8)),
     "q_quantized_knn" -> ((s, d) => { // integer-dot candidate stage of int8 ANN
       val emb = Tables.embeddings(s, d)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), 5)
@@ -1447,6 +1449,23 @@ object SparkEntry {
         |      x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))
         |  ELSE 0.0 END AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Mirror of Similarity.randomProjection: hash-parity sign matrix,
+    // micro-unit integer accumulation — pure integer arithmetic end-to-end.
+    // DuckDB's range/element-access replaces posexplode (1-based i).
+    "q_random_projection" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i1
+         |  FROM embeddings),
+         |d AS (SELECT unnest(range(0, 8)) AS j),
+         |c AS (
+         |  SELECT e.vec_id, d.j,
+         |    CAST(floor(CAST(embedding[i1] AS DOUBLE) * 1000000.0) AS BIGINT) *
+         |    (CASE WHEN ${md5h48("'rp:' || CAST(i1 - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 2 = 0
+         |          THEN 1 ELSE -1 END) AS contrib
+         |  FROM e CROSS JOIN d)
+         |SELECT vec_id, j, CAST(sum(contrib) AS BIGINT) AS proj_micro
+         |FROM c GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
 
     // Mirror of Quantize.quantizedTopK: the scoring is 64-bit INTEGER dot
     // products of the int8 codes — exactly portable, no IEEE anywhere.

@@ -342,6 +342,37 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions with a
+    * HASH-DERIVED sign matrix (Achlioptas '01 ±1 entries): s(i,j) is the
+    * parity of a portable 48-bit md5 of "tag:i:j", so the projection matrix
+    * is never materialized, never shipped, and identical on every engine —
+    * the database-friendly form of JL sketching (pairwise distances
+    * preserved within 1±ε at outDims = O(log n / ε²)).
+    *
+    * At 100 TB this is the cheap-embedding path: an 8-dim sketch is 1/8 of
+    * the scan+shuffle bytes for coarse clustering / blocking stages, with
+    * the full vector consulted only on survivors (same sketch→verify
+    * doctrine as LSH, bloom, Misra–Gries).
+    *
+    * Determinism: each element contribution is floor-quantized to integer
+    * micro-units BEFORE the per-(vector, j) sum — 64-bit integer adds in
+    * any order on any engine. One explode, one map-side-combined shuffle on
+    * (vec_id, j). */
+  def randomProjection(embeddings: DataFrame, outDims: Int = 8,
+                       tag: String = "rp"): DataFrame = {
+    val sign = when(
+      Dedup.PortableHash(concat_ws(":", lit(tag), col("i"), col("j"))) % 2 === 0, 1L)
+      .otherwise(-1L)
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("j", explode(sequence(lit(0), lit(outDims - 1))))
+      .select(col("vec_id"), col("j"),
+        (floor(col("v").cast("double") * 1000000.0) * sign).as("contrib"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("contrib")).as("proj_micro"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
   /** Mean vector per label — exercises array aggregation (element-wise mean
     * via posexplode + groupBy). Components are floor-quantized to exact
     * 1e-4-unit longs before summing, so the group means are independent of

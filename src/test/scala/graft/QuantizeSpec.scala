@@ -40,6 +40,40 @@ class QuantizeSpec extends SparkSpec {
     assert(got == want && got == Seq(1L * 4 - 2 * 5 - 3 * 6, -127L * 127 + 127L * 127, 0L))
   }
 
+  test("random projection is partition-invariant and roughly distance-preserving") {
+    val emb = Tables.embeddings(spark, sf)
+    val p1 = Similarity.randomProjection(emb, 8)
+    val p2 = Similarity.randomProjection(emb.repartition(13), 8)
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+
+    // JL sanity on a sample of pairs: sketch distance must correlate with
+    // full distance. The synthetic embeddings are near-isotropic, so
+    // pairwise distances CONCENTRATE (tiny cross-pair variance) and a
+    // coarse 8-dim sketch shows weak correlation by nature; 32 dims keeps
+    // the test meaningful while still exercising the same operator.
+    val sk = Similarity.randomProjection(emb, 32).groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("j"), col("proj_micro"))).as("ps"))
+      .select(col("vec_id"),
+        transform(array_sort(col("ps")), p => p.getField("proj_micro").cast("double") / 1e6).as("sk"))
+    val full = emb.select(col("vec_id"), col("embedding"))
+    val pairs = sk.join(full, "vec_id").where(col("vec_id") < 40)
+    val a = pairs.select(col("vec_id").as("ida"), col("sk").as("ska"), col("embedding").as("ea"))
+    val b = pairs.select(col("vec_id").as("idb"), col("sk").as("skb"), col("embedding").as("eb"))
+    def d2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (u, v) => (u.cast("double") - v.cast("double"))
+        * (u.cast("double") - v.cast("double"))), lit(0.0), (acc, v) => acc + v)
+    val ds = a.crossJoin(b).where(col("ida") < col("idb"))
+      .select(d2(col("ska"), col("skb")).as("dsk"), d2(col("ea"), col("eb")).as("dfull"))
+      .collect()
+    val corr = {
+      val xs = ds.map(_.getDouble(0)); val ys = ds.map(_.getDouble(1))
+      val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      cov / math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    }
+    assert(corr > 0.3, s"JL sketch uncorrelated with full distance: corr=$corr")
+  }
+
   test("quantized candidate ranking agrees closely with float cosine ranking") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 5)
