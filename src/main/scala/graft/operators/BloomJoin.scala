@@ -49,8 +49,9 @@ object BloomJoin {
     val prefiltered = big
       .where(BloomFilter.mightContainCol(lit(bloomBytes), xxhash64(col(bigKey))))
     // exact verification: false positives out, duplicates in `small` must
-    // not multiply `big` rows — hence semi, not inner
-    prefiltered.join(small, col(bigKey) === small(smallKey), "left_semi")
+    // not multiply `big` rows — hence semi, not inner. Dataset-qualified
+    // refs keep the condition unambiguous when bigKey == smallKey.
+    prefiltered.join(small, prefiltered(bigKey) === small(smallKey), "left_semi")
   }
 
   /** Registered query: revenue of line items belonging to high-value orders

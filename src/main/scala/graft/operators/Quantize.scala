@@ -50,9 +50,11 @@ object Quantize {
       .select(col("vec_id"), col("label"), col("embedding"),
         scaleOf(col("embedding")).as("__scale"))
       .select(col("vec_id"), col("label"), scale.as("scale"),
-        aggregate(transform(col("embedding"),
-            x => abs(floor(x.cast("double") * scale + 0.5).cast("long"))),
+        aggregate(transform(codes(col("embedding"), scale), q => abs(q)),
           lit(0L), (acc, v) => acc + v).as("q_l1"),
+        // err must pair each element with ITS code, so the code expression
+        // is re-stated inside the per-element lambda (codes() returns the
+        // whole array; zip-free form keeps one pass)
         when(scale > 0.0,
           array_max(transform(col("embedding"),
             x => abs(x.cast("double") - floor(x.cast("double") * scale + 0.5) / scale))))

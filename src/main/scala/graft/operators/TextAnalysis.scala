@@ -167,19 +167,22 @@ object TextAnalysis {
     * addition — partition-order-proof and engine-portable; one IEEE divide
     * renders the final double.
     *
-    * Scale shape: tokens explode once; tf of the query terms is a filtered
-    * map-side-combined agg (the `isin` prunes before the shuffle — query
-    * terms are a constant handful, so the tf/df tables are tiny); doc
-    * lengths ride the same token table; globals broadcast; final ranking
-    * is a top-k (TakeOrderedAndProject), not a global sort. */
+    * Scale shape: tokens explode once and MATERIALIZE once (three
+    * consumers — doc lengths, the corpus token total, and tf — would each
+    * re-run the scan+explode otherwise); tf of the query terms is a
+    * filtered map-side-combined agg (the `isin` prunes before the shuffle —
+    * query terms are a constant handful, so the tf/df tables are tiny);
+    * globals broadcast; final ranking is a top-k (TakeOrderedAndProject),
+    * not a global sort. */
   def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 10,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tokens = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
+      .localCheckpoint()
     val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val globals = tokens.agg(count(lit(1)).as("n_tokens"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(docs.select(col("doc_id")).agg(count(lit(1)).as("n_docs")))
       .select((col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avgdl"),
         col("n_docs"))
     val tf = tokens.where(col("token").isin(terms: _*))

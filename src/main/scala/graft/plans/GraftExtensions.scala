@@ -47,9 +47,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => IntVectorDot(exprs(0), exprs(1)))
 
   /** Sizing args must be literals (they shape the aggregation buffer). */
-  private def litInt(e: Expression, what: String): Int = e.eval(null) match {
-    case n: Number => n.intValue()
-    case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+  private def litInt(e: Expression, what: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a literal int, got ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+    }
   }
 
   val bloomBuildDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -166,7 +166,7 @@ class PlanSpec extends SparkSpec {
   test("bm25 ranks via top-k, not a global sort, and tf prunes to the term set in the scan stage") {
     val p = planOf(TextAnalysis.bm25TopDocs(Tables.documents(spark, sf), Seq("join", "filter"), 10))
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("token#") && p.contains("IN (join,filter)") || p.contains("INSET"),
+    assert(p.contains("token#") && (p.contains("IN (join,filter)") || p.contains("INSET")),
       s"term filter must prune before the tf shuffle:\n$p")
   }
 }
