@@ -154,6 +154,19 @@ object SparkEntry {
       Sampling.sampleProfile(Tables.documents(s, d), 1, 5)),
     "q_group_sample" -> ((s, d) => // exactly-k-per-source quota sample
       Sampling.groupSampleProfile(Tables.documents(s, d), 40)),
+    "q_incremental_dedup" -> ((s, d) => { // new batch vs corpus, bloom anti join
+      val docs = Tables.documents(s, d)
+      val inBatch = Dedup.PortableHash(
+        concat(lit("batch:"), col("doc_id").cast("string"))) % 5 < 1
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("source"), col("n_chars"),
+          md5(lower(col("text"))).as("fingerprint"))
+      val admitted = BloomJoin.antiJoin(
+        fp(docs.where(inBatch)), fp(docs.where(!inBatch)), "fingerprint", "fingerprint")
+      admitted.groupBy(col("source"))
+        .agg(count(lit(1)).as("admitted_docs"), sum(col("n_chars")).as("admitted_chars"))
+        .orderBy(col("source"))
+    }),
     "q_simhash_near_dup" -> ((s, d) => // 48-bit simhash, exhaustive d ≤ 3
       Dedup.nearDupSimhash(Tables.documents(s, d), 3, Dedup.PortableHash, bits = 48)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -779,6 +792,20 @@ object SparkEntry {
       s"""SELECT source, count(*) AS sampled_docs, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
          |FROM documents
          |WHERE ${md5h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 5 < 1
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // The bloom split is invisible (a miss is authoritative, maybe-hits are
+    // exactly anti-joined): the oracle is the plain NOT EXISTS between the
+    // deterministic batch sample and its complement, on text fingerprints.
+    "q_incremental_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source, n_chars, md5(lower(text)) AS fp,
+         |    ${md5h48("'batch:' || CAST(doc_id AS VARCHAR)")} % 5 < 1 AS in_batch
+         |  FROM documents)
+         |SELECT source, count(*) AS admitted_docs, CAST(sum(n_chars) AS BIGINT) AS admitted_chars
+         |FROM m b
+         |WHERE in_batch AND NOT EXISTS (
+         |  SELECT 1 FROM m c WHERE NOT c.in_batch AND c.fp = b.fp)
          |GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirror of Sampling.groupSample: rank by the salted content hash

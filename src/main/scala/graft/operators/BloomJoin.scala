@@ -54,6 +54,28 @@ object BloomJoin {
     prefiltered.join(small, prefiltered(bigKey) === small(smallKey), "left_semi")
   }
 
+  /** Anti join `big ▷ small` (rows of `big` with NO match in `small`),
+    * bloom-accelerated. The bloom flips roles here: a probe row whose key
+    * the filter has DEFINITELY not seen (no false negatives ⟹ a miss is
+    * authoritative) passes straight through with no join at all; only the
+    * maybe-seen sliver — true matches plus ~fpp of the rest — pays the
+    * exact anti join. This is the incremental-dedup shape: admit a new
+    * batch against a 100 TB corpus key set where matches are rare, and the
+    * exchange carries ~(match rate + fpp) of the batch instead of all of
+    * it. Output ≡ the plain anti join (the union branches partition the
+    * batch; each resolves membership exactly). */
+  def antiJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+               numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
+    val bloomBytes = small
+      .agg(BloomFilter.build(xxhash64(col(smallKey)), numBits, numHashes).as("__bloom"))
+      .head().getAs[Array[Byte]]("__bloom")
+    val maybeSeen = BloomFilter.mightContainCol(lit(bloomBytes), xxhash64(col(bigKey)))
+    val definitelyNew = big.where(!maybeSeen)
+    val candidates = big.where(maybeSeen)
+    val rescued = candidates.join(small, candidates(bigKey) === small(smallKey), "left_anti")
+    definitelyNew.unionByName(rescued)
+  }
+
   /** Registered query: revenue of line items belonging to high-value orders
     * (o_totalprice above `cutoff`), per return flag. The order-key set at
     * 100 TB is far past broadcast size; the bloom pre-filter keeps the

@@ -58,6 +58,18 @@ class BloomFilterSpec extends SparkSpec {
     assert(viaBloom.count() > 0)
   }
 
+  test("bloom anti join equals the plain anti join, including same-name keys") {
+    val docs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("key"), col("l_linenumber"))
+    val existing = Tables.orders(spark, sf)
+      .where(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey").as("key"))
+    val viaBloom = BloomJoin.antiJoin(docs, existing, "key", "key")
+    val plain = docs.join(existing, docs("key") === existing("key"), "left_anti")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+    assert(viaBloom.count() > 0 && viaBloom.count() < docs.count())
+  }
+
   test("probe stays codegen'd and the filter broadcasts (plan shape)") {
     val q = BloomJoin.highValueLineitemRevenue(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf))
