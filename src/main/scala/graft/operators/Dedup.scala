@@ -127,8 +127,13 @@ object Dedup {
   /** (doc_id, sig) signature table — sig is an array of NumHashes longs;
     * h_i(s) = (a_i * hash(s) mod p + b_i) mod p, minimized over shingles.
     * Explode → 64 codegen'd min-aggregates → array (see class doc). */
-  def signatures(docs: DataFrame, hash: HashFn = FastHash): DataFrame = {
-    val hashed = shingleRows(docs)
+  def signatures(docs: DataFrame, hash: HashFn = FastHash): DataFrame =
+    signaturesOnShingles(shingleRows(docs), hash)
+
+  /** [[signatures]] over a pre-built (doc_id, shingle) table — callers that
+    * also verify exactly share one shingle pass. */
+  def signaturesOnShingles(shingleTable: DataFrame, hash: HashFn = FastHash): DataFrame = {
+    val hashed = shingleTable
       .select(col("doc_id"), pmod(hash(col("shingle")), lit(MinhashPrime)).as("h"))
     val minCols = (0 until NumHashes).map { i =>
       val (a, b) = perms(i)
@@ -147,8 +152,16 @@ object Dedup {
     * (m₀·2³¹ + m₁) — as compact as hashing the slice but exact, and
     * reproducible in plain SQL. */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5,
-                     hash: HashFn = FastHash): DataFrame = {
-    val sigs  = signatures(docs, hash)
+                     hash: HashFn = FastHash): DataFrame =
+    nearDupMinhashOnSignatures(signatures(docs, hash), threshold)
+
+  /** [[nearDupMinhash]] from a signature table. The signatures are
+    * materialized first: the plan references them through FOUR alias-renamed
+    * branches (both sides of the band self-join plus the two estimate
+    * joins), and alias renames defeat exchange reuse — without the
+    * checkpoint the 64-min-agg over exploded shingles runs four times. */
+  def nearDupMinhashOnSignatures(sigTable: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs  = sigTable.localCheckpoint()
     val bands = NumHashes / BandRows
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -200,12 +213,17 @@ object Dedup {
         Cols.asDec4(inter / union).as("jaccard"))
   }
 
-  /** End-to-end near-dup pipeline: LSH candidates → exact Jaccard ≥ t. */
+  /** End-to-end near-dup pipeline: LSH candidates → exact Jaccard ≥ t.
+    * One shingle pass feeds both candidate generation and verification. */
   def nearDupVerified(docs: DataFrame, estThreshold: Double = 0.3,
-                      exactThreshold: Double = 0.5, hash: HashFn = FastHash): DataFrame =
-    verifyJaccard(docs, nearDupMinhash(docs, estThreshold, hash).select(col("doc_a"), col("doc_b")))
+                      exactThreshold: Double = 0.5, hash: HashFn = FastHash): DataFrame = {
+    val sh = shingleRows(docs).localCheckpoint()
+    val cands = nearDupMinhashOnSignatures(signaturesOnShingles(sh, hash), estThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    verifyJaccardOnShingles(sh, cands)
       .where(col("jaccard") >= exactThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
     * AllPairs/PPJoin family: Bayardo et al., "Scaling Up All Pairs
