@@ -125,9 +125,12 @@ object Similarity {
     * norms precomputed per vector. */
   def annCosineLsh(embeddings: DataFrame, minCosine: Double = 0.8,
                    numPlanes: Int = NumPlanes): DataFrame = {
+    // materialize before the self-join: the interpreted numPlanes×dim
+    // bucket-code fold would otherwise run once per alias branch
     val coded = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       bucketCode(col("embedding"), numPlanes).as("bucket"))
+      .localCheckpoint()
     val l = coded.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val r = coded.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -164,9 +167,12 @@ object Similarity {
     }
     val coded = embeddings.select(
       Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")) ++ codes: _*)
+    // materialized for the same alias-branch reason as [[annCosineLsh]] —
+    // here the fold is numTables×planesPerTable×dim per row
     val tagged = coded.select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(array((0 until numTables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "bucket")))
+      .localCheckpoint()
     val l = tagged.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val r = tagged.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"),
