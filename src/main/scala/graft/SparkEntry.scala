@@ -244,6 +244,10 @@ object SparkEntry {
       Multimodal.mediaProfile(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     "q_media_features" -> ((s, d) => // decode → feature-extract → profile
       Multimodal.featureProfile(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    "q_frame_sample" -> ((s, d) => // per-video frame-selection plan
+      Multimodal.frameSamplePlan(Multimodal.mediaFromDocuments(Tables.documents(s, d)), 30)),
+    "q_resize_plan" -> ((s, d) => // integer-exact aspect-fit resize planning
+      Multimodal.resizePlan(Multimodal.mediaFromDocuments(Tables.documents(s, d)), 256, 256)),
 
     // --- structured streaming (T1/T2/T8: real streaming query, append mode,
     //     memory sink; emits exactly the watermark-closed windows)
@@ -1642,6 +1646,37 @@ object SparkEntry {
     // Mirror of Multimodal.{mediaFromDocuments, DeterministicFakeDecoder,
     // mediaProfile}: metadata is a pure function of byte length and the
     // portable 48-bit md5 value of the payload.
+    // Mirror of Multimodal.frameSamplePlan over the fake-decoded metadata
+    // (frames = 1 + byte_len % 300 for videos): integer floor arithmetic.
+    "q_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    1 + strlen(text) % 300 AS frames
+        |  FROM documents)
+        |SELECT media_id, CAST(frames AS BIGINT) AS frames,
+        |  CAST(floor((frames - 1) / 30) + 1 AS BIGINT) AS sampled_frames
+        |FROM m WHERE kind = 'video' ORDER BY media_id""".stripMargin,
+
+    // Mirror of Multimodal.resizePlan: width/height from the md5-derived
+    // fake decode, aspect-fit bound chosen by cross-multiplication, floored
+    // integer scaling — no float ratios on either engine.
+    "q_resize_plan" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |    64 + ${md5h48("text")} % 1024 AS w,
+         |    64 + (${md5h48("text")} // 7) % 1024 AS h
+         |  FROM documents)
+         |SELECT media_id, kind, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN w
+         |    WHEN 256 * h <= 256 * w THEN 256
+         |    ELSE floor(w * 256 / h) END AS BIGINT) AS out_w,
+         |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN h
+         |    WHEN 256 * h <= 256 * w THEN floor(h * 256 / w)
+         |    ELSE 256 END AS BIGINT) AS out_h
+         |FROM m ORDER BY media_id""".stripMargin,
+
     "q_media_profile" ->
       s"""WITH m AS (
          |  SELECT doc_id AS media_id,

@@ -118,6 +118,41 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Frame-sample plan: every `stride`-th frame index per video (frame 0
+    * always included) — the selection stage ahead of per-frame decode in a
+    * video pipeline. Emitting (media_id, frame_idx) rows rather than
+    * decoded frames keeps the plan a pure metadata transform: the explode
+    * multiplies rows BEFORE the expensive decode, so Spark schedules the
+    * per-frame work with full parallelism instead of one task per video. */
+  def frameSamplePlan(media: DataFrame, stride: Int = 30): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    decodeAll(media).where(col("kind") === "video")
+      .select(col("media_id"), col("frames").cast("long").as("frames"),
+        (floor((col("frames") - 1) / stride) + 1).as("sampled_frames"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Resize plan: fit each frame inside `maxW`×`maxH` preserving aspect
+    * ratio, via INTEGER-exact arithmetic (the bound side is chosen by
+    * cross-multiplying, the scaled side floors — no float ratios, so any
+    * engine agrees on every output dimension). The pixel work belongs to
+    * the decoder; this is the planning stage that sizes buffers and
+    * shuffle volume before it. */
+  def resizePlan(media: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val fits = w <= maxW && h <= maxH
+    // width-bound iff maxW/w <= maxH/h  ⟺  maxW*h <= maxH*w
+    val widthBound = lit(maxW.toLong) * h <= lit(maxH.toLong) * w
+    decodeAll(media)
+      .select(col("media_id"), col("kind"), w.as("width"), h.as("height"),
+        when(fits, w).otherwise(when(widthBound, lit(maxW.toLong))
+          .otherwise(floor(w * maxH / h))).as("out_w"),
+        when(fits, h).otherwise(when(widthBound, floor(h * maxW / w))
+          .otherwise(lit(maxH.toLong))).as("out_h"))
+      .orderBy(col("media_id"))
+  }
+
   /** Metadata profile per kind — the downstream aggregate a pipeline would
     * use for partitioning decisions (e.g. bytes per partition budget). */
   def mediaProfile(media: DataFrame): DataFrame = {
