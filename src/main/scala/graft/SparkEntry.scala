@@ -77,6 +77,12 @@ object SparkEntry {
           (col("total").cast("double") / 100.0).as("total_value"), col("rows"))
         .orderBy(col("event_type"))
     }),
+    "q_table_checksum" -> ((s, d) => { // order-independent migration digest
+      val li = Tables.lineitem(s, d)
+      DataQuality.tableChecksum(li, Seq(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        graft.functions.Cols.cents(col("l_extendedprice"))))
+    }),
     "q_salted_join" -> ((s, d) => { // skew-spread shuffle join, salt invisible
       val li = Tables.lineitem(s, d).withColumn("p_partkey", col("l_partkey"))
       val pt = Tables.part(s, d)
@@ -775,6 +781,17 @@ object SparkEntry {
         |SELECT decile, CAST(bucket AS DOUBLE) * 1000.0 AS value_lo,
         |  (CAST(bucket AS DOUBLE) + 1) * 1000.0 AS value_hi
         |FROM sel ORDER BY decile""".stripMargin,
+
+    // Mirror of DataQuality.tableChecksum: identical canonical rendering
+    // (longs and strings joined by '|', money as integer cents), identical
+    // 48-bit md5, reduced by the same order-free lanes.
+    "q_table_checksum" ->
+      s"""WITH h AS (
+         |  SELECT ${md5h48("l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")} AS h
+         |  FROM lineitem)
+         |SELECT count(*) AS rows, CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+         |  min(h) AS min_hash, max(h) AS max_hash
+         |FROM h""".stripMargin,
 
     // Salting is invisible in the result: the oracle is the plain join.
     "q_salted_join" ->

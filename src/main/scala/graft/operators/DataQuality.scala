@@ -43,6 +43,32 @@ object DataQuality {
       .orderBy(col("check_name"))
   }
 
+  /** Order-independent table checksum over an explicit canonical key list —
+    * the cross-engine / cross-cluster migration validator: run it on both
+    * sides of a copy (or before/after a rewrite) and compare one row.
+    *
+    * Each row renders its listed columns to a canonical '|'-joined string
+    * (the caller chooses renderings that are engine-stable: longs, strings,
+    * integer cents — never raw doubles), hashes it with the portable 48-bit
+    * md5, and the table reduces by count + bit_xor + min + max of the row
+    * hashes. XOR/min/max/count are commutative, associative and
+    * overflow-free, so the digest is independent of row order, partitioning
+    * and engine, at any scale (a SUM digest would overflow 64-bit wraparound
+    * differently per engine). Caveat, as with any XOR digest: an even
+    * number of IDENTICAL rows cancels out of the xor lane — the count and
+    * min/max lanes still move, and fully duplicate rows should be rare in
+    * keyed tables.
+    *
+    * One scan, map-side-combined — the cheapest full-table integrity check
+    * that exists at 100 TB. */
+  def tableChecksum(df: DataFrame, canonicalCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(Dedup.PortableHash(concat_ws("|", canonicalCols: _*)).as("h"))
+      .agg(
+        count(lit(1)).as("rows"),
+        bit_xor(col("h")).as("xor_digest"),
+        min(col("h")).as("min_hash"),
+        max(col("h")).as("max_hash"))
+
   /** Validation report for the documents corpus. */
   def documentsReport(docs: DataFrame): DataFrame = {
     val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
