@@ -160,6 +160,8 @@ object SparkEntry {
       Sampling.sampleProfile(Tables.documents(s, d), 1, 5)),
     "q_group_sample" -> ((s, d) => // exactly-k-per-source quota sample
       Sampling.groupSampleProfile(Tables.documents(s, d), 40)),
+    "q_train_split" -> ((s, d) => // deterministic 8/1/1 train/val/test census
+      Sampling.splitProfile(Tables.documents(s, d), 8, 1, 10)),
     "q_incremental_dedup" -> ((s, d) => { // new batch vs corpus, bloom anti join
       val docs = Tables.documents(s, d)
       val inBatch = Dedup.PortableHash(
@@ -828,6 +830,18 @@ object SparkEntry {
          |WHERE in_batch AND NOT EXISTS (
          |  SELECT 1 FROM m c WHERE NOT c.in_batch AND c.fp = b.fp)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of Sampling.withSplit: md5h48 bucket against cumulative
+    // rational thresholds — same key, same split, any engine.
+    "q_train_split" ->
+      s"""WITH b AS (
+         |  SELECT source, n_chars,
+         |    ${md5h48("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+         |  source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM b GROUP BY split, source ORDER BY split, source""".stripMargin,
 
     // Mirror of Sampling.groupSample: rank by the salted content hash
     // inside each source, keep the first 40 — same keys, same sample.

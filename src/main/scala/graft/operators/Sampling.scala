@@ -50,6 +50,32 @@ object Sampling {
     docs.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic train/validation/test assignment: the split is a pure
+    * function of the content key (md5₄₈ mod `den` against cumulative
+    * thresholds), so every engine, run, and table agrees on membership —
+    * the property that keeps eval sets uncontaminated when the corpus is
+    * re-processed. Thresholds are rationals over one denominator
+    * (train < t1 ≤ val < t2 ≤ test = den). A per-row projection: no
+    * shuffle, rides the scan. */
+  def withSplit(df: DataFrame, keyCol: Column, trainNum: Int, valNum: Int,
+                den: Int, tag: String = "split"): DataFrame = {
+    require(trainNum >= 0 && valNum >= 0 && trainNum + valNum <= den,
+      "split fractions must satisfy train + val <= den")
+    val bucket = Dedup.PortableHash(concat(lit(tag + ":"), keyCol.cast("string"))) % den
+    df.withColumn("split",
+      when(bucket < trainNum, "train")
+        .when(bucket < trainNum + valNum, "val")
+        .otherwise("test"))
+  }
+
+  /** Split × source census — the contamination-audit view of a split. */
+  def splitProfile(docs: DataFrame, trainNum: Int = 8, valNum: Int = 1,
+                   den: Int = 10): DataFrame =
+    withSplit(docs, col("doc_id"), trainNum, valNum, den)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("split"), col("source"))
+
   /** Per-source profile of the exactly-k quota sample. */
   def groupSampleProfile(docs: DataFrame, k: Int = 40): DataFrame =
     groupSample(docs, col("source"), col("doc_id"), k)
