@@ -51,6 +51,10 @@ object SparkEntry {
       EventAnalytics.lastWindowCounts(Tables.events(s, d), 86400).orderBy(col("event_type"))),
     "q_heavy_hitters" -> ((s, d) => // Misra-Gries sketch -> exact verify
       HeavyHitters.heavyEntities(Tables.events(s, d), 127)),
+    "q_daily_retention" -> ((s, d) => // day-over-day cohort retention
+      EventAnalytics.dailyRetention(Tables.events(s, d))),
+    "q_session_funnel" -> ((s, d) => // ordered view->click->purchase funnel
+      EventAnalytics.sessionFunnel(Tables.events(s, d))),
     "q_bm25_top_docs" -> ((s, d) => // BM25 ranking, fixed query-term set
       TextAnalysis.bm25TopDocs(Tables.documents(s, d), Seq("join", "filter", "stream"), 10)),
 
@@ -648,6 +652,44 @@ object SparkEntry {
         |SELECT k, count(*) AS purchases,
         |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
         |FROM p GROUP BY k ORDER BY revenue DESC, k ASC LIMIT 10""".stripMargin,
+
+    // Mirror of EventAnalytics.dailyRetention: distinct (user, day) then a
+    // self-semi-join on (user, day+1).
+    "q_daily_retention" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec
+         |  FROM events),
+         |ret AS (
+         |  SELECT day_sec, count(*) AS retained FROM a
+         |  WHERE EXISTS (SELECT 1 FROM a n
+         |    WHERE n.user_id = a.user_id AND n.day_sec = a.day_sec + 86400)
+         |  GROUP BY day_sec),
+         |act AS (SELECT day_sec, count(*) AS active FROM a GROUP BY day_sec)
+         |SELECT act.day_sec, active, retained,
+         |  ${pct("retained", "active")} AS retention_pct
+         |FROM ret JOIN act USING (day_sec)
+         |ORDER BY day_sec""".stripMargin,
+
+    // Mirror of EventAnalytics.sessionFunnel over the shared session CTE:
+    // earliest stage timestamps per session, ordered-stage predicates.
+    "q_session_funnel" ->
+      (sessionCte.replaceAll(",\\s*sm AS \\([\\s\\S]*$", "") +
+        """, st AS (
+          |  SELECT user_id, session_id,
+          |    min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t_view,
+          |    min(CASE WHEN event_type = 'click' THEN ts_sec END) AS t_click,
+          |    min(CASE WHEN event_type = 'purchase' THEN ts_sec END) AS t_purchase
+          |  FROM sess GROUP BY user_id, session_id)
+          |SELECT count(*) AS sessions,
+          |  count(*) FILTER (WHERE t_view IS NOT NULL) AS reached_view,
+          |  count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+          |    AND t_click >= t_view) AS reached_click,
+          |  count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+          |    AND t_click >= t_view AND t_purchase IS NOT NULL
+          |    AND t_purchase >= t_click) AS reached_purchase
+          |FROM st""".stripMargin),
 
     // The MG sketch is invisible in the result (candidate superset + exact
     // recount): the oracle is the plain GROUP BY ... HAVING census.

@@ -155,6 +155,50 @@ object EventAnalytics {
   def withParsedProps(events: DataFrame): DataFrame =
     events.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
 
+  /** Day-over-day retention: of the users active on day d, the fraction
+    * also active on day d+1 — the canonical cohort health metric. Shape:
+    * one distinct over (user, day) — a single shuffle with map-side
+    * combine — then an equi-join of that small table against its own
+    * next-day shift (never a cross join; the join key is (user, day+1)),
+    * and a per-day aggregate. At 100 TB the distinct is the only pass over
+    * raw events; everything after runs on |users|·|days| rows. */
+  def dailyRetention(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), (col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec"))
+      .distinct()
+      .localCheckpoint() // referenced by both sides of the shift join
+    val next = active.select(col("user_id"), (col("day_sec") - 86400L).as("day_sec"))
+    active.join(next, Seq("user_id", "day_sec"), "left_semi")
+      .groupBy(col("day_sec")).agg(count(lit(1)).as("retained"))
+      .join(active.groupBy(col("day_sec")).agg(count(lit(1)).as("active")), Seq("day_sec"))
+      .select(col("day_sec"), col("active"), col("retained"),
+        Cols.pct4(col("retained"), col("active")).as("retention_pct"))
+      .orderBy(col("day_sec"))
+  }
+
+  /** Session funnel: how far each gap-rule session progressed along
+    * view → click → purchase IN TIME ORDER (a click only counts after the
+    * first view; a purchase only after that click). One pass computes the
+    * earliest timestamp per stage per session (conditional min — no pivot,
+    * no re-scan), then the stage comparison is a projection. */
+  def sessionFunnel(events: DataFrame, gapSeconds: Long = Sessionize.DefaultGapSeconds): DataFrame = {
+    val s = Sessionize.withSessionId(events, gapSeconds)
+    val stages = s.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_sec"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_sec"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_sec"))).as("t_purchase"))
+    // stage predicates: each requires the previous stage strictly started
+    val reachedView = col("t_view").isNotNull
+    val reachedClick = reachedView && col("t_click").isNotNull && col("t_click") >= col("t_view")
+    val reachedPurchase = reachedClick && col("t_purchase").isNotNull && col("t_purchase") >= col("t_click")
+    stages.agg(
+      count(lit(1)).as("sessions"),
+      Cols.countWhen(reachedView).as("reached_view"),
+      Cols.countWhen(reachedClick).as("reached_click"),
+      Cols.countWhen(reachedPurchase).as("reached_purchase"))
+  }
+
   /** First/last event per user (reference A8 `first(col)` intent,
     * streaming_processor.py:382-383, made deterministic: min_by/max_by on
     * the monotone event_id instead of order-dependent first()). */
