@@ -64,6 +64,7 @@ object SparkEntry {
     "q3_top_orders" -> ((s, d) => Relational.topOrdersByRevenue(s, d)),
     "q_semi_join" -> ((s, d) => Relational.customersWithOrders(s, d)),
     "q_anti_join" -> ((s, d) => Relational.customersWithoutBigOrders(s, d)),
+    "q_outer_join_audit" -> ((s, d) => Relational.outerJoinAudit(s, d)),
     "q_bloom_semi_join" -> ((s, d) => // runtime-filter semi join (bloom prefilter)
       BloomJoin.highValueLineitemRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_window_topn" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
@@ -754,6 +755,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_outer_join_audit" ->
+      """WITH o AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |            WHEN c_custkey IS NOT NULL THEN 'customer_only'
+        |            ELSE 'order_only' END AS presence,
+        |  count(*) AS keys
+        |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+        |GROUP BY presence ORDER BY presence""".stripMargin,
 
     // The bloom prefilter is invisible in the result (no false negatives;
     // false positives removed by the exact semi join): oracle is the plain

@@ -91,6 +91,28 @@ object Relational {
       .agg(count(lit(1)).as("customers_with_orders"))
       .orderBy(col("c_mktsegment"))
 
+  /** FULL OUTER join audit: reconcile two keyed tables into a
+    * both/left-only/right-only census — the referential-integrity check a
+    * migration runs between systems of record. The outer join plans as a
+    * sort-merge on the key (the only join type that cannot broadcast one
+    * side away, since BOTH sides' unmatched rows survive); the census
+    * aggregate rides the same exchange. The right side is pre-filtered to
+    * high-value orders so `customer_only` is non-empty; `order_only` stays
+    * absent while the orders→customer foreign key holds — its appearance IS
+    * the integrity violation this audit exists to surface. */
+  def outerJoinAudit(spark: SparkSession, dir: String, threshold: Double = 450000.0): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).where(col("o_totalprice") > threshold)
+      .select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("order_only").as("presence"))
+      .groupBy(col("presence")).agg(count(lit(1)).as("keys"))
+      .orderBy(col("presence"))
+  }
+
   /** Customers with no high-value order — left ANTI join (NOT EXISTS). The
     * build side is pre-filtered (threshold pushes into the orders scan), so
     * the anti join probes a small hash relation. (Plain "no orders at all"
