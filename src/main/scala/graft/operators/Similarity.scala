@@ -348,6 +348,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Write-time IVF layout: persist the corpus PARTITIONED BY its nearest
+    * cell id — the at-rest form of [[ivfTopK]]'s cell assignment that the
+    * scaladoc there promises for 100 TB. Paying the assignment once at
+    * write time turns every subsequent probe into a partition-PRUNED scan:
+    * the directory listing alone eliminates (numCells − nprobe)/numCells of
+    * the corpus before a single byte is read. */
+  def writeCellPartitioned(corpus: DataFrame, dir: String, numCells: Int = 16): Unit =
+    assignCells(corpus.select(col("vec_id"), col("embedding")),
+        broadcast(seedCentroids(corpus, numCells)))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+
+  /** Probe a [[writeCellPartitioned]] layout: rank cells per query against
+    * the SAME deterministic centroids, collect the probe-cell union (a
+    * |queries|·nprobe-element list — driver-side by design, it becomes the
+    * partition filter), and score only inside the pruned partitions.
+    * Identical ranking contract to [[ivfTopK]]. */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                         numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(seedCentroids(corpus, numCells))
+    val probeScored = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+      .crossJoin(cents)
+      .withColumn("c_dot", fvecDot(col("q_emb"), col("c_emb")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("c_dot").desc, col("cell_id").asc)
+    val probes = probeScored.withColumn("cr", row_number().over(pw))
+      .where(col("cr") <= nprobe)
+      .select(col("cell_id"), col("query_id"), col("q_emb"), col("q_nrm"))
+      .localCheckpoint() // two consumers: the partition filter and the join
+    val probeCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)) // the partition-pruning predicate
+    val cells = spark.read.parquet(dir)
+      .where(col("cell_id").isin(probeCells: _*)) // prunes at the LISTING
+      .select(col("cell_id"), col("vec_id").as("corpus_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id").as("neighbor_id"),
+        (fvecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        Cols.asDec4(col("cos")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDims` dimensions with a
     * HASH-DERIVED sign matrix (Achlioptas '01 ±1 entries): s(i,j) is the
     * parity of a portable 48-bit md5 of "tag:i:j", so the projection matrix

@@ -57,4 +57,26 @@ class BucketingSpec extends SparkSpec {
     val up = unbucketed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(up.contains("Exchange") || up.contains("Broadcast"))
   }
+
+  test("IVF write-time layout: probe scan is partition-pruned and matches the in-memory index") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    operators.Similarity.writeCellPartitioned(emb, dir, numCells = 16)
+
+    val queries = emb.where(col("vec_id") < 3)
+    val viaLayout = operators.Similarity.ivfTopKPartitioned(
+      spark, dir, emb, queries, k = 5, numCells = 16, nprobe = 2)
+    // the pruned probe must equal the in-memory index probed with the same
+    // centroids and nprobe (same deterministic assignment + tie rules)
+    val inMemory = operators.Similarity.ivfTopK(emb, queries, k = 5,
+      numCells = 16, nprobe = 2)
+    assert(viaLayout.exceptAll(inMemory).isEmpty && inMemory.exceptAll(viaLayout).isEmpty)
+
+    // and the scan itself must prune: PartitionFilters on cell_id, with
+    // fewer partitions read than written
+    val plan = viaLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"probe scan must carry a cell_id partition filter:\n$plan")
+  }
 }
