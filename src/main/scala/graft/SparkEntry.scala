@@ -286,7 +286,9 @@ object SparkEntry {
   // decode) — the driver records a rows-only check for those.
   // ----------------------------------------------------------------------
 
-  private val sessionCte =
+  // gap-rule sessionization CTEs (events → sess), shared by every
+  // session-scoped oracle; sessionCte adds the per-session metrics (sm)
+  private val sessPrefix =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, value,
       |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
@@ -299,8 +301,11 @@ object SparkEntry {
       |sess AS (
       |  SELECT *, user_id || '-' || CAST(CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS VARCHAR) AS session_id
-      |  FROM flagged),
-      |sm AS (
+      |  FROM flagged)
+      |""".stripMargin
+
+  private val sessionCte = sessPrefix +
+    """, sm AS (
       |  SELECT user_id, session_id,
       |    min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
       |    CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS session_duration_seconds,
@@ -673,24 +678,28 @@ object SparkEntry {
          |FROM ret JOIN act USING (day_sec)
          |ORDER BY day_sec""".stripMargin,
 
-    // Mirror of EventAnalytics.sessionFunnel over the shared session CTE:
-    // earliest stage timestamps per session, ordered-stage predicates.
+    // Mirror of EventAnalytics.sessionFunnel over the shared session
+    // prefix: stacked window minima — each stage's time is the earliest of
+    // its type at or after the previous stage's time, so a pre-view click
+    // doesn't count but a later one rescues the session.
     "q_session_funnel" ->
-      (sessionCte.replaceAll(",\\s*sm AS \\([\\s\\S]*$", "") +
-        """, st AS (
-          |  SELECT user_id, session_id,
-          |    min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t_view,
-          |    min(CASE WHEN event_type = 'click' THEN ts_sec END) AS t_click,
-          |    min(CASE WHEN event_type = 'purchase' THEN ts_sec END) AS t_purchase
-          |  FROM sess GROUP BY user_id, session_id)
+      (sessPrefix +
+        """, st1 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+          |    OVER (PARTITION BY user_id, session_id) AS t_view FROM sess),
+          |st2 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec >= t_view THEN ts_sec END)
+          |    OVER (PARTITION BY user_id, session_id) AS t_click FROM st1),
+          |st3 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec >= t_click THEN ts_sec END)
+          |    OVER (PARTITION BY user_id, session_id) AS t_purchase FROM st2),
+          |per AS (
+          |  SELECT DISTINCT user_id, session_id, t_view, t_click, t_purchase FROM st3)
           |SELECT count(*) AS sessions,
-          |  count(*) FILTER (WHERE t_view IS NOT NULL) AS reached_view,
-          |  count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
-          |    AND t_click >= t_view) AS reached_click,
-          |  count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
-          |    AND t_click >= t_view AND t_purchase IS NOT NULL
-          |    AND t_purchase >= t_click) AS reached_purchase
-          |FROM st""".stripMargin),
+          |  count(t_view) AS reached_view,
+          |  count(t_click) AS reached_click,
+          |  count(t_purchase) AS reached_purchase
+          |FROM per""".stripMargin),
 
     // The MG sketch is invisible in the result (candidate superset + exact
     // recount): the oracle is the plain GROUP BY ... HAVING census.
@@ -838,11 +847,12 @@ object SparkEntry {
         |FROM sel ORDER BY decile""".stripMargin,
 
     // Mirror of DataQuality.tableChecksum: identical canonical rendering
-    // (longs and strings joined by '|', money as integer cents), identical
-    // 48-bit md5, reduced by the same order-free lanes.
+    // (longs and strings joined by '|', money as integer cents, NULLs as
+    // the \\u0001NULL sentinel), identical 48-bit md5, reduced by the same
+    // order-free lanes.
     "q_table_checksum" ->
       s"""WITH h AS (
-         |  SELECT ${md5h48("l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")} AS h
+         |  SELECT ${md5h48("coalesce(CAST(l_orderkey AS VARCHAR), chr(1) || 'NULL') || '|' || coalesce(CAST(l_linenumber AS VARCHAR), chr(1) || 'NULL') || '|' || coalesce(l_returnflag, chr(1) || 'NULL') || '|' || coalesce(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), chr(1) || 'NULL')")} AS h
          |  FROM lineitem)
          |SELECT count(*) AS rows, CAST(bit_xor(h) AS BIGINT) AS xor_digest,
          |  min(h) AS min_hash, max(h) AS max_hash

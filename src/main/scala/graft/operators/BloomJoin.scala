@@ -70,8 +70,12 @@ object BloomJoin {
       .agg(BloomFilter.build(xxhash64(col(smallKey)), numBits, numHashes).as("__bloom"))
       .head().getAs[Array[Byte]]("__bloom")
     val maybeSeen = BloomFilter.mightContainCol(lit(bloomBytes), xxhash64(col(bigKey)))
-    val definitelyNew = big.where(!maybeSeen)
-    val candidates = big.where(maybeSeen)
+    // two complementary consumers (the union branches) — materialize the
+    // batch once or its whole upstream subtree runs twice (the README's
+    // alias-branch recompute hazard)
+    val b = big.localCheckpoint()
+    val definitelyNew = b.where(!maybeSeen)
+    val candidates = b.where(maybeSeen)
     val rescued = candidates.join(small, candidates(bigKey) === small(smallKey), "left_anti")
     definitelyNew.unionByName(rescued)
   }

@@ -49,9 +49,11 @@ object DataQuality {
     *
     * Each row renders its listed columns to a canonical '|'-joined string
     * (the caller chooses renderings that are engine-stable: longs, strings,
-    * integer cents — never raw doubles), hashes it with the portable 48-bit
-    * md5, and the table reduces by count + bit_xor + min + max of the row
-    * hashes. XOR/min/max/count are commutative, associative and
+    * integer cents — never raw doubles; NULLs render as an explicit
+    * sentinel, because silently skipping them would collapse distinct rows
+    * like (1, NULL, 'x') and (1, 'x', NULL) into one hash), hashes it with
+    * the portable 48-bit md5, and the table reduces by count + bit_xor +
+    * min + max of the row hashes. XOR/min/max/count are commutative, associative and
     * overflow-free, so the digest is independent of row order, partitioning
     * and engine, at any scale (a SUM digest would overflow 64-bit wraparound
     * differently per engine). Caveat, as with any XOR digest: an even
@@ -62,7 +64,8 @@ object DataQuality {
     * One scan, map-side-combined — the cheapest full-table integrity check
     * that exists at 100 TB. */
   def tableChecksum(df: DataFrame, canonicalCols: Seq[org.apache.spark.sql.Column]): DataFrame =
-    df.select(Dedup.PortableHash(concat_ws("|", canonicalCols: _*)).as("h"))
+    df.select(Dedup.PortableHash(concat_ws("|",
+        canonicalCols.map(c => coalesce(c.cast("string"), lit("\u0001NULL"))): _*)).as("h"))
       .agg(
         count(lit(1)).as("rows"),
         bit_xor(col("h")).as("xor_digest"),

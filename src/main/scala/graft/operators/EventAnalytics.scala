@@ -177,26 +177,33 @@ object EventAnalytics {
   }
 
   /** Session funnel: how far each gap-rule session progressed along
-    * view → click → purchase IN TIME ORDER (a click only counts after the
-    * first view; a purchase only after that click). One pass computes the
-    * earliest timestamp per stage per session (conditional min — no pivot,
-    * no re-scan), then the stage comparison is a projection. */
+    * view → click → purchase IN TIME ORDER — each stage's time is the
+    * earliest event of its type AT OR AFTER the previous stage's time
+    * (a click before the first view does not count, but a later click
+    * rescues the session; the naive global-min formulation undercounts
+    * exactly that case). Three stacked window minima over ONE session
+    * partitioning — a single shuffle, no joins; a null stage time
+    * propagates through the ≥ comparison so each count requires the full
+    * ordered chain. */
   def sessionFunnel(events: DataFrame, gapSeconds: Long = Sessionize.DefaultGapSeconds): DataFrame = {
-    val s = Sessionize.withSessionId(events, gapSeconds)
-    val stages = s.groupBy(col("user_id"), col("session_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("ts_sec"))).as("t_view"),
-        min(when(col("event_type") === "click", col("ts_sec"))).as("t_click"),
-        min(when(col("event_type") === "purchase", col("ts_sec"))).as("t_purchase"))
-    // stage predicates: each requires the previous stage strictly started
-    val reachedView = col("t_view").isNotNull
-    val reachedClick = reachedView && col("t_click").isNotNull && col("t_click") >= col("t_view")
-    val reachedPurchase = reachedClick && col("t_purchase").isNotNull && col("t_purchase") >= col("t_click")
-    stages.agg(
+    val sw = Window.partitionBy(col("user_id"), col("session_id"))
+    val staged = Sessionize.withSessionId(events, gapSeconds)
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_sec"))).over(sw))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts_sec") >= col("t_view"),
+          col("ts_sec"))).over(sw))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts_sec") >= col("t_click"),
+          col("ts_sec"))).over(sw))
+      .select(col("user_id"), col("session_id"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .distinct()
+    staged.agg(
       count(lit(1)).as("sessions"),
-      Cols.countWhen(reachedView).as("reached_view"),
-      Cols.countWhen(reachedClick).as("reached_click"),
-      Cols.countWhen(reachedPurchase).as("reached_purchase"))
+      Cols.countWhen(col("t_view").isNotNull).as("reached_view"),
+      Cols.countWhen(col("t_click").isNotNull).as("reached_click"),
+      Cols.countWhen(col("t_purchase").isNotNull).as("reached_purchase"))
   }
 
   /** First/last event per user (reference A8 `first(col)` intent,

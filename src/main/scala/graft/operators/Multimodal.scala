@@ -118,12 +118,13 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
-  /** Frame-sample plan: every `stride`-th frame index per video (frame 0
-    * always included) — the selection stage ahead of per-frame decode in a
-    * video pipeline. Emitting (media_id, frame_idx) rows rather than
-    * decoded frames keeps the plan a pure metadata transform: the explode
-    * multiplies rows BEFORE the expensive decode, so Spark schedules the
-    * per-frame work with full parallelism instead of one task per video. */
+  /** Frame-sample plan: per video, how many frames survive taking every
+    * `stride`-th index starting at 0 — the SIZING stage ahead of per-frame
+    * decode in a video pipeline (partition budgets, progress accounting).
+    * The exploded per-frame work list is one projection away
+    * (`explode(sequence(0, frames - 1, stride))` on this output), which is
+    * where decode parallelism fans out; this operator stays a count so it
+    * aggregates (and oracle-checks) without materializing a row per frame. */
   def frameSamplePlan(media: DataFrame, stride: Int = 30): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     decodeAll(media).where(col("kind") === "video")

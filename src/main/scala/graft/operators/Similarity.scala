@@ -354,20 +354,26 @@ object Similarity {
     * write time turns every subsequent probe into a partition-PRUNED scan:
     * the directory listing alone eliminates (numCells − nprobe)/numCells of
     * the corpus before a single byte is read. */
-  def writeCellPartitioned(corpus: DataFrame, dir: String, numCells: Int = 16): Unit =
-    assignCells(corpus.select(col("vec_id"), col("embedding")),
-        broadcast(seedCentroids(corpus, numCells)))
+  def writeCellPartitioned(corpus: DataFrame, dir: String, numCells: Int = 16): Unit = {
+    val cents = seedCentroids(corpus, numCells).localCheckpoint()
+    assignCells(corpus.select(col("vec_id"), col("embedding")), broadcast(cents))
       .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+    // the index rides with the layout: probes must rank against the SAME
+    // centroids without touching the corpus again (an underscore path is
+    // invisible to the partitioned read)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
+  }
 
   /** Probe a [[writeCellPartitioned]] layout: rank cells per query against
-    * the SAME deterministic centroids, collect the probe-cell union (a
-    * |queries|·nprobe-element list — driver-side by design, it becomes the
-    * partition filter), and score only inside the pruned partitions.
-    * Identical ranking contract to [[ivfTopK]]. */
+    * the centroids PERSISTED WITH the layout (numCells tiny rows — the
+    * corpus is never touched outside its pruned partitions), collect the
+    * probe-cell union (a |queries|·nprobe-element list — driver-side by
+    * design, it becomes the partition filter), and score only inside the
+    * pruned partitions. Identical ranking contract to [[ivfTopK]]. */
   def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                         corpus: DataFrame, queries: DataFrame, k: Int = 5,
-                         numCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = broadcast(seedCentroids(corpus, numCells))
+                         queries: DataFrame, k: Int = 5,
+                         nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$dir/_centroids"))
     val probeScored = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
@@ -380,8 +386,18 @@ object Similarity {
       .localCheckpoint() // two consumers: the partition filter and the join
     val probeCells = probes.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)) // the partition-pruning predicate
-    val cells = spark.read.parquet(dir)
-      .where(col("cell_id").isin(probeCells: _*)) // prunes at the LISTING
+    val layout = spark.read.parquet(dir)
+    // the IN-list literals must carry the INFERRED partition-column type:
+    // wider (long) literals would wrap cell_id in a cast, and a cast on the
+    // partition column defeats pruning — the scan silently reads every
+    // partition (caught by BucketingSpec's strict-subset inputFiles check)
+    val typedCells: Seq[Any] = layout.schema("cell_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probeCells.toSeq.map(_.toInt)
+      case org.apache.spark.sql.types.StringType  => probeCells.toSeq.map(_.toString)
+      case _                                      => probeCells.toSeq
+    }
+    val cells = layout
+      .where(col("cell_id").isin(typedCells: _*)) // prunes at the LISTING
       .select(col("cell_id"), col("vec_id").as("corpus_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
     val scored = cells.join(broadcast(probes), Seq("cell_id"))

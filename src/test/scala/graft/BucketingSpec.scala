@@ -66,17 +66,35 @@ class BucketingSpec extends SparkSpec {
 
     val queries = emb.where(col("vec_id") < 3)
     val viaLayout = operators.Similarity.ivfTopKPartitioned(
-      spark, dir, emb, queries, k = 5, numCells = 16, nprobe = 2)
+      spark, dir, queries, k = 5, nprobe = 2)
     // the pruned probe must equal the in-memory index probed with the same
     // centroids and nprobe (same deterministic assignment + tie rules)
     val inMemory = operators.Similarity.ivfTopK(emb, queries, k = 5,
       numCells = 16, nprobe = 2)
     assert(viaLayout.exceptAll(inMemory).isEmpty && inMemory.exceptAll(viaLayout).isEmpty)
 
-    // and the scan itself must prune: PartitionFilters on cell_id, with
-    // fewer partitions read than written
-    val plan = viaLayout.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
-      s"probe scan must carry a cell_id partition filter:\n$plan")
+    // and the scan itself must prune: the executed scan's numFiles METRIC
+    // (not inputFiles, which lists the relation pre-pruning; not the
+    // PartitionFilters string, which prints even when empty) must be a
+    // strict subset of the layout's files
+    viaLayout.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        // AQE wraps subtrees in stage nodes that expose their plan via a
+        // field, not children — unwrap each before recursing
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+      }
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    val layoutScans = scans(viaLayout.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(l => l.contains("graft_ivf") && !l.contains("_centroids")))
+    assert(layoutScans.nonEmpty, "layout scan not found in executed plan")
+    val readFiles = layoutScans.map(_.metrics("numFiles").value).sum
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"probe must read a strict subset of partitions: $readFiles of $allFiles")
   }
 }
