@@ -58,6 +58,22 @@ class BloomFilterSpec extends SparkSpec {
     assert(viaBloom.count() > 0)
   }
 
+  test("null join keys keep SQL semantics through both bloom joins") {
+    // xxhash64(NULL) is the seed constant (not null), so null keys DO set
+    // bits — harmless: the exact join after the prefilter enforces SQL's
+    // NULL-never-matches rule, which is the contract worth pinning
+    val big = Seq[java.lang.Long](1L, 2L, null, 5L).toDF("key")
+    val small = Seq[java.lang.Long](1L, null).toDF("skey")
+    val semi = BloomJoin.semiJoin(big, small, "key", "skey")
+    val plainSemi = big.join(small, col("key") === col("skey"), "left_semi")
+    assert(semi.exceptAll(plainSemi).isEmpty && plainSemi.exceptAll(semi).isEmpty)
+    assert(semi.count() == 1) // only key=1; the null row never matches
+    val anti = BloomJoin.antiJoin(big, small, "key", "skey")
+    val plainAnti = big.join(small, col("key") === col("skey"), "left_anti")
+    assert(anti.exceptAll(plainAnti).isEmpty && plainAnti.exceptAll(anti).isEmpty)
+    assert(anti.count() == 3) // 2, 5, and the null row all survive
+  }
+
   test("bloom anti join equals the plain anti join, including same-name keys") {
     val docs = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("key"), col("l_linenumber"))

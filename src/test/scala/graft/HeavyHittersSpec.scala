@@ -26,6 +26,15 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("null keys are skipped by the sketch") {
+    val withNulls = (Seq.fill(50)(java.lang.Long.valueOf(7L))
+      ++ Seq.fill(50)(null.asInstanceOf[java.lang.Long])).toDF("k")
+    val cands = withNulls
+      .agg(FrequentItemsAggregate.candidates(col("k"), 4).as("c"))
+      .select(explode(col("c")).as("k")).as[Long].collect().toSet
+    assert(cands == Set(7L))
+  }
+
   test("verified heavy-entity census equals the exact GROUP BY ... HAVING") {
     val events = Tables.events(spark, sf)
     val keyed = events
