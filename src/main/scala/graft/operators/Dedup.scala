@@ -296,9 +296,15 @@ object Dedup {
         && lit(den) * col("sb") >= lit(num) * col("sa")
         && least(col("sa") - col("pa"), col("sb") - col("pb")) >= alpha)
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+    // verification expands each pair by ONE side's full set; orient so it
+    // is the smaller one (Σ min(sa,sb) joined rows instead of Σ sa — the
+    // id-ordered doc_a is uncorrelated with size)
+    val oriented = cand.select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+      when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")).as("d_small"),
+      when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")).as("d_big"))
+    oriented
+      .join(sh.select(col("doc_id").as("d_small"), col("shingle")), Seq("d_small"))
+      .join(sh.select(col("doc_id").as("d_big"), col("shingle")), Seq("d_big", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"),
