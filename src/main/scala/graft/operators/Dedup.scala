@@ -318,47 +318,94 @@ object Dedup {
 
   /** Near-dup CLUSTER assignment — the step after pair detection in a real
     * dedup pipeline (pairs chain: A~B, B~C ⟹ {A,B,C} keep one): connected
-    * components over the pair graph via `rounds` rounds of synchronous
-    * min-label propagation. Each round every vertex takes the min of its
-    * own and its neighbors' previous labels — one edge⋈label join plus one
+    * components over the pair graph via synchronous min-label propagation
+    * RUN TO CONVERGENCE. Each round every vertex takes the min of its own
+    * and its neighbors' previous labels — one edge⋈label join plus one
     * min-aggregation per round, all hash-partitioned, no global structure
-    * (the standard large-graph CC recipe; converges once `rounds` reaches
-    * the component diameter, and near-dup components are shallow by
-    * construction). Deterministic: labels are min doc_ids, rounds are
-    * fixed — any two engines running the same rounds agree bit-for-bit
-    * even before convergence. Returns (doc_id, cluster_id = component-min
+    * (the standard large-graph CC recipe). Iteration stops the first round
+    * that changes zero labels, so a component of ANY diameter converges —
+    * a fixed round count would silently emit non-converged cluster ids on
+    * a deep near-dup chain at scale. `maxRounds` (≥ the largest component
+    * diameter ever expected; near-dup components are shallow by
+    * construction) is a guard against pathological graphs: exhausting it
+    * without convergence THROWS rather than returning wrong clusters.
+    * Deterministic: labels are min doc_ids and the fixpoint of min-label
+    * propagation is the unique component minimum, independent of round
+    * count or partitioning. Returns (doc_id, cluster_id = component-min
     * doc_id) for every vertex that appears in a pair.
     *
     * Shape: min over N(v) ∪ {v} each round — folding the self-loop into
     * the edge set makes a round ONE equi-join plus ONE min-aggregation
     * (identical result to least(own, min-of-neighbors), since a vertex's
-    * own previous label rides in on its self-loop). Labels are referenced
-    * once per round, so the plan grows linearly in `rounds` and runs as a
-    * single pipelined job; only the edge set — referenced every round and
-    * derived from the expensive pair-detection join — is eagerly
-    * materialized with `localCheckpoint` (distributed, executor-resident,
-    * lineage-truncating; swap for reliable `checkpoint` on a long-lived
-    * cluster where executor loss mid-iteration must be survivable). */
-  def dedupClusters(pairs: DataFrame, rounds: Int = 5): DataFrame = {
-    // checkpoint BEFORE mirroring: the union references `pairs` twice, and
-    // an un-materialized pair plan (e.g. the whole prefix-filter join)
-    // would execute once per branch
+    * own previous label rides in on its self-loop). Each round's labels
+    * are eagerly materialized with `localCheckpoint` (distributed,
+    * executor-resident, lineage-truncating; swap for reliable `checkpoint`
+    * on a long-lived cluster where executor loss mid-iteration must be
+    * survivable) — the convergence test re-reads them anyway, so the
+    * checkpoint is paid for by the guard.
+    *
+    * Convergence test: per-vertex labels are monotonically non-increasing
+    * (min over a set containing the previous label), so Σ label is
+    * strictly decreasing until the fixpoint and constant at it — comparing
+    * one decimal aggregate per round detects "zero labels changed" without
+    * a per-round join against the previous labels. Decimal(38,0) keeps the
+    * sum exact at any corpus size (no long overflow, no float rounding). */
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val (edges, init) = ccEdgesAndInit(pairs)
+    var labels = init.localCheckpoint()
+    var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      labels = ccRound(edges, labels).localCheckpoint()
+      val s = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation not converged after $maxRounds rounds " +
+          "— raise maxRounds (a component's diameter exceeds the cap)")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Fixed-round variant of [[dedupClusters]] — `rounds` synchronous
+    * min-label rounds with NO convergence guard, labels left mid-flight if
+    * `rounds` is below the component diameter. Test-only anchor: the SQL
+    * oracle unrolls exactly this recurrence, and DedupSpec asserts the
+    * unrolled form reaches the [[dedupClusters]] fixpoint on the test
+    * corpus. Not for production — use [[dedupClusters]]. */
+  private[graft] def dedupClustersFixedRounds(pairs: DataFrame, rounds: Int): DataFrame = {
+    val (edges, init) = ccEdgesAndInit(pairs)
+    var labels = init
+    for (_ <- 1 to rounds) labels = ccRound(edges, labels)
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Self-looped undirected edge set + identity labels for CC. The pair
+    * plan is checkpointed BEFORE mirroring: the union references `pairs`
+    * twice, and an un-materialized pair plan (e.g. the whole prefix-filter
+    * join) would execute once per branch. */
+  private def ccEdgesAndInit(pairs: DataFrame): (DataFrame, DataFrame) = {
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val undirected = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     val edges = undirected.unionByName(
       undirected.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-    var labels = undirected.select(col("src").as("doc_id")).distinct()
+    val init = undirected.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to rounds) {
-      labels = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("label"))
-        .select(col("src").as("doc_id"), col("label"))
-    }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    (edges, init)
   }
+
+  /** One synchronous min-label round: min over N(v) ∪ {v} via the
+    * self-looped edge set. */
+  private def ccRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+      .groupBy(col("src")).agg(min(col("label")).as("label"))
+      .select(col("src").as("doc_id"), col("label"))
 
   // ---------------------------------------------------------------- simhash
 

@@ -119,20 +119,39 @@ class DedupSpec extends SparkSpec {
       s"prefix filter must lose nothing: missing=${brute -- pj} extra=${pj -- brute}")
   }
 
-  test("dedup clusters: min-label propagation reaches a fixpoint, ids are component minima") {
+  test("dedup clusters: converged labels, ids are component minima, oracle anchor holds") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val pairs = Dedup.jaccardJoinPrefix(docs, 1, 2).select("doc_a", "doc_b")
-    val c5 = Dedup.dedupClusters(pairs, 5).as[(Long, Long)].collect().toMap
-    val c6 = Dedup.dedupClusters(pairs, 6).as[(Long, Long)].collect().toMap
-    assert(c5 == c6, "5 rounds must be a fixpoint on the test corpus")
+    val cc = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    // oracle anchor: the SQL oracle unrolls exactly 5 rounds — assert the
+    // fixpoint is already reached there on the test corpus, so the
+    // convergence-guarded production path and the unrolled oracle agree
+    val c5 = Dedup.dedupClustersFixedRounds(pairs, 5).as[(Long, Long)].collect().toMap
+    assert(cc == c5, "round 5 must already be the fixpoint on the test corpus")
     // connectivity: every near-dup pair must land in one cluster
     pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
-      assert(c5(a) == c5(b), s"pair ($a,$b) split across clusters")
+      assert(cc(a) == cc(b), s"pair ($a,$b) split across clusters")
     }
     // canonical ids: each cluster is labeled by its minimum member
-    c5.groupBy(_._2).foreach { case (cid, members) =>
+    cc.groupBy(_._2).foreach { case (cid, members) =>
       assert(cid == members.keys.min, s"cluster $cid not labeled by min member")
     }
+  }
+
+  test("dedup clusters: a chain component deeper than any fixed round count converges") {
+    // path graph 1-2-3-…-12: diameter 11 — min-label propagation needs 11
+    // synchronous rounds to push label 1 to vertex 12; the old fixed
+    // rounds=5 constant would have returned non-converged labels here
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(cc.size == 12 && cc.values.forall(_ == 1L),
+      s"chain must collapse to one cluster labeled 1, got $cc")
+    // and the guard actually bites: a cap below the diameter must throw,
+    // never silently return mid-flight labels
+    val ex = intercept[IllegalStateException] {
+      Dedup.dedupClusters(chain, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
   }
 
   test("multi-table LSH near-dup: sound vs exact, recall amplified over one table") {
