@@ -71,8 +71,9 @@ object SparkEntry {
     "q_order_priority_dist" -> ((s, d) => Relational.orderPriorityDistribution(s, d)),
     "q_table_counts" -> ((s, d) => Relational.tableCounts(s, d)),
     "q_price_buckets" -> ((s, d) => Relational.ordersByPriceBucket(s, d)),
-    "q_order_deciles" -> ((s, d) => Relational.orderValueDeciles(s, d)),
-    "q_order_deciles_approx" -> ((s, d) => // histogram deciles: the scale path
+    "q_order_deciles" -> ((s, d) => // exact ntile semantics, distributed plan
+      Relational.orderValueDeciles(s, d)),
+    "q_order_deciles_approx" -> ((s, d) => // histogram decile BOUNDARIES
       Relational.orderValueDecilesHist(s, d)),
     "q_salted_agg" -> ((s, d) => { // skew-aware two-stage aggregation
       val ev = Tables.events(s, d)

@@ -180,11 +180,71 @@ object Relational {
         Cols.sumDec2(col("o_totalprice")).as("total_value"))
       .orderBy(col("price_bucket"))
 
-  /** Decile statistics over order totals via ntile — exercises ranking windows
-    * on a global ordering. The global window is the one operator here that
-    * does NOT scale as written (single-partition sort); at 100 TB you'd use
-    * approx_percentile instead, which is provided as the `_approx` variant. */
-  def orderValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+  /** Decile statistics over order totals — EXACT ntile(10) semantics with a
+    * distributed plan (the registered form; [[orderValueDecilesNtile]] is the
+    * one-window spec it provably equals, kept as a test-only anchor).
+    *
+    * A global ranking window is a single-partition sort of every order — the
+    * canonical 100 TB killer. Instead the global rank is decomposed:
+    *  1. histogram the values into fixed-width buckets (map-side-combined
+    *     groupBy; bucket count is VALUE RANGE / width, independent of rows);
+    *  2. a running sum over that bounded histogram gives each bucket's
+    *     global rank OFFSET (the single-partition window here touches only
+    *     |buckets| rows — same bounded shape as [[orderValueDecilesHist]]);
+    *  3. broadcast the offsets back and row_number WITHIN each bucket
+    *     (window partitioned by bucket — parallel, spillable per bucket);
+    *     global rank = offset + in-bucket rank, exact because the
+    *     (o_totalprice, o_orderkey) order key is unique and bucket order is
+    *     value order.
+    *  4. map rank → tile with the SQL ntile rule (first n mod 10 tiles get
+    *     ⌈n/10⌉ rows): integer-exact, ⌈a/b⌉ = floor((a+b−1)/b), exact in
+    *     double below 2^52.
+    * Skew: a pathological bucket still sorts in one window partition —
+    * shrink `width` to split it (the histogram stays tiny either way). */
+  def orderValueDeciles(spark: SparkSession, dir: String,
+                        width: Double = 1000.0): DataFrame =
+    decilesByValue(Tables.orders(spark, dir), width)
+
+  /** [[orderValueDeciles]] over an arbitrary orders-shaped frame (needs
+    * `o_orderkey`, `o_totalprice`) — the testable core. */
+  private[graft] def decilesByValue(ordersIn: DataFrame,
+                                    width: Double = 1000.0): DataFrame = {
+    val orders = ordersIn
+      .select(col("o_orderkey"), col("o_totalprice"),
+        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+    val hist = orders.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("bucket"),
+      coalesce(sum(col("cnt")).over(wPrev), lit(0L)).as("off"),
+      sum(col("cnt")).over(Window.partitionBy()).as("n"))
+    val wBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = orders.join(broadcast(offsets), Seq("bucket"))
+      .select(col("o_totalprice"),
+        (col("off") + row_number().over(wBucket)).as("r"), col("n"))
+    // ntile(10) of 1-based rank r over n rows: q = n div 10, rem = n mod 10,
+    // the first rem tiles hold q+1 rows (boundary big = rem·(q+1))
+    val q    = floor(col("n") / 10).cast("long")
+    val rem  = pmod(col("n"), lit(10L))
+    val big  = rem * (q + 1)
+    val tile = when(col("r") <= big,
+        floor((col("r") + q) / (q + 1)).cast("long"))
+      .otherwise(rem +
+        floor((col("r") - big + greatest(q, lit(1L)) - 1) / greatest(q, lit(1L))).cast("long"))
+    ranked
+      .select(tile.as("decile"), col("o_totalprice"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("orders"),
+        Cols.sumDec2(col("o_totalprice")).as("total_value"))
+      .orderBy(col("decile"))
+  }
+
+  /** One-window ntile spec of [[orderValueDeciles]] — a single-partition
+    * sort of every order, which is exactly what must never run at scale.
+    * Test-only anchor: the SQL oracle states this form, and OperatorSpec
+    * asserts the distributed plan equals it row-for-row. */
+  private[graft] def orderValueDecilesNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))

@@ -74,4 +74,26 @@ class OperatorSpec extends SparkSpec {
     assert(keys == Set("total_users", "total_events", "total_revenue",
       "conversion_rate", "avg_purchase_value"))
   }
+
+  test("distributed deciles equal the one-window ntile spec row-for-row") {
+    val dist  = Relational.orderValueDeciles(spark, sf).collect().map(_.toString).toSeq
+    val ntile = Relational.orderValueDecilesNtile(spark, sf).collect().map(_.toString).toSeq
+    assert(dist == ntile, s"bucket-offset rank must reproduce ntile exactly:\n$dist\nvs\n$ntile")
+    // the tile rule also holds when n < tiles (each row its own tile) and
+    // when n mod 10 ≠ 0 (first rem tiles one row larger)
+    for (n <- Seq(7, 23, 40)) {
+      val sub = Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(n)
+      sub.createOrReplaceTempView("orders_decile_probe")
+      val expect = spark.sql(
+        """SELECT decile, count(*) AS orders FROM (
+          |  SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+          |  FROM orders_decile_probe)
+          |GROUP BY decile ORDER BY decile""".stripMargin)
+        .collect().map(_.toString).toSeq
+      // re-run the operator's rank→tile mapping over the small probe set
+      val probe = Relational.decilesByValue(sub).select("decile", "orders")
+        .collect().map(_.toString).toSeq
+      assert(probe == expect, s"n=$n: $probe != $expect")
+    }
+  }
 }

@@ -163,6 +163,22 @@ class PlanSpec extends SparkSpec {
     assert(partLine.nonEmpty, s"join exchange must hash on the salt too:\n$p")
   }
 
+  test("order deciles rank per bucket — no ntile, per-row window never single-partition") {
+    val p = planOf(Relational.orderValueDeciles(spark, sf))
+    // the registered decile plan must not contain a global ntile window (a
+    // single-partition sort of every order — the 100 TB killer this plan
+    // replaced); the only global windows allowed are over the bounded
+    // histogram, and the per-row ranking must partition by bucket
+    assert(!p.contains("ntile"), s"registered deciles must not plan a global ntile:\n$p")
+    // formatted Window arguments render as [functions], [partition], [order]
+    val rowNumLine = p.linesIterator.find(_.contains("row_number")).getOrElse("")
+    assert(rowNumLine.contains("windowspecdefinition(bucket#") && rowNumLine.contains("], [bucket#"),
+      s"per-row rank window must partition by bucket:\n$rowNumLine\n$p")
+    // offsets come back as a broadcast — the fact side is never shuffled
+    // for the offset join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bm25 ranks via top-k, not a global sort, and tf prunes to the term set in the scan stage") {
     val p = planOf(TextAnalysis.bm25TopDocs(Tables.documents(spark, sf), Seq("join", "filter"), 10))
     assert(p.contains("TakeOrderedAndProject"), p)
