@@ -230,86 +230,122 @@ object Dedup {
     * Similarity Search", WWW 2007; Xiao et al., WWW 2008) — every pair with
     * J ≥ num/den is found, with no O(n²) scan and no LSH recall loss.
     *
-    * Principle: order each doc's shingle set by ascending document
-    * frequency (rarest first, shingle text as tie-break — a canonical total
-    * order both engines can state); a doc of set-size s only needs its
-    * first p = s − ⌈t·s⌉ + 1 shingles indexed, because a pair sharing NONE
-    * of either prefix cannot reach overlap t·|A∪B|. Candidates come from
-    * one equi-join on prefix shingles + the size filter (den·sa ≥ num·sb ∧
-    * den·sb ≥ num·sa), then exact Jaccard verifies. The threshold is a
-    * rational num/den so every length computation is integer-exact in any
-    * engine.
+    * Principle: order each doc's shingle set by a shared total order
+    * (ascending document frequency — rarest first — then shingle hash,
+    * then shingle text); a doc of set-size s only needs its first
+    * p = s − ⌈t·s⌉ + 1 shingles INDEXED, because a pair sharing none of
+    * either prefix cannot reach overlap t·|A∪B|. The PROBE side needs even
+    * less: orienting each pair so the smaller set probes, J ≥ t forces
+    * overlap α ≥ ⌈2t/(1+t)·s_small⌉ (since s_big ≥ s_small), so the first
+    * shared token sits within the smaller doc's first
+    * s − ⌈2t/(1+t)·s⌉ + 1 positions (Xiao et al.'s probe prefix — a third
+    * shorter at t=1/2); on the bigger side α ≥ ⌈t·s_big⌉ (since
+    * s_small ≥ t·s_big) keeps the full index prefix sufficient. The
+    * threshold is a rational num/den so every length computation is
+    * integer-exact in any engine.
+    *
+    * Candidate generation joins on the 64-bit shingle hash, not the
+    * string: a hash collision can only ADD a candidate (verification on
+    * the true string sets rejects it), never lose one — the canonical
+    * order stays total through the string tie-break — so exactness is
+    * unaffected while the hot equi-join and the per-doc sorts compare
+    * longs instead of ~20-byte strings.
     *
     * Scale shape: df-count is one map-side-combined aggregation; per-doc
-    * ordering sorts each doc's own shingles (no global sort); the candidate
-    * join hits only docs sharing a RARE shingle — on natural corpora the
-    * prefix index is dominated by df=1 shingles that join to nothing.
-    * Skew guard: a shingle shared by all docs lands at the END of the
-    * canonical order, so it enters prefixes only for tiny sets.
-    *
-    * Verification counts shared shingles with narrow joins on the
-    * (doc_id, shingle) table (inter = matched-row count per pair,
-    * union = sa + sb − inter) instead of hauling whole shingle-set arrays
-    * through the candidate join — identical value on distinct sets, and
-    * the shuffled rows stay a few longs wide no matter how long the
-    * documents are. */
+    * ordering sorts each doc's own shingles (no global sort); the
+    * candidate join hits only docs sharing a RARE shingle — on natural
+    * corpora the prefix index is dominated by df=1 shingles that join to
+    * nothing. Skew guard: a shingle shared by all docs lands at the END of
+    * the canonical order, so it enters prefixes only for tiny sets.
+    * Verification joins each surviving pair to its two set arrays and
+    * counts the intersection in-map (|A∪B| = sa + sb − |A∩B| needs no
+    * second pass); the per-doc array table is bounded by corpus token
+    * count and shuffles once per side — no row expansion, no
+    * re-aggregation. */
   def jaccardJoinPrefix(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
     require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
-    // the (doc_id, shingle) table feeds THREE consumers (df counts, prefix
-    // ordering, exact verification) — materialize it once instead of
-    // re-shingling the corpus per consumer
-    val sh = shingleRows(docs).distinct().localCheckpoint()
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ordered = sh.join(df, Seq("shingle"))
+    // ONE per-doc structure serves the whole join: the canonically-ordered
+    // hash array for candidate generation plus the aligned string array
+    // for verification (each doc sorts its own ~s elements, no global
+    // sort). The df count rides a window over the hash partitioning —
+    // no aggregate-then-join-back — so the whole build is one linear
+    // chain: explode → distinct → df window → per-doc collect, with ONE
+    // materialization at the end. The prefix table posexplodes its head
+    // MAP-SIDE (no extra shuffle) and verification reads the same rows.
+    // Materialized because four consumers reference it through different
+    // alias projections (both candidate-join sides + two verification
+    // joins), which defeats exchange reuse.
+    val docArrays = shingleRows(docs).distinct()
+      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+      .agg(array_sort(collect_list(struct(col("df"), col("h"), col("shingle")))).as("ord"),
         count(lit(1)).as("s"))
-    // p = s − ⌈t·s⌉ + 1; ⌈a/b⌉ = floor((a+b−1)/b), exact in double below 2^52
-    val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
-    // materialize the prefix table: the candidate self-join references it
-    // through two different alias projections, which defeats exchange reuse
-    // — without this the shingle→df→sort aggregation chain runs twice
-    val pre = ordered
       .select(col("doc_id"), col("s"),
-        posexplode(slice(col("ord"), lit(1), p)).as(Seq("pos", "pr")))
-      .select(col("doc_id"), col("s"), col("pos"), col("pr.shingle").as("shingle"))
+        transform(col("ord"), x => x.getField("h")).as("ohs"),
+        transform(col("ord"), x => x.getField("shingle")).as("shs"))
       .localCheckpoint()
-    val l = pre.select(col("shingle"), col("doc_id").as("doc_a"), col("s").as("sa"),
-      col("pos").as("pa"))
-    val r = pre.select(col("shingle"), col("doc_id").as("doc_b"), col("s").as("sb"),
-      col("pos").as("pb"))
-    // PPJoin positional filter (Xiao et al. '08): the matched token at
-    // 0-based canonical rank i leaves at most s−i overlap; a pair needs
-    // overlap α = ⌈t·(sa+sb)/(1+t)⌉, so occurrences with
-    // min(sa−pa, sb−pb) < α can't carry the pair. A genuinely similar
-    // pair always survives via its FIRST shared prefix token (no shared
-    // tokens precede it, so its suffix bound ≥ the true overlap ≥ α).
-    // This is what keeps candidate volume near the verified-pair count
-    // instead of the prefix-collision count.
-    val alpha = floor((lit(num) * (col("sa") + col("sb")) + (num + den - 1)) / (num + den))
-    // set sizes ride through the candidate join (two extra longs per row —
-    // functionally dependent on the doc ids, so the distinct is unchanged),
-    // sparing a second pass over `ordered` for a trailing size lookup
-    val cand = l.join(r, Seq("shingle"))
-      .where(col("doc_a") < col("doc_b")
-        && lit(den) * col("sa") >= lit(num) * col("sb")
-        && lit(den) * col("sb") >= lit(num) * col("sa")
-        && least(col("sa") - col("pa"), col("sb") - col("pb")) >= alpha)
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
-    // verification expands each pair by ONE side's full set; orient so it
-    // is the smaller one (Σ min(sa,sb) joined rows instead of Σ sa — the
-    // id-ordered doc_a is uncorrelated with size)
-    val oriented = cand.select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
-      when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")).as("d_small"),
-      when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")).as("d_big"))
-    oriented
-      .join(sh.select(col("doc_id").as("d_small"), col("shingle")), Seq("d_small"))
-      .join(sh.select(col("doc_id").as("d_big"), col("shingle")), Seq("d_big", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+    // index prefix p = s − ⌈t·s⌉ + 1; probe prefix swaps t for 2t/(1+t).
+    // ⌈a/b⌉ = floor((a+b−1)/b), exact in double below 2^52
+    val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
+    val pShort = (col("s")
+      - floor((col("s") * (2 * num) + (num + den - 1)) / (num + den)) + 1).cast("int")
+    val pre = docArrays
+      .select(col("doc_id"), col("s"), posexplode(slice(col("ohs"), lit(1), p)))
+      .select(col("doc_id"), col("s"), col("pos"), col("col").as("h"))
+    // probe side = the pair's SMALLER set (ties by id): a strict subset of
+    // the index rows, so it filters the same exploded table further
+    val l = pre.where(col("pos") < pShort)
+      .select(col("h"), col("doc_id").as("doc_l"), col("s").as("sl"), col("pos").as("pl"))
+    val r = pre.select(col("h"), col("doc_id").as("doc_r"), col("s").as("sr"),
+      col("pos").as("pr"))
+    // Pair-level PPJoin positional filter (Xiao et al. '08, aggregated
+    // form). A pair needs overlap α = ⌈t·(sl+sr)/(1+t)⌉. Canonical ranks
+    // are monotone in the shared global order, so for the pair's LAST
+    // shared prefix token (rank pl_max in l, pr_max in r — both maxima are
+    // attained at the same token): every shared token canonically ≤ it has
+    // pos ≤ pl_max < probe-prefix AND ≤ pr_max < index-prefix, i.e. is one
+    // of the o_pp join matches; every shared token after it lies in both
+    // ranges (pl_max, sl) and (pr_max, sr). Hence EXACTLY
+    //   overlap ≤ o_pp + min(sl − pl_max − 1, sr − pr_max − 1)
+    // — a strictly tighter (and still lossless) prune than the classic
+    // per-occurrence min(sl−pl, sr−pr) ≥ α test, which it degenerates to
+    // when o_pp = 1. The aggregation doubles as pair dedup, so it costs no
+    // extra shuffle. (sl ≤ sr makes the second size bound den·sr ≥ num·sl
+    // vacuous — den ≥ num already implies it.)
+    val alpha = floor((lit(num) * (col("sl") + col("sr")) + (num + den - 1)) / (num + den))
+    val cand = l.join(r, Seq("h"))
+      .where((col("sl") < col("sr")
+          || (col("sl") === col("sr") && col("doc_l") < col("doc_r")))
+        && lit(den) * col("sl") >= lit(num) * col("sr"))
+      .groupBy(col("doc_l"), col("doc_r"), col("sl"), col("sr"))
+      .agg(count(lit(1)).as("o_pp"), max(col("pl")).as("pl_max"), max(col("pr")).as("pr_max"))
+      .where(col("o_pp") +
+        least(col("sl") - col("pl_max") - 1, col("sr") - col("pr_max") - 1) >= alpha)
+      .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_l"), col("doc_r")).as("doc_b"),
+        col("sl"), col("sr"))
+    // two-tier intersection: the LONG hash arrays are compared first —
+    // |A∩B| ≤ |hash(A)∩hash(B)| always (a collision can only merge, never
+    // split), so a pair whose hash overlap already misses the required
+    // α = ⌈t·(sl+sr)/(1+t)⌉ can be rejected without ever touching the
+    // strings. Only the survivors (≈ the true result set) pay the exact
+    // string-set intersection. Both arrays arrive on the same two joins,
+    // so the tiering costs no extra data movement.
+    val alphaPair = floor((lit(num) * (col("sl") + col("sr")) + (num + den - 1))
+      / (num + den))
+    val interH = size(array_intersect(col("oh_a"), col("oh_b"))).cast("long")
+    val interS = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val inter = when(interH >= alphaPair, interS).otherwise(lit(0L))
+    cand
+      .join(docArrays.select(col("doc_id").as("doc_a"),
+        col("ohs").as("oh_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(docArrays.select(col("doc_id").as("doc_b"),
+        col("ohs").as("oh_b"), col("shs").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        Cols.asDec4(col("inter").cast("double") /
-          (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
+        Cols.asDec4(inter.cast("double") /
+          (col("sl") + col("sr") - inter).cast("double")).as("jaccard"))
       .where(col("jaccard") >= lit(num).cast("double") / lit(den).cast("double"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
