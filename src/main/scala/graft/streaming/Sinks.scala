@@ -76,11 +76,18 @@ object Sinks {
         batch.write.mode("append").jdbc(url, table, props)
 
     /** S4: temp-table + upsert (reference flow, streaming_processor.py:197-274:
-      * stage the batch, one set-based upsert, drop the stage). */
-    def upsert(table: String, pk: String, updateCols: Seq[String])(batch: DataFrame, batchId: Long): Unit =
+      * stage the batch, one set-based upsert, drop the stage).
+      * `stagingColumnTypes` passes Spark's `createTableColumnTypes` through
+      * to the staging write — needed when the database's default string
+      * mapping is not MERGE-comparable with the target's (Derby maps Spark
+      * strings to CLOB, which cannot compare against a VARCHAR key). */
+    def upsert(table: String, pk: String, updateCols: Seq[String],
+               stagingColumnTypes: Option[String] = None)(batch: DataFrame, batchId: Long): Unit =
       if (!batch.isEmpty) {
         val temp = s"${table.replace('.', '_')}_staging_$batchId"
-        batch.write.mode("overwrite").jdbc(url, temp, props)
+        val w = stagingColumnTypes.foldLeft(batch.write.mode("overwrite"))(
+          (w, t) => w.option("createTableColumnTypes", t))
+        w.jdbc(url, temp, props)
         val conn = DriverManager.getConnection(url, user, password)
         try {
           val st = conn.createStatement()
