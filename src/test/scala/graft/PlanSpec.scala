@@ -163,6 +163,21 @@ class PlanSpec extends SparkSpec {
     assert(partLine.nonEmpty, s"join exchange must hash on the salt too:\n$p")
   }
 
+  test("native as-of join executes with one exchange per side under AQE") {
+    // the operator's scaladoc promise: each child is hash-clustered on the
+    // key and sorted (key, ts) — the same requirement a sort-merge join
+    // declares — so the EXECUTED plan (AQE on, the default) must contain
+    // exactly two shuffles and no more; a regression in the
+    // requiredChildDistribution/Ordering plumbing would show up here
+    val df = AsOfJoin.purchaseAttributionNative(Tables.events(spark, sf))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected one hash exchange per side, got $exchanges:\n$p")
+    assert(!p.contains("SinglePartition") || p.contains("TakeOrderedAndProject"),
+      s"as-of children must never funnel to one task:\n$p")
+  }
+
   test("order deciles rank per bucket — no ntile, per-row window never single-partition") {
     val p = planOf(Relational.orderValueDeciles(spark, sf))
     // the registered decile plan must not contain a global ntile window (a
