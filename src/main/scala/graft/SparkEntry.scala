@@ -704,13 +704,16 @@ object SparkEntry {
 
     // The MG sketch is invisible in the result (candidate superset + exact
     // recount): the oracle is the plain GROUP BY ... HAVING census.
+    // TRY_CAST + filter on the CAST RESULT mirrors the engine exactly
+    // (cast first, drop nulls after) — a non-numeric props.k drops out of
+    // both engines identically instead of erroring DuckDB
     "q_heavy_hitters" ->
       """WITH k AS (
-        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS entity
-        |  FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
-        |SELECT entity, count(*) AS n_events FROM k GROUP BY entity
-        |HAVING count(*) * 128 > (SELECT count(*) FROM k)
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS entity
+        |  FROM events),
+        |kk AS (SELECT entity FROM k WHERE entity IS NOT NULL)
+        |SELECT entity, count(*) AS n_events FROM kk GROUP BY entity
+        |HAVING count(*) * 128 > (SELECT count(*) FROM kk)
         |ORDER BY n_events DESC, entity ASC""".stripMargin,
 
     "q_last_window" ->

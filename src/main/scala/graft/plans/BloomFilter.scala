@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -119,6 +120,14 @@ case class BloomBuildAggregate(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // keys are 64-bit hashes (xxhash64/md5h48) by contract; checking the
+  // input type turns a wrong-typed SQL argument into an analysis error
+  // instead of a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_build requires a BIGINT key (hash the value first), got ${child.dataType.sql}")
+
   require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
     s"numBits must be a power of two >= 64, got $numBits")
   require(numHashes >= 1 && numHashes <= 16, s"numHashes in [1,16], got $numHashes")
@@ -184,6 +193,12 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires (BINARY filter, BIGINT key), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
 
   override def nullSafeEval(bloom: Any, key: Any): Any =
     BloomFilter.mightContain(bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[Long])

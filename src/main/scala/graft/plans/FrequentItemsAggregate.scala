@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -36,6 +37,13 @@ case class FrequentItemsAggregate(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+
+  // tracked items are longs by contract (ids or 64-bit hashes); a
+  // wrong-typed SQL argument fails analysis, not at runtime
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_frequent requires a BIGINT item (ids or 64-bit hashes), got ${child.dataType.sql}")
 
   require(capacity >= 1 && capacity <= 100000, s"capacity in [1, 1e5], got $capacity")
 

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -132,11 +133,27 @@ object VectorExpressions {
     * of quantized (int8) similarity search. Pure 64-bit integer arithmetic:
     * no rounding, no accumulation-order sensitivity, portable across
     * engines bit-for-bit (overflow-free for int8 payloads up to ~2^46
-    * elements). */
+    * elements).
+    *
+    * Length contract: mismatched-length inputs are summed over the SHORTER
+    * vector (the same zip_with-then-truncate convention as the float
+    * expressions above) — quantized pipelines always compare equal-dim
+    * codes, so a length mismatch means upstream data corruption; validate
+    * dimensions at ingest if that is a live risk. */
   case class IntVectorDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "ivec_dot"
+    private def isIntArray(dt: DataType) = dt match {
+      case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isIntArray(left.dataType) && isIntArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"ivec_dot requires two ARRAY<INT|BIGINT> vectors, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val gl = intGetter(left.dataType)

@@ -34,7 +34,6 @@ object StreamingDedup {
     * suppressed by the watermark-bounded state, so the result equals the
     * plain batch census of the source — which is the SQL oracle. */
   def dedupedTypeCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = StreamingHourly.stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
     def src(): DataFrame = spark.readStream.schema(schema).parquet(path)

@@ -23,7 +23,11 @@ object StreamingHourly {
 
   /** The file streaming source requires a directory; the testdata is a bare
     * (read-only) parquet file, so stage a symlink dir under the JVM tmpdir.
-    * Shared by every file-source streaming query over the events table. */
+    * Shared by every file-source streaming query over the events table.
+    * Callers need `spark.sql.legacy.parquet.nanosAsLong=true` for the
+    * ns-precision `ts` column — GraftSession sets it at session build;
+    * the per-query sets this file's queries used to do leaked a session-
+    * global legacy mode into whatever ran next on the shared session. */
   private[streaming] def stagedEventsDir(dir: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet")
@@ -38,7 +42,6 @@ object StreamingHourly {
   }
 
   def closedHourlyMetrics(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)
@@ -77,7 +80,6 @@ object StreamingHourly {
     * the key domain (|event types|), which is the only regime where
     * complete mode is 100 TB-sane. */
   def completeTypeTotals(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)

@@ -36,7 +36,6 @@ object StreamingJoin {
     runJoin(spark, dir, "inner")
 
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = StreamingHourly.stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)

@@ -23,7 +23,6 @@ object StreamingSessions {
   val WatermarkSeconds = 600L
 
   private def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = StreamingHourly.stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)
@@ -66,7 +65,6 @@ object StreamingSessions {
     * append/update semantic difference, and the oracle states it by having
     * NO closure filter. */
   def updatedUserHourly(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path   = StreamingHourly.stagedEventsDir(dir)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)

@@ -31,4 +31,21 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(cands.contains(1L), s"heavy key missing from $cands")
   }
+
+  test("wrong-typed arguments fail at analysis, not with a runtime class cast") {
+    import org.apache.spark.sql.AnalysisException
+    spark.sql("SELECT 'x' AS s, 1 AS i, array('a','b') AS sa")
+      .createOrReplaceTempView("typeprobe")
+    val bad = Seq(
+      "SELECT bloom_build(s, 64, 2) FROM typeprobe",       // string key
+      "SELECT bloom_might_contain(s, 1L) FROM typeprobe",  // string filter
+      "SELECT bloom_might_contain(CAST('ab' AS BINARY), s) FROM typeprobe", // string key
+      "SELECT mg_frequent(s, 3) FROM typeprobe",           // string item
+      "SELECT ivec_dot(sa, sa) FROM typeprobe")            // string arrays
+    bad.foreach { q =>
+      val e = intercept[AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.toLowerCase.contains("data type mismatch"),
+        s"$q should fail the type check, got: ${e.getMessage}")
+    }
+  }
 }
