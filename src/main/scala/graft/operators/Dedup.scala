@@ -383,21 +383,32 @@ object Dedup {
     * Convergence test: per-vertex labels are monotonically non-increasing
     * (min over a set containing the previous label), so Σ label is
     * strictly decreasing until the fixpoint and constant at it — comparing
-    * one decimal aggregate per round detects "zero labels changed" without
-    * a per-round join against the previous labels. Decimal(38,0) keeps the
-    * sum exact at any corpus size (no long overflow, no float rounding). */
+    * one decimal aggregate per check detects "zero labels changed" without
+    * a join against the previous labels. Decimal(38,0) keeps the sum exact
+    * at any corpus size (no long overflow, no float rounding). Rounds run
+    * in STRIDES of 2 between materializations: each check costs a job
+    * barrier (checkpoint + aggregate action), and near-dup components are
+    * shallow, so halving the barrier count beats detecting the fixpoint
+    * one round earlier; an already-converged round is a no-op re-running
+    * it, never a wrong answer. */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val (edges, init) = ccEdgesAndInit(pairs)
+    val stride = 2
+    val (edgesLazy, init) = ccEdgesAndInit(pairs)
+    // referenced in every round of every stride — materialize the
+    // self-looped edge set once instead of re-running its union+distinct
+    // inside each propagation job
+    val edges = edgesLazy.localCheckpoint()
     var labels = init.localCheckpoint()
     var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      labels = ccRound(edges, labels).localCheckpoint()
+      val steps = math.min(stride, maxRounds - round)
+      labels = (1 to steps).foldLeft(labels)((l, _) => ccRound(edges, l)).localCheckpoint()
       val s = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      round += 1
+      round += steps
     }
     if (!converged)
       throw new IllegalStateException(
