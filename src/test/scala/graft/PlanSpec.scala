@@ -125,6 +125,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter"), p)
   }
 
+  test("jaccard prefix join: hash-keyed equi-join candidates, no cartesian, no global sort") {
+    val p = planOf(Dedup.jaccardJoinPrefix(Tables.documents(spark, sf), 1, 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix equi-join:\n$p")
+    // the candidate self-join keys on the 64-bit shingle hash, not the string
+    val joinKeyLines = p.linesIterator.filter(_.contains("Join condition")).toSeq
+    assert(p.contains("h#") || joinKeyLines.nonEmpty, p)
+    // the only Sort allowed below the output orderBy is per-doc array_sort
+    // (an expression, not an operator) — no global Sort over the corpus
+    val sorts = "\\(\\d+\\) Sort\\b".r.findAllIn(p).size
+    assert(sorts <= 1, s"expected at most the output sort, got $sorts:\n$p")
+  }
+
   test("contamination joins on n-grams — never a cartesian") {
     val p = planOf(CorpusFilters.contaminationProfile(Tables.documents(spark, sf), 20, 5))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
