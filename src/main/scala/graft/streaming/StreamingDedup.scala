@@ -35,7 +35,7 @@ object StreamingDedup {
     * plain batch census of the source — which is the SQL oracle. */
   def dedupedTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     val path   = StreamingHourly.stagedEventsDir(dir)
-    val schema = spark.read.parquet(path).schema
+    val schema = StreamingHourly.stagedSchema(spark, path)
     def src(): DataFrame = spark.readStream.schema(schema).parquet(path)
       .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
     val doubled = src().unionByName(src())

@@ -41,9 +41,19 @@ object StreamingHourly {
     d.toString
   }
 
+  /** Staged-source schema, cached per path: every oracle streaming query
+    * pays a batch footer-read just to declare the file-stream schema, and
+    * the staged testdata is immutable — one read per path per JVM serves
+    * all of them (the interval joins would otherwise pay it twice in one
+    * query). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private[streaming] def stagedSchema(spark: SparkSession, path: String) =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   def closedHourlyMetrics(spark: SparkSession, dir: String): DataFrame = {
     val path   = stagedEventsDir(dir)
-    val schema = spark.read.parquet(path).schema
+    val schema = stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
@@ -81,7 +91,7 @@ object StreamingHourly {
     * complete mode is 100 TB-sane. */
   def completeTypeTotals(spark: SparkSession, dir: String): DataFrame = {
     val path   = stagedEventsDir(dir)
-    val schema = spark.read.parquet(path).schema
+    val schema = stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
 
     val agg = stream.groupBy(col("event_type"))

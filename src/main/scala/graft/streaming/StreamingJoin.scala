@@ -37,7 +37,7 @@ object StreamingJoin {
 
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val path   = StreamingHourly.stagedEventsDir(dir)
-    val schema = spark.read.parquet(path).schema
+    val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))

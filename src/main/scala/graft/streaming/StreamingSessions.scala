@@ -24,7 +24,7 @@ object StreamingSessions {
 
   private def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
     val path   = StreamingHourly.stagedEventsDir(dir)
-    val schema = spark.read.parquet(path).schema
+    val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
@@ -66,7 +66,7 @@ object StreamingSessions {
     * NO closure filter. */
   def updatedUserHourly(spark: SparkSession, dir: String): DataFrame = {
     val path   = StreamingHourly.stagedEventsDir(dir)
-    val schema = spark.read.parquet(path).schema
+    val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
