@@ -125,4 +125,29 @@ class PropertySpec extends SparkSpec {
         (id, v.map(x => x: Any), l.map(x => x: Any)) })
     }
   }
+
+  test("distributed decile rank mapping == Spark's own ntile on arbitrary order sets") {
+    // the bucket-offset + integer tile rule in Relational.decilesByValue is
+    // hand-derived; pin it against the engine-native ntile over random
+    // sizes (including n < 10, n % 10 != 0) and clustered values (many
+    // rows landing in one histogram bucket)
+    val ordersGen: Gen[List[(Long, Double)]] = for {
+      n    <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n, Gen.choose(1, 400000).map(_ / 100.0))
+    } yield rows.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    forAll(ordersGen) { rows =>
+      val df = rows.toDF("o_orderkey", "o_totalprice")
+      df.createOrReplaceTempView("prop_orders")
+      val expected = spark.sql(
+        """SELECT decile, count(*) AS orders FROM (
+          |  SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+          |  FROM prop_orders)
+          |GROUP BY decile ORDER BY decile""".stripMargin)
+        .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toSeq
+      val got = graft.operators.Relational.decilesByValue(df)
+        .select("decile", "orders")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"n=${rows.size}: $got != $expected")
+    }
+  }
 }
