@@ -150,4 +150,34 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"n=${rows.size}: $got != $expected")
     }
   }
+
+  test("prefix-filter jaccard join == brute force at several thresholds on random corpora") {
+    // guards the whole filter stack (hash join keys, probe prefix,
+    // aggregated positional filter, two-tier verification): every filter
+    // must be lossless at any rational threshold. Docs draw from a small
+    // shared vocabulary so near-dup pairs actually occur.
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n    <- Gen.choose(8, 40)
+      docs <- Gen.listOfN(n, for {
+        len  <- Gen.choose(3, 24)
+        toks <- Gen.listOfN(len, Gen.choose(0, 30).map(i => s"w$i"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val ids  = docs.select(col("doc_id"))
+      val allPairs = ids.select(col("doc_id").as("doc_a"))
+        .crossJoin(ids.select(col("doc_id").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      val exactJ = Dedup.verifyJaccard(docs, allPairs)
+      for ((num, den) <- Seq((1, 3), (1, 2), (2, 3), (3, 4))) {
+        val brute = exactJ.where(col("jaccard") >= lit(num).cast("double") / lit(den).cast("double"))
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        val pj = Dedup.jaccardJoinPrefix(docs, num, den)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(pj == brute,
+          s"t=$num/$den on ${rows.size} docs: missing=${brute -- pj} extra=${pj -- brute}")
+      }
+    }
+  }
 }
