@@ -162,6 +162,18 @@ object SparkEntry {
       // the small-corpus/audit path, oracle-checked as q_jaccard_join)
       Dedup.dedupClusters(Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash))
         .orderBy(col("doc_id"))),
+    "q_cluster_survivors" -> ((s, d) => { // survivor selection per near-dup cluster
+      val docs = Tables.documents(s, d)
+      Dedup.clusterSurvivors(
+        Dedup.dedupClusters(Dedup.nearDupVerified(docs, 0.3, 0.5, Dedup.PortableHash)),
+        TextAnalysis.qualityUnits(docs))
+    }),
+    "q_embedding_dedup_clusters" -> ((s, d) => // semantic dedup: ANN pairs -> CC
+      Dedup.dedupClusters(
+        Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))),
     "q_deterministic_sample" -> ((s, d) => // content-addressed 1/5 corpus sample
       Sampling.sampleProfile(Tables.documents(s, d), 1, 5)),
     "q_group_sample" -> ((s, d) => // exactly-k-per-source quota sample
@@ -409,7 +421,7 @@ object SparkEntry {
     * bucket equi-joins, exact-cosine verification, set-distinct merge. The
     * plane constants are embedded verbatim (Double.toString round-trips),
     * so both engines code identical buckets. */
-  private val nearDupCosineLshOracleSql: String = {
+  private val nearDupCosineLshCte: String = {
     def dotPlane(p: Seq[Double]) = {
       val arr = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"list_reduce(list_transform(list_zip(embedding, $arr), s -> CAST(s[1] AS DOUBLE) * s[2]), (x, y) -> x + y)"
@@ -431,9 +443,51 @@ object SparkEntry {
        |  FROM embeddings),
        |cand AS (
        |$perTable)
-       |SELECT DISTINCT vec_a, vec_b, cosine FROM cand
-       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+       |""".stripMargin
   }
+
+  private val nearDupCosineLshOracleSql: String =
+    nearDupCosineLshCte +
+      """SELECT DISTINCT vec_a, vec_b, cosine FROM cand
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Unrolled synchronous min-label rounds over a `pairs(doc_a, doc_b)` CTE
+    * already defined upstream — shared by every clustering oracle. The
+    * engine runs the same recurrence to convergence; DedupSpec asserts the
+    * fixpoint is reached by `rounds` on the test corpora, so the unrolled
+    * form and the converged form agree. Labels land in `l<rounds>`. */
+  private def ccLayersSql(rounds: Int = 5): String = {
+    val layers = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT v.doc_id, least(v.label, coalesce(min(l.label), v.label)) AS label
+         |  FROM l${i - 1} v
+         |  LEFT JOIN edge e ON e.src = v.doc_id
+         |  LEFT JOIN l${i - 1} l ON l.doc_id = e.dst
+         |  GROUP BY v.doc_id, v.label)""".stripMargin
+    }.mkString(",\n")
+    s"""edge AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edge),
+       |$layers""".stripMargin
+  }
+
+  /** Shared pair source of the text clustering oracles: the LSH-verified
+    * near-dup stream (mirror of q_near_dup_verified) ending in a
+    * `pairs(doc_a, doc_b)` CTE, ready for [[ccLayersSql]]. */
+  private lazy val lshVerifiedPairsCte: String =
+    minhashCte +
+      s""", sets AS (
+         |  SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id),
+         |ver AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    ${q4("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.s, b.s))) AS DOUBLE)")} AS jaccard
+         |  FROM est e
+         |  JOIN sets a ON a.doc_id = e.doc_a
+         |  JOIN sets b ON b.doc_id = e.doc_b
+         |  WHERE e.est_jaccard >= 0.3),
+         |pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+         |""".stripMargin
 
   /** Shared CTE chain of the prefix-filter Jaccard join oracle (mirror of
     * Dedup.jaccardJoinPrefix, t = 1/2): shingling, df-canonical ordering,
@@ -1658,35 +1712,45 @@ object SparkEntry {
     // rounds of synchronous min-label propagation — both engines run the
     // SAME rounds, so labels agree even before convergence (and DedupSpec
     // asserts round 5 is a fixpoint on the test corpora).
-    "q_dedup_clusters" -> {
-      val layers = (1 to 5).map { i =>
-        s"""l$i AS (
-           |  SELECT v.doc_id, least(v.label, coalesce(min(l.label), v.label)) AS label
-           |  FROM l${i - 1} v
-           |  LEFT JOIN edge e ON e.src = v.doc_id
-           |  LEFT JOIN l${i - 1} l ON l.doc_id = e.dst
-           |  GROUP BY v.doc_id, v.label)""".stripMargin
-      }.mkString(",\n")
-      // pairs = the LSH-verified stream (mirror of q_near_dup_verified) —
-      // the pair source the engine's q_dedup_clusters actually clusters
-      minhashCte +
-        s""", sets AS (
-           |  SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id),
-           |ver AS (
-           |  SELECT e.doc_a, e.doc_b,
-           |    ${q4("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.s, b.s))) AS DOUBLE)")} AS jaccard
-           |  FROM est e
-           |  JOIN sets a ON a.doc_id = e.doc_a
-           |  JOIN sets b ON b.doc_id = e.doc_b
-           |  WHERE e.est_jaccard >= 0.3),
-           |pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
-           |edge AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edge),
-           |$layers
-           |SELECT doc_id, label AS cluster_id FROM l5 ORDER BY doc_id""".stripMargin
-    },
+    // pairs = the LSH-verified stream (mirror of q_near_dup_verified) —
+    // the pair source the engine's clustering queries actually cluster
+    "q_dedup_clusters" ->
+      (lshVerifiedPairsCte + ccLayersSql() +
+        "\nSELECT doc_id, label AS cluster_id FROM l5 ORDER BY doc_id"),
+
+    // Mirror of Dedup.clusterSurvivors over the same clusters: per-doc
+    // exact 1e-4-unit quality (identical IEEE op sequence to
+    // q_quality_by_source), survivor = highest qual_u then lowest doc_id.
+    "q_cluster_survivors" ->
+      (lshVerifiedPairsCte + ccLayersSql() +
+        """,
+          |qd AS (
+          |  SELECT doc_id, CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+          |    + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
+          |    + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS BIGINT) AS qual_u
+          |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)),
+          |members AS (
+          |  SELECT l.doc_id, l.label AS cluster_id, qd.qual_u
+          |  FROM l5 l JOIN qd ON qd.doc_id = l.doc_id),
+          |r AS (
+          |  SELECT cluster_id, doc_id, qual_u,
+          |    row_number() OVER (PARTITION BY cluster_id ORDER BY qual_u DESC, doc_id ASC) AS rn,
+          |    count(*) OVER (PARTITION BY cluster_id) AS sz,
+          |    max(qual_u) OVER (PARTITION BY cluster_id) AS max_qual_u
+          |  FROM members)
+          |SELECT cluster_id, doc_id AS keep_doc_id,
+          |  CAST(max_qual_u AS DOUBLE) / 10000.0 AS keep_quality,
+          |  sz AS members, sz - 1 AS dropped
+          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
+    // Semantic dedup clusters: the multi-table cosine-LSH pair stream
+    // (mirror of q_near_dup_cosine) fed through the same unrolled CC.
+    "q_embedding_dedup_clusters" ->
+      (nearDupCosineLshCte +
+        s""",pairs AS (
+           |  SELECT DISTINCT vec_a AS doc_a, vec_b AS doc_b FROM cand WHERE cosine >= 0.4),
+           |${ccLayersSql()}
+           |SELECT doc_id AS vec_id, label AS cluster_id FROM l5 ORDER BY vec_id""".stripMargin),
 
     // Brute-force O(n²) Hamming scan — the semantic spec the engine's
     // pigeonhole banding provably equals for maxHamming ≤ 3.

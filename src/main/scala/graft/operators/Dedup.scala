@@ -430,6 +430,27 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The step AFTER clustering in a dedup pipeline: pick each near-dup
+    * cluster's SURVIVOR — the member with the highest quality score,
+    * lowest doc_id on ties — and report what gets dropped. Takes the
+    * (doc_id, cluster_id) assignment and a (doc_id, qual_u) table of
+    * exact 1e-4-unit integer quality scores ([[TextAnalysis.qualityUnits]])
+    * so the max is integer-deterministic; the kept doc's quality surfaces
+    * as a double only at the output edge. One join + one groupBy — both
+    * hash-partitioned on bounded keys, nothing cluster-global. */
+  def clusterSurvivors(clusters: DataFrame, qualityUnits: DataFrame): DataFrame =
+    clusters.join(qualityUnits, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        // max over (qual_u, -doc_id): highest quality, ties to LOWEST id
+        max_by(col("doc_id"), struct(col("qual_u"), (-col("doc_id")).as("nid"))).as("keep_doc_id"),
+        max(col("qual_u")).as("keep_qual_u"),
+        count(lit(1)).as("members"))
+      .select(col("cluster_id"), col("keep_doc_id"),
+        (col("keep_qual_u").cast("double") / 10000.0).as("keep_quality"),
+        col("members"), (col("members") - 1).as("dropped"))
+      .orderBy(col("cluster_id"))
+
   /** Self-looped undirected edge set + identity labels for CC. The pair
     * plan is checkpointed BEFORE mirroring: the union references `pairs`
     * twice, and an un-materialized pair plan (e.g. the whole prefix-filter

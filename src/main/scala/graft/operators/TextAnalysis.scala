@@ -60,6 +60,12 @@ object TextAnalysis {
       floor(qual * 10000.0).as("qual_u"))
   }
 
+  /** Per-doc exact 1e-4-unit quality score — the integer form downstream
+    * consumers (e.g. [[Dedup.clusterSurvivors]]) compare and maximize on so
+    * no float tie-breaking ever enters a survivor decision. */
+  def qualityUnits(docs: DataFrame): DataFrame =
+    scoredUnits(docs).select(col("doc_id"), col("qual_u"))
+
   def qualityScored(docs: DataFrame): DataFrame =
     scoredUnits(docs).select(
       col("doc_id"), col("lang"), col("source"),

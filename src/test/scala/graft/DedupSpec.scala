@@ -138,6 +138,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup clusters: fixpoint by round 5 (oracle anchor) on the ANN pair graph") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val pairs = Similarity.nearDupCosineLsh(emb, 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cc = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    val c5 = Dedup.dedupClustersFixedRounds(pairs, 5).as[(Long, Long)].collect().toMap
+    assert(cc == c5, "round 5 must already be the fixpoint on the embedding pair graph")
+  }
+
+  test("cluster survivors: survivor is a member with the cluster-max quality, lowest id on ties") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardJoinPrefix(docs, 1, 2).select("doc_a", "doc_b")
+    val clusters = Dedup.dedupClusters(pairs)
+    val qual = graft.operators.TextAnalysis.qualityUnits(docs)
+      .as[(Long, Long)].collect().toMap
+    val memb = clusters.as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1))
+    val out = Dedup.clusterSurvivors(clusters, graft.operators.TextAnalysis.qualityUnits(docs))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cid, keep, members) =
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep_doc_id"), r.getAs[Long]("members"))
+      val ms = memb(cid)
+      assert(ms.contains(keep), s"survivor $keep not in cluster $cid")
+      assert(ms.length.toLong == members)
+      val best = ms.map(m => (qual(m), -m)).max
+      assert((qual(keep), -keep) == best, s"cluster $cid kept $keep, expected ${-best._2}")
+      assert(r.getAs[Double]("keep_quality") == qual(keep).toDouble / 10000.0)
+      assert(r.getAs[Long]("dropped") == members - 1)
+    }
+  }
+
   test("dedup clusters: a chain component deeper than any fixed round count converges") {
     // path graph 1-2-3-…-12: diameter 11 — min-label propagation needs 11
     // synchronous rounds to push label 1 to vertex 12; the old fixed
