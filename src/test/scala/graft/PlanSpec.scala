@@ -138,6 +138,19 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 1, s"expected at most the output sort, got $sorts:\n$p")
   }
 
+  test("cluster survivors: broadcast quality join, no cartesian, bounded exchanges") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.dedupClusters(
+      Dedup.jaccardJoinPrefix(docs, 1, 2).select(col("doc_a"), col("doc_b")))
+    val p = planOf(Dedup.clusterSurvivors(clusters, TextAnalysis.qualityUnits(docs)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // cluster assignment (small by construction) joins quality per doc;
+    // then one aggregation exchange and the output sort — nothing more
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"join + agg + output sort only, got $exchanges:\n$p")
+  }
+
   test("contamination joins on n-grams — never a cartesian") {
     val p = planOf(CorpusFilters.contaminationProfile(Tables.documents(spark, sf), 20, 5))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
