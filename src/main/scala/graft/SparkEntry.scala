@@ -455,20 +455,27 @@ object SparkEntry {
     * already defined upstream — shared by every clustering oracle. The
     * engine runs the same recurrence to convergence; DedupSpec asserts the
     * fixpoint is reached by `rounds` on the test corpora, so the unrolled
-    * form and the converged form agree. Labels land in `l<rounds>`. */
-  private def ccLayersSql(rounds: Int = 5): String = {
+    * form and the converged form agree. Depth 10 is measured headroom: the
+    * deepest observed component (embedding pairs at sf0.1) needs 7 rounds
+    * to confirm its fixpoint — a too-shallow unroll silently diverges from
+    * the converged engine. Labels land in `l<rounds>`. */
+  private def ccLayersSql(rounds: Int = 10): String = {
+    // MATERIALIZED is load-bearing: each layer references the previous one
+    // TWICE, and an inlining CTE planner would otherwise expand the chain
+    // into 2^rounds scans of the base tables (observed as file-handle
+    // exhaustion at 10 layers in DuckDB 1.0)
     val layers = (1 to rounds).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT v.doc_id, least(v.label, coalesce(min(l.label), v.label)) AS label
          |  FROM l${i - 1} v
          |  LEFT JOIN edge e ON e.src = v.doc_id
          |  LEFT JOIN l${i - 1} l ON l.doc_id = e.dst
          |  GROUP BY v.doc_id, v.label)""".stripMargin
     }.mkString(",\n")
-    s"""edge AS (
+    s"""edge AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edge),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS label FROM edge),
        |$layers""".stripMargin
   }
 
@@ -1716,7 +1723,7 @@ object SparkEntry {
     // the pair source the engine's clustering queries actually cluster
     "q_dedup_clusters" ->
       (lshVerifiedPairsCte + ccLayersSql() +
-        "\nSELECT doc_id, label AS cluster_id FROM l5 ORDER BY doc_id"),
+        "\nSELECT doc_id, label AS cluster_id FROM l10 ORDER BY doc_id"),
 
     // Mirror of Dedup.clusterSurvivors over the same clusters: per-doc
     // exact 1e-4-unit quality (identical IEEE op sequence to
@@ -1731,7 +1738,7 @@ object SparkEntry {
           |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)),
           |members AS (
           |  SELECT l.doc_id, l.label AS cluster_id, qd.qual_u
-          |  FROM l5 l JOIN qd ON qd.doc_id = l.doc_id),
+          |  FROM l10 l JOIN qd ON qd.doc_id = l.doc_id),
           |r AS (
           |  SELECT cluster_id, doc_id, qual_u,
           |    row_number() OVER (PARTITION BY cluster_id ORDER BY qual_u DESC, doc_id ASC) AS rn,
@@ -1750,7 +1757,7 @@ object SparkEntry {
         s""",pairs AS (
            |  SELECT DISTINCT vec_a AS doc_a, vec_b AS doc_b FROM cand WHERE cosine >= 0.4),
            |${ccLayersSql()}
-           |SELECT doc_id AS vec_id, label AS cluster_id FROM l5 ORDER BY vec_id""".stripMargin),
+           |SELECT doc_id AS vec_id, label AS cluster_id FROM l10 ORDER BY vec_id""".stripMargin),
 
     // Brute-force O(n²) Hamming scan — the semantic spec the engine's
     // pigeonhole banding provably equals for maxHamming ≤ 3.
