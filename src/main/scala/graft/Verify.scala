@@ -11,8 +11,16 @@ object Verify {
     // to a comma-separated query subset for fast local iteration
     val only = args.drop(2).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
-      System.err.println(s"[verify] WARNING: unknown query name '$n' (typo?)")))
+    only.foreach { names =>
+      names.diff(SparkEntry.queries.keySet).foreach(n =>
+        System.err.println(s"[verify] WARNING: unknown query name '$n' (typo?)"))
+      if (names.intersect(SparkEntry.queries.keySet).isEmpty) {
+        // a filter matching nothing would write an empty oracle_sql.json
+        // and exit 0 — a silent no-op that reads as success downstream
+        System.err.println(s"[verify] ERROR: filter matches no registered query: $names")
+        sys.exit(2)
+      }
+    }
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
