@@ -45,7 +45,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // untruncated sidecar: the driver's recorded bench tail clips the first
+    // ~20 query entries, so every run also lands the full per-query JSON on
+    // disk where it can be committed and ranked without estimation
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      "/root/repo/bench_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
   }
 }

@@ -102,6 +102,8 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
+    "q_price_quantiles_approx" -> ((s, d) => // bounded-state per-group quantiles
+      Relational.priceQuantilesHist(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
     "q_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)), // wide pivot
@@ -1001,6 +1003,25 @@ object SparkEntry {
          |  ${q4("quantile_cont(o_totalprice, 0.5)")} AS median_price,
          |  ${q4("quantile_cont(o_totalprice, 0.9)")} AS p90_price
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Mirror of Relational.priceQuantilesHist: per-group bounded histogram
+    // → per-group running sum → integer rank tests (2·cum ≥ n, 10·cum ≥ 9n).
+    "q_price_quantiles_approx" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, bucket,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM b)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS orders,
+        |  CAST(min(CASE WHEN 2 * cum >= n THEN bucket END) AS DOUBLE) * 1000.0 AS median_lo,
+        |  (CAST(min(CASE WHEN 2 * cum >= n THEN bucket END) AS DOUBLE) + 1) * 1000.0 AS median_hi,
+        |  CAST(min(CASE WHEN 10 * cum >= 9 * n THEN bucket END) AS DOUBLE) * 1000.0 AS p90_lo,
+        |  (CAST(min(CASE WHEN 10 * cum >= 9 * n THEN bucket END) AS DOUBLE) + 1) * 1000.0 AS p90_hi
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_set_ops" ->
       """WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

@@ -245,11 +245,17 @@ object Dedup {
     * integer-exact in any engine.
     *
     * Candidate generation joins on the 64-bit shingle hash, not the
-    * string: a hash collision can only ADD a candidate (verification on
-    * the true string sets rejects it), never lose one — the canonical
-    * order stays total through the string tie-break — so exactness is
-    * unaffected while the hot equi-join and the per-doc sorts compare
-    * longs instead of ~20-byte strings.
+    * string, so the hot equi-join and the per-doc sorts compare longs
+    * instead of ~20-byte strings. Exactness survives collisions: the
+    * canonical order stays total through the string tie-break, a shared
+    * STRING always produces a hash join match (same string ⟹ same hash),
+    * and the two places a collision could otherwise LOSE a pair — the
+    * aggregated positional filter and the hash-tier verification — are
+    * both widened by a per-doc collision-slack term
+    * `dup = s − |distinct hashes|` (zero on collision-free docs, so the
+    * widening costs nothing in the common case; see the inline proofs).
+    * Extra collision-born join rows only ADD candidates, which string
+    * verification rejects.
     *
     * Scale shape: df-count is one map-side-combined aggregation; per-doc
     * ordering sorts each doc's own shingles (no global sort); the
@@ -285,6 +291,11 @@ object Dedup {
       .select(col("doc_id"), col("s"),
         transform(col("ord"), x => x.getField("h")).as("ohs"),
         transform(col("ord"), x => x.getField("shingle")).as("shs"))
+      // collision slack: shingles are distinct strings, so any duplicate
+      // hash value inside one doc is a 64-bit collision. dup = 0 on
+      // real corpora; it widens the two pruning bounds below just enough
+      // to keep them lossless in the 2^-64 collision case.
+      .withColumn("dup", col("s") - size(array_distinct(col("ohs"))))
       .localCheckpoint()
     // index prefix p = s − ⌈t·s⌉ + 1; probe prefix swaps t for 2t/(1+t).
     // ⌈a/b⌉ = floor((a+b−1)/b), exact in double below 2^52
@@ -292,57 +303,74 @@ object Dedup {
     val pShort = (col("s")
       - floor((col("s") * (2 * num) + (num + den - 1)) / (num + den)) + 1).cast("int")
     val pre = docArrays
-      .select(col("doc_id"), col("s"), posexplode(slice(col("ohs"), lit(1), p)))
-      .select(col("doc_id"), col("s"), col("pos"), col("col").as("h"))
+      .select(col("doc_id"), col("s"), col("dup"),
+        posexplode(slice(col("ohs"), lit(1), p)))
+      .select(col("doc_id"), col("s"), col("dup"), col("pos"), col("col").as("h"))
     // probe side = the pair's SMALLER set (ties by id): a strict subset of
     // the index rows, so it filters the same exploded table further
     val l = pre.where(col("pos") < pShort)
-      .select(col("h"), col("doc_id").as("doc_l"), col("s").as("sl"), col("pos").as("pl"))
+      .select(col("h"), col("doc_id").as("doc_l"), col("s").as("sl"), col("pos").as("pl"),
+        col("dup").as("dup_l"))
     val r = pre.select(col("h"), col("doc_id").as("doc_r"), col("s").as("sr"),
-      col("pos").as("pr"))
+      col("pos").as("pr"), col("dup").as("dup_r"))
     // Pair-level PPJoin positional filter (Xiao et al. '08, aggregated
     // form). A pair needs overlap α = ⌈t·(sl+sr)/(1+t)⌉. Canonical ranks
-    // are monotone in the shared global order, so for the pair's LAST
-    // shared prefix token (rank pl_max in l, pr_max in r — both maxima are
-    // attained at the same token): every shared token canonically ≤ it has
-    // pos ≤ pl_max < probe-prefix AND ≤ pr_max < index-prefix, i.e. is one
-    // of the o_pp join matches; every shared token after it lies in both
-    // ranges (pl_max, sl) and (pr_max, sr). Hence EXACTLY
-    //   overlap ≤ o_pp + min(sl − pl_max − 1, sr − pr_max − 1)
-    // — a strictly tighter (and still lossless) prune than the classic
-    // per-occurrence min(sl−pl, sr−pr) ≥ α test, which it degenerates to
-    // when o_pp = 1. The aggregation doubles as pair dedup, so it costs no
-    // extra shuffle. (sl ≤ sr makes the second size bound den·sr ≥ num·sl
+    // are monotone in the shared global order, so on a collision-free
+    // pair, for the pair's LAST shared prefix token (rank pl_max in l,
+    // pr_max in r — both maxima attained at the same token): every shared
+    // token canonically ≤ it has pos ≤ pl_max < probe-prefix AND
+    // ≤ pr_max < index-prefix, i.e. is one of the o_pp join matches; every
+    // shared token after it lies in both ranges (pl_max, sl) and
+    // (pr_max, sr). Hence
+    //   overlap ≤ o_pp + min(sl − pl_max − 1, sr − pr_max − 1) + dup_l + dup_r
+    // where the dup terms cover the collision case: a shared string missed
+    // by both counts must sit canonically between the two strings of a
+    // colliding (hash-equal, string-distinct) join match — forcing its own
+    // hash into that collision value, so each miss consumes a distinct
+    // within-doc duplicate-hash unit on the side whose maximum trapped it.
+    // With dup_l = dup_r = 0 (every real corpus) this is the strictly
+    // tighter-than-classic lossless bound; a collision merely loosens it
+    // back. The aggregation doubles as pair dedup, so it costs no extra
+    // shuffle. (sl ≤ sr makes the second size bound den·sr ≥ num·sl
     // vacuous — den ≥ num already implies it.)
     val alpha = floor((lit(num) * (col("sl") + col("sr")) + (num + den - 1)) / (num + den))
     val cand = l.join(r, Seq("h"))
       .where((col("sl") < col("sr")
           || (col("sl") === col("sr") && col("doc_l") < col("doc_r")))
         && lit(den) * col("sl") >= lit(num) * col("sr"))
-      .groupBy(col("doc_l"), col("doc_r"), col("sl"), col("sr"))
+      .groupBy(col("doc_l"), col("doc_r"), col("sl"), col("sr"),
+        col("dup_l"), col("dup_r"))
       .agg(count(lit(1)).as("o_pp"), max(col("pl")).as("pl_max"), max(col("pr")).as("pr_max"))
       .where(col("o_pp") +
-        least(col("sl") - col("pl_max") - 1, col("sr") - col("pr_max") - 1) >= alpha)
+        least(col("sl") - col("pl_max") - 1, col("sr") - col("pr_max") - 1)
+        + col("dup_l") + col("dup_r") >= alpha)
       .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
         greatest(col("doc_l"), col("doc_r")).as("doc_b"),
         col("sl"), col("sr"))
-    // two-tier intersection: the LONG hash arrays are compared first —
-    // |A∩B| ≤ |hash(A)∩hash(B)| always (a collision can only merge, never
-    // split), so a pair whose hash overlap already misses the required
-    // α = ⌈t·(sl+sr)/(1+t)⌉ can be rejected without ever touching the
-    // strings. Only the survivors (≈ the true result set) pay the exact
-    // string-set intersection. Both arrays arrive on the same two joins,
-    // so the tiering costs no extra data movement.
+    // two-tier intersection: the LONG hash arrays are compared first. For
+    // each shared DISTINCT hash value v, the shared strings hashing to v
+    // number at most min(cntA(v), cntB(v)) ≤ 1 + (cntA(v) − 1), so summing
+    // over the interH shared values:
+    //   |A∩B| ≤ interH + min(dup_a, dup_b)
+    // — with zero collisions (dup = 0) this is the plain |A∩B| ≤ interH
+    // bound, so a pair whose hash overlap (plus slack) misses the required
+    // α = ⌈t·(sl+sr)/(1+t)⌉ is rejected without ever touching the
+    // strings, and the rejection is lossless even under collisions. Only
+    // the survivors (≈ the true result set) pay the exact string-set
+    // intersection, which remains the sole authority on the reported
+    // Jaccard. Both arrays arrive on the same two joins, so the tiering
+    // costs no extra data movement.
     val alphaPair = floor((lit(num) * (col("sl") + col("sr")) + (num + den - 1))
       / (num + den))
     val interH = size(array_intersect(col("oh_a"), col("oh_b"))).cast("long")
     val interS = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    val inter = when(interH >= alphaPair, interS).otherwise(lit(0L))
+    val inter = when(interH + least(col("dup_a"), col("dup_b")) >= alphaPair, interS)
+      .otherwise(lit(0L))
     cand
       .join(docArrays.select(col("doc_id").as("doc_a"),
-        col("ohs").as("oh_a"), col("shs").as("sh_a")), Seq("doc_a"))
+        col("ohs").as("oh_a"), col("shs").as("sh_a"), col("dup").as("dup_a")), Seq("doc_a"))
       .join(docArrays.select(col("doc_id").as("doc_b"),
-        col("ohs").as("oh_b"), col("shs").as("sh_b")), Seq("doc_b"))
+        col("ohs").as("oh_b"), col("shs").as("sh_b"), col("dup").as("dup_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         Cols.asDec4(inter.cast("double") /
           (col("sl") + col("sr") - inter).cast("double")).as("jaccard"))
@@ -385,30 +413,51 @@ object Dedup {
     * strictly decreasing until the fixpoint and constant at it — comparing
     * one decimal aggregate per check detects "zero labels changed" without
     * a join against the previous labels. Decimal(38,0) keeps the sum exact
-    * at any corpus size (no long overflow, no float rounding). Rounds run
-    * in STRIDES of 2 between materializations: each check costs a job
-    * barrier (checkpoint + aggregate action), and near-dup components are
-    * shallow, so halving the barrier count beats detecting the fixpoint
-    * one round earlier; an already-converged round is a no-op re-running
-    * it, never a wrong answer. */
+    * at any corpus size (no long overflow, no float rounding).
+    *
+    * Barrier economics: the INITIAL labels already ARE round 1 — with the
+    * self-loop folded into the edge set, round 1 over identity labels is
+    * just min(dst) per src, a plain aggregation of the edge list needing
+    * no label join — so the first propagation round costs no extra
+    * barrier. Subsequent rounds run in STRIDES of 3 between
+    * materializations: each check costs a job barrier (checkpoint +
+    * aggregate action), and near-dup components are shallow, so cutting
+    * the barrier count beats detecting the fixpoint a round or two
+    * earlier; an already-converged round is a no-op re-running it, never
+    * a wrong answer. A graph whose fixpoint lands exactly on `maxRounds`
+    * with the sum still in flight gets ONE extra confirming round before
+    * the guard throws (the sum can only prove convergence one round after
+    * it happens). An empty pair set short-circuits to the empty frame. */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val stride = 2
-    val (edgesLazy, init) = ccEdgesAndInit(pairs)
+    val stride = 3
     // referenced in every round of every stride — materialize the
     // self-looped edge set once instead of re-running its union+distinct
     // inside each propagation job
-    val edges = edgesLazy.localCheckpoint()
-    var labels = init.localCheckpoint()
-    var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var round = 0
+    val edges = ccEdges(pairs).localCheckpoint()
+    def out(l: DataFrame) = l.select(col("doc_id"), col("label").as("cluster_id"))
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // round 1 for free: min over N(v) ∪ {v} of identity labels = min(dst)
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
+      .select(col("src").as("doc_id"), col("label")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    if (prevSum == null) return out(labels) // no pairs → no vertices, sum of nothing
+    var round = 1
     var converged = false
     while (!converged && round < maxRounds) {
       val steps = math.min(stride, maxRounds - round)
       labels = (1 to steps).foldLeft(labels)((l, _) => ccRound(edges, l)).localCheckpoint()
-      val s = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       round += steps
+    }
+    if (!converged) {
+      // the cap may coincide with the fixpoint itself: one confirming
+      // round distinguishes "converged at exactly maxRounds" from "still
+      // descending" (labels are unchanged by the extra round if converged)
+      labels = ccRound(edges, labels).localCheckpoint()
+      converged = labelSum(labels).compareTo(prevSum) == 0
     }
     if (!converged)
       throw new IllegalStateException(
@@ -451,18 +500,24 @@ object Dedup {
         col("members"), (col("members") - 1).as("dropped"))
       .orderBy(col("cluster_id"))
 
-  /** Self-looped undirected edge set + identity labels for CC. The pair
-    * plan is checkpointed BEFORE mirroring: the union references `pairs`
-    * twice, and an un-materialized pair plan (e.g. the whole prefix-filter
-    * join) would execute once per branch. */
-  private def ccEdgesAndInit(pairs: DataFrame): (DataFrame, DataFrame) = {
+  /** Self-looped undirected edge set for CC. The pair plan is checkpointed
+    * BEFORE mirroring: the union references `pairs` twice, and an
+    * un-materialized pair plan (e.g. the whole prefix-filter join) would
+    * execute once per branch. */
+  private def ccEdges(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val undirected = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    val edges = undirected.unionByName(
+    undirected.unionByName(
       undirected.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-    val init = undirected.select(col("src").as("doc_id")).distinct()
+  }
+
+  /** [[ccEdges]] plus identity labels — the round-0 state the test-only
+    * fixed-round recurrence (and its SQL-oracle unroll) starts from. */
+  private def ccEdgesAndInit(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val edges = ccEdges(pairs)
+    val init = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
     (edges, init)
   }

@@ -333,9 +333,16 @@ object Relational {
     * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
     * standard linear-interpolation definition and agree bit-for-bit on this
     * data (verified at all scale factors); floor quantization adds a safety
-    * margin. Exact percentiles buffer each group's values — fine for
-    * bounded groups like the 5 priorities; for unbounded cardinality use
-    * [[orderValueDecilesApprox]]'s one-pass sketch instead. */
+    * margin.
+    *
+    * SMALL-DATA / AUDIT PATH ONLY. Exact `percentile` buffers every value
+    * of a group in its aggregation buffer, and a BOUNDED group count makes
+    * that WORSE, not safer: 5 priority groups means ~N/5 values
+    * concentrated on each of 5 reducers, growing linearly with the data —
+    * at 100 TB this OOMs. Per-group cardinality, not group count, is what
+    * scales. The registered scale sibling is [[priceQuantilesHist]]
+    * (bounded per-group histogram state); [[orderValueDecilesApprox]]'s
+    * one-pass sketch is the global-quantile analogue. */
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
@@ -344,6 +351,46 @@ object Relational {
         Cols.q4(percentile(col("o_totalprice"), lit(0.5))).as("median_price"),
         Cols.q4(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
       .orderBy(col("o_orderpriority"))
+
+  /** Scale-path PER-GROUP quantiles (median/p90 of order value by
+    * priority) via a fixed-width value histogram — the registered,
+    * oracle-checked sibling of [[priceQuantiles]], same doctrine as
+    * [[orderValueDecilesHist]] applied per group.
+    *
+    * Shape: one map-side-combined groupBy on (group, floor(value/width)) —
+    * per-group state is bounded by VALUE RANGE / width (a few hundred
+    * buckets), independent of row count — then a running-count window over
+    * each group's bounded histogram, and each quantile boundary is the
+    * first bucket whose cumulative count reaches the integer rank
+    * threshold (`2·cum ≥ n` for the median, `10·cum ≥ 9·n` for p90 — both
+    * pure integer, so any engine agrees exactly). Boundaries resolve to
+    * the bucket edges [lo, hi): deterministic to bucket resolution, no
+    * value interpolation, no per-group value buffering anywhere. At
+    * 100 TB the only per-row work is the histogram aggregation; the
+    * windows and boundary picks touch ≤ |groups|·|buckets| rows. */
+  def priceQuantilesHist(spark: SparkSession, dir: String,
+                         width: Double = 1000.0): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGrp = Window.partitionBy(col("o_orderpriority"))
+    val cum = hist.select(col("o_orderpriority"), col("bucket"),
+      sum(col("cnt")).over(wCum).as("cum"), sum(col("cnt")).over(wGrp).as("n"))
+    cum.groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("n")).as("orders"),
+        min(when(lit(2) * col("cum") >= col("n"), col("bucket"))).as("mb"),
+        min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("bucket"))).as("pb"))
+      .select(col("o_orderpriority"), col("orders"),
+        (col("mb").cast("double") * width).as("median_lo"),
+        ((col("mb") + 1).cast("double") * width).as("median_hi"),
+        (col("pb").cast("double") * width).as("p90_lo"),
+        ((col("pb") + 1).cast("double") * width).as("p90_hi"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** Scale-path percentile: one-pass approximate quantiles, no global sort. */
   def orderValueDecilesApprox(spark: SparkSession, dir: String): DataFrame =

@@ -220,6 +220,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("per-group price quantiles (hist) buffer no values — bounded histogram state only") {
+    val p = planOf(Relational.priceQuantilesHist(spark, sf))
+    // the scale sibling must never plan Spark's exact `percentile` (which
+    // buffers every group value in the aggregation buffer — the 100 TB
+    // killer q_price_quantiles keeps only as a small-data oracle anchor)
+    assert(!p.toLowerCase.contains("percentile"), s"hist quantiles must not buffer values:\n$p")
+    // the running-count window rides the bounded per-group histogram and
+    // must partition by the group key, never collapse to a single task
+    val cumLine = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(cumLine.contains("o_orderpriority#"),
+      s"cumulative window must partition by priority:\n$cumLine\n$p")
+    assert(!p.contains("SinglePartition"), s"bounded windows must stay per-group:\n$p")
+  }
+
+  test("exact knn baseline is the BROADCAST nested-loop variant, never a shuffle NLJ") {
+    import org.apache.spark.sql.functions.col
+    // topKCosine is the documented exact baseline: tiny query set × streamed
+    // corpus. The pairing must plan as a broadcast of the query side — a
+    // config drift that degrades it to a cartesian/shuffle pairing would
+    // re-shuffle the 100 TB corpus
+    val emb = Tables.embeddings(spark, sf)
+    val p = planOf(Similarity.topKCosine(emb, emb.where(col("vec_id") < 5), 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus must never shuffle for the pairing:\n$p")
+  }
+
   test("bm25 ranks via top-k, not a global sort, and tf prunes to the term set in the scan stage") {
     val p = planOf(TextAnalysis.bm25TopDocs(Tables.documents(spark, sf), Seq("join", "filter"), 10))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -190,23 +190,24 @@ class PropertySpec extends SparkSpec {
         b <- Gen.choose(0L, nVerts.toLong - 1)
       } yield (math.min(a, b), math.max(a, b)))
     } yield edges.filter(e => e._1 != e._2).distinct
+    // no nonEmpty guard: a corpus with zero near-dup pairs is a legitimate
+    // input (q_dedup_clusters feeds whatever the verify stage emits), and
+    // dedupClusters must return the empty frame for it, not throw
     forAll(graphGen) { edges =>
-      whenever(edges.nonEmpty) {
-        val got = Dedup.dedupClusters(edges.toDF("doc_a", "doc_b"))
-          .as[(Long, Long)].collect().toMap
-        // reference model: path-compressing union-find over the same edges
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        edges.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val expected = parent.keys.map(v => v -> find(v)).toMap
-        assert(got == expected, s"edges=$edges")
+      val got = Dedup.dedupClusters(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference model: path-compressing union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
       }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      assert(got == expected, s"edges=$edges")
     }
   }
 }
