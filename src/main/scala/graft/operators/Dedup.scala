@@ -199,7 +199,14 @@ object Dedup {
 
   /** [[verifyJaccard]] over an already-built (doc_id, shingle) table — use
     * when the caller has materialized shingles for candidate generation so
-    * verification doesn't re-shingle the corpus. */
+    * verification doesn't re-shingle the corpus. The set aggregation is
+    * one map-side-combined shuffle of the shingle table; a candidate-doc
+    * semi-join ahead of it was measured SLOWER at the candidate densities
+    * this pipeline runs at (est-threshold banding admits a sizable doc
+    * fraction, so the prune saved little and its extra join +
+    * materialization barrier cost more) — the pair-side joins below are
+    * already candidate-only, which is what bounds the expensive
+    * array-intersect work. */
   def verifyJaccardOnShingles(shingleTable: DataFrame, candidatePairs: DataFrame): DataFrame = {
     val sets = shingleTable
       .groupBy(col("doc_id"))
@@ -435,19 +442,18 @@ object Dedup {
     // inside each propagation job
     val edges = ccEdges(pairs).localCheckpoint()
     def out(l: DataFrame) = l.select(col("doc_id"), col("label").as("cluster_id"))
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     // round 1 for free: min over N(v) ∪ {v} of identity labels = min(dst)
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
-      .select(col("src").as("doc_id"), col("label")).localCheckpoint()
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = ckptWithLabelSum(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
+        .select(col("src").as("doc_id"), col("label")))
     if (prevSum == null) return out(labels) // no pairs → no vertices, sum of nothing
     var round = 1
     var converged = false
     while (!converged && round < maxRounds) {
       val steps = math.min(stride, maxRounds - round)
-      labels = (1 to steps).foldLeft(labels)((l, _) => ccRound(edges, l)).localCheckpoint()
-      val s = labelSum(labels)
+      val (l2, s) = ckptWithLabelSum(
+        (1 to steps).foldLeft(labels)((l, _) => ccRound(edges, l)))
+      labels = l2
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       round += steps
@@ -456,14 +462,47 @@ object Dedup {
       // the cap may coincide with the fixpoint itself: one confirming
       // round distinguishes "converged at exactly maxRounds" from "still
       // descending" (labels are unchanged by the extra round if converged)
-      labels = ccRound(edges, labels).localCheckpoint()
-      converged = labelSum(labels).compareTo(prevSum) == 0
+      val (l2, s) = ckptWithLabelSum(ccRound(edges, labels))
+      labels = l2
+      converged = s.compareTo(prevSum) == 0
     }
     if (!converged)
       throw new IllegalStateException(
         s"dedupClusters: min-label propagation not converged after $maxRounds rounds " +
           "— raise maxRounds (a component's diameter exceeds the cap)")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Materialize a label frame AND its convergence sum in ONE job: the
+    * decimal Σ label rides the checkpoint materialization as an observed
+    * metric, so each stride costs a single job barrier instead of
+    * checkpoint-then-aggregate. If the checkpoint action ever stops
+    * driving the metrics listener (observed: it does today), the helper
+    * falls back to an explicit aggregate and remembers the failure so the
+    * bounded wait is paid at most once per JVM. Returns a null sum for an
+    * empty frame — the caller's empty-graph signal. */
+  @volatile private[graft] var checkpointDrivesObservation = true
+  private def ckptWithLabelSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    def aggSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    if (!checkpointDrivesObservation) {
+      val ckpt = df.localCheckpoint()
+      (ckpt, aggSum(ckpt))
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      val ckpt = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum"))
+        .localCheckpoint()
+      try {
+        val row = scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(5, "seconds"))
+        (ckpt, row.getDecimal(0))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          checkpointDrivesObservation = false
+          (ckpt, aggSum(ckpt))
+      }
+    }
   }
 
   /** Fixed-round variant of [[dedupClusters]] — `rounds` synchronous
@@ -504,14 +543,21 @@ object Dedup {
     * BEFORE mirroring: the union references `pairs` twice, and an
     * un-materialized pair plan (e.g. the whole prefix-filter join) would
     * execute once per branch. */
-  private def ccEdges(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val undirected = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    undirected.unionByName(
-      undirected.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-  }
+  private def ccEdges(pairs: DataFrame): DataFrame =
+    // ONE pass over the pair plan: each pair explodes into its two mirror
+    // edges plus both self-loops, then one distinct collapses the
+    // duplicate self-loops of shared vertices. The union-of-projections
+    // formulation this replaces referenced `pairs` twice (forcing an extra
+    // checkpoint barrier of the whole upstream pair plan) and needed a
+    // second pass for the self-loop vertex set; this shape needs neither —
+    // the caller's single edge-set checkpoint materializes everything.
+    pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_a").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_b").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
 
   /** [[ccEdges]] plus identity labels — the round-0 state the test-only
     * fixed-round recurrence (and its SQL-oracle unroll) starts from. */
