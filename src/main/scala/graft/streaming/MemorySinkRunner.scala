@@ -52,14 +52,26 @@ private[streaming] object MemorySinkRunner {
       finally walk.close()
     }
 
+  /** `needNoDataBatch = false` disables the trailing no-data micro-batch
+    * for runs whose sink is already complete after the data batches:
+    * update/complete-mode aggregations (no closure rule — groups emit on
+    * change), dedup pass-through, and INNER interval joins (pairs emit
+    * when both rows have arrived). Append-mode aggregations and OUTER
+    * joins MUST keep it — their final emissions happen on the
+    * watermark-advancing empty batch. The flag only skips state
+    * maintenance work (eviction before stop), never changes sink rows. */
   def run(spark: SparkSession, df: DataFrame, namePrefix: String,
-          shufflePartitions: Int, outputMode: String = "append"): DataFrame = synchronized {
+          shufflePartitions: Int, outputMode: String = "append",
+          needNoDataBatch: Boolean = true): DataFrame = synchronized {
     val name  = s"${namePrefix}_${counter.incrementAndGet()}"
     val ckDir = Files.createDirectories(checkpointRoot).resolve(name)
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(noDataKey)
     val parts = sys.env.get("GRAFT_STREAM_PARTS") // dev-only sweep knob
       .map(_.toInt).getOrElse(shufflePartitions)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set(noDataKey, needNoDataBatch.toString)
     val debug = sys.env.get("GRAFT_STREAM_DEBUG").contains("1")
     def t[A](label: String)(f: => A): A =
       if (!debug) f else {
@@ -73,7 +85,10 @@ private[streaming] object MemorySinkRunner {
           .option("checkpointLocation", ckDir.toString)
           .outputMode(outputMode)
           .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set(noDataKey, prevNoData)
+      }
     try {
       try t("processAllAvailable")(q.processAllAvailable()) finally t("stop")(q.stop())
       if (debug) q.recentProgress.foreach(p =>

@@ -41,7 +41,10 @@ object StreamingDedup {
     val doubled = src().unionByName(src())
     val deduped = byKeyWithinWatermark(doubled, "event_time", "10 minutes")
       .select(col("event_id"), col("event_type"))
-    MemorySinkRunner.run(spark, deduped, "graft_stream_dedup", shufflePartitions = 8)
+    // dedup passes first occurrences through in the data batch itself; the
+    // no-data batch would only evict state we are about to discard
+    MemorySinkRunner.run(spark, deduped, "graft_stream_dedup", shufflePartitions = 8,
+        needNoDataBatch = false)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }

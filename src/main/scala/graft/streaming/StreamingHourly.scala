@@ -99,7 +99,7 @@ object StreamingHourly {
         Cols.sumDec2When(col("event_type") === "purchase", col("value")).as("revenue"))
 
     MemorySinkRunner.run(spark, agg, "graft_stream_complete",
-        shufflePartitions = 4, outputMode = "complete")
+        shufflePartitions = 4, outputMode = "complete", needNoDataBatch = false)
       .orderBy(col("event_type"))
   }
 }

@@ -60,8 +60,12 @@ object StreamingJoin {
         col("p_sec"), col("v_sec"))
 
     // join output is a few hundred rows; state-store open/commit per
-    // partition per side per micro-batch dominates, so keep partitions low
-    MemorySinkRunner.run(spark, joined, "graft_stream_join", shufflePartitions = 4)
+    // partition per side per micro-batch dominates, so keep partitions low.
+    // Inner joins emit each pair as soon as both rows arrive, so the
+    // watermark-advancing no-data batch adds nothing; LEFT OUTER emits its
+    // null rows only on that batch and must keep it.
+    MemorySinkRunner.run(spark, joined, "graft_stream_join", shufflePartitions = 4,
+        needNoDataBatch = joinType != "inner")
       .orderBy(col("purchase_id"), col("view_id"))
   }
 }

@@ -82,7 +82,7 @@ object StreamingSessions {
         col("events"), col("purchases"), col("revenue"))
 
     MemorySinkRunner.run(spark, agg, "graft_stream_user_hourly",
-        shufflePartitions = 8, outputMode = "update")
+        shufflePartitions = 8, outputMode = "update", needNoDataBatch = false)
       .groupBy(col("user_id"), col("hour_sec"))
       .agg(max(struct(col("events"), col("purchases"), col("revenue"))).as("s"))
       .select(col("user_id"), col("hour_sec"), col("s.events").as("events"),
