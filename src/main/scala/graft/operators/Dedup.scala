@@ -162,14 +162,7 @@ object Dedup {
     * checkpoint the 64-min-agg over exploded shingles runs four times. */
   def nearDupMinhashOnSignatures(sigTable: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sigs  = sigTable.localCheckpoint()
-    val bands = NumHashes / BandRows
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        (element_at(col("sig"), b * BandRows + 1) * lit(2147483648L)
-          + element_at(col("sig"), b * BandRows + 2)).as("band_hash")))
-    val banded = sigs.select(
-      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+    val banded = bandRows(sigs)
     // candidate pairs are deduped on ids BEFORE the signatures are joined
     // back: the distinct shuffles 2 longs per row, not 2×64-long arrays
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
@@ -186,6 +179,21 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), Cols.asDec4(est).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** (doc_id, band, band_hash) LSH bucket keys from any frame carrying a
+    * `sig` minhash array. Banding: NumHashes/BandRows bands; the band key
+    * packs the two 31-bit row values into one collision-free 62-bit long
+    * (m₀·2³¹ + m₁) — as compact as hashing the slice but exact, and
+    * reproducible in plain SQL. */
+  private def bandRows(withSig: DataFrame): DataFrame = {
+    val bands = NumHashes / BandRows
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        (element_at(col("sig"), b * BandRows + 1) * lit(2147483648L)
+          + element_at(col("sig"), b * BandRows + 2)).as("band_hash")))
+    withSig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -221,7 +229,16 @@ object Dedup {
   }
 
   /** End-to-end near-dup pipeline: LSH candidates → exact Jaccard ≥ t.
-    * One shingle pass feeds both candidate generation and verification. */
+    * One shingle pass feeds both candidate generation and verification.
+    *
+    * Deliberately STAGED, not single-pass: folding `collect_set` into the
+    * signature aggregation (one groupBy computing sig + set, one pair of
+    * candidate joins carrying both arrays) was measured ~50% SLOWER — a
+    * single TypedImperativeAggregate in the agg list forces the whole
+    * 65-column aggregate onto ObjectHashAggregate, evicting the 64 min
+    * columns from whole-stage-codegen HashAggregate. Keeping the min-agg
+    * and the set-agg as separate operators keeps the hot signature pass
+    * codegen'd. */
   def nearDupVerified(docs: DataFrame, estThreshold: Double = 0.3,
                       exactThreshold: Double = 0.5, hash: HashFn = FastHash): DataFrame = {
     val sh = shingleRows(docs).localCheckpoint()
@@ -425,16 +442,17 @@ object Dedup {
     * Barrier economics: the INITIAL labels already ARE round 1 — with the
     * self-loop folded into the edge set, round 1 over identity labels is
     * just min(dst) per src, a plain aggregation of the edge list needing
-    * no label join — so the first propagation round costs no extra
-    * barrier. Subsequent rounds run in STRIDES of 3 between
-    * materializations: each check costs a job barrier (checkpoint +
-    * aggregate action), and near-dup components are shallow, so cutting
-    * the barrier count beats detecting the fixpoint a round or two
-    * earlier; an already-converged round is a no-op re-running it, never
-    * a wrong answer. A graph whose fixpoint lands exactly on `maxRounds`
-    * with the sum still in flight gets ONE extra confirming round before
-    * the guard throws (the sum can only prove convergence one round after
-    * it happens). An empty pair set short-circuits to the empty frame. */
+    * no label join. Rounds run in STRIDES of 3 per job barrier, with the
+    * Σ label observed at EVERY round boundary inside the job
+    * ([[ckptRoundsWithSums]]) — so a graph that converges at round 1 (the
+    * common shallow near-dup case) is proven converged by the FIRST job,
+    * and no per-round precision is lost to the stride: any adjacent equal
+    * pair of sums is the fixpoint, and the rounds after it inside the
+    * stride are no-ops, never a wrong answer. A graph whose fixpoint lands
+    * exactly on `maxRounds` with the sum still in flight gets ONE extra
+    * confirming round before the guard throws (the sum can only prove
+    * convergence one round after it happens). An empty pair set
+    * short-circuits to the empty frame. */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val stride = 3
     // referenced in every round of every stride — materialize the
@@ -442,29 +460,39 @@ object Dedup {
     // inside each propagation job
     val edges = ccEdges(pairs).localCheckpoint()
     def out(l: DataFrame) = l.select(col("doc_id"), col("label").as("cluster_id"))
-    // round 1 for free: min over N(v) ∪ {v} of identity labels = min(dst)
-    var (labels, prevSum) = ckptWithLabelSum(
-      edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
-        .select(col("src").as("doc_id"), col("label")))
-    if (prevSum == null) return out(labels) // no pairs → no vertices, sum of nothing
-    var round = 1
-    var converged = false
+    // fixpoint proof: per-vertex labels are monotonically non-increasing,
+    // so Σ label strictly decreases until the fixpoint and is constant at
+    // it — ANY adjacent equal pair in the per-round sum sequence proves
+    // convergence at that round, and every later round is a no-op, so the
+    // stride-end checkpoint is the fixpoint frame even when convergence
+    // landed mid-stride
+    def fixAt(ss: Seq[java.math.BigDecimal]): Boolean =
+      ss.sliding(2).exists(p => p.length == 2 && p(0).compareTo(p(1)) == 0)
+    // round 1 for free: min over N(v) ∪ {v} of identity labels = min(dst).
+    // The first job runs rounds 1..stride with a sum observed at EVERY
+    // round boundary — one barrier where init-then-stride paid two.
+    val init = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
+      .select(col("src").as("doc_id"), col("label"))
+    var round = math.min(stride, maxRounds)
+    var (labels, sums) = ckptRoundsWithSums(edges, init, round - 1)
+    if (sums.head == null) return out(labels) // no pairs → no vertices, sum of nothing
+    var converged = fixAt(sums)
+    var prevSum = sums.last
     while (!converged && round < maxRounds) {
       val steps = math.min(stride, maxRounds - round)
-      val (l2, s) = ckptWithLabelSum(
-        (1 to steps).foldLeft(labels)((l, _) => ccRound(edges, l)))
+      val (l2, ss) = ckptRoundsWithSums(edges, ccRound(edges, labels), steps - 1)
       labels = l2
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      converged = fixAt(prevSum +: ss)
+      prevSum = ss.last
       round += steps
     }
     if (!converged) {
       // the cap may coincide with the fixpoint itself: one confirming
       // round distinguishes "converged at exactly maxRounds" from "still
       // descending" (labels are unchanged by the extra round if converged)
-      val (l2, s) = ckptWithLabelSum(ccRound(edges, labels))
+      val (l2, ss) = ckptRoundsWithSums(edges, ccRound(edges, labels), 0)
       labels = l2
-      converged = s.compareTo(prevSum) == 0
+      converged = ss.head.compareTo(prevSum) == 0
     }
     if (!converged)
       throw new IllegalStateException(
@@ -473,36 +501,41 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Materialize a label frame AND its convergence sum in ONE job: the
-    * decimal Σ label rides the checkpoint materialization as an observed
-    * metric, so each stride costs a single job barrier instead of
-    * checkpoint-then-aggregate. If the checkpoint action ever stops
-    * driving the metrics listener (observed: it does today), the helper
-    * falls back to an explicit aggregate and remembers the failure so the
-    * bounded wait is paid at most once per JVM. Returns a null sum for an
-    * empty frame — the caller's empty-graph signal. */
+  /** Materialize `first` plus `extra` further propagation rounds in ONE
+    * job, returning the checkpointed final labels and the decimal Σ label
+    * observed at every round boundary (`extra + 1` sums): the sums ride
+    * the checkpoint materialization as observed metrics, so a whole stride
+    * costs a single job barrier instead of checkpoint-then-aggregate per
+    * round. If the checkpoint action ever stops driving the metrics
+    * listener (observed: it does today), the helper falls back to an
+    * explicit checkpoint + aggregate per round and remembers the failure
+    * so the bounded wait is paid at most once per JVM. Sums are null for
+    * an empty frame — the caller's empty-graph signal. */
   @volatile private[graft] var checkpointDrivesObservation = true
-  private def ckptWithLabelSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-    def aggSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    if (!checkpointDrivesObservation) {
+  private def ckptRoundsWithSums(edges: DataFrame, first: DataFrame, extra: Int)
+      : (DataFrame, Seq[java.math.BigDecimal]) = {
+    val sumExpr = sum(col("label").cast("decimal(38,0)")).as("label_sum")
+    if (checkpointDrivesObservation) {
+      val obses = Vector.fill(extra + 1)(org.apache.spark.sql.Observation())
+      var df = first.observe(obses(0), sumExpr)
+      for (i <- 1 to extra) df = ccRound(edges, df).observe(obses(i), sumExpr)
       val ckpt = df.localCheckpoint()
-      (ckpt, aggSum(ckpt))
-    } else {
-      val obs = org.apache.spark.sql.Observation()
-      val ckpt = df
-        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum"))
-        .localCheckpoint()
       try {
-        val row = scala.concurrent.Await.result(
-          obs.future, scala.concurrent.duration.Duration(5, "seconds"))
-        (ckpt, row.getDecimal(0))
+        val sums = obses.map(o => scala.concurrent.Await.result(
+          o.future, scala.concurrent.duration.Duration(5, "seconds")).getDecimal(0))
+        return (ckpt, sums)
       } catch {
         case _: java.util.concurrent.TimeoutException =>
-          checkpointDrivesObservation = false
-          (ckpt, aggSum(ckpt))
+          checkpointDrivesObservation = false // fall through to explicit path
       }
     }
+    def aggSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var l = first.localCheckpoint()
+    val sums = Vector.newBuilder[java.math.BigDecimal]
+    sums += aggSum(l)
+    for (_ <- 1 to extra) { l = ccRound(edges, l).localCheckpoint(); sums += aggSum(l) }
+    (l, sums.result())
   }
 
   /** Fixed-round variant of [[dedupClusters]] — `rounds` synchronous

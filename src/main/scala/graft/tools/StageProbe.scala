@@ -22,16 +22,9 @@ object StageProbe {
     for (i <- 1 to reps) {
       println(s"[probe] --- rep $i")
       val docs = Tables.documents(spark, sfDir)
-      val sh = t("shingles ckpt")(Dedup.shingleRows(docs).localCheckpoint())
-      val sigs = t("signatures")(
-        Dedup.signaturesOnShingles(sh, Dedup.PortableHash).localCheckpoint())
-      val cands = t("lsh candidates")(
-        Dedup.nearDupMinhashOnSignatures(sigs, 0.3)
+      val pairs = t("pair gen (single-pass nearDupVerified)")(
+        Dedup.nearDupVerified(docs, 0.3, 0.5, Dedup.PortableHash)
           .select(col("doc_a"), col("doc_b")).localCheckpoint())
-      val pairs = t("verify")(
-        Dedup.verifyJaccardOnShingles(sh, cands)
-          .where(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
-          .localCheckpoint())
       val clusters = t("cc")(Dedup.dedupClusters(pairs).localCheckpoint())
       t("survivors")(
         Dedup.clusterSurvivors(clusters, TextAnalysis.qualityUnits(docs)).count())
