@@ -182,6 +182,13 @@ object SparkEntry {
       Sampling.groupSampleProfile(Tables.documents(s, d), 40)),
     "q_train_split" -> ((s, d) => // deterministic 8/1/1 train/val/test census
       Sampling.splitProfile(Tables.documents(s, d), 8, 1, 10)),
+    "q_weighted_sample" -> ((s, d) => // quality-proportional Bernoulli sample
+      Sampling.weightedSampleProfile(
+        TextAnalysis.qualityUnitsWide(Tables.documents(s, d)), 1, 2)),
+    "q_chunk_profile" -> ((s, d) => // sliding-window context-chunking budget
+      TextAnalysis.chunkProfile(Tables.documents(s, d), 128, 96)),
+    "q_boilerplate_by_source" -> ((s, d) => // cross-doc template/boilerplate signal
+      CorpusFilters.boilerplateBySource(Tables.documents(s, d))),
     "q_incremental_dedup" -> ((s, d) => { // new batch vs corpus, bloom anti join
       val docs = Tables.documents(s, d)
       val inBatch = Dedup.PortableHash(
@@ -972,6 +979,71 @@ object SparkEntry {
          |            WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
          |  source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
          |FROM b GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    // Mirror of Sampling.weightedSample ∘ TextAnalysis.qualityUnitsWide:
+    // admit iff md5₄₈('wsample:'||doc_id) mod (10000·2) < qual_u·1 —
+    // P(admit) ∝ the exact 1e-4-unit quality score; mean_quality is the
+    // same integer-unit sum / IEEE divide chain as q_quality_by_source.
+    "q_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+         |      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
+         |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS BIGINT) AS qual_u
+         |  FROM t)
+         |SELECT source, count(*) AS sampled_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+         |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(qual_u) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS mean_quality
+         |FROM scored
+         |WHERE ${md5h48("'wsample:' || CAST(doc_id AS VARCHAR)")} % 20000 < qual_u * 1
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of TextAnalysis.chunkSpans/chunkProfile (w=128, s=96): chunk
+    // count ⌈(n−w)/s⌉+1 via the same floored double divide, per-chunk
+    // token count least(w, n − i·s), corpus tokens re-derived from the
+    // non-overlapped contribution of each chunk.
+    "q_chunk_profile" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source, n,
+        |    unnest(range(0, CASE WHEN n <= 128 THEN 1
+        |      ELSE CAST(floor((n - 128 + 96 - 1) / 96) AS BIGINT) + 1 END)) AS chunk_idx
+        |  FROM tk),
+        |ct AS (SELECT doc_id, source, chunk_idx,
+        |  least(128, n - chunk_idx * 96) AS chunk_tokens FROM ch)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+        |  count(*) AS chunks,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens,
+        |  CAST(sum(CASE WHEN chunk_idx = 0 THEN chunk_tokens
+        |    ELSE greatest(chunk_tokens - 32, 0) END) AS BIGINT) AS corpus_tokens,
+        |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(chunk_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS avg_chunk_tokens
+        |FROM ct GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of CorpusFilters.boilerplateBySource: distinct (doc, shingle)
+    // rows → corpus-wide df as a count window → per-doc sums → per-source
+    // exact long sums with one floor-quantized divide at the edge.
+    "q_boilerplate_by_source" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM tk),
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         |wdf AS (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM shd),
+         |pd AS (SELECT doc_id, CAST(sum(df) AS BIGINT) AS sum_df,
+         |  CAST(count(*) AS BIGINT) AS n_sh FROM wdf GROUP BY doc_id)
+         |SELECT d.source, count(*) AS docs,
+         |  CAST(sum(pd.sum_df) AS BIGINT) AS shingle_doc_hits,
+         |  CAST(sum(pd.n_sh) AS BIGINT) AS distinct_shingles,
+         |  ${q4("CAST(sum(pd.sum_df) AS DOUBLE) / CAST(sum(pd.n_sh) AS DOUBLE)")} AS mean_shingle_df
+         |FROM pd JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // Mirror of Sampling.groupSample: rank by the salted content hash
     // inside each source, keep the first 40 — same keys, same sample.

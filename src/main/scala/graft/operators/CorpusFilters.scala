@@ -45,6 +45,38 @@ object CorpusFilters {
           .as("top_ngram_frac"))
   }
 
+  /** Cross-document boilerplate score — the complement of
+    * [[repetitionStats]] (which sees repetition only WITHIN a doc): the
+    * mean corpus-wide document frequency of each doc's distinct 3-grams.
+    * Navigation chrome, license headers, and template text score high
+    * (their shingles recur across many documents); original prose scores
+    * ≈ 1. Reported per source: the curation signal for "which feeds are
+    * template farms" that decides whole-source filtering before any
+    * per-pair dedup runs.
+    *
+    * Shape: distinct (doc, shingle) pass → df as a count window over the
+    * shingle hash partitioning (no aggregate-then-join-back) → one per-doc
+    * aggregation → a doc-level join to source. All hash-partitioned;
+    * per-source sums are exact longs, the mean is one floor-quantized
+    * division at the edge. */
+  def boilerplateBySource(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleRows(docs).distinct()
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(sum(col("df")).as("sum_df"), count(lit(1)).as("n_sh"))
+    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("sum_df")).cast("long").as("shingle_doc_hits"),
+        sum(col("n_sh")).cast("long").as("distinct_shingles"))
+      .select(col("source"), col("docs"), col("shingle_doc_hits"),
+        col("distinct_shingles"),
+        Cols.asDec4(col("shingle_doc_hits").cast("double")
+          / col("distinct_shingles").cast("double")).as("mean_shingle_df"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------------- contamination
 
   /** Benchmark-contamination check: which training documents share at least

@@ -50,6 +50,41 @@ object Sampling {
     docs.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Quality-weighted Bernoulli sample: each row is admitted with
+    * probability proportional to its weight — P(admit) =
+    * (w_u / wDen) · (num / den), where w_u is an exact integer weight in
+    * [0, wDen] (e.g. [[TextAnalysis.qualityUnits]]' 1e-4-unit quality
+    * score). The membership test is pure integer arithmetic —
+    * md5₄₈(tag:key) mod (wDen·den) < w_u·num — so, like [[hashSample]],
+    * the sample is a deterministic function of content: identical across
+    * runs, partitionings, cluster sizes, and engines. This is the standard
+    * quality-proportional corpus downsampling step (keep good documents
+    * preferentially, keep SOME low-quality mass for diversity) expressed
+    * as a scan-side filter: no shuffle, no state, pushes to the scan. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightUnits: Column,
+                     num: Int, den: Int, wDen: Int = 10000,
+                     tag: String = "wsample"): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "rate num/den must be in [0, 1]")
+    df.where(Dedup.PortableHash(concat(lit(tag + ":"), keyCol.cast("string")))
+      % (wDen.toLong * den) < weightUnits * num)
+  }
+
+  /** Per-source budget profile of a quality-weighted document sample: what
+    * survives, how many characters it keeps, and the mean quality of the
+    * kept mass (which weighted sampling shifts UP relative to the corpus —
+    * the number a curation dashboard watches). Takes the pre-scored
+    * (doc_id, source, n_chars, qual_u) frame so the quality projection is
+    * computed once in the same scan the filter rides. */
+  def weightedSampleProfile(scoredDocs: DataFrame, num: Int = 1,
+                            den: Int = 2): DataFrame =
+    weightedSample(scoredDocs, col("doc_id"), col("qual_u"), num, den)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        sum(col("n_chars")).as("sampled_chars"),
+        graft.functions.Cols.avg4(
+          sum(col("qual_u")).cast("double") / 10000.0, count(lit(1))).as("mean_quality"))
+      .orderBy(col("source"))
+
   /** Deterministic train/validation/test assignment: the split is a pure
     * function of the content key (md5₄₈ mod `den` against cumulative
     * thresholds), so every engine, run, and table agrees on membership —

@@ -54,7 +54,7 @@ object TextAnalysis {
     val lenOk = when(col("n_chars").between(100, 5000), 1.0).otherwise(0.0)
     val qual  = (lenOk + least(ttr * 2.0, lit(1.0)) + least(stopw * 5.0, lit(1.0))) / 3.0
     docs.select(
-      col("doc_id"), col("lang"), col("source"),
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
       floor(ttr * 10000.0).as("ttr_u"),
       floor(stopw * 10000.0).as("stopw_u"),
       floor(qual * 10000.0).as("qual_u"))
@@ -65,6 +65,12 @@ object TextAnalysis {
     * no float tie-breaking ever enters a survivor decision. */
   def qualityUnits(docs: DataFrame): DataFrame =
     scoredUnits(docs).select(col("doc_id"), col("qual_u"))
+
+  /** [[qualityUnits]] plus the physical columns budget profiles aggregate
+    * (source, n_chars) — one projection, so a downstream scan-side filter
+    * (e.g. [[Sampling.weightedSample]]) still rides a single pass. */
+  def qualityUnitsWide(docs: DataFrame): DataFrame =
+    scoredUnits(docs).select(col("doc_id"), col("source"), col("n_chars"), col("qual_u"))
 
   def qualityScored(docs: DataFrame): DataFrame =
     scoredUnits(docs).select(
@@ -229,6 +235,49 @@ object TextAnalysis {
   def fingerprinted(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(lower(col("text"))).as("fingerprint"),
       col("lang"), col("source"), col("n_chars"))
+
+  // ------------------------------------------------------------- chunking
+
+  /** Sliding-window document chunking — the step that turns documents into
+    * fixed-budget training/embedding contexts: windows of `w` tokens
+    * advancing `s` tokens (`s < w` ⟹ overlapping; `s = w` ⟹ disjoint).
+    * A doc of n ≤ w tokens is one chunk; otherwise ⌈(n−w)/s⌉ + 1 chunks,
+    * the last one truncated to the remaining tokens. Emits
+    * (doc_id, source, chunk_idx, chunk_tokens) — chunk COUNTS and sizes,
+    * integer-exact; materializing the chunk text itself is the same
+    * `slice(toks, idx·s+1, w)` one projection away.
+    *
+    * Scale shape: pure projection + explode — no shuffle, rides the scan;
+    * chunk fan-out is linear in corpus token count. */
+  def chunkSpans(docs: DataFrame, w: Int = 128, s: Int = 96): DataFrame = {
+    require(w > 0 && s > 0 && s <= w, "need 0 < stride <= window")
+    val n = size(split(col("text"), " "))
+    val nChunks = when(n <= w, lit(1L))
+      .otherwise(floor((n - w + s - 1) / s).cast("long") + 1L)
+    docs
+      .select(col("doc_id"), col("source"), n.as("n_toks"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        least(lit(w.toLong), col("n_toks") - col("chunk_idx") * s).as("chunk_tokens"))
+  }
+
+  /** Per-source chunking budget: documents, chunks produced, token mass in
+    * and out, and the overlap expansion factor (chunk tokens ÷ corpus
+    * tokens — the duplication cost a pipeline pays for context overlap).
+    * Sums are exact longs; the factor is one floor-quantized division at
+    * the output edge. */
+  def chunkProfile(docs: DataFrame, w: Int = 128, s: Int = 96): DataFrame =
+    chunkSpans(docs, w, s)
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("chunks"),
+        sum(col("chunk_tokens")).as("chunk_tokens"),
+        sum(when(col("chunk_idx") === 0, col("chunk_tokens"))
+          .otherwise(greatest(col("chunk_tokens") - (w - s), lit(0L)))).as("corpus_tokens"),
+        Cols.avg4(sum(col("chunk_tokens")).cast("double"), count(lit(1))).as("avg_chunk_tokens"))
+      .orderBy(col("source"))
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).

@@ -37,6 +37,22 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(m(2L) == 0.0, s"distinct doc got ${m(2L)}")
   }
 
+  test("boilerplate: templated docs raise mean shingle df, unique docs score 1") {
+    val template = "all rights reserved contact us for more information"
+    val docs = Seq(
+      (1L, "tpl", s"first article body $template"),
+      (2L, "tpl", s"second article text $template"),
+      (3L, "tpl", s"third article words $template"),
+      (4L, "uniq", (1 to 20).map(i => s"only$i").mkString(" ")),
+      (5L, "uniq", (21 to 40).map(i => s"solo$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val m = CorpusFilters.boilerplateBySource(docs)
+      .select(col("source"), col("mean_shingle_df")).as[(String, Double)]
+      .collect().toMap
+    assert(m("uniq") == 1.0, s"unique docs must have df 1, got ${m("uniq")}")
+    assert(m("tpl") > 1.5, s"templated source must score high, got ${m("tpl")}")
+  }
+
   test("contamination: rates bounded and benchmark docs excluded from checking") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val prof = CorpusFilters.contaminationProfile(docs, 20, 5)

@@ -27,6 +27,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(q.where(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
   }
 
+  test("chunk spans: count rule, sizes, and token conservation") {
+    // w=4, s=3: n≤4 → one chunk of n; n=5 → [4, 2]; n=10 → [4, 4, 4]
+    val docs = Seq(
+      (1L, "s", (1 to 3).map(i => s"t$i").mkString(" ")),
+      (2L, "s", (1 to 4).map(i => s"t$i").mkString(" ")),
+      (3L, "s", (1 to 5).map(i => s"t$i").mkString(" ")),
+      (4L, "s", (1 to 10).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val spans = TextAnalysis.chunkSpans(docs, w = 4, s = 3)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(spans(1L) == Seq(3) && spans(2L) == Seq(4))
+    assert(spans(3L) == Seq(4, 2), s"n=5 got ${spans(3L)}")
+    assert(spans(4L) == Seq(4, 4, 4), s"n=10 got ${spans(4L)}")
+    // non-overlapped contributions reconstruct the corpus token count
+    val prof = TextAnalysis.chunkProfile(docs, w = 4, s = 3).head()
+    assert(prof.getAs[Long]("corpus_tokens") == 3 + 4 + 5 + 10)
+    assert(prof.getAs[Long]("chunks") == 1 + 1 + 2 + 3)
+  }
+
+  test("weighted sample: zero weight drops all, full weight keeps all, monotone in weight") {
+    val df = (1L to 400L).toDF("doc_id").withColumn("w", lit(0L))
+    import graft.operators.Sampling
+    assert(Sampling.weightedSample(df, col("doc_id"), col("w"), 1, 1).count() == 0)
+    val full = df.withColumn("w", lit(10000L))
+    assert(Sampling.weightedSample(full, col("doc_id"), col("w"), 1, 1).count() == 400)
+    // halving the weight can only shrink the sample, never swap members
+    val hi = Sampling.weightedSample(full, col("doc_id"), col("w"), 1, 2)
+      .select("doc_id").as[Long].collect().toSet
+    val lo = Sampling.weightedSample(full.withColumn("w", lit(5000L)),
+      col("doc_id"), col("w"), 1, 2).select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size && hi.size < 400)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
     val a = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
