@@ -146,15 +146,17 @@ object TextAnalysis {
   /** Top-k characteristic terms per document by tf·idf, with idf as the
     * plain N/df ratio rather than log(N/df): log is not correctly-rounded
     * IEEE and differs across math libraries, while one division is — the
-    * monotone transform changes no ranking, only the score scale. Two
-    * shuffles (tf and df share the token key) plus a per-doc top-k window. */
+    * monotone transform changes no ranking, only the score scale. ONE
+    * scan+explode: df re-aggregates tf (already one row per (doc, token),
+    * so counting rows per token IS the document frequency) through the
+    * identical subplan — exchange reuse runs it once — plus a per-doc
+    * top-k window. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tokens = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tokens.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
       .withColumn("score",
@@ -179,26 +181,31 @@ object TextAnalysis {
     * addition — partition-order-proof and engine-portable; one IEEE divide
     * renders the final double.
     *
-    * Scale shape: tokens explode once and MATERIALIZE once (three
-    * consumers — doc lengths, the corpus token total, and tf — would each
-    * re-run the scan+explode otherwise); tf of the query terms is a
-    * filtered map-side-combined agg (the `isin` prunes before the shuffle —
-    * query terms are a constant handful, so the tf/df tables are tiny);
-    * globals broadcast; final ranking is a top-k (TakeOrderedAndProject),
-    * not a global sort. */
+    * Scale shape: the corpus token table is NEVER exploded or
+    * materialized — doc length is `size(filter(split(...)))` in the scan
+    * projection, the corpus token total is one no-group agg of those
+    * sizes, and only the term-FILTERED token arrays explode (query terms
+    * are a constant handful, so the exploded row count is ~hits, not
+    * corpus tokens). `dl` rides the tf aggregation as a grouping column
+    * (functionally dependent on doc_id), so no doc-length join exists;
+    * the tiny (doc, term) tf table materializes once for its two
+    * consumers; globals broadcast; final ranking is a top-k
+    * (TakeOrderedAndProject), not a global sort. */
   def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 10,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .where(length(col("token")) > 0)
-      .localCheckpoint()
-    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val globals = tokens.agg(count(lit(1)).as("n_tokens"))
-      .crossJoin(docs.select(col("doc_id")).agg(count(lit(1)).as("n_docs")))
+    val base = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+    val globals = base
+      .agg(sum(size(col("toks"))).as("n_tokens"), count(lit(1)).as("n_docs"))
       .select((col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avgdl"),
         col("n_docs"))
-    val tf = tokens.where(col("token").isin(terms: _*))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(filter(col("toks"), t => t.isin(terms: _*))).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token")).agg(count(lit(1)).as("tf"))
+    // tf's two consumers (df and the scoring join) reference the IDENTICAL
+    // subplan — no alias renames — so exchange reuse runs the scan+explode
+    // once; no materialization barrier needed
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val tfd = col("tf").cast("double")
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -206,7 +213,6 @@ object TextAnalysis {
     val norm = tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
     tf.join(broadcast(dfreq), Seq("token"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(globals))
       .select(col("doc_id"), floor(idf * norm * lit(1e6)).as("term_micro"))
       .groupBy(col("doc_id")).agg(sum(col("term_micro")).as("score_micro"))
