@@ -35,6 +35,8 @@ object SparkEntry {
     // --- event-stream analytics (reference parity, SURVEY §2.4/§2.8/§2.11)
     "q_hourly_metrics" -> ((s, d) => // T2+A2/A3/A6/A9
       EventAnalytics.hourlyMetrics(Tables.events(s, d)).orderBy(col("hour_sec"))),
+    "q_hourly_anomalies" -> ((s, d) => // trailing-24h z-score volume anomalies
+      EventAnalytics.hourlyAnomalies(Tables.events(s, d), 24, 2.0)),
     "q_session_metrics" -> ((s, d) => // A1+P4 (engine-side sessionization, T9)
       Sessionize.sessionMetrics(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_id"))),
@@ -158,6 +160,8 @@ object SparkEntry {
       Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash)),
     "q_jaccard_join" -> ((s, d) => // EXACT prefix-filter similarity join (PPJoin family)
       Dedup.jaccardJoinPrefix(Tables.documents(s, d), 1, 2)),
+    "q_containment_join" -> ((s, d) => // EXACT asymmetric containment join (quoted passages)
+      Dedup.containmentJoinPrefix(Tables.documents(s, d), 4, 5)),
     "q_dedup_clusters" -> ((s, d) => // connected components over near-dup pairs
       // clusters over the LSH-verified pair stream — the pair source a
       // 100 TB dedup pipeline actually feeds CC (the exact prefix join is
@@ -681,6 +685,28 @@ object SparkEntry {
          |  ${pct("count(*) FILTER (WHERE event_type = 'purchase')",
                  "count(*) FILTER (WHERE event_type = 'view')")} AS conversion_rate
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirror of EventAnalytics.hourlyAnomalies (lookback 24, |z| ≥ 2):
+    // exact integer window sums Σx/Σx², 24²σ² = 24Σx² − (Σx)² in BIGINTs,
+    // then the identical IEEE sqrt/divide chain floor-quantized.
+    "q_hourly_anomalies" ->
+      s"""WITH hourly AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |b AS (
+         |  SELECT hour_sec, cnt,
+         |    count(*) OVER w AS n,
+         |    CAST(sum(cnt) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sxx
+         |  FROM hourly
+         |  WINDOW w AS (ORDER BY hour_sec ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         |s AS (
+         |  SELECT hour_sec, cnt,
+         |    ${q4("CAST(sx AS DOUBLE) / 24.0")} AS baseline_mean,
+         |    ${q4("(CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / 24.0) / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE)) / 24.0)")} AS z
+         |  FROM b WHERE n = 24 AND 24 * sxx - sx * sx > 0)
+         |SELECT hour_sec, cnt, baseline_mean, z
+         |FROM s WHERE abs(z) >= 2.0 ORDER BY hour_sec""".stripMargin,
 
     "q_session_metrics" ->
       (sessionCte + "SELECT * FROM sm ORDER BY user_id, session_id"),
@@ -1807,6 +1833,44 @@ object SparkEntry {
       (prefixJaccardCte +
         """SELECT doc_a, doc_b, jaccard FROM ver
           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Mirror of Dedup.containmentJoinPrefix (t = 4/5): the same
+    // probe-prefix-vs-full-posting-list algorithm in SQL. The per-doc
+    // prefix ORDER differs (the engine tie-breaks df by shingle hash, the
+    // oracle by shingle text) — irrelevant by construction: the prefix
+    // bound holds for ANY fixed per-doc order, so both sides generate a
+    // superset of the qualifying pairs and the exact integer containment
+    // test (5·|A∩B| ≥ 4·|A|) decides identically.
+    "q_containment_join" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |docs_o AS (
+         |  SELECT s.doc_id, list(s.shingle ORDER BY d.df, s.shingle) AS ord, count(*) AS sz
+         |  FROM sh s JOIN df d ON s.shingle = d.shingle GROUP BY s.doc_id),
+         |pre AS (
+         |  SELECT doc_id, sz,
+         |    unnest(list_slice(ord, 1, CAST(sz - floor((sz * 4 + 4) / 5) + 1 AS BIGINT))) AS shingle
+         |  FROM docs_o),
+         |szs AS (SELECT doc_id, sz FROM docs_o),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS doc_a, i.doc_id AS doc_b
+         |  FROM pre p JOIN sh i ON p.shingle = i.shingle
+         |  JOIN szs z ON z.doc_id = i.doc_id
+         |  WHERE p.sz < z.sz OR (p.sz = z.sz AND p.doc_id < i.doc_id)),
+         |sets AS (SELECT doc_id, list_distinct(list(shingle)) AS st FROM sh GROUP BY doc_id),
+         |ver AS (
+         |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.st, b.st)) AS inter, len(a.st) AS sa
+         |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  ${q4("CAST(inter AS DOUBLE) / CAST(sa AS DOUBLE)")} AS containment
+         |FROM ver WHERE 5 * inter >= 4 * sa
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Mirror of Dedup.dedupClusters over the prefix-join pairs: 5 unrolled
     // rounds of synchronous min-label propagation — both engines run the

@@ -402,6 +402,73 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** EXACT containment similarity join: every ordered pair where the
+    * SMALLER shingle set is ≥ num/den contained in the larger
+    * (|A∩B| / |A| ≥ t with |A| ≤ |B|, ties oriented by id) — the
+    * asymmetric cousin of [[jaccardJoinPrefix]] that catches quoted
+    * passages, page-in-page templates, and subset documents, which
+    * Jaccard misses when the container is much larger (a fully-quoted
+    * 100-shingle doc inside a 1000-shingle page has J ≈ 0.1 but
+    * containment 1.0).
+    *
+    * Prefix bound (the SSJoin containment-prefix argument): if
+    * C(A→B) ≥ t then overlap ≥ ⌈t·|A|⌉, so among A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles in ANY fixed per-doc order at least one
+    * is shared with B — the probe prefix needs no shared order with the
+    * index side. Ascending document frequency still orders each doc's
+    * array (rarest first) so prefixes are rare-shingle-heavy and the
+    * candidate join stays small; the index side is every doc's full
+    * shingle list — the standard inverted-index/posting-list shape,
+    * bounded by corpus shingle count (this is what makes the join exact
+    * at any container size, and it shuffles once). The candidate join
+    * runs on 64-bit shingle hashes (a shared string always produces a
+    * hash match, so a collision can only ADD candidates); verification
+    * intersects the STRING arrays, so the reported containment is exact
+    * with no collision caveat, and the ≥ t test is integer
+    * cross-multiplication (den·|A∩B| ≥ num·|A|). Unlike the minhash
+    * family, the result is provably independent of the hash function —
+    * the oracle mirrors the same prefix algorithm in plain SQL. */
+  def containmentJoinPrefix(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+    require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
+    // same canonical per-doc build as the jaccard join: one linear chain,
+    // materialized once for its four consumers (probe + index + two
+    // verification joins)
+    val docArrays = shingleRows(docs).distinct()
+      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h"), col("shingle")))).as("ord"),
+        count(lit(1)).as("s"))
+      .select(col("doc_id"), col("s"),
+        transform(col("ord"), x => x.getField("h")).as("ohs"),
+        transform(col("ord"), x => x.getField("shingle")).as("shs"))
+      .localCheckpoint()
+    // probe prefix: p = s − ⌈t·s⌉ + 1 (⌈a/b⌉ = floor((a+b−1)/b), exact)
+    val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
+    val probe = docArrays.select(col("doc_id").as("doc_a"), col("s").as("sa"),
+      explode(slice(col("ohs"), lit(1), p)).as("h"))
+    val index = docArrays.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+      explode(col("ohs")).as("h"))
+    val cand = probe.join(index, Seq("h"))
+      .where(col("sa") < col("sb")
+        || (col("sa") === col("sb") && col("doc_a") < col("doc_b")))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    cand
+      .join(docArrays.select(col("doc_id").as("doc_a"),
+        col("shs").as("sh_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(docArrays.select(col("doc_id").as("doc_b"),
+        col("shs").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), inter.as("inter"))
+      .where(lit(den) * col("inter") >= lit(num) * col("sa"))
+      .select(col("doc_a"), col("doc_b"),
+        Cols.asDec4(col("inter").cast("double") / col("sa").cast("double"))
+          .as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------- dedup clusters
 
   /** Near-dup CLUSTER assignment — the step after pair detection in a real

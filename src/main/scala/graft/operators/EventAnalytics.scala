@@ -65,6 +65,42 @@ object EventAnalytics {
         Cols.countWhen(col("event_type") === "purchase").as("purchases"),
         Cols.sumDec2When(col("event_type") === "purchase", col("value")).as("revenue"))
 
+  /** Trailing-window volume anomaly detection: each hour's event count
+    * against the mean and σ of the PRECEDING `lookback` hours (exclusive
+    * ROWS frame), flagging |z| ≥ `zMin`. The heavy count is the same
+    * one-shuffle hourly groupBy as [[hourlyMetrics]]; the window then runs
+    * over the hourly AGGREGATE — |hours| rows, not |events| — so the
+    * global ordering is over a series bounded by the time range, the same
+    * shape as the daily cumulative/delta queries. Hours with fewer than
+    * `lookback` predecessors have no stable baseline and are not judged.
+    *
+    * Determinism: the baseline lives in two exact integer window sums
+    * (Σx, Σx²); lookback²·σ² = lookback·Σx² − (Σx)² stays in exact 64-bit
+    * integers (flat windows excluded by the integer test, no float-zero
+    * ambiguity), and z is rendered by IEEE ops that are all correctly
+    * rounded — sqrt, divides, subtraction (no log/pow, which differ
+    * across math libraries) — then floor-quantized. */
+  def hourlyAnomalies(events: DataFrame, lookback: Int = 24,
+                      zMin: Double = 2.0): DataFrame = {
+    val hourly = events.groupBy(Cols.hourSec(col("ts_sec")).as("hour_sec"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hour_sec")).rowsBetween(-lookback, -1)
+    val base = hourly.select(col("hour_sec"), col("cnt"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("cnt")).over(w).as("sx"),
+      sum(col("cnt") * col("cnt")).over(w).as("sxx"))
+    val varNum = lit(lookback.toLong) * col("sxx") - col("sx") * col("sx")
+    val mean = col("sx").cast("double") / lookback.toDouble
+    val z = (col("cnt").cast("double") - mean) /
+      (sqrt(varNum.cast("double")) / lookback.toDouble)
+    base.where(col("n") === lookback && varNum > 0)
+      .select(col("hour_sec"), col("cnt"),
+        Cols.q4(mean).as("baseline_mean"), Cols.q4(z).as("z"))
+      .where(abs(col("z")) >= zMin)
+      .orderBy(col("hour_sec"))
+  }
+
   /** Global KPI table in the reference's tall (key, value, label) layout
     * (analytics.dashboard_metrics, db/init.sql:65-70). One whole-table
     * aggregation; emitting the tall shape is a driver-free explode of the

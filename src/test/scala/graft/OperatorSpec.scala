@@ -7,6 +7,7 @@ import graft.sources.Tables
 
 /** Invariants of the batch analytics operators (SURVEY.md §5 strategy #3). */
 class OperatorSpec extends SparkSpec {
+  import spark.implicits._
 
   test("session metrics: funnel counts partition total_events; converted ⇔ purchases>0; end ≥ start") {
     val sm = Sessionize.sessionMetrics(Tables.events(spark, sf))
@@ -33,6 +34,24 @@ class OperatorSpec extends SparkSpec {
     val bad = hm.where(col("page_views") + col("clicks") + col("purchases")
       + col("signups") + col("errors") =!= col("total_events"))
     assert(bad.count() == 0)
+  }
+
+  test("hourly anomalies: spike hour flagged with exact z, warmup and normal hours not") {
+    // hours 0..24: alternating 99/101 events (mean 100, σ = 1 over any 24
+    // consecutive hours); hour 25 spikes to 200 → z = (200-100)/1 = 100.
+    // Hour 24 (first judged hour) sits at z = -1 → not flagged; hours
+    // 0..23 have no 24-hour baseline → not judged.
+    val rows = for {
+      h <- 0 to 25
+      c = if (h == 25) 200 else if (h % 2 == 0) 99 else 101
+      i <- 1 to c
+    } yield (h.toLong * 3600 + i)
+    val events = rows.toList.toDF("ts_sec")
+    val out = EventAnalytics.hourlyAnomalies(events, 24, 2.0).collect()
+    assert(out.length == 1, s"expected exactly the spike hour, got ${out.toSeq}")
+    assert(out(0).getAs[Long]("hour_sec") == 25L * 3600)
+    assert(out(0).getAs[Double]("z") == 100.0)
+    assert(out(0).getAs[Double]("baseline_mean") == 100.0)
   }
 
   test("hourly approx distinct stays within HLL error of exact") {

@@ -138,6 +138,14 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 1, s"expected at most the output sort, got $sorts:\n$p")
   }
 
+  test("containment join: posting-list equi-join candidates, no cartesian, one output sort") {
+    val p = planOf(Dedup.containmentJoinPrefix(Tables.documents(spark, sf), 4, 5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix-vs-posting-list equi-join:\n$p")
+    val sorts = "\\(\\d+\\) Sort\\b".r.findAllIn(p).size
+    assert(sorts <= 1, s"expected at most the output sort, got $sorts:\n$p")
+  }
+
   test("cluster survivors: broadcast quality join, no cartesian, bounded exchanges") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

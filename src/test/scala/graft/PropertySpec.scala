@@ -181,6 +181,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix containment join == brute force at several thresholds on random corpora") {
+    // the containment prefix bound must hold for ANY per-doc order, so the
+    // probe-prefix-vs-posting-list candidates plus the exact integer test
+    // must reproduce the O(n²) definition at any rational threshold
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n    <- Gen.choose(8, 40)
+      docs <- Gen.listOfN(n, for {
+        len  <- Gen.choose(3, 24)
+        toks <- Gen.listOfN(len, Gen.choose(0, 30).map(i => s"w$i"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val sets = Dedup.shingleRows(docs).distinct()
+        .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("st"))
+      val pairs = sets.select(col("doc_id").as("doc_a"), col("st").as("st_a"))
+        .crossJoin(sets.select(col("doc_id").as("doc_b"), col("st").as("st_b")))
+        .where(size(col("st_a")) < size(col("st_b"))
+          || (size(col("st_a")) === size(col("st_b")) && col("doc_a") < col("doc_b")))
+      for ((num, den) <- Seq((1, 2), (2, 3), (4, 5))) {
+        val brute = pairs
+          .where(lit(den) * size(array_intersect(col("st_a"), col("st_b")))
+            >= lit(num) * size(col("st_a")))
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        val cj = Dedup.containmentJoinPrefix(docs, num, den)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(cj == brute,
+          s"t=$num/$den on ${rows.size} docs: missing=${brute -- cj} extra=${cj -- brute}")
+      }
+    }
+  }
+
   test("dedup clusters == union-find on random pair graphs") {
     val graphGen: Gen[List[(Long, Long)]] = for {
       nVerts <- Gen.choose(2, 60)
