@@ -193,6 +193,8 @@ object SparkEntry {
       TextAnalysis.chunkProfile(Tables.documents(s, d), 128, 96)),
     "q_boilerplate_by_source" -> ((s, d) => // cross-doc template/boilerplate signal
       CorpusFilters.boilerplateBySource(Tables.documents(s, d))),
+    "q_duplicate_spans" -> ((s, d) => // exact duplicated 50-token-window census
+      CorpusFilters.duplicateSpanProfile(Tables.documents(s, d), 50)),
     "q_incremental_dedup" -> ((s, d) => { // new batch vs corpus, bloom anti join
       val docs = Tables.documents(s, d)
       val inBatch = Dedup.PortableHash(
@@ -1049,6 +1051,34 @@ object SparkEntry {
         |    ELSE greatest(chunk_tokens - 32, 0) END) AS BIGINT) AS corpus_tokens,
         |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(chunk_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS avg_chunk_tokens
         |FROM ct GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of CorpusFilters.duplicateSpanProfile (w=50): 50-token
+    // windows keyed by md5 of the window text, the same two stacked
+    // (span, doc) → span aggregations, per-source exact sums.
+    "q_duplicate_spans" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sp0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 50 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 48),
+         |           i -> array_to_string(list_slice(toks, i, i + 49), ' ')) END) AS shingle
+         |  FROM tk),
+         |sp AS (SELECT doc_id, md5(shingle) AS fp FROM sp0),
+         |pds AS (SELECT fp, doc_id, count(*) AS c FROM sp GROUP BY fp, doc_id),
+         |ss AS (SELECT fp, CAST(sum(c) AS BIGINT) AS occs, count(*) AS docs_with
+         |  FROM pds GROUP BY fp),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS spans,
+         |    CAST(sum(CASE WHEN occs > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_spans,
+         |    CAST(sum(CASE WHEN docs_with > 1 THEN c ELSE 0 END) AS BIGINT) AS cross_dup_spans
+         |  FROM pds JOIN ss USING (fp) GROUP BY doc_id)
+         |SELECT d.source, count(*) AS docs,
+         |  CAST(sum(pd.spans) AS BIGINT) AS spans,
+         |  CAST(sum(pd.dup_spans) AS BIGINT) AS dup_spans,
+         |  CAST(sum(pd.cross_dup_spans) AS BIGINT) AS cross_dup_spans,
+         |  ${q4("CAST(sum(pd.dup_spans) AS DOUBLE) / CAST(sum(pd.spans) AS DOUBLE)")} AS dup_frac
+         |FROM pd JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // Mirror of CorpusFilters.boilerplateBySource: distinct (doc, shingle)
     // rows → corpus-wide df as a count window → per-doc sums → per-source

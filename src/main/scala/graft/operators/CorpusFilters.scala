@@ -45,6 +45,46 @@ object CorpusFilters {
           .as("top_ngram_frac"))
   }
 
+  /** Duplicate-span census — the exact-substring-dedup signal (the
+    * "dedup training data by removing repeated ≥ w-token substrings"
+    * recipe of the published suffix-array approach): a duplicated span of
+    * ≥ w tokens exists iff some w-token WINDOW is duplicated, so counting
+    * duplicated windows is an exact detector for fixed w. Reports, per
+    * source: window totals, windows whose text occurs more than once in
+    * the corpus (within- OR cross-document — both are training-data
+    * duplication), windows shared across ≥ 2 distinct documents, and the
+    * duplicated fraction.
+    *
+    * Spans are keyed by md5 of the window text (128 bits: collision-safe
+    * in practice, engine-portable, and it shrinks the shuffle key from
+    * ~w·6 bytes of text to 32 hex chars — at 100 TB this grouping is the
+    * same single-shuffle word-count shape as any n-gram pass). Two
+    * stacked aggregations — (span, doc) then span — keep every stage
+    * map-side combinable; per-doc rollups ride the first grouping. */
+  def duplicateSpanProfile(docs: DataFrame, w: Int = 50): DataFrame = {
+    val occ = Dedup.shingleRows(docs, w)
+      .select(col("doc_id"), md5(col("shingle")).as("fp"))
+    val perDocSpan = occ.groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val spanStats = perDocSpan.groupBy(col("fp"))
+      .agg(sum(col("c")).as("occs"), count(lit(1)).as("docs_with"))
+    val perDoc = perDocSpan.join(spanStats, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("spans"),
+        sum(when(col("occs") > 1, col("c")).otherwise(0L)).as("dup_spans"),
+        sum(when(col("docs_with") > 1, col("c")).otherwise(0L)).as("cross_dup_spans"))
+    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("spans")).cast("long").as("spans"),
+        sum(col("dup_spans")).cast("long").as("dup_spans"),
+        sum(col("cross_dup_spans")).cast("long").as("cross_dup_spans"))
+      .select(col("source"), col("docs"), col("spans"), col("dup_spans"),
+        col("cross_dup_spans"),
+        Cols.asDec4(col("dup_spans").cast("double") / col("spans").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-document boilerplate score — the complement of
     * [[repetitionStats]] (which sees repetition only WITHIN a doc): the
     * mean corpus-wide document frequency of each doc's distinct 3-grams.

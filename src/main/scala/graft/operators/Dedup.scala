@@ -428,8 +428,10 @@ object Dedup {
     * cross-multiplication (den·|A∩B| ≥ num·|A|). Unlike the minhash
     * family, the result is provably independent of the hash function —
     * the oracle mirrors the same prefix algorithm in plain SQL. */
-  def containmentJoinPrefix(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+  def containmentJoinPrefix(docs: DataFrame, num: Int = 4, den: Int = 5,
+                            prefixExt: Int = 2): DataFrame = {
     require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
+    require(prefixExt >= 0, "prefix extension must be non-negative")
     // same canonical per-doc build as the jaccard join: one linear chain,
     // materialized once for its four consumers (probe + index + two
     // verification joins)
@@ -444,17 +446,32 @@ object Dedup {
         transform(col("ord"), x => x.getField("h")).as("ohs"),
         transform(col("ord"), x => x.getField("shingle")).as("shs"))
       .localCheckpoint()
-    // probe prefix: p = s − ⌈t·s⌉ + 1 (⌈a/b⌉ = floor((a+b−1)/b), exact)
-    val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
+    // minimal probe prefix p = s − ⌈t·s⌉ + 1 (⌈a/b⌉ = floor((a+b−1)/b),
+    // exact); the EXTENDED prefix pX = min(p + prefixExt, s) buys a
+    // match-count filter: shared tokens beyond A's extended prefix number
+    // at most s − pX, so a qualifying pair (overlap ≥ ⌈t·s⌉ = s − p + 1)
+    // must match the probe on o ≥ pX − p + 1 DISTINCT prefix tokens —
+    // the minimal prefix alone admits any pair sharing one rare token
+    // (o ≥ 1, vacuous), while Δ extra tokens reject the long tail of
+    // single-rare-shingle coincidences before any array is shipped. The
+    // count rides the same aggregation that dedups candidate pairs, so
+    // the filter is free; it is exact for ANY per-doc order because the
+    // index side carries every token of B (each of A's extended-prefix
+    // tokens shared with B is necessarily one of the join matches).
+    val p  = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
+    val pX = least(p + prefixExt, col("s").cast("int"))
     val probe = docArrays.select(col("doc_id").as("doc_a"), col("s").as("sa"),
-      explode(slice(col("ohs"), lit(1), p)).as("h"))
+      p.as("pa"), pX.as("pax"),
+      explode(slice(col("ohs"), lit(1), pX)).as("h"))
     val index = docArrays.select(col("doc_id").as("doc_b"), col("s").as("sb"),
       explode(col("ohs")).as("h"))
     val cand = probe.join(index, Seq("h"))
       .where(col("sa") < col("sb")
         || (col("sa") === col("sb") && col("doc_a") < col("doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("pa"), col("pax"))
+      .agg(count(lit(1)).as("o"))
+      .where(col("o") >= col("pax") - col("pa") + 1)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     cand
       .join(docArrays.select(col("doc_id").as("doc_a"),

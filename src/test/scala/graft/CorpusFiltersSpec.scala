@@ -37,6 +37,27 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(m(2L) == 0.0, s"distinct doc got ${m(2L)}")
   }
 
+  test("duplicate spans: repeated passage counted within and across docs, fresh text zero") {
+    // w=5 windows; doc 2 repeats doc 1's passage (cross-doc), doc 3
+    // repeats its own 5 tokens twice (within-doc), doc 4 is all fresh
+    val passage = "p1 p2 p3 p4 p5"
+    val docs = Seq(
+      (1L, "a", s"$passage x1 x2 x3 x4"),
+      (2L, "a", s"y1 y2 y3 y4 $passage"),
+      (3L, "b", s"$passage z1 $passage"),
+      (4L, "c", (1 to 12).map(i => s"f$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val m = CorpusFilters.duplicateSpanProfile(docs, 5)
+      .select(col("source"), col("spans"), col("dup_spans"), col("cross_dup_spans"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // docs 1+2: 5 windows each; exactly the passage window text is shared
+    assert(m("a")._1 == 10 && m("a")._2 == 2 && m("a")._3 == 2, s"got ${m("a")}")
+    // doc 3: 7 windows, the passage window occurs twice within the doc and
+    // also in docs 1/2 (cross); the other 5 windows are unique
+    assert(m("b")._2 >= 2 && m("b")._3 >= 2, s"got ${m("b")}")
+    assert(m("c") == ((8L, 0L, 0L)), s"fresh doc got ${m("c")}")
+  }
+
   test("boilerplate: templated docs raise mean shingle df, unique docs score 1") {
     val template = "all rights reserved contact us for more information"
     val docs = Seq(
