@@ -166,17 +166,17 @@ object SparkEntry {
       // clusters over the LSH-verified pair stream — the pair source a
       // 100 TB dedup pipeline actually feeds CC (the exact prefix join is
       // the small-corpus/audit path, oracle-checked as q_jaccard_join)
-      Dedup.dedupClusters(Dedup.nearDupVerified(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash))
+      Dedup.dedupClusters(Dedup.nearDupVerifiedPairs(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash))
         .orderBy(col("doc_id"))),
     "q_cluster_survivors" -> ((s, d) => { // survivor selection per near-dup cluster
       val docs = Tables.documents(s, d)
       Dedup.clusterSurvivors(
-        Dedup.dedupClusters(Dedup.nearDupVerified(docs, 0.3, 0.5, Dedup.PortableHash)),
+        Dedup.dedupClusters(Dedup.nearDupVerifiedPairs(docs, 0.3, 0.5, Dedup.PortableHash)),
         TextAnalysis.qualityUnits(docs))
     }),
     "q_embedding_dedup_clusters" -> ((s, d) => // semantic dedup: ANN pairs -> CC
       Dedup.dedupClusters(
-        Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)
+        Similarity.nearDupCosineLshPairs(Tables.embeddings(s, d), 0.4)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy(col("vec_id"))),

@@ -240,13 +240,22 @@ object Dedup {
     * and the set-agg as separate operators keeps the hot signature pass
     * codegen'd. */
   def nearDupVerified(docs: DataFrame, estThreshold: Double = 0.3,
-                      exactThreshold: Double = 0.5, hash: HashFn = FastHash): DataFrame = {
+                      exactThreshold: Double = 0.5, hash: HashFn = FastHash): DataFrame =
+    nearDupVerifiedPairs(docs, estThreshold, exactThreshold, hash)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[nearDupVerified]] WITHOUT the total output ordering — the form
+    * pipeline consumers (clustering, survivor selection) should take:
+    * the global sort only serves human/oracle-facing output, and feeding
+    * it into a downstream shuffle (CC's edge distinct) pays a range
+    * exchange for nothing. */
+  def nearDupVerifiedPairs(docs: DataFrame, estThreshold: Double = 0.3,
+                           exactThreshold: Double = 0.5, hash: HashFn = FastHash): DataFrame = {
     val sh = shingleRows(docs).localCheckpoint()
     val cands = nearDupMinhashOnSignatures(signaturesOnShingles(sh, hash), estThreshold)
       .select(col("doc_a"), col("doc_b"))
     verifyJaccardOnShingles(sh, cands)
       .where(col("jaccard") >= exactThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the

@@ -158,7 +158,15 @@ object Similarity {
     * [[nearDupCosineExact]] is the O(n²) oracle anchor; DedupSpec pins this
     * plan's soundness (⊆ exact) and its recall on the test corpus. */
   def nearDupCosineLsh(embeddings: DataFrame, minCosine: Double = 0.4,
-                       numTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+                       numTables: Int = 4, planesPerTable: Int = 4): DataFrame =
+    nearDupCosineLshPairs(embeddings, minCosine, numTables, planesPerTable)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** [[nearDupCosineLsh]] WITHOUT the total output ordering — for pipeline
+    * consumers (semantic-dedup clustering) where the global sort would
+    * feed straight into another shuffle. */
+  def nearDupCosineLshPairs(embeddings: DataFrame, minCosine: Double = 0.4,
+                            numTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
     require(numTables * planesPerTable <= planes.size,
       s"plane pool has ${planes.size} planes; need numTables*planesPerTable")
     val codes = (0 until numTables).map { t =>
@@ -184,7 +192,6 @@ object Similarity {
           .as("cosine"))
       .where(col("cosine") >= minCosine)
       .distinct() // a pair can collide in several tables; cosine is deterministic
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Embedding-cosine near-duplicate pairs (exact O(n²) within small corpora;

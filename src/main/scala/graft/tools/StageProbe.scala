@@ -23,7 +23,7 @@ object StageProbe {
       println(s"[probe] --- rep $i")
       val docs = Tables.documents(spark, sfDir)
       val pairs = t("pair gen (single-pass nearDupVerified)")(
-        Dedup.nearDupVerified(docs, 0.3, 0.5, Dedup.PortableHash)
+        Dedup.nearDupVerifiedPairs(docs, 0.3, 0.5, Dedup.PortableHash)
           .select(col("doc_a"), col("doc_b")).localCheckpoint())
       val clusters = t("cc")(Dedup.dedupClusters(pairs).localCheckpoint())
       t("survivors")(
