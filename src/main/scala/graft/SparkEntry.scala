@@ -59,6 +59,9 @@ object SparkEntry {
       EventAnalytics.sessionFunnel(Tables.events(s, d))),
     "q_bm25_top_docs" -> ((s, d) => // BM25 ranking, fixed query-term set
       TextAnalysis.bm25TopDocs(Tables.documents(s, d), Seq("join", "filter", "stream"), 10)),
+    "q_hybrid_search" -> ((s, d) => // sparse+dense retrieval fused with RRF
+      Retrieval.hybridTopDocs(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("join", "filter", "stream"), queryVecId = 0L, listK = 50, k = 10)),
 
     // --- relational / star-schema surface (SURVEY §2.3 J2, §2.5-§2.7)
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -1284,6 +1287,68 @@ object SparkEntry {
         |  CAST(sum(term_micro) AS DOUBLE) / 1000000.0 AS bm25
         |FROM s GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // Mirror of Retrieval.hybridTopDocs: the BM25 chain truncated to 50
+    // with dense ranks from the vec 0 query, fused by 1/(60+rank) per
+    // list (one IEEE division each, fixed-order two-term sum). Top-10
+    // membership ranks on the RAW fused score; display order on the
+    // quantized one — both exactly as the engine computes them.
+    "q_hybrid_search" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |globals AS (
+        |  SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE)
+        |         / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl,
+        |    (SELECT count(*) FROM documents) AS n_docs),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('join', 'filter', 'stream') GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ((CAST(g.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2 /
+        |         (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / g.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN globals g),
+        |bmtop AS (
+        |  SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY score_micro DESC, doc_id ASC LIMIT 50),
+        |bmr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS bm25_rank
+        |  FROM bmtop),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |cpairs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_reduce(list_transform(list_zip(q_emb, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |cosr AS (
+        |  SELECT doc_id, cosine_rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS cosine_rank
+        |    FROM cpairs)
+        |  WHERE cosine_rank <= 50),
+        |fused AS (
+        |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |    b.bm25_rank, c.cosine_rank,
+        |    COALESCE(1.0 / (60.0 + CAST(b.bm25_rank AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(c.cosine_rank AS DOUBLE)), 0.0) AS rrf_raw
+        |  FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id),
+        |top AS (
+        |  SELECT doc_id, COALESCE(bm25_rank, 0) AS bm25_rank,
+        |    COALESCE(cosine_rank, 0) AS cosine_rank,
+        |    (floor((rrf_raw * 100.0) * 10000.0) / 10000.0) AS rrf_x100
+        |  FROM fused ORDER BY rrf_raw DESC, doc_id ASC LIMIT 10)
+        |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+        |  CAST(cosine_rank AS BIGINT) AS cosine_rank, rrf_x100
+        |FROM top ORDER BY rrf_x100 DESC, doc_id ASC""".stripMargin,
 
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars

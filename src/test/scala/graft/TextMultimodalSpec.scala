@@ -62,6 +62,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(lo.subsetOf(hi) && lo.size < hi.size && hi.size < 400)
   }
 
+  test("hybrid search: rrf arithmetic, monotone order, rank bounds") {
+    val out = graft.operators.Retrieval.hybridTopDocs(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf),
+      Seq("join", "filter", "stream"), queryVecId = 0L, listK = 50, k = 10)
+      .select(col("doc_id"), col("bm25_rank"), col("cosine_rank"), col("rrf_x100"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 10)
+    assert(out.forall { case (_, b, c, _) => b >= 0 && b <= 50 && c >= 0 && c <= 50 })
+    // recompute the fused score from the ranks (0 = absent from that list)
+    def rrf(r: Long) = if (r == 0) 0.0 else 1.0 / (60.0 + r)
+    out.foreach { case (id, b, c, x) =>
+      val expect = math.floor((rrf(b) + rrf(c)) * 100.0 * 10000.0) / 10000.0
+      assert(x == expect, s"doc $id: rrf_x100 $x != recomputed $expect")
+    }
+    assert(out.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "fused scores must be non-increasing")
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
     val a = Multimodal.decodeAll(media).collect().sortBy(_.media_id)
