@@ -562,11 +562,15 @@ object Dedup {
     def fixAt(ss: Seq[java.math.BigDecimal]): Boolean =
       ss.sliding(2).exists(p => p.length == 2 && p(0).compareTo(p(1)) == 0)
     // round 1 for free: min over N(v) ∪ {v} of identity labels = min(dst).
-    // The first job runs rounds 1..stride with a sum observed at EVERY
-    // round boundary — one barrier where init-then-stride paid two.
+    // The first job runs rounds 1..2 with a sum observed at both
+    // boundaries — one barrier where init-then-stride paid two, and the
+    // SHORTEST job that can prove a fixpoint (two adjacent equal sums):
+    // near-dup graphs usually converge at round 1, so the common case
+    // pays init + one confirming round and stops. Deeper graphs continue
+    // in strides of `stride`.
     val init = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
       .select(col("src").as("doc_id"), col("label"))
-    var round = math.min(stride, maxRounds)
+    var round = math.min(2, maxRounds)
     var (labels, sums) = ckptRoundsWithSums(edges, init, round - 1)
     if (sums.head == null) return out(labels) // no pairs → no vertices, sum of nothing
     var converged = fixAt(sums)
