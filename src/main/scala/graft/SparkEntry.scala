@@ -111,6 +111,7 @@ object SparkEntry {
       Relational.priceQuantilesHist(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
+    "q_order_cube" -> ((s, d) => Relational.orderCube(s, d)), // all grouping-set combos
     "q_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)), // wide pivot
     "q_daily_cumulative" -> ((s, d) => Relational.dailyCumulativeRevenue(s, d)),
     "q_daily_delta" -> ((s, d) => Relational.dailyRevenueDelta(s, d)), // lag/lead
@@ -1201,6 +1202,14 @@ object SparkEntry {
          |  count(*) AS orders,
          |  ${sumMoney("o_totalprice")} AS total_value
          |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY priority, status""".stripMargin,
+
+    "q_order_cube" ->
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+         |  coalesce(o_orderstatus, 'ALL') AS status,
+         |  count(*) AS orders,
+         |  ${sumMoney("o_totalprice")} AS total_value
+         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
          |ORDER BY priority, status""".stripMargin,
 
     "q_token_stats" ->

@@ -285,6 +285,20 @@ object Relational {
         col("orders"), col("total_value"))
       .orderBy(col("priority"), col("status"))
 
+  /** CUBE (§2.4, completes the multi-dimensional family next to
+    * [[orderRollup]]'s hierarchy): all 2² grouping-set combinations of
+    * (priority, status) in one pass — Spark expands the sets map-side and
+    * aggregates them through a single shuffle, which is the scale shape
+    * (4 grouping sets multiply the partial-agg rows, never the scan). */
+  def orderCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("orders"), Cols.sumDec2(col("o_totalprice")).as("total_value"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("orders"), col("total_value"))
+      .orderBy(col("priority"), col("status"))
+
   /** Pivot (§2.4 wide layout): order counts by priority, one column per
     * order status. The status domain is closed and passed explicitly —
     * an unpinned pivot would first run a distinct scan to discover it. */
