@@ -51,10 +51,18 @@ object StreamingHourly {
   private[streaming] def stagedSchema(spark: SparkSession, path: String) =
     schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
-  def closedHourlyMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val path   = stagedEventsDir(dir)
+  def closedHourlyMetrics(spark: SparkSession, dir: String): DataFrame =
+    closedHourlyMetricsFrom(spark, stagedEventsDir(dir), Map.empty)
+
+  /** [[closedHourlyMetrics]] over an explicit staged source directory with
+    * extra file-source options — the hook StreamingSpec uses to prove the
+    * result is INDEPENDENT of micro-batch slicing (`maxFilesPerTrigger=1`
+    * over time-ordered file slices must equal the one-batch run: append
+    * mode emits exactly the watermark-closed windows either way). */
+  private[graft] def closedHourlyMetricsFrom(spark: SparkSession, path: String,
+                                             options: Map[String, String]): DataFrame = {
     val schema = stagedSchema(spark, path)
-    val stream = spark.readStream.schema(schema).parquet(path)
+    val stream = spark.readStream.options(options).schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 

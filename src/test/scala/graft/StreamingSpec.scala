@@ -253,6 +253,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourly result is independent of micro-batch slicing under time-ordered delivery") {
+    // split the events table into 4 time-ordered parquet slices, force one
+    // file per micro-batch, and require bit-identical output to the
+    // single-batch run: append-mode emission depends only on the final
+    // watermark when no slice delivers data older than a previous slice,
+    // so any batching of an in-order feed must agree
+    import scala.jdk.CollectionConverters._
+    val events = graft.sources.Tables.events(spark, sf)
+    val (lo, hi) = {
+      val r = events.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val srcDir = Files.createTempDirectory("graft_slices")
+    val k = 4
+    val step = (hi - lo) / k + 1
+    for (i <- 0 until k) {
+      val slice = events.where(col("ts_sec") >= lo + i * step
+        && col("ts_sec") < lo + (i + 1) * step)
+      val tmp = Files.createTempDirectory(s"graft_slice_$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dest = srcDir.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dest)
+      // file source processes oldest modification time first — pin the order
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sliced = StreamingHourly.closedHourlyMetricsFrom(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    val whole = StreamingHourly.closedHourlyMetrics(spark, sf)
+    assert(sliced.exceptAll(whole).count() == 0 && whole.exceptAll(sliced).count() == 0,
+      "micro-batch slicing changed the append-mode result")
+  }
+
   test("streaming hourly equals batch hourly restricted to closed windows") {
     val streamed = StreamingHourly.closedHourlyMetrics(spark, sf)
     val events   = graft.sources.Tables.events(spark, sf)
