@@ -52,10 +52,11 @@ object Bench {
     // ~20 query entries, so every run also lands the full per-query JSON on
     // disk where it can be committed and ranked without estimation
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
-      "/root/repo/bench_full_latest.json")
+      "bench_full_latest.json") // cwd-relative: portable across machines
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
   }
 }

@@ -693,12 +693,20 @@ object SparkEntry {
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mirror of EventAnalytics.hourlyAnomalies (lookback 24, |z| ≥ 2):
-    // exact integer window sums Σx/Σx², 24²σ² = 24Σx² − (Σx)² in BIGINTs,
-    // then the identical IEEE sqrt/divide chain floor-quantized.
+    // densified hour axis (outage hours surface as cnt = 0), exact
+    // integer window sums Σx/Σx², 24²σ² = 24Σx² − (Σx)² in BIGINTs, the
+    // identical IEEE sqrt/divide chain floor-quantized, and the same
+    // ±9999 sentinel for deviations from a perfectly flat baseline.
     "q_hourly_anomalies" ->
-      s"""WITH hourly AS (
+      s"""WITH counted AS (
          |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, count(*) AS cnt
          |  FROM events GROUP BY 1),
+         |axis AS (
+         |  SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_sec
+         |  FROM (SELECT min(hour_sec) AS lo, max(hour_sec) AS hi FROM counted)),
+         |hourly AS (
+         |  SELECT a.hour_sec, COALESCE(c.cnt, 0) AS cnt
+         |  FROM axis a LEFT JOIN counted c ON a.hour_sec = c.hour_sec),
          |b AS (
          |  SELECT hour_sec, cnt,
          |    count(*) OVER w AS n,
@@ -709,8 +717,8 @@ object SparkEntry {
          |s AS (
          |  SELECT hour_sec, cnt,
          |    ${q4("CAST(sx AS DOUBLE) / 24.0")} AS baseline_mean,
-         |    ${q4("(CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / 24.0) / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE)) / 24.0)")} AS z
-         |  FROM b WHERE n = 24 AND 24 * sxx - sx * sx > 0)
+         |    ${q4("CASE WHEN 24 * sxx - sx * sx > 0 THEN (CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / 24.0) / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE)) / 24.0) WHEN cnt * 24 > sx THEN 9999.0 WHEN cnt * 24 < sx THEN -9999.0 ELSE 0.0 END")} AS z
+         |  FROM b WHERE n = 24)
          |SELECT hour_sec, cnt, baseline_mean, z
          |FROM s WHERE abs(z) >= 2.0 ORDER BY hour_sec""".stripMargin,
 

@@ -303,33 +303,7 @@ object Dedup {
     * re-aggregation. */
   def jaccardJoinPrefix(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
     require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
-    // ONE per-doc structure serves the whole join: the canonically-ordered
-    // hash array for candidate generation plus the aligned string array
-    // for verification (each doc sorts its own ~s elements, no global
-    // sort). The df count rides a window over the hash partitioning —
-    // no aggregate-then-join-back — so the whole build is one linear
-    // chain: explode → distinct → df window → per-doc collect, with ONE
-    // materialization at the end. The prefix table posexplodes its head
-    // MAP-SIDE (no extra shuffle) and verification reads the same rows.
-    // Materialized because four consumers reference it through different
-    // alias projections (both candidate-join sides + two verification
-    // joins), which defeats exchange reuse.
-    val docArrays = shingleRows(docs).distinct()
-      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("h"), col("shingle")))).as("ord"),
-        count(lit(1)).as("s"))
-      .select(col("doc_id"), col("s"),
-        transform(col("ord"), x => x.getField("h")).as("ohs"),
-        transform(col("ord"), x => x.getField("shingle")).as("shs"))
-      // collision slack: shingles are distinct strings, so any duplicate
-      // hash value inside one doc is a 64-bit collision. dup = 0 on
-      // real corpora; it widens the two pruning bounds below just enough
-      // to keep them lossless in the 2^-64 collision case.
-      .withColumn("dup", col("s") - size(array_distinct(col("ohs"))))
-      .localCheckpoint()
+    val docArrays = canonicalDocArrays(docs)
     // index prefix p = s − ⌈t·s⌉ + 1; probe prefix swaps t for 2t/(1+t).
     // ⌈a/b⌉ = floor((a+b−1)/b), exact in double below 2^52
     val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
@@ -437,14 +411,22 @@ object Dedup {
     * cross-multiplication (den·|A∩B| ≥ num·|A|). Unlike the minhash
     * family, the result is provably independent of the hash function —
     * the oracle mirrors the same prefix algorithm in plain SQL. */
-  def containmentJoinPrefix(docs: DataFrame, num: Int = 4, den: Int = 5,
-                            prefixExt: Int = 2): DataFrame = {
-    require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
-    require(prefixExt >= 0, "prefix extension must be non-negative")
-    // same canonical per-doc build as the jaccard join: one linear chain,
-    // materialized once for its four consumers (probe + index + two
-    // verification joins)
-    val docArrays = shingleRows(docs).distinct()
+  /** ONE per-doc structure serves a whole prefix-filter join: the
+    * canonically-ordered (df asc, hash, string) hash array for candidate
+    * generation plus the aligned string array for verification (each doc
+    * sorts its own ~s elements, no global sort). The df count rides a
+    * window over the hash partitioning — no aggregate-then-join-back — so
+    * the whole build is one linear chain: explode → distinct → df window →
+    * per-doc collect, with ONE materialization at the end (four consumers
+    * reference it through different alias projections, which defeats
+    * exchange reuse). `dup` is the per-doc collision slack: shingles are
+    * distinct strings, so any duplicate hash value inside one doc is a
+    * 64-bit collision — dup = 0 on real corpora, and it widens the jaccard
+    * join's pruning bounds just enough to stay lossless in the 2^-64
+    * collision case. Shared by [[jaccardJoinPrefix]],
+    * [[containmentJoinPrefix]], and the dev probes. */
+  private[graft] def canonicalDocArrays(docs: DataFrame): DataFrame =
+    shingleRows(docs).distinct()
       .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h"))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
@@ -454,7 +436,14 @@ object Dedup {
       .select(col("doc_id"), col("s"),
         transform(col("ord"), x => x.getField("h")).as("ohs"),
         transform(col("ord"), x => x.getField("shingle")).as("shs"))
+      .withColumn("dup", col("s") - size(array_distinct(col("ohs"))))
       .localCheckpoint()
+
+  def containmentJoinPrefix(docs: DataFrame, num: Int = 4, den: Int = 5,
+                            prefixExt: Int = 2): DataFrame = {
+    require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
+    require(prefixExt >= 0, "prefix extension must be non-negative")
+    val docArrays = canonicalDocArrays(docs)
     // minimal probe prefix p = s − ⌈t·s⌉ + 1 (⌈a/b⌉ = floor((a+b−1)/b),
     // exact); the EXTENDED prefix pX = min(p + prefixExt, s) buys a
     // match-count filter: shared tokens beyond A's extended prefix number
@@ -547,6 +536,7 @@ object Dedup {
     * convergence one round after it happens). An empty pair set
     * short-circuits to the empty frame. */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, "need at least one propagation round")
     val stride = 3
     // referenced in every round of every stride — materialize the
     // self-looped edge set once instead of re-running its union+distinct
@@ -669,10 +659,11 @@ object Dedup {
         col("members"), (col("members") - 1).as("dropped"))
       .orderBy(col("cluster_id"))
 
-  /** Self-looped undirected edge set for CC. The pair plan is checkpointed
-    * BEFORE mirroring: the union references `pairs` twice, and an
-    * un-materialized pair plan (e.g. the whole prefix-filter join) would
-    * execute once per branch. */
+  /** Self-looped undirected edge set for CC — ONE pass over the pair plan
+    * (each pair explodes into its two mirror edges plus both self-loops,
+    * one distinct). NOT materialized here: callers checkpoint the returned
+    * frame once ([[dedupClusters]] does) so the upstream pair plan runs
+    * exactly once however many propagation rounds consume the edges. */
   private def ccEdges(pairs: DataFrame): DataFrame =
     // ONE pass over the pair plan: each pair explodes into its two mirror
     // edges plus both self-loops, then one distinct collapses the
@@ -690,9 +681,11 @@ object Dedup {
       .distinct()
 
   /** [[ccEdges]] plus identity labels — the round-0 state the test-only
-    * fixed-round recurrence (and its SQL-oracle unroll) starts from. */
+    * fixed-round recurrence (and its SQL-oracle unroll) starts from. The
+    * edge frame is materialized here because the caller references it once
+    * per unrolled round (plus once for init). */
   private def ccEdgesAndInit(pairs: DataFrame): (DataFrame, DataFrame) = {
-    val edges = ccEdges(pairs)
+    val edges = ccEdges(pairs).localCheckpoint()
     val init = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
     (edges, init)

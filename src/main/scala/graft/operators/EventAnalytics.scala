@@ -71,19 +71,32 @@ object EventAnalytics {
     * one-shuffle hourly groupBy as [[hourlyMetrics]]; the window then runs
     * over the hourly AGGREGATE — |hours| rows, not |events| — so the
     * global ordering is over a series bounded by the time range, the same
-    * shape as the daily cumulative/delta queries. Hours with fewer than
-    * `lookback` predecessors have no stable baseline and are not judged.
+    * shape as the daily cumulative/delta queries.
+    *
+    * The hour axis is DENSIFIED over [first, last] observed hour before
+    * the window: an hour with no events is the clearest volume anomaly (a
+    * total outage) and must appear as cnt = 0, not as a missing row — and
+    * densification also pins the ROWS frame to true calendar hours (a gap
+    * would otherwise silently stretch "trailing 24 h" across arbitrary
+    * time). Hours with fewer than `lookback` predecessors have no stable
+    * baseline and are not judged. A deviation from a PERFECTLY FLAT
+    * baseline (σ = 0, where z is undefined) is reported with sentinel
+    * z = ±9999 — flatness is decided by the exact integer test, never
+    * float equality.
     *
     * Determinism: the baseline lives in two exact integer window sums
     * (Σx, Σx²); lookback²·σ² = lookback·Σx² − (Σx)² stays in exact 64-bit
-    * integers (flat windows excluded by the integer test, no float-zero
-    * ambiguity), and z is rendered by IEEE ops that are all correctly
+    * integers, and z is rendered by IEEE ops that are all correctly
     * rounded — sqrt, divides, subtraction (no log/pow, which differ
     * across math libraries) — then floor-quantized. */
   def hourlyAnomalies(events: DataFrame, lookback: Int = 24,
                       zMin: Double = 2.0): DataFrame = {
-    val hourly = events.groupBy(Cols.hourSec(col("ts_sec")).as("hour_sec"))
+    val counted = events.groupBy(Cols.hourSec(col("ts_sec")).as("hour_sec"))
       .agg(count(lit(1)).as("cnt"))
+    val axis = counted.agg(min(col("hour_sec")).as("lo"), max(col("hour_sec")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_sec"))
+    val hourly = axis.join(counted, Seq("hour_sec"), "left")
+      .select(col("hour_sec"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("hour_sec")).rowsBetween(-lookback, -1)
     val base = hourly.select(col("hour_sec"), col("cnt"),
@@ -92,9 +105,13 @@ object EventAnalytics {
       sum(col("cnt") * col("cnt")).over(w).as("sxx"))
     val varNum = lit(lookback.toLong) * col("sxx") - col("sx") * col("sx")
     val mean = col("sx").cast("double") / lookback.toDouble
-    val z = (col("cnt").cast("double") - mean) /
-      (sqrt(varNum.cast("double")) / lookback.toDouble)
-    base.where(col("n") === lookback && varNum > 0)
+    val z = when(varNum > 0,
+        (col("cnt").cast("double") - mean) /
+          (sqrt(varNum.cast("double")) / lookback.toDouble))
+      .when(col("cnt") * lookback > col("sx"), lit(9999.0))
+      .when(col("cnt") * lookback < col("sx"), lit(-9999.0))
+      .otherwise(lit(0.0))
+    base.where(col("n") === lookback)
       .select(col("hour_sec"), col("cnt"),
         Cols.q4(mean).as("baseline_mean"), Cols.q4(z).as("z"))
       .where(abs(col("z")) >= zMin)

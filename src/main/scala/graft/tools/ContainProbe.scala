@@ -15,17 +15,7 @@ object ContainProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
     val docs = Tables.documents(spark, sfDir)
-    val docArrays = t("docArrays")(Dedup.shingleRows(docs).distinct()
-      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("h"), col("shingle")))).as("ord"),
-        count(lit(1)).as("s"))
-      .select(col("doc_id"), col("s"),
-        transform(col("ord"), x => x.getField("h")).as("ohs"),
-        transform(col("ord"), x => x.getField("shingle")).as("shs"))
-      .localCheckpoint())
+    val docArrays = t("docArrays")(Dedup.canonicalDocArrays(docs))
     val num = 4; val den = 5
     val p = (col("s") - floor((col("s") * num + (den - 1)) / den) + 1).cast("int")
     val probe = docArrays.select(col("doc_id").as("doc_a"), col("s").as("sa"),

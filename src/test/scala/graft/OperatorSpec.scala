@@ -54,6 +54,32 @@ class OperatorSpec extends SparkSpec {
     assert(out(0).getAs[Double]("baseline_mean") == 100.0)
   }
 
+  test("hourly anomalies: outage hour surfaces as cnt 0; flat-baseline spike gets the sentinel") {
+    // hours 0..24 alternate 99/101 (σ = 1); hour 25 has NO events at all
+    // (absent from the raw table) — densification must surface it as
+    // cnt = 0 with z = (0 − 100)/1 = −100
+    val gappy = (for {
+      h <- (0 to 24) :+ 26
+      c = if (h == 26) 100 else if (h % 2 == 0) 99 else 101
+      i <- 1 to c
+    } yield (h.toLong * 3600 + i)).toList.toDF("ts_sec")
+    val outage = EventAnalytics.hourlyAnomalies(gappy, 24, 2.0).collect()
+      .map(r => r.getAs[Long]("hour_sec") -> (r.getAs[Long]("cnt"), r.getAs[Double]("z"))).toMap
+    assert(outage.contains(25L * 3600), s"outage hour missing: $outage")
+    assert(outage(25L * 3600) == ((0L, -100.0)), s"got ${outage(25L * 3600)}")
+
+    // perfectly flat baseline (σ = 0): a spike is still an anomaly and is
+    // reported with the ±9999 sentinel, not silently dropped
+    val flat = (for {
+      h <- 0 to 24
+      c = if (h == 24) 500 else 100
+      i <- 1 to c
+    } yield (h.toLong * 3600 + i)).toList.toDF("ts_sec")
+    val sentinel = EventAnalytics.hourlyAnomalies(flat, 24, 2.0).collect()
+    assert(sentinel.length == 1 && sentinel(0).getAs[Long]("hour_sec") == 24L * 3600)
+    assert(sentinel(0).getAs[Double]("z") == 9999.0, s"got ${sentinel.toSeq}")
+  }
+
   test("hourly approx distinct stays within HLL error of exact") {
     val exact = EventAnalytics.hourlyMetrics(Tables.events(spark, sf))
       .select(col("hour_sec"), col("unique_users"))
