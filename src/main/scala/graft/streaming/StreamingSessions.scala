@@ -22,10 +22,18 @@ object StreamingSessions {
   val GapSeconds = 3600L
   val WatermarkSeconds = 600L
 
-  private def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
-    val path   = StreamingHourly.stagedEventsDir(dir)
+  private def sessionAgg(spark: SparkSession, dir: String): DataFrame =
+    sessionAggFrom(spark, StreamingHourly.stagedEventsDir(dir), Map.empty)
+
+  /** Session aggregation over an explicit staged source directory with
+    * extra file-source options — the StreamingSpec hook that proves
+    * session MERGING is independent of micro-batch slicing: a session
+    * spanning two time-ordered slices must be stitched across batches by
+    * the state store into exactly the single-batch result. */
+  private[graft] def sessionAggFrom(spark: SparkSession, path: String,
+                                    options: Map[String, String]): DataFrame = {
     val schema = StreamingHourly.stagedSchema(spark, path)
-    val stream = spark.readStream.schema(schema).parquet(path)
+    val stream = spark.readStream.options(options).schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
@@ -46,6 +54,14 @@ object StreamingSessions {
   def closedSessions(spark: SparkSession, dir: String): DataFrame =
     MemorySinkRunner.run(spark, sessionAgg(spark, dir), "graft_stream_sessions",
         shufflePartitions = 8)
+      .orderBy(col("user_id"), col("start_sec"))
+
+  /** [[closedSessions]] over an explicit staged source + options, run to
+    * completion — see [[sessionAggFrom]]. */
+  private[graft] def closedSessionsFrom(spark: SparkSession, path: String,
+                                        options: Map[String, String]): DataFrame =
+    MemorySinkRunner.run(spark, sessionAggFrom(spark, path, options),
+        "graft_stream_sessions_from", shufflePartitions = 8)
       .orderBy(col("user_id"), col("start_sec"))
 
   /** T8 update mode — the reference's live-dashboard flow

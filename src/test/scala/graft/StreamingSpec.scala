@@ -288,6 +288,39 @@ class StreamingSpec extends SparkSpec {
       "micro-batch slicing changed the append-mode result")
   }
 
+  test("session merging is independent of micro-batch slicing under time-ordered delivery") {
+    // sessions spanning a slice boundary must be stitched across
+    // micro-batches by the session_window state store into exactly the
+    // single-batch result — the strongest batching-independence property
+    // (the hourly case only re-buckets counts; this one merges state)
+    import scala.jdk.CollectionConverters._
+    val events = graft.sources.Tables.events(spark, sf)
+    val (lo, hi) = {
+      val r = events.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val srcDir = Files.createTempDirectory("graft_sess_slices")
+    val k = 3
+    val step = (hi - lo) / k + 1
+    for (i <- 0 until k) {
+      val slice = events.where(col("ts_sec") >= lo + i * step
+        && col("ts_sec") < lo + (i + 1) * step)
+      val tmp = Files.createTempDirectory(s"graft_sess_slice_$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dest = srcDir.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sliced = StreamingSessions.closedSessionsFrom(spark, srcDir.toString,
+      Map("maxFilesPerTrigger" -> "1"))
+    val whole = StreamingSessions.closedSessions(spark, sf)
+    assert(sliced.exceptAll(whole).count() == 0 && whole.exceptAll(sliced).count() == 0,
+      "micro-batch slicing changed the closed-session result")
+  }
+
   test("streaming hourly equals batch hourly restricted to closed windows") {
     val streamed = StreamingHourly.closedHourlyMetrics(spark, sf)
     val events   = graft.sources.Tables.events(spark, sf)
