@@ -354,33 +354,41 @@ object Dedup {
       .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
         greatest(col("doc_l"), col("doc_r")).as("doc_b"),
         col("sl"), col("sr"))
-    // two-tier intersection: the LONG hash arrays are compared first. For
-    // each shared DISTINCT hash value v, the shared strings hashing to v
-    // number at most min(cntA(v), cntB(v)) ≤ 1 + (cntA(v) − 1), so summing
-    // over the interH shared values:
+    // two-PHASE intersection: the LONG hash arrays are compared first, in
+    // their own join pair, and only hash-tier survivors ever meet the
+    // string arrays. For each shared DISTINCT hash value v, the shared
+    // strings hashing to v number at most min(cntA(v), cntB(v)), so
+    // summing over the interH shared values:
     //   |A∩B| ≤ interH + min(dup_a, dup_b)
     // — with zero collisions (dup = 0) this is the plain |A∩B| ≤ interH
     // bound, so a pair whose hash overlap (plus slack) misses the required
     // α = ⌈t·(sl+sr)/(1+t)⌉ is rejected without ever touching the
-    // strings, and the rejection is lossless even under collisions. Only
-    // the survivors (≈ the true result set) pay the exact string-set
-    // intersection, which remains the sole authority on the reported
-    // Jaccard. Both arrays arrive on the same two joins, so the tiering
-    // costs no extra data movement.
+    // strings, and the rejection is lossless even under collisions (a
+    // rejected pair's true Jaccard is < t, which the final filter would
+    // drop anyway). Splitting the phases matters because the positional
+    // filter is weak at moderate thresholds (measured at t=1/2, sf0.1:
+    // 207k candidate pairs → 123k after it → 256 true results): the heavy
+    // candidate-side joins now ship ONLY the long arrays, and the string
+    // payload — several times larger — is joined for the ~result-sized
+    // survivor set, where Spark broadcasts it. The exact string-set
+    // intersection remains the sole authority on the reported Jaccard.
     val alphaPair = floor((lit(num) * (col("sl") + col("sr")) + (num + den - 1))
       / (num + den))
     val interH = size(array_intersect(col("oh_a"), col("oh_b"))).cast("long")
-    val interS = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    val inter = when(interH + least(col("dup_a"), col("dup_b")) >= alphaPair, interS)
-      .otherwise(lit(0L))
-    cand
+    val hashPass = cand
       .join(docArrays.select(col("doc_id").as("doc_a"),
-        col("ohs").as("oh_a"), col("shs").as("sh_a"), col("dup").as("dup_a")), Seq("doc_a"))
+        col("ohs").as("oh_a"), col("dup").as("dup_a")), Seq("doc_a"))
       .join(docArrays.select(col("doc_id").as("doc_b"),
-        col("ohs").as("oh_b"), col("shs").as("sh_b"), col("dup").as("dup_b")), Seq("doc_b"))
+        col("ohs").as("oh_b"), col("dup").as("dup_b")), Seq("doc_b"))
+      .where(interH + least(col("dup_a"), col("dup_b")) >= alphaPair)
+      .select(col("doc_a"), col("doc_b"), col("sl"), col("sr"))
+    val interS = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    hashPass
+      .join(docArrays.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(docArrays.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        Cols.asDec4(inter.cast("double") /
-          (col("sl") + col("sr") - inter).cast("double")).as("jaccard"))
+        Cols.asDec4(interS.cast("double") /
+          (col("sl") + col("sr") - interS).cast("double")).as("jaccard"))
       .where(col("jaccard") >= lit(num).cast("double") / lit(den).cast("double"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
