@@ -94,22 +94,31 @@ object CorpusFilters {
     * template farms" that decides whole-source filtering before any
     * per-pair dedup runs.
     *
-    * Shape: distinct (doc, shingle) pass → df as a count window over the
-    * shingle hash partitioning (no aggregate-then-join-back) → one per-doc
-    * aggregation → a doc-level join to source. All hash-partitioned;
-    * per-source sums are exact longs, the mean is one floor-quantized
-    * division at the edge. */
+    * Shape — chosen for SKEW safety: the defining property of boilerplate
+    * is a shingle occurring in a huge fraction of documents, so any
+    * per-occurrence operator keyed on the shingle (a count window, an
+    * unreduced join) would funnel a hot shingle's every row through one
+    * task. Instead the distinct (doc, shingle) pass collapses to ONE row
+    * per (shingle, source) via a map-side-combined count — the hottest
+    * possible shingle is ≤ |sources| rows after that — and the corpus df
+    * is a second combined aggregation joined back at (shingle, source)
+    * granularity. Per-source sums then follow by linearity:
+    * Σ_(doc,sh) df(sh) = Σ_(sh,src) c(sh,src)·df(sh). Exact long sums,
+    * one floor-quantized division at the edge. */
   def boilerplateBySource(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingleRows(docs).distinct()
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-    val perDoc = sh.groupBy(col("doc_id"))
-      .agg(sum(col("df")).as("sum_df"), count(lit(1)).as("n_sh"))
-    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // materialized: both the df aggregation and the final join reference
+    // it, and the two references would otherwise re-run the shingle pass
+    val perShSrc = Dedup.shingleRows(docs).distinct()
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("shingle"), col("source")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dfBy = perShSrc.groupBy(col("shingle")).agg(sum(col("c")).as("df"))
+    val docsBySource = docs.groupBy(col("source")).agg(count(lit(1)).as("docs"))
+    perShSrc.join(dfBy, Seq("shingle"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("docs"),
-        sum(col("sum_df")).cast("long").as("shingle_doc_hits"),
-        sum(col("n_sh")).cast("long").as("distinct_shingles"))
+      .agg(sum(col("c") * col("df")).cast("long").as("shingle_doc_hits"),
+        sum(col("c")).cast("long").as("distinct_shingles"))
+      .join(docsBySource, Seq("source"))
       .select(col("source"), col("docs"), col("shingle_doc_hits"),
         col("distinct_shingles"),
         Cols.asDec4(col("shingle_doc_hits").cast("double")
