@@ -58,26 +58,33 @@ object CorpusFilters {
     * Spans are keyed by md5 of the window text (128 bits: collision-safe
     * in practice, engine-portable, and it shrinks the shuffle key from
     * ~w·6 bytes of text to 32 hex chars — at 100 TB this grouping is the
-    * same single-shuffle word-count shape as any n-gram pass). Two
-    * stacked aggregations — (span, doc) then span — keep every stage
-    * map-side combinable; per-doc rollups ride the first grouping. */
+    * same single-shuffle word-count shape as any n-gram pass). SKEW
+    * safety, same doctrine as [[boilerplateBySource]]: a span duplicated
+    * across a huge document population is the object of study, so the
+    * per-span stats join runs at (span, source) granularity — a hot span
+    * is ≤ |sources| rows by the time any join touches it, every
+    * aggregation below is map-side combinable, and the per-source sums
+    * follow by linearity. */
   def duplicateSpanProfile(docs: DataFrame, w: Int = 50): DataFrame = {
-    val occ = Dedup.shingleRows(docs, w)
+    val perDocSpan = Dedup.shingleRows(docs, w)
       .select(col("doc_id"), md5(col("shingle")).as("fp"))
-    val perDocSpan = occ.groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("c"))
-    val spanStats = perDocSpan.groupBy(col("fp"))
-      .agg(sum(col("c")).as("occs"), count(lit(1)).as("docs_with"))
-    val perDoc = perDocSpan.join(spanStats, Seq("fp"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("spans"),
-        sum(when(col("occs") > 1, col("c")).otherwise(0L)).as("dup_spans"),
-        sum(when(col("docs_with") > 1, col("c")).otherwise(0L)).as("cross_dup_spans"))
-    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // one row per (span, source); referenced by the global stats AND the
+    // final rollup, so materialize the collapse once
+    val perSpanSrc = perDocSpan.groupBy(col("fp"), col("source"))
+      .agg(sum(col("c")).as("c"), count(lit(1)).as("d"))
+      .localCheckpoint()
+    val spanStats = perSpanSrc.groupBy(col("fp"))
+      .agg(sum(col("c")).as("occs"), sum(col("d")).as("docs_with"))
+    val docsBySource = docs.groupBy(col("source")).agg(count(lit(1)).as("docs"))
+    perSpanSrc.join(spanStats, Seq("fp"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("docs"),
-        sum(col("spans")).cast("long").as("spans"),
-        sum(col("dup_spans")).cast("long").as("dup_spans"),
-        sum(col("cross_dup_spans")).cast("long").as("cross_dup_spans"))
+      .agg(sum(col("c")).cast("long").as("spans"),
+        sum(when(col("occs") > 1, col("c")).otherwise(0L)).cast("long").as("dup_spans"),
+        sum(when(col("docs_with") > 1, col("c")).otherwise(0L)).cast("long")
+          .as("cross_dup_spans"))
+      .join(docsBySource, Seq("source"))
       .select(col("source"), col("docs"), col("spans"), col("dup_spans"),
         col("cross_dup_spans"),
         Cols.asDec4(col("dup_spans").cast("double") / col("spans").cast("double"))
