@@ -73,15 +73,19 @@ object Dedup {
   /** One row per (doc_id, w-word shingle). The tokens array is projected
     * first so the per-shingle lambda slices a materialized array (linear in
     * doc length) instead of re-splitting the text per shingle (quadratic).
-    * Docs shorter than w contribute their full text as a single shingle. */
-  def shingleRows(docs: DataFrame, w: Int = 3): DataFrame =
+    * Docs shorter than w contribute their full text as a single shingle.
+    * `keep` carries extra doc columns (e.g. `source`) through the explode —
+    * cheaper than joining them back onto the exploded table. */
+  def shingleRows(docs: DataFrame, w: Int = 3, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(
+      .select(col("doc_id") +: kept :+ split(col("text"), " ").as("toks"): _*)
+      .select(col("doc_id") +: kept :+ explode(
         when(size(col("toks")) < w, array(concat_ws(" ", col("toks"))))
           .otherwise(transform(sequence(lit(1), size(col("toks")) - (w - 1)),
             i => concat_ws(" ", slice(col("toks"), i, lit(w))))))
-        .as("shingle"))
+        .as("shingle"): _*)
+  }
 
   /** Column variant for small texts (kept for composition/tests). Prefer
     * [[shingleRows]] in pipelines — see the class doc on evaluation cost. */
