@@ -188,6 +188,28 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("not converged"))
   }
 
+  test("dedup clusters: explicit-aggregate fallback path matches the observation path") {
+    // ckptRoundsWithSums rides Observation metrics on the checkpoint job;
+    // if that contract ever breaks in an environment it falls back to one
+    // checkpoint + aggregate per round, sticky per JVM. The fallback must
+    // produce identical clusters (and the same cap-exhaustion throw).
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val expected = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+    val prev = Dedup.checkpointDrivesObservation
+    try {
+      Dedup.checkpointDrivesObservation = false
+      val got = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+      assert(got == expected, s"fallback diverged: $got vs $expected")
+      val ex = intercept[IllegalStateException] {
+        Dedup.dedupClusters(chain, maxRounds = 2).collect()
+      }
+      assert(ex.getMessage.contains("not converged"))
+      // empty graph short-circuits on the fallback path too
+      assert(Dedup.dedupClusters(
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    } finally Dedup.checkpointDrivesObservation = prev
+  }
+
   test("multi-table LSH near-dup: sound vs exact, recall amplified over one table") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.nearDupCosineExact(emb, 0.4)
