@@ -1047,7 +1047,9 @@ object SparkEntry {
     // non-overlapped contribution of each chunk.
     "q_chunk_profile" ->
       """WITH tk AS (
-        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n
+        |  FROM documents),
         |ch AS (
         |  SELECT doc_id, source, n,
         |    unnest(range(0, CASE WHEN n <= 128 THEN 1

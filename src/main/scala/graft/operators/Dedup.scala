@@ -397,32 +397,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** EXACT containment similarity join: every ordered pair where the
-    * SMALLER shingle set is ≥ num/den contained in the larger
-    * (|A∩B| / |A| ≥ t with |A| ≤ |B|, ties oriented by id) — the
-    * asymmetric cousin of [[jaccardJoinPrefix]] that catches quoted
-    * passages, page-in-page templates, and subset documents, which
-    * Jaccard misses when the container is much larger (a fully-quoted
-    * 100-shingle doc inside a 1000-shingle page has J ≈ 0.1 but
-    * containment 1.0).
-    *
-    * Prefix bound (the SSJoin containment-prefix argument): if
-    * C(A→B) ≥ t then overlap ≥ ⌈t·|A|⌉, so among A's first
-    * |A| − ⌈t·|A|⌉ + 1 shingles in ANY fixed per-doc order at least one
-    * is shared with B — the probe prefix needs no shared order with the
-    * index side. Ascending document frequency still orders each doc's
-    * array (rarest first) so prefixes are rare-shingle-heavy and the
-    * candidate join stays small; the index side is every doc's full
-    * shingle list — the standard inverted-index/posting-list shape,
-    * bounded by corpus shingle count (this is what makes the join exact
-    * at any container size, and it shuffles once). The candidate join
-    * runs on 64-bit shingle hashes (a shared string always produces a
-    * hash match, so a collision can only ADD candidates); verification
-    * intersects the STRING arrays, so the reported containment is exact
-    * with no collision caveat, and the ≥ t test is integer
-    * cross-multiplication (den·|A∩B| ≥ num·|A|). Unlike the minhash
-    * family, the result is provably independent of the hash function —
-    * the oracle mirrors the same prefix algorithm in plain SQL. */
   /** ONE per-doc structure serves a whole prefix-filter join: the
     * canonically-ordered (df asc, hash, string) hash array for candidate
     * generation plus the aligned string array for verification (each doc
@@ -451,6 +425,32 @@ object Dedup {
       .withColumn("dup", col("s") - size(array_distinct(col("ohs"))))
       .localCheckpoint()
 
+  /** EXACT containment similarity join: every ordered pair where the
+    * SMALLER shingle set is ≥ num/den contained in the larger
+    * (|A∩B| / |A| ≥ t with |A| ≤ |B|, ties oriented by id) — the
+    * asymmetric cousin of [[jaccardJoinPrefix]] that catches quoted
+    * passages, page-in-page templates, and subset documents, which
+    * Jaccard misses when the container is much larger (a fully-quoted
+    * 100-shingle doc inside a 1000-shingle page has J ≈ 0.1 but
+    * containment 1.0).
+    *
+    * Prefix bound (the SSJoin containment-prefix argument): if
+    * C(A→B) ≥ t then overlap ≥ ⌈t·|A|⌉, so among A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles in ANY fixed per-doc order at least one
+    * is shared with B — the probe prefix needs no shared order with the
+    * index side. Ascending document frequency still orders each doc's
+    * array (rarest first) so prefixes are rare-shingle-heavy and the
+    * candidate join stays small; the index side is every doc's full
+    * shingle list — the standard inverted-index/posting-list shape,
+    * bounded by corpus shingle count (this is what makes the join exact
+    * at any container size, and it shuffles once). The candidate join
+    * runs on 64-bit shingle hashes (a shared string always produces a
+    * hash match, so a collision can only ADD candidates); verification
+    * intersects the STRING arrays, so the reported containment is exact
+    * with no collision caveat, and the ≥ t test is integer
+    * cross-multiplication (den·|A∩B| ≥ num·|A|). Unlike the minhash
+    * family, the result is provably independent of the hash function —
+    * the oracle mirrors the same prefix algorithm in plain SQL. */
   def containmentJoinPrefix(docs: DataFrame, num: Int = 4, den: Int = 5,
                             prefixExt: Int = 2): DataFrame = {
     require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")

@@ -99,17 +99,23 @@ object EventAnalytics {
       .select(col("hour_sec"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("hour_sec")).rowsBetween(-lookback, -1)
+    // cnt is squared before summing: at 100-TB scale an hour can hold
+    // >~3e9 events, where cnt*cnt overflows 64-bit longs (silent wrap, or
+    // a throw under ANSI). decimal(38,0) keeps the sums exact up to 1e19
+    // events/hour — same doctrine as the CC label sums.
+    val cntDec = col("cnt").cast("decimal(38,0)")
     val base = hourly.select(col("hour_sec"), col("cnt"),
       count(lit(1)).over(w).as("n"),
-      sum(col("cnt")).over(w).as("sx"),
-      sum(col("cnt") * col("cnt")).over(w).as("sxx"))
-    val varNum = lit(lookback.toLong) * col("sxx") - col("sx") * col("sx")
+      sum(cntDec).over(w).as("sx"),
+      sum(cntDec * cntDec).over(w).as("sxx"))
+    val varNum = lit(lookback.toLong).cast("decimal(38,0)") * col("sxx") -
+      col("sx") * col("sx")
     val mean = col("sx").cast("double") / lookback.toDouble
     val z = when(varNum > 0,
         (col("cnt").cast("double") - mean) /
           (sqrt(varNum.cast("double")) / lookback.toDouble))
-      .when(col("cnt") * lookback > col("sx"), lit(9999.0))
-      .when(col("cnt") * lookback < col("sx"), lit(-9999.0))
+      .when(cntDec * lookback > col("sx"), lit(9999.0))
+      .when(cntDec * lookback < col("sx"), lit(-9999.0))
       .otherwise(lit(0.0))
     base.where(col("n") === lookback)
       .select(col("hour_sec"), col("cnt"),

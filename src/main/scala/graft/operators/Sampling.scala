@@ -65,8 +65,16 @@ object Sampling {
                      num: Int, den: Int, wDen: Int = 10000,
                      tag: String = "wsample"): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, "rate num/den must be in [0, 1]")
-    df.where(Dedup.PortableHash(concat(lit(tag + ":"), keyCol.cast("string")))
-      % (wDen.toLong * den) < weightUnits * num)
+    // The weight column is data, so the rate-style require can't see it:
+    // a weight above wDen would silently clamp P(admit) at 1 (breaking
+    // proportionality) and a negative one silently yield P = 0. Fail fast
+    // row-side instead — assert_true throws on the first bad weight and
+    // costs one codegen'd comparison on the scan it already rides.
+    val wOk = assert_true(weightUnits >= 0 && weightUnits <= wDen,
+      lit(s"weightedSample: weightUnits must be in [0, $wDen]"))
+    df.where(wOk.isNull &&
+      Dedup.PortableHash(concat(lit(tag + ":"), keyCol.cast("string")))
+        % (wDen.toLong * den) < weightUnits.cast("long") * num)
   }
 
   /** Per-source budget profile of a quality-weighted document sample: what

@@ -257,7 +257,10 @@ object TextAnalysis {
     * chunk fan-out is linear in corpus token count. */
   def chunkSpans(docs: DataFrame, w: Int = 128, s: Int = 96): DataFrame = {
     require(w > 0 && s > 0 && s <= w, "need 0 < stride <= window")
-    val n = size(split(col("text"), " "))
+    // same token rule as bm25TopDocs: a raw split(" ") would count the
+    // empty strings produced by doubled/trailing spaces (and make "" one
+    // token), inflating n and the chunk fan-out
+    val n = size(filter(split(col("text"), " "), t => length(t) > 0))
     val nChunks = when(n <= w, lit(1L))
       .otherwise(floor((n - w + s - 1) / s).cast("long") + 1L)
     docs
