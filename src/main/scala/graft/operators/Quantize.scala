@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.VectorExpressions.ivecDot
@@ -68,7 +67,13 @@ object Quantize {
     * the top candidates follows in production; the registered query pins
     * the quantized stage itself, which is exactly portable. Queries
     * broadcast; the corpus side streams with one codegen'd integer dot per
-    * pair. */
+    * pair, and ranking runs on the engine's bounded heap aggregate
+    * ([[graft.plans.TopKAggregate]], same shape as
+    * [[Similarity.topKCosineAgg]]): each partition keeps an O(k) heap per
+    * query and ships k pairs — no per-query corpus-sized sort, no ranking
+    * window. The heap scores are doubles; an int8 dot is bounded by
+    * dim·127² (≈ 1.03e6 at dim 64, and < 2⁵³ for any dim < ~5e8), so the
+    * long→double→long round-trip is exact and the ordering identical. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     def coded(df: DataFrame, idAs: String, qAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
@@ -78,11 +83,12 @@ object Quantize {
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         ivecDot(col("q_c"), col("q_q")).as("q_dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("q_dot").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("q_dot"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.topk(
+        struct(col("q_dot").cast("double"), col("neighbor_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"), col("p.score").cast("long").as("q_dot"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -254,6 +254,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"corpus must never shuffle for the pairing:\n$p")
   }
 
+  test("quantized knn ranks on the bounded heap aggregate — no window, one output sort") {
+    import org.apache.spark.sql.functions.col
+    // the quantized candidate stage must ship k rows per query, not rank a
+    // corpus-sized window per query: no row_number Window, and the only
+    // Sort is the final output orderBy (above the aggregation)
+    val emb = Tables.embeddings(spark, sf)
+    val p = planOf(Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), 5))
+    assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p).hasNext,
+      s"quantized top-k must not rank via a window:\n$p")
+    val sorts = "\\(\\d+\\) Sort\\b".r.findAllIn(p).size
+    assert(sorts <= 1, s"expected only the output sort, got $sorts:\n$p")
+    assert(p.contains("topk"), s"expected the TopKAggregate in the plan:\n$p")
+  }
+
   test("bm25 ranks via top-k, not a global sort, and tf prunes to the term set in the scan stage") {
     val p = planOf(TextAnalysis.bm25TopDocs(Tables.documents(spark, sf), Seq("join", "filter"), 10))
     assert(p.contains("TakeOrderedAndProject"), p)
