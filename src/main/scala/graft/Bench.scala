@@ -32,17 +32,30 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // process-wide GC time (ms since JVM start, summed over collectors):
+    // deltas around each rep make a host/GC stall self-diagnosing in the
+    // record — a query showing t=50s, t_warm=0.8s, gc_ms≈0 was stalled by
+    // the HOST (noisy neighbor / IO), not by its plan; high gc_ms says the
+    // JVM itself was collecting. Round 6's official record carried a 3.3×
+    // phantom regression that only an out-of-band rerun could refute.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
+      def once(): (Double, Long) = {
+        val g0 = gcMs(); val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
       }
       // best-of-two damps JIT/GC noise; skip the re-run for long queries
-      val first = once()
-      name -> (if (first < 15.0) math.min(first, once()) else first)
+      val (t1, gc1) = once()
+      val warm = if (t1 < 15.0) Some(once()) else None
+      val best = warm.map { case (t2, _) => math.min(t1, t2) }.getOrElse(t1)
+      (name, best, t1, gc1, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
@@ -50,11 +63,21 @@ object Bench {
     println(line)
     // untruncated sidecar: the driver's recorded bench tail clips the first
     // ~20 query entries, so every run also lands the full per-query JSON on
-    // disk where it can be committed and ranked without estimation
+    // disk where it can be committed and ranked without estimation. The
+    // `detail` block carries the raw first rep (t, gc_ms), the warm rep
+    // (t_warm, gc_warm_ms; null when the ≥15s rule skipped it), and the
+    // reported min — enough to adjudicate any outlier from the record alone.
+    val detail = results.map { case (k, best, t1, gc1, warm) =>
+      val w = warm.map { case (t2, g2) => f""","t_warm":$t2%.3f,"gc_warm_ms":$g2""" }
+        .getOrElse(""","t_warm":null,"gc_warm_ms":null""")
+      "\"" + k + "\":" + f"""{"t":$t1%.3f,"gc_ms":$gc1$w,"min":$best%.3f}"""
+    }.mkString("{", ",", "}")
+    val sidecarLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "bench_full_latest.json") // cwd-relative: portable across machines
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (sidecarLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
