@@ -199,6 +199,8 @@ object SparkEntry {
       CorpusFilters.boilerplateBySource(Tables.documents(s, d))),
     "q_duplicate_spans" -> ((s, d) => // exact duplicated 50-token-window census
       CorpusFilters.duplicateSpanProfile(Tables.documents(s, d), 50)),
+    "q_span_dedup_profile" -> ((s, d) => // the census's ACTION step: remove dup spans
+      CorpusFilters.spanDedupProfile(Tables.documents(s, d), 50)),
     "q_incremental_dedup" -> ((s, d) => { // new batch vs corpus, bloom anti join
       val docs = Tables.documents(s, d)
       val inBatch = Dedup.PortableHash(
@@ -1093,6 +1095,52 @@ object SparkEntry {
          |  ${q4("CAST(sum(pd.dup_spans) AS DOUBLE) / CAST(sum(pd.spans) AS DOUBLE)")} AS dup_frac
          |FROM pd JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Mirror of CorpusFilters.spanDedupProfile (w=50): same md5-keyed
+    // windows as the census, now WITH offsets (parallel unnest keeps i and
+    // the window text aligned); keeper = lexicographic-min (doc_id, i) per
+    // duplicated fp (two-phase min here ≡ Spark's min(struct)); dropped
+    // ranges merge per doc via gaps-and-islands; kept_tokens is derived as
+    // total − dropped, while the Spark side RECOUNTS it from the remediated
+    // arrays — hash equality proves the conservation invariant.
+    "q_span_dedup_profile" ->
+      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |d AS (SELECT doc_id, source, len(toks) AS n, toks FROM tk),
+         |occ0 AS (
+         |  SELECT doc_id, source, n,
+         |    unnest(CASE WHEN n < 50 THEN [1] ELSE range(1, n - 48) END) AS i,
+         |    unnest(CASE WHEN n < 50 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, n - 48),
+         |             j -> array_to_string(list_slice(toks, j, j + 49), ' ')) END) AS span
+         |  FROM d),
+         |occ AS (SELECT doc_id, source, i, least(i + 49, n) AS e, md5(span) AS fp FROM occ0),
+         |s1 AS (SELECT fp, min(doc_id) AS d0 FROM occ GROUP BY fp HAVING count(*) > 1),
+         |s2 AS (SELECT o.fp, s1.d0, min(o.i) AS i0
+         |  FROM occ o JOIN s1 ON o.fp = s1.fp AND o.doc_id = s1.d0 GROUP BY o.fp, s1.d0),
+         |dr AS (SELECT o.doc_id, o.source, o.i, o.e FROM occ o JOIN s2 ON o.fp = s2.fp
+         |  WHERE NOT (o.doc_id = s2.d0 AND o.i = s2.i0)),
+         |isl AS (SELECT doc_id, source, i, e,
+         |  CASE WHEN i > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS brk
+         |  FROM dr),
+         |isl2 AS (SELECT doc_id, source, i, e,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM isl),
+         |uni AS (SELECT doc_id, source, g, min(i) AS s, max(e) AS e, count(*) AS wins
+         |  FROM isl2 GROUP BY doc_id, source, g),
+         |pd AS (SELECT doc_id, source, sum(e - s + 1) AS dropped, sum(wins) AS wins
+         |  FROM uni GROUP BY doc_id, source),
+         |tot AS (SELECT source, count(*) AS docs, CAST(sum(n) AS BIGINT) AS total_tokens
+         |  FROM d GROUP BY source),
+         |agg AS (SELECT source, CAST(sum(dropped) AS BIGINT) AS dropped,
+         |  CAST(sum(wins) AS BIGINT) AS wins FROM pd GROUP BY source)
+         |SELECT t.source, t.docs, t.total_tokens,
+         |  CAST(t.total_tokens - coalesce(a.dropped, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(coalesce(a.dropped, 0) AS BIGINT) AS dropped_tokens,
+         |  CAST(coalesce(a.wins, 0) AS BIGINT) AS dup_windows,
+         |  ${q4("CAST(t.total_tokens - coalesce(a.dropped, 0) AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)")} AS kept_frac
+         |FROM tot t LEFT JOIN agg a ON t.source = a.source
+         |ORDER BY t.source""".stripMargin,
 
     // Mirror of CorpusFilters.boilerplateBySource: distinct (doc, shingle)
     // rows → corpus-wide df as a count window → per-doc sums → per-source

@@ -141,6 +141,127 @@ object CorpusFilters {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------ span remediation
+
+  /** Per-occurrence w-token windows with offsets: (doc_id, source, n, i, e,
+    * fp) where i is the 1-based start-token position, e = min(i + w − 1, n)
+    * the last covered position, and fp = md5 of the window text (the same
+    * key as [[duplicateSpanProfile]], so remediation acts on exactly what
+    * the census detects). Docs shorter than w contribute one whole-text
+    * window covering [1, n]. The window TEXT dies in this projection — only
+    * the 128-bit key and integer bounds enter the materialized occurrence
+    * table, which both the duplicate-stats aggregation and the removal
+    * join read (one md5 pass, not two). */
+  private def spanOccurrences(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), size(col("toks")).as("n"), col("toks"))
+      .select(col("doc_id"), col("source"), col("n"),
+        posexplode(
+          when(col("n") < w, array(concat_ws(" ", col("toks"))))
+            .otherwise(transform(sequence(lit(1), col("n") - (w - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(w))))))
+          .as(Seq("pos", "span")))
+      .select(col("doc_id"), col("source"), col("n"),
+        (col("pos") + 1).as("i"),
+        least(col("pos") + w, col("n")).as("e"),
+        md5(col("span")).as("fp"))
+      .localCheckpoint()
+
+  /** Merged per-doc removal intervals for ≥w-token span dedup: every window
+    * whose text occurs more than once corpus-wide is dropped EXCEPT the
+    * globally first occurrence in deterministic (doc_id, offset) order;
+    * overlapping/touching removal ranges merge per doc (classic
+    * gaps-and-islands over a per-doc window). Returns one row per
+    * (doc_id, source, island): [s, e] disjoint 1-based token bounds plus
+    * `wins`, the number of dropped window occurrences the island absorbed.
+    *
+    * Skew: the keeper stats are a map-side-combinable groupBy(fp) (count +
+    * lexicographic min(struct(doc_id, i))); the removal join is then
+    * occurrences ⋈ one-row-per-fp — a hot boilerplate span makes the LEFT
+    * side hot, which AQE's skew-join split handles by replicating the
+    * single stats row (per-occurrence output is irreducible here: each
+    * dropped occurrence IS a removal range). The island windows partition
+    * by doc_id, bounded by document length. */
+  private def droppedIntervals(docs: DataFrame, w: Int): DataFrame = {
+    val occ = spanOccurrences(docs, w)
+    val firsts = occ.groupBy(col("fp"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("i"))).as("first"))
+      .where(col("c") > 1)
+      .select(col("fp"), col("first.doc_id").as("d0"), col("first.i").as("i0"))
+    val dropped = occ.join(firsts, Seq("fp"))
+      .where(!(col("doc_id") === col("d0") && col("i") === col("i0")))
+      .select(col("doc_id"), col("source"), col("i"), col("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    dropped
+      .withColumn("brk", when(prevMax.isNull || col("i") > prevMax, 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(min(col("i")).as("s"), max(col("e")).as("e"), count(lit(1)).as("wins"))
+  }
+
+  /** The ACTION step of the suffix-array dedup recipe whose detector is
+    * [[duplicateSpanProfile]]: emit the corpus with duplicated ≥w-token
+    * spans REMOVED — every token covered by a dropped window occurrence is
+    * deleted; the globally first occurrence (by (doc_id, offset)) keeps its
+    * text, so exactly one copy of every duplicated span survives. Returns
+    * (doc_id, source, text) with surviving tokens re-joined by single
+    * spaces. Token membership is evaluated per doc against its few merged
+    * intervals (a higher-order filter over the token array — no second
+    * explode). */
+  def spanDedupDocs(docs: DataFrame, w: Int = 50): DataFrame = {
+    val iv = droppedIntervals(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    val toks = split(col("text"), " ")
+    val kept = filter(toks, (t, idx) => !coalesce(
+      exists(col("iv"), v =>
+        idx + 1 >= v.getField("s") && idx + 1 <= v.getField("e")),
+      lit(false)))
+    docs.join(iv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), concat_ws(" ", kept).as("text"))
+  }
+
+  /** Per-source accounting of span-dedup remediation, with the conservation
+    * invariant built into the differential check: `kept_tokens` is
+    * RECOUNTED from the actual remediated token arrays (the same
+    * higher-order filter [[spanDedupDocs]] ships), while the SQL oracle
+    * derives it as total − dropped — so oracle hash-equality proves
+    * total_tokens = kept_tokens + dropped_tokens over the real removal,
+    * not over bookkeeping that merely mirrors it. `dup_windows` counts the
+    * dropped window occurrences (the census's duplicate mass minus the one
+    * kept copy per span text). */
+  def spanDedupProfile(docs: DataFrame, w: Int = 50): DataFrame = {
+    val perDoc = droppedIntervals(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"),
+        sum(col("e") - col("s") + 1).cast("long").as("dropped_toks"),
+        sum(col("wins")).cast("long").as("dup_windows"))
+    val toks = split(col("text"), " ")
+    val keptN = size(filter(toks, (t, idx) => !coalesce(
+      exists(col("iv"), v =>
+        idx + 1 >= v.getField("s") && idx + 1 <= v.getField("e")),
+      lit(false))))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"), size(toks).as("n"), keptN.as("kept_n"),
+        coalesce(col("dropped_toks"), lit(0L)).as("dropped_toks"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n")).cast("long").as("total_tokens"),
+        sum(col("kept_n")).cast("long").as("kept_tokens"),
+        sum(col("dropped_toks")).cast("long").as("dropped_tokens"),
+        sum(col("dup_windows")).cast("long").as("dup_windows"))
+      .select(col("source"), col("docs"), col("total_tokens"), col("kept_tokens"),
+        col("dropped_tokens"), col("dup_windows"),
+        Cols.asDec4(col("kept_tokens").cast("double")
+          / col("total_tokens").cast("double")).as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------------- contamination
 
   /** Benchmark-contamination check: which training documents share at least

@@ -58,6 +58,35 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(m("c") == ((8L, 0L, 0L)), s"fresh doc got ${m("c")}")
   }
 
+  test("span dedup: first occurrence survives, later copies trimmed, tokens conserved") {
+    val passage = "p1 p2 p3 p4 p5"
+    val docs = Seq(
+      (1L, "a", s"$passage x1 x2 x3 x4"),                // global first copy
+      (2L, "a", s"y1 y2 y3 y4 $passage"),                // cross-doc copy
+      (3L, "b", s"$passage z1 $passage"),                // two copies, z1 between
+      (4L, "c", (1 to 12).map(i => s"f$i").mkString(" ")), // all fresh
+      (5L, "d", "q1 q2 q3 q4 q5 q6"),                    // duplicated whole doc:
+      (6L, "d", "q1 q2 q3 q4 q5 q6")                     //  overlapping windows merge
+    ).toDF("doc_id", "source", "text")
+    val texts = CorpusFilters.spanDedupDocs(docs, 5)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(texts(1L) == s"$passage x1 x2 x3 x4", "the (doc_id, offset)-first copy keeps its text")
+    assert(texts(2L) == "y1 y2 y3 y4")
+    assert(texts(3L) == "z1", "both later copies drop; islands must not bridge across z1")
+    assert(texts(4L) == (1 to 12).map(i => s"f$i").mkString(" "))
+    assert(texts(5L) == "q1 q2 q3 q4 q5 q6")
+    assert(texts(6L) == "", "overlapping removal ranges [1,5],[2,6] merge to [1,6]")
+    val prof = CorpusFilters.spanDedupProfile(docs, 5)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // conservation holds per source, with kept recounted from real arrays
+    prof.values.foreach { r => assert(r._3 == r._4 + r._5, s"conservation violated: $r") }
+    assert(prof("a")._4 == 13 && prof("a")._5 == 5 && prof("a")._6 == 1, s"${prof("a")}")
+    assert(prof("b")._4 == 1 && prof("b")._5 == 10 && prof("b")._6 == 2, s"${prof("b")}")
+    assert(prof("c")._5 == 0 && prof("c")._6 == 0, s"${prof("c")}")
+    assert(prof("d")._4 == 6 && prof("d")._5 == 6 && prof("d")._6 == 2, s"${prof("d")}")
+  }
+
   test("boilerplate: templated docs raise mean shingle df, unique docs score 1") {
     val template = "all rights reserved contact us for more information"
     val docs = Seq(

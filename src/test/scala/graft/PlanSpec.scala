@@ -159,6 +159,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"join + agg + output sort only, got $exchanges:\n$p")
   }
 
+  test("span dedup remediation: equi-joins only, per-doc windows, no global structure") {
+    val p = planOf(CorpusFilters.spanDedupProfile(Tables.documents(spark, sf), 50))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keeper stats must equi-join on the span key:\n$p")
+    // island merging partitions by doc_id — a window over nothing would
+    // funnel every removal range through one task
+    assert(!p.contains("SinglePartition"), s"windows must partition by doc:\n$p")
+  }
+
   test("contamination joins on n-grams — never a cartesian") {
     val p = planOf(CorpusFilters.contaminationProfile(Tables.documents(spark, sf), 20, 5))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
