@@ -66,12 +66,22 @@ private[streaming] object MemorySinkRunner {
     val name  = s"${namePrefix}_${counter.incrementAndGet()}"
     val ckDir = Files.createDirectories(checkpointRoot).resolve(name)
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val splitKey  = "spark.sql.files.maxPartitionBytes"
+    val openKey   = "spark.sql.files.openCostInBytes"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get(noDataKey)
+    val prevSplit = spark.conf.get(splitKey)
+    val prevOpen  = spark.conf.get(openKey)
     val parts = sys.env.get("GRAFT_STREAM_PARTS") // dev-only sweep knob
       .map(_.toInt).getOrElse(shufflePartitions)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     spark.conf.set(noDataKey, needNoDataBatch.toString)
+    // the staged source is a handful of SMALL files (StreamingHourly
+    // splits it on purpose); at the default 128 MB/4 MB split params they
+    // all pack into ONE scan task and batch-0 decode runs serial. Shrink
+    // the bin size so each staged slice scans on its own thread.
+    spark.conf.set(splitKey, (1L << 20).toString)
+    spark.conf.set(openKey, "0")
     val debug = sys.env.get("GRAFT_STREAM_DEBUG").contains("1")
     def t[A](label: String)(f: => A): A =
       if (!debug) f else {
@@ -86,16 +96,32 @@ private[streaming] object MemorySinkRunner {
           .outputMode(outputMode)
           .start()
       } finally {
+        // shuffle partitions and the no-data flag are captured by the
+        // query at start; the file-split params are read at every
+        // micro-batch's scan planning, so they restore after the run
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set(noDataKey, prevNoData)
       }
     try {
-      try t("processAllAvailable")(q.processAllAvailable()) finally t("stop")(q.stop())
+      try t("processAllAvailable")(q.processAllAvailable()) finally {
+        t("stop")(q.stop())
+        spark.conf.set(splitKey, prevSplit)
+        spark.conf.set(openKey, prevOpen)
+      }
       if (debug) q.recentProgress.foreach(p =>
         System.err.println(s"[msr] $name batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}"))
       val sunk = spark.table(name)
-      val local = t("collect") { spark.createDataFrame(
-        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema) }
+      // parallelize, not a driver LocalRelation: a local relation converts
+      // every external Row to InternalRow on ONE thread per action — ~1 s
+      // for a 100k-row sink result, paid again by each downstream action.
+      // Slicing the copied rows across the executor threads makes the
+      // conversion parallel and keeps the downstream reduction distributed.
+      val local = t("collect") {
+        val rows = sunk.collect()
+        val slices = math.min(32, math.max(1, rows.length / 4096))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, slices), sunk.schema)
+      }
       spark.catalog.dropTempView(name)
       local
     } finally deleteRecursively(ckDir)

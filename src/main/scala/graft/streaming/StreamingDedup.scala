@@ -34,7 +34,7 @@ object StreamingDedup {
     * suppressed by the watermark-bounded state, so the result equals the
     * plain batch census of the source — which is the SQL oracle. */
   def dedupedTypeCounts(spark: SparkSession, dir: String): DataFrame = {
-    val path   = StreamingHourly.stagedEventsDir(dir)
+    val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
     def src(): DataFrame = spark.readStream.schema(schema).parquet(path)
       .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))

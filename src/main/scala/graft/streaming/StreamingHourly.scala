@@ -22,24 +22,34 @@ object StreamingHourly {
   val WatermarkSeconds = 600L
 
   /** The file streaming source requires a directory; the testdata is a bare
-    * (read-only) parquet file, so stage a symlink dir under the JVM tmpdir.
-    * Shared by every file-source streaming query over the events table.
-    * Callers need `spark.sql.legacy.parquet.nanosAsLong=true` for the
-    * ns-precision `ts` column — GraftSession sets it at session build;
-    * the per-query sets this file's queries used to do leaked a session-
-    * global legacy mode into whatever ran next on the shared session. */
-  private[streaming] def stagedEventsDir(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet")
-    val d   = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
-    Files.createDirectories(d)
-    val link = d.resolve("events.parquet")
-    if (!Files.exists(link))
-      try Files.createSymbolicLink(link, src)
-      catch { case _: Throwable => Files.copy(src, link) }
-    d.toString
-  }
+    * (read-only) parquet file, so stage it under the JVM tmpdir — SPLIT
+    * into [[StagedSlices]] parquet files. A single small file is one input
+    * split, so every micro-batch decoded the whole table on ONE task while
+    * the other executor threads idled; slicing parallelizes batch-0
+    * scan+parse for every file-source streaming query over the events
+    * table (all of which are proven slicing-independent by StreamingSpec).
+    * The staged copy is invalidated when the source file's (size, mtime)
+    * changes. Callers need `spark.sql.legacy.parquet.nanosAsLong=true` for
+    * the ns-precision `ts` column — GraftSession sets it at session build;
+    * the staged rewrite stores `ts` as the same long values. */
+  private[streaming] val StagedSlices = 8
+  private[streaming] def stagedEventsDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      val src = Paths.get(s"$dir/events.parquet")
+      val d   = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+      val marker = d.resolve("_staged")
+      val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:$StagedSlices"
+      val valid = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == stamp
+      if (!valid) {
+        spark.read.parquet(src.toString).repartition(StagedSlices)
+          .write.mode("overwrite").parquet(d.toString)
+        Files.write(marker, stamp.getBytes("UTF-8"))
+      }
+      d.toString
+    }
 
   /** Staged-source schema, cached per path: every oracle streaming query
     * pays a batch footer-read just to declare the file-stream schema, and
@@ -52,7 +62,7 @@ object StreamingHourly {
     schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
   def closedHourlyMetrics(spark: SparkSession, dir: String): DataFrame =
-    closedHourlyMetricsFrom(spark, stagedEventsDir(dir), Map.empty)
+    closedHourlyMetricsFrom(spark, stagedEventsDir(spark, dir), Map.empty)
 
   /** [[closedHourlyMetrics]] over an explicit staged source directory with
     * extra file-source options — the hook StreamingSpec uses to prove the
@@ -98,7 +108,7 @@ object StreamingHourly {
     * the key domain (|event types|), which is the only regime where
     * complete mode is 100 TB-sane. */
   def completeTypeTotals(spark: SparkSession, dir: String): DataFrame = {
-    val path   = stagedEventsDir(dir)
+    val path   = stagedEventsDir(spark, dir)
     val schema = stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
 

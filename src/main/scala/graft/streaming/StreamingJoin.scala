@@ -36,7 +36,7 @@ object StreamingJoin {
     runJoin(spark, dir, "inner")
 
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
-    val path   = StreamingHourly.stagedEventsDir(dir)
+    val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))

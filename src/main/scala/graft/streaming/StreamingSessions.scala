@@ -23,7 +23,7 @@ object StreamingSessions {
   val WatermarkSeconds = 600L
 
   private def sessionAgg(spark: SparkSession, dir: String): DataFrame =
-    sessionAggFrom(spark, StreamingHourly.stagedEventsDir(dir), Map.empty)
+    sessionAggFrom(spark, StreamingHourly.stagedEventsDir(spark, dir), Map.empty)
 
   /** Session aggregation over an explicit staged source directory with
     * extra file-source options — the StreamingSpec hook that proves
@@ -81,7 +81,7 @@ object StreamingSessions {
     * append/update semantic difference, and the oracle states it by having
     * NO closure filter. */
   def updatedUserHourly(spark: SparkSession, dir: String): DataFrame = {
-    val path   = StreamingHourly.stagedEventsDir(dir)
+    val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts_sec", expr("ts div 1000000000"))
