@@ -170,6 +170,8 @@ object SparkEntry {
         .orderBy(col("source"))),
     "q_exact_dedup_keep" -> ((s, d) => // survivor profile after exact dedup
       Dedup.survivorsBySource(Tables.documents(s, d))),
+    "q_norm_dedup" -> ((s, d) => // normalization-robust exact dedup census
+      Dedup.normalizedDedupProfile(Tables.documents(s, d))),
     // portable-hash variants: every sketch value is reproducible in the SQL
     // oracle (Dedup.PortableHash); xxhash64 FastHash is the scale path
     "q_near_dup_minhash" -> ((s, d) => // MinHash+LSH candidates, est. Jaccard
@@ -207,6 +209,10 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => // quality-proportional Bernoulli sample
       Sampling.weightedSampleProfile(
         TextAnalysis.qualityUnitsWide(Tables.documents(s, d)), 1, 2)),
+    "q_token_budget" -> ((s, d) => // global quality-ordered token-budget cut (60%)
+      CorpusFilters.tokenBudgetProfile(Tables.documents(s, d), 3, 5)),
+    "q_dsir_weights" -> ((s, d) => // DSIR-style hashed-unigram importance vs en slice
+      Importance.importanceProfile(Tables.documents(s, d), col("lang") === "en", 256)),
     "q_chunk_profile" -> ((s, d) => // sliding-window context-chunking budget
       TextAnalysis.chunkProfile(Tables.documents(s, d), 128, 96)),
     "q_boilerplate_by_source" -> ((s, d) => // cross-doc template/boilerplate signal
@@ -266,6 +272,8 @@ object SparkEntry {
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))
         .orderBy(col("label"))),
+    "q_nearest_centroid" -> ((s, d) => // nearest-centroid assignment census
+      Similarity.nearestCentroidProfile(Tables.embeddings(s, d))),
 
     // --- data-quality validation (reference PROJECT_SUMMARY declared intent)
     "q_dq_events" -> ((s, d) => DataQuality.eventsReport(Tables.events(s, d))),
@@ -1057,6 +1065,63 @@ object SparkEntry {
          |WHERE ${md5h48("'wsample:' || CAST(doc_id AS VARCHAR)")} % 20000 < qual_u * 1
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // Mirror of CorpusFilters.tokenBudgetProfile (num=3, den=5): the oracle
+    // runs the NAIVE form — one global exclusive-prefix window ordered by
+    // (qual_u DESC, doc_id ASC) — while the engine runs the two-phase
+    // bucket decomposition; hash equality proves the decomposition exactly
+    // equals the naive rule. Budget test is pure integers: prefix·5 < tot·3.
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(toks, x -> len(x) > 0)) AS BIGINT) AS n_tok,
+         |    CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+         |      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
+         |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS BIGINT) AS qual_u
+         |  FROM t),
+         |ord AS (
+         |  SELECT s.*, tt.tot,
+         |    coalesce(sum(n_tok) OVER (ORDER BY qual_u DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM scored s
+         |  CROSS JOIN (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM scored) tt)
+         |SELECT source, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+         |  CAST(sum(CASE WHEN prefix * 5 < tot * 3 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN prefix * 5 < tot * 3 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  CASE WHEN sum(n_tok) > 0 THEN
+         |    (floor((CAST(sum(CASE WHEN prefix * 5 < tot * 3 THEN n_tok ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(n_tok) AS DOUBLE)) * 10000.0) / 10000.0)
+         |  ELSE 0.0 END AS kept_token_frac
+         |FROM ord GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of Importance.importanceProfile (buckets=256, target lang='en'):
+    // same portable-hash bucket ids, one stats pass with a conditional
+    // target count, integer bucket-ratio units (// is DuckDB integer
+    // division ≡ Spark DIV on non-negative operands), same quantized mean.
+    "q_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, lang,
+         |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    ${md5h48("'dsir:' || tok")} % 256 AS bkt, lang
+         |  FROM tok),
+         |stats AS (
+         |  SELECT bkt, count(*) AS raw_n,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+         |  FROM b GROUP BY bkt),
+         |pd AS (
+         |  SELECT doc_id, source, count(*) AS n_tok,
+         |    CAST(sum((tgt_n * 10000) // raw_n) AS BIGINT) AS dsir_units
+         |  FROM b JOIN stats USING (bkt)
+         |  GROUP BY doc_id, source)
+         |SELECT doc_id, source, n_tok, dsir_units,
+         |  (floor((CAST(dsir_units AS DOUBLE) / 10000.0 / CAST(n_tok AS DOUBLE)) * 10000.0) / 10000.0) AS dsir_score
+         |FROM pd ORDER BY doc_id""".stripMargin,
+
     // Mirror of TextAnalysis.chunkSpans/chunkProfile (w=128, s=96): chunk
     // count ⌈(n−w)/s⌉+1 via the same floored double divide, per-chunk
     // token count least(w, n − i·s), corpus tokens re-derived from the
@@ -1303,6 +1368,23 @@ object SparkEntry {
         |SELECT source, count(*) AS surviving_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS surviving_chars
         |FROM documents JOIN k USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of Dedup.normalizedDedupProfile: identical normalization chain
+    // (casefold → non-alphanumerics to spaces → collapse runs → trim; note
+    // DuckDB regexp_replace needs the 'g' flag where Spark replaces all
+    // matches by default), then the same group-stats join-back census.
+    "q_norm_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, count(*) AS copies, min(doc_id) AS keep_id FROM f GROUP BY fp)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS keep_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS drop_docs
+        |FROM f JOIN g USING (fp)
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_token_classes" ->
@@ -2124,6 +2206,35 @@ object SparkEntry {
          |SELECT label,
          |  ${q4("sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b))")} AS centroid_norm
          |FROM c ORDER BY label""".stripMargin,
+
+    // Mirror of Similarity.nearestCentroidProfile: the q_label_centroids
+    // mean chain (exact 1e-4-unit sums, shared divide order), squared-L2
+    // per (vector, centroid) as a position-ordered list fold (init-free
+    // list_reduce ≡ Spark's 0.0-seeded aggregate: 0.0 + x ≡ x in IEEE for
+    // the non-negative squares), argmin via (dist, label) ordering.
+    "q_nearest_centroid" ->
+      """WITH e AS (
+        |  SELECT label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) r(i)),
+        |m AS (
+        |  SELECT label AS c_label, pos,
+        |    (CAST(sum(CAST(floor(v * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) AS mean_v
+        |  FROM e GROUP BY label, pos),
+        |c AS (SELECT c_label, list(mean_v ORDER BY pos) AS centroid FROM m GROUP BY c_label),
+        |d AS (
+        |  SELECT v.vec_id, v.label, c.c_label,
+        |    list_reduce(list_transform(range(64),
+        |      i -> (CAST(v.embedding[i + 1] AS DOUBLE) - c.centroid[i + 1])
+        |         * (CAST(v.embedding[i + 1] AS DOUBLE) - c.centroid[i + 1])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        |  FROM d)
+        |SELECT label, c_label AS assigned, count(*) AS vecs
+        |FROM a WHERE rn = 1
+        |GROUP BY label, assigned ORDER BY label, assigned""".stripMargin,
 
     // Mirror of Multimodal.{featureVectors, featureProfile}: 8 feature
     // components are 12-bit md5 windows / 4096.0; the row norm is the same

@@ -395,4 +395,81 @@ object CorpusFilters {
         sum(col("repetition_drop")).as("repetition_drop"))
       .orderBy(col("source"))
   }
+
+  // ----------------------------------------------------------- token budget
+
+  /** Global quality-ordered token-budget cut: keep documents in
+    * (quality DESC, doc_id ASC) order while the EXCLUSIVE prefix sum of
+    * their token counts stays under `num/den` of the corpus's total tokens —
+    * "train on the best X% of token mass", the selection step every
+    * budgeted pre-training run performs. The budget rule is pure integer
+    * arithmetic (kept ⇔ prefix·den < total·num), so membership is exact and
+    * engine-portable.
+    *
+    * Scale shape — the naive form is a GLOBAL ordered cumulative sum
+    * (a total sort of the corpus: the classic scale killer). This runs it
+    * in two bounded phases instead:
+    *   1. aggregate token mass per quality bucket (`qual_u` is an integer
+    *      in [0, 10000], so the bucket frame is ≤ 10001 rows — the only
+    *      global window runs on THAT, not the corpus);
+    *   2. buckets strictly inside / outside the budget classify their
+    *      documents with a broadcast join and no per-doc ordering at all;
+    *      only the ONE bucket straddling the boundary pays a per-doc
+    *      prefix window, partitioned on its bucket key.
+    * Equivalence to the naive rule: a doc's global exclusive prefix is
+    * cum_before(bucket) + in_bucket_before(doc); for buckets with
+    * (cum_before + b_tok)·den < total·num every such prefix is under
+    * budget, for buckets with cum_before·den ≥ total·num none is, and the
+    * boundary bucket evaluates the rule per doc verbatim. The boundary
+    * window is the unavoidable exact step; if one quality value ever held
+    * an unpartitionable share of the corpus, the same two-phase recursion
+    * applies inside the bucket on doc_id ranges. */
+  def tokenBudgetKept(docs: DataFrame, num: Int = 3, den: Int = 5): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "budget num/den must be in [0, 1]")
+    val scored = TextAnalysis.budgetUnits(docs)
+    val total = scored.agg(sum(col("n_tok")).as("tot"))
+    val buckets = scored.groupBy(col("qual_u")).agg(sum(col("n_tok")).as("b_tok"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qual_u").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = buckets
+      .withColumn("cum_before", coalesce(sum(col("b_tok")).over(wB), lit(0L)))
+      .crossJoin(broadcast(total))
+    val joined = scored.join(broadcast(cum), Seq("qual_u"))
+    val budget = col("tot") * num
+    // strict <: a bucket landing EXACTLY on the budget edge still routes
+    // through the per-doc rule (a trailing zero-token doc there is dropped
+    // by `prefix·den < budget`, which the bucket-level ≤ would keep)
+    val fullyKept = joined.where((col("cum_before") + col("b_tok")) * den < budget)
+    val boundary = joined.where(col("cum_before") * den < budget &&
+      (col("cum_before") + col("b_tok")) * den >= budget)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qual_u")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundaryKept = boundary
+      .withColumn("in_before", coalesce(sum(col("n_tok")).over(wD), lit(0L)))
+      .where((col("cum_before") + col("in_before")) * den < budget)
+      .drop("in_before")
+    fullyKept.unionByName(boundaryKept)
+      .select(col("doc_id"), col("source"), col("qual_u"), col("n_tok"))
+  }
+
+  /** Per-source census of the token-budget cut: corpus totals vs what the
+    * budget keeps, plus the kept token fraction — the view a budget
+    * dashboard reads to see which sources the quality ordering favors. */
+  def tokenBudgetProfile(docs: DataFrame, num: Int = 3, den: Int = 5): DataFrame = {
+    val scored = TextAnalysis.budgetUnits(docs)
+    val tot = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+    val kept = tokenBudgetKept(docs, num, den).groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+    tot.join(kept, Seq("source"), "left")
+      .select(col("source"), col("docs"), col("tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        when(col("tokens") > 0, Cols.q4(
+          coalesce(col("kept_tokens"), lit(0L)).cast("double") / col("tokens").cast("double")))
+          .otherwise(lit(0.0)).as("kept_token_frac"))
+      .orderBy(col("source"))
+  }
 }

@@ -68,6 +68,35 @@ object Dedup {
       .agg(count(lit(1)).as("surviving_docs"), sum(col("n_chars")).as("surviving_chars"))
       .orderBy(col("source"))
 
+  /** Normalization-robust content fingerprint: casefold, non-alphanumerics
+    * to spaces, runs of whitespace collapsed, edges trimmed — then md5. The
+    * tier between byte-exact dedup (misses trivial reformattings) and
+    * MinHash near-dup (pays shingling): two documents differing only in
+    * case, punctuation or spacing collapse to one fingerprint. A pure
+    * projection — rides the scan. */
+  def normalizedFp(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]", " "), " +", " ")))
+
+  /** Per-source census of normalized-exact dedup: total docs, docs in a
+    * >1-copy normalized group, and the keep/drop split under the
+    * deterministic keep-lowest-doc_id rule. Same two-aggregation shape as
+    * the exact census — the group stats frame joins back on the fingerprint
+    * (hash equi-join, co-partitioned; a hot fingerprint meets one stats row,
+    * so skew stays on the join's probe side where AQE splits it). */
+  def normalizedDedupProfile(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"), col("source"),
+      normalizedFp(col("text")).as("fp"))
+    val groups = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
+    fps.join(groups, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        graft.functions.Cols.countWhen(col("copies") > 1).as("dup_docs"),
+        graft.functions.Cols.countWhen(col("doc_id") === col("keep_id")).as("keep_docs"),
+        graft.functions.Cols.countWhen(col("doc_id") =!= col("keep_id")).as("drop_docs"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------- shingling
 
   /** One row per (doc_id, w-word shingle). The tokens array is projected

@@ -467,4 +467,36 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
   }
+
+  /** Nearest-centroid assignment census — the cheap classification /
+    * cluster-balancing step of an embedding pipeline (assign every vector
+    * to its closest class centroid, read the label × assignment confusion
+    * counts). Distances are squared L2 against the [[labelCentroids]]
+    * means: each term (v − mean)² is one shared IEEE double op and the sum
+    * left-folds in position order from 0.0, so distances are bit-identical
+    * on any engine that folds the same way (0.0 + x₁ ≡ x₁ in IEEE, so an
+    * init-free fold agrees). Ties break to the lowest centroid label via
+    * lexicographic struct-min.
+    *
+    * Scale shape: the centroid table is |labels| rows — broadcast; the
+    * cross join is a scan-side broadcast NLJ (|corpus| × |labels| fused in
+    * codegen, the brute-kNN shape that survives any corpus size as long as
+    * the class count stays bounded), then one map-side-combinable argmin
+    * per vector and a census aggregation on ≤ |labels|² keys. */
+  def nearestCentroidProfile(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label").as("c_label"), col("centroid"))
+    val dist = aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    embeddings.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist"), col("c_label"))).as("best"))
+      .select(col("label"), col("best").getField("c_label").as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("vecs"))
+      .orderBy(col("label"), col("assigned"))
+  }
 }

@@ -55,6 +55,7 @@ object TextAnalysis {
     val qual  = (lenOk + least(ttr * 2.0, lit(1.0)) + least(stopw * 5.0, lit(1.0))) / 3.0
     docs.select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      size(filter(toks, t => length(t) > 0)).cast("long").as("n_tok"),
       floor(ttr * 10000.0).as("ttr_u"),
       floor(stopw * 10000.0).as("stopw_u"),
       floor(qual * 10000.0).as("qual_u"))
@@ -71,6 +72,12 @@ object TextAnalysis {
     * (e.g. [[Sampling.weightedSample]]) still rides a single pass. */
   def qualityUnitsWide(docs: DataFrame): DataFrame =
     scoredUnits(docs).select(col("doc_id"), col("source"), col("n_chars"), col("qual_u"))
+
+  /** The frame a token-budget selector consumes: per-doc quality units plus
+    * the non-empty token count (the budget currency — same empty-token rule
+    * as [[bm25TopDocs]]/[[chunkSpans]]). One projection, one scan. */
+  def budgetUnits(docs: DataFrame): DataFrame =
+    scoredUnits(docs).select(col("doc_id"), col("source"), col("n_tok"), col("qual_u"))
 
   def qualityScored(docs: DataFrame): DataFrame =
     scoredUnits(docs).select(

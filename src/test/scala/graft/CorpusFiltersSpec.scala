@@ -160,6 +160,45 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("token budget: two-phase bucket cut equals the naive global-window rule") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def naiveKept(num: Int, den: Int): Set[Long] = {
+      val w = Window.orderBy(col("qual_u").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val scored = graft.operators.TextAnalysis.budgetUnits(docs)
+      val tot = scored.agg(sum(col("n_tok"))).as[Long].head()
+      scored.withColumn("prefix", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .where(col("prefix") * den < lit(tot) * num)
+        .select(col("doc_id")).as[Long].collect().toSet
+    }
+    for ((num, den) <- Seq((3, 5), (1, 10), (1, 1))) {
+      val twoPhase = CorpusFilters.tokenBudgetKept(docs, num, den)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(twoPhase == naiveKept(num, den), s"mismatch at $num/$den")
+    }
+    assert(CorpusFilters.tokenBudgetKept(docs, 0, 5).count() == 0L)
+  }
+
+  test("token budget profile: kept never exceeds totals, fractions in [0,1]") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = CorpusFilters.tokenBudgetProfile(docs, 3, 5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("tokens"))
+      val f = r.getAs[Double]("kept_token_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // the global cut actually cuts: total kept mass ≈ 60% of corpus tokens
+    // (the exclusive-prefix rule admits the straddling doc, so kept mass may
+    // overshoot the budget by at most one document's tokens)
+    val keptTok = rows.map(_.getAs[Long]("kept_tokens")).sum.toDouble
+    val totTok = rows.map(_.getAs[Long]("tokens")).sum.toDouble
+    assert(keptTok / totTok > 0.5 && keptTok / totTok < 0.65,
+      s"kept fraction ${keptTok / totTok} should sit at the 3/5 budget")
+  }
+
   test("quality gate: drop reasons account for every non-kept document") {
     val docs = graft.sources.Tables.documents(spark, sf)
     CorpusFilters.qualityGateProfile(docs).collect().foreach { r =>

@@ -18,6 +18,20 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 1 && groups(0).getAs[Long]("keep_doc_id") == 1L)
   }
 
+  test("normalized dedup: case/punct/spacing variants collapse, distinct text survives") {
+    val docs = Seq(
+      (1L, "s1", "Hello, World! How are you?"),
+      (2L, "s1", "hello world how are you"),
+      (3L, "s2", "HELLO  world -- how are you"),
+      (4L, "s2", "entirely different content here")
+    ).toDF("doc_id", "source", "text")
+    val m = Dedup.normalizedDedupProfile(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // docs 1-3 share one normalized fingerprint; keeper is doc 1 (lowest id)
+    assert(m("s1") == ((2L, 2L, 1L, 1L)), s"got ${m("s1")}") // docs=2 dup=2 keep=1 drop=1
+    assert(m("s2") == ((2L, 1L, 1L, 1L)), s"got ${m("s2")}") // doc 3 dups, doc 4 unique keeps
+  }
+
   test("minhash LSH finds heavily overlapping docs and not disjoint ones") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
@@ -208,6 +222,25 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.dedupClusters(
         Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
     } finally Dedup.checkpointDrivesObservation = prev
+  }
+
+  test("nearest centroid: well-separated clusters assign diagonally, ties break low") {
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    def jitter(base: Array[Float], d: Float) = base.map(x => x + d)
+    val emb = Seq(
+      (1L, jitter(e1, 0.01f), 0), (2L, jitter(e1, 0.02f), 0), (3L, jitter(e1, -0.01f), 0),
+      (4L, jitter(e2, 0.01f), 1), (5L, jitter(e2, -0.02f), 1),
+      (6L, jitter(e2, 0.03f), 0) // a label-0 vector sitting in cluster 1
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.nearestCentroidProfile(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // label-0 vectors 1-3 assign to centroid 0; the stray label-0 vector 6
+    // lands on centroid 1; label-1 vectors assign to centroid 1
+    assert(rows((0, 0)) == 3L, s"got $rows")
+    assert(rows((0, 1)) == 1L, s"got $rows")
+    assert(rows((1, 1)) == 2L, s"got $rows")
+    assert(rows.values.sum == 6L, "every vector assigned exactly once")
   }
 
   test("multi-table LSH near-dup: sound vs exact, recall amplified over one table") {

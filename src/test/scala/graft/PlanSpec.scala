@@ -283,4 +283,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("token#") && (p.contains("IN (join,filter)") || p.contains("INSET")),
       s"term filter must prune before the tf shuffle:\n$p")
   }
+
+  test("token budget: the only single-partition window is the bounded bucket frame") {
+    val p = planOf(CorpusFilters.tokenBudgetProfile(Tables.documents(spark, sf), 3, 5))
+    // the bucket cumulative window is allowed to be single-partition (≤10001
+    // aggregated rows); the union's two branches each plan a copy of the
+    // bucket-window + one-row-total subtree (4 text occurrences; AQE reuses
+    // the exchanges at runtime), and the per-doc boundary window must be
+    // hash-partitioned on qual_u
+    val single = "SinglePartition".r.findAllIn(p).size
+    assert(single <= 4, s"only the bounded bucket/total frames may run single-partition:\n$p")
+    assert(p.contains("hashpartitioning(qual_u"),
+      s"the boundary window must partition on the bucket key:\n$p")
+    // the corpus itself is classified by broadcast join, never globally sorted
+    assert(p.contains("BroadcastExchange"), s"bucket stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir importance: bucket stats broadcast back onto the token stream") {
+    import org.apache.spark.sql.functions.col
+    val p = planOf(Importance.importanceProfile(
+      Tables.documents(spark, sf), col("lang") === "en", 256))
+    assert(p.contains("BroadcastHashJoin"),
+      s"≤256-row stats table must broadcast, not shuffle the tokens:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream must not sort-merge:\n$p")
+  }
+
+  test("nearest centroid: broadcast NLJ over the bounded centroid table, no shuffle NLJ") {
+    val p = planOf(Similarity.nearestCentroidProfile(Tables.embeddings(spark, sf)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast into the scan-side cross join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffle cartesian would re-partition the corpus:\n$p")
+  }
+
+  test("normalized dedup: fingerprint stats equi-join, projection rides the scan") {
+    val p = planOf(Dedup.normalizedDedupProfile(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"group stats must equi-join on the fingerprint:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global structure anywhere:\n$p")
+  }
 }
