@@ -19,12 +19,15 @@ import graft.functions.Cols
   * portable 48-bit md5 hash ([[Dedup.PortableHash]]) so any engine computes
   * identical bucket ids.
   *
-  * Scale shape: one explode of the corpus into tokens, ONE aggregation
-  * computing both the raw and target bucket counts (the target count is a
-  * conditional sum in the same pass — no second scan), a broadcast join of
-  * the ≤`buckets`-row stats table back onto the token stream, and one
-  * map-side-combinable per-doc aggregation. Two shuffles total, both on
-  * bounded keys; nothing is quadratic.
+  * Scale shape: one explode of the corpus into tokens, immediately
+  * collapsed to (doc, bucket, count) rows by a map-side-combinable
+  * aggregation — the frame both downstream stages consume (identical
+  * subtree, so the shuffle is planned once and reused). Bucket stats are
+  * ONE tiny aggregation over it computing raw and target counts together
+  * (the target count is a conditional sum — no second scan); the
+  * ≤`buckets`-row stats table broadcasts back onto the doc-bucket frame
+  * (≤ min(n_tok, buckets) rows per doc, far smaller than the token
+  * stream), and one per-doc aggregation finishes. Nothing is quadratic.
   */
 object Importance {
 
@@ -38,19 +41,23 @@ object Importance {
   def importanceProfile(docs: DataFrame, targetPred: Column,
                         buckets: Int = 256, tag: String = "dsir"): DataFrame = {
     require(buckets > 0, "bucket count must be positive")
-    val toks = docs.select(col("doc_id"), col("source"), col("lang"),
+    val docBuckets = docs.select(col("doc_id"), col("source"), col("lang"),
       explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
       .withColumn("bkt",
         Dedup.PortableHash(concat(lit(tag + ":"), col("tok"))) % buckets)
-    val stats = toks.groupBy(col("bkt")).agg(
-      count(lit(1)).as("raw_n"),
-      Cols.countWhen(targetPred).as("tgt_n"))
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = docBuckets.groupBy(col("bkt")).agg(
+      sum(col("cnt")).as("raw_n"),
+      sum(when(targetPred, col("cnt")).otherwise(0L)).as("tgt_n"))
     // integer division (DIV), not floor(a/b): the double path loses exactness
-    // once a·10⁴ passes 2^53 — real at corpus-scale counts
-    val perTok = toks.join(broadcast(stats), Seq("bkt"))
+    // once a·10⁴ passes 2^53 — real at corpus-scale counts. Summing
+    // cnt·score_u over doc-buckets ≡ summing score_u over tokens.
+    docBuckets.join(broadcast(stats), Seq("bkt"))
       .withColumn("score_u", expr("tgt_n * 10000 DIV raw_n"))
-    perTok.groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("score_u")).as("dsir_units"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(col("cnt") * col("score_u")).as("dsir_units"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("dsir_units"),
         Cols.avg4(col("dsir_units").cast("double") / 10000.0, col("n_tok"))
           .as("dsir_score"))
