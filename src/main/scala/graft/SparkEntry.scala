@@ -145,6 +145,12 @@ object SparkEntry {
       TextAnalysis.vocabStats(Tables.documents(s, d), 20)),
     "q_tfidf_top_terms" -> ((s, d) => // ratio-idf characteristic terms
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
+    "q_vocab_coverage" -> ((s, d) => // top-k vocabulary coverage / OOV rate
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), 1000)),
+    "q_length_histogram" -> ((s, d) => // sequence-length decade census
+      TextAnalysis.lengthHistogram(Tables.documents(s, d))),
+    "q_quality_percentiles" -> ((s, d) => // per-source percentile-rank normalization
+      TextAnalysis.qualityPercentiles(Tables.documents(s, d))),
 
     // --- corpus curation (repetition / contamination / sampling / gate)
     "q_repetition_stats" -> ((s, d) => // Gopher-style duplicate-3-gram signal
@@ -1121,6 +1127,63 @@ object SparkEntry {
          |SELECT doc_id, source, n_tok, dsir_units,
          |  (floor((CAST(dsir_units AS DOUBLE) / 10000.0 / CAST(n_tok AS DOUBLE)) * 10000.0) / 10000.0) AS dsir_score
          |FROM pd ORDER BY doc_id""".stripMargin,
+
+    // Mirror of TextAnalysis.vocabCoverage (k=1000): same lowercased
+    // non-empty tokens, same (tf DESC, token ASC) top-k tie-break, same
+    // left-join membership count.
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token FROM (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+        |  ORDER BY tf DESC, token ASC LIMIT 1000)
+        |SELECT t.source, count(*) AS tokens,
+        |  CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+        |  count(DISTINCT t.token) AS distinct_tokens,
+        |  (floor((CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS coverage
+        |FROM tok t LEFT JOIN v ON t.token = v.token
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    // Mirror of TextAnalysis.lengthHistogram: digit-count buckets of the
+    // non-empty token count — integer-exact on both engines.
+    "q_length_histogram" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(toks, x -> len(x) > 0)) AS BIGINT) AS n_tok FROM t)
+        |SELECT source, CAST(len(CAST(n_tok AS VARCHAR)) AS BIGINT) AS len_digits,
+        |  count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+        |FROM s GROUP BY source, len_digits
+        |ORDER BY source, len_digits""".stripMargin,
+
+    // Mirror of TextAnalysis.qualityPercentiles: the oracle counts
+    // strictly-smaller docs with a RANGE frame (value-offset), the engine
+    // with bounded bucket sums — hash equality proves the bucket
+    // decomposition ≡ the per-doc rank; same (n−1) divide, same q4.
+    "q_quality_percentiles" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+         |      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
+         |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS BIGINT) AS qual_u
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, source, qual_u,
+         |    CAST(count(*) OVER (PARTITION BY source ORDER BY qual_u
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS below,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM scored)
+         |SELECT doc_id, source, qual_u,
+         |  CASE WHEN n > 1 THEN
+         |    (floor((CAST(below AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 10000.0) / 10000.0)
+         |  ELSE 0.0 END AS quality_pct_rank
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // Mirror of TextAnalysis.chunkSpans/chunkProfile (w=128, s=96): chunk
     // count ⌈(n−w)/s⌉+1 via the same floored double divide, per-chunk

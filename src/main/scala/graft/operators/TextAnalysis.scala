@@ -79,6 +79,77 @@ object TextAnalysis {
   def budgetUnits(docs: DataFrame): DataFrame =
     scoredUnits(docs).select(col("doc_id"), col("source"), col("n_tok"), col("qual_u"))
 
+  /** Top-`k` vocabulary coverage per source — the tokenizer-fit / OOV-rate
+    * check a pipeline runs before committing to a vocabulary: what fraction
+    * of each source's token mass the corpus-global top-k (by tf, ties to
+    * the lexicographically smaller token) covers.
+    *
+    * Scale shape: one token count (map-side combinable), top-k via
+    * TakeOrderedAndProject (a bounded heap — never a global sort of the
+    * vocabulary), then the k-row vocab broadcasts back onto the token
+    * stream as a left join + conditional count. */
+  def vocabCoverage(docs: DataFrame, k: Int = 1000): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(k)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("covered_tokens"),
+        countDistinct(col("token")).as("distinct_tokens"))
+      .select(col("source"), col("tokens"), col("covered_tokens"), col("distinct_tokens"),
+        Cols.q4(col("covered_tokens").cast("double") / col("tokens").cast("double"))
+          .as("coverage"))
+      .orderBy(col("source"))
+  }
+
+  /** Sequence-length distribution census per source — the packing-planning
+    * view (how many docs and how much token mass sits in each length
+    * decade). Buckets are the token count's DIGIT COUNT (1–9, 10–99, …):
+    * integer-exact on any engine, unlike a float log₁₀. Pure scan-side
+    * projection plus one bounded aggregation. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    budgetUnits(docs)
+      .withColumn("len_digits", length(col("n_tok").cast("string")).cast("long"))
+      .groupBy(col("source"), col("len_digits"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"),
+        min(col("n_tok")).as("min_tokens"), max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("source"), col("len_digits"))
+
+  /** Exact per-source percentile rank of each document's quality score —
+    * the normalization step before cross-source mixing (scores are only
+    * comparable within a source; ranks are comparable everywhere).
+    * percent_rank ≡ (#strictly-smaller)/(n−1), ties share the rank of
+    * their first peer; single-doc sources rank 0.
+    *
+    * Scale shape: the same bounded-bucket doctrine as the token budget —
+    * qual_u is an integer in [0, 10000], so per-(source, bucket)
+    * strictly-below counts come from a ≤|sources|·10001-row frame (window
+    * partitioned per source over BUCKETS, never over documents) and join
+    * back broadcast. No per-doc sort anywhere; the naive form is a
+    * per-source window over every document. */
+  def qualityPercentiles(docs: DataFrame): DataFrame = {
+    val scored = budgetUnits(docs)
+    val counts = scored.groupBy(col("source"), col("qual_u"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("qual_u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val below = counts
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("source"), col("qual_u"), col("below"), col("n"))
+    scored.join(broadcast(below), Seq("source", "qual_u"))
+      .select(col("doc_id"), col("source"), col("qual_u"),
+        when(col("n") > 1, Cols.q4(
+          col("below").cast("double") / (col("n") - 1).cast("double")))
+          .otherwise(lit(0.0)).as("quality_pct_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   def qualityScored(docs: DataFrame): DataFrame =
     scoredUnits(docs).select(
       col("doc_id"), col("lang"), col("source"),

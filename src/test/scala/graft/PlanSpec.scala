@@ -317,6 +317,23 @@ class PlanSpec extends SparkSpec {
       s"a shuffle cartesian would re-partition the corpus:\n$p")
   }
 
+  test("vocab coverage: top-k via bounded heap, vocab broadcast onto the token stream") {
+    val p = planOf(TextAnalysis.vocabCoverage(Tables.documents(spark, sf), 1000))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k vocab must not globally sort the vocabulary:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the k-row vocab must broadcast:\n$p")
+  }
+
+  test("quality percentiles: rank from bounded buckets — no per-document window") {
+    val p = planOf(TextAnalysis.qualityPercentiles(Tables.documents(spark, sf)))
+    // the only windows run on the (source, qual_u) bucket frame, partitioned
+    // by source — never single-partition, never over per-doc rows
+    assert(!p.contains("SinglePartition"), s"bucket windows partition by source:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"the rank frame must partition on source:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket ranks must broadcast back:\n$p")
+  }
+
   test("normalized dedup: fingerprint stats equi-join, projection rides the scan") {
     val p = planOf(Dedup.normalizedDedupProfile(Tables.documents(spark, sf)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

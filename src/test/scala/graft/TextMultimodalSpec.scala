@@ -62,6 +62,50 @@ class TextMultimodalSpec extends SparkSpec {
     assert(lo.subsetOf(hi) && lo.size < hi.size && hi.size < 400)
   }
 
+  test("vocab coverage: top-k membership exact on a crafted corpus") {
+    // top-2 vocab by tf = {aa (4), bb (3)}; cc/dd are OOV
+    val docs = Seq(
+      (1L, "s1", "aa aa bb cc"),
+      (2L, "s1", "aa bb"),
+      (3L, "s2", "aa bb cc dd")
+    ).toDF("doc_id", "source", "text")
+    val m = TextAnalysis.vocabCoverage(docs, 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("s1") == ((6L, 5L, 3L)), s"got ${m("s1")}") // 6 tokens, 5 in {aa,bb}
+    assert(m("s2") == ((4L, 2L, 4L)), s"got ${m("s2")}")
+  }
+
+  test("length histogram: digit buckets partition docs, min/max honest") {
+    val docs = Seq(
+      (1L, "en", "s", (1 to 5).map(_ => "t").mkString(" ")),    // 5 tokens  -> 1 digit
+      (2L, "en", "s", (1 to 42).map(_ => "t").mkString(" ")),   // 42 tokens -> 2 digits
+      (3L, "en", "s", (1 to 120).map(_ => "t").mkString(" "))   // 120       -> 3 digits
+    ).toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val rows = TextAnalysis.lengthHistogram(docs).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows(1L) == ((1L, 5L, 5L, 5L)))
+    assert(rows(2L) == ((1L, 42L, 42L, 42L)))
+    assert(rows(3L) == ((1L, 120L, 120L, 120L)))
+  }
+
+  test("quality percentiles: bucket decomposition equals the naive percent_rank window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.qualityPercentiles(docs)
+      .select(col("doc_id"), col("quality_pct_rank")).as[(Long, Double)].collect().toMap
+    val naive = TextAnalysis.budgetUnits(docs)
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("source")).orderBy(col("qual_u"))))
+      .select(col("doc_id"), graft.functions.Cols.q4(col("pr")).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == naive(id), s"doc $id: bucket $v vs naive ${naive(id)}")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
   test("hybrid search: rrf arithmetic, monotone order, rank bounds") {
     val out = graft.operators.Retrieval.hybridTopDocs(
       Tables.documents(spark, sf), Tables.embeddings(spark, sf),
