@@ -157,6 +157,8 @@ object SparkEntry {
       CorpusFilters.repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_contamination" -> ((s, d) => // benchmark n-gram overlap check
       CorpusFilters.contaminationProfile(Tables.documents(s, d), 20, 5)),
+    "q_decontaminated" -> ((s, d) => // the census's ACTION step: drop overlapping docs
+      CorpusFilters.decontaminatedProfile(Tables.documents(s, d), 20, 5)),
     "q_stratified_sample" -> ((s, d) => // per-source quota hash-sampling
       CorpusFilters.stratifiedSampleProfile(Tables.documents(s, d), 10)),
     "q_quality_gate" -> ((s, d) => // composite keep/drop with reasons
@@ -264,6 +266,8 @@ object SparkEntry {
     }),
     "q_near_dup_cosine" -> ((s, d) => // multi-table LSH candidates + exact verify
       Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)),
+    "q_knn_graph" -> ((s, d) => // kNN-graph build over LSH-verified candidates
+      Similarity.knnGraph(Tables.embeddings(s, d), 3, 0.3)),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annCosineLsh(Tables.embeddings(s, d), 0.3, numPlanes = 8)),
     "q_ivf_topk" -> ((s, d) => {
@@ -1838,6 +1842,30 @@ object SparkEntry {
          |  ${pct("contaminated_docs", "docs_checked")} AS contamination_rate
          |FROM g ORDER BY source""".stripMargin,
 
+    // Mirror of CorpusFilters.decontaminatedProfile: the census CTE with
+    // the action filter — kept = shared 3-grams < 5, benchmark held out.
+    "q_decontaminated" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE ${md5h48("'bench:' || CAST(doc_id AS VARCHAR)")} % 20 < 1),
+         |bsh AS (SELECT DISTINCT s.shingle FROM sh s JOIN bench b ON s.doc_id = b.doc_id),
+         |shared AS (
+         |  SELECT s.doc_id, count(*) AS c FROM sh s JOIN bsh USING (shingle)
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM bench) GROUP BY s.doc_id)
+         |SELECT d.source, count(*) AS docs_checked,
+         |  CAST(sum(CASE WHEN coalesce(sc.c, 0) < 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN coalesce(sc.c, 0) < 5 THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+         |  CAST(sum(CASE WHEN coalesce(sc.c, 0) >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs
+         |FROM documents d LEFT JOIN shared sc ON d.doc_id = sc.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     // Membership and per-stratum rate are pure functions of md5₄₈ —
     // identical sample under any engine or partitioning.
     "q_stratified_sample" ->
@@ -2124,6 +2152,22 @@ object SparkEntry {
     
 
     "q_near_dup_cosine" -> nearDupCosineLshOracleSql,
+
+    // Mirror of Similarity.knnGraph (k=3, minCosine=0.3): the multi-table
+    // LSH CTE, distinct verified pairs, symmetrize, per-vector rank on the
+    // quantized cosine with neighbor tie-break.
+    "q_knn_graph" -> (nearDupCosineLshCte +
+      """, p AS (SELECT DISTINCT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.3),
+        |sym AS (
+        |  SELECT vec_a AS vec_id, vec_b AS neighbor, cosine FROM p
+        |  UNION ALL
+        |  SELECT vec_b AS vec_id, vec_a AS neighbor, cosine FROM p),
+        |r AS (
+        |  SELECT vec_id, neighbor, cosine,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor ASC) AS rank
+        |  FROM sym)
+        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine
+        |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
 
     "q_near_dup_minhash" ->
       (minhashCte +

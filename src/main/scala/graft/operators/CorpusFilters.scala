@@ -274,19 +274,10 @@ object CorpusFilters {
     * Shape: benchmark n-grams are DISTINCT'd before the join — the join key
     * set scales with the benchmark, not the corpus, which is why real
     * contamination checks broadcast it. */
-  def contaminationProfile(docs: DataFrame, den: Int = 20, minShared: Int = 5): DataFrame = {
-    val isBench = Dedup.PortableHash(concat(lit("bench:"), col("doc_id").cast("string")))
-      .%(den) < 1
-    val benchGrams = Dedup.shingleRows(docs.where(isBench))
-      .select(col("shingle")).distinct()
-    val candGrams = Dedup.shingleRows(docs.where(!isBench)).distinct()
-    val shared = candGrams.join(benchGrams, Seq("shingle"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
-    docs.where(!isBench)
-      .join(shared, Seq("doc_id"), "left")
+  def contaminationProfile(docs: DataFrame, den: Int = 20, minShared: Int = 5): DataFrame =
+    contaminationChecked(docs, den)
       .select(col("source"),
-        when(coalesce(col("shared_grams"), lit(0L)) >= minShared, 1L).otherwise(0L)
-          .as("contaminated"))
+        when(col("shared_grams") >= minShared, 1L).otherwise(0L).as("contaminated"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs_checked"),
         sum(col("contaminated")).as("contaminated_docs"))
@@ -294,7 +285,39 @@ object CorpusFilters {
         Cols.pct4(col("contaminated_docs").cast("double"), col("docs_checked").cast("double"))
           .as("contamination_rate"))
       .orderBy(col("source"))
+
+  /** The candidate corpus (benchmark slice excluded) with each doc's
+    * benchmark-shared n-gram count — the frame both the contamination
+    * census and its remediation consume. */
+  private def contaminationChecked(docs: DataFrame, den: Int): DataFrame = {
+    val isBench = Dedup.PortableHash(concat(lit("bench:"), col("doc_id").cast("string")))
+      .%(den) < 1
+    val benchGrams = Dedup.shingleRows(docs.where(isBench))
+      .select(col("shingle")).distinct()
+    val candGrams = Dedup.shingleRows(docs.where(!isBench)).distinct()
+    val shared = candGrams.join(benchGrams, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sg"))
+    docs.where(!isBench)
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("shared_grams", coalesce(col("sg"), lit(0L)))
+      .drop("sg")
   }
+
+  /** The contamination census's ACTION step: the corpus that survives
+    * decontamination — benchmark docs held out, candidate docs with
+    * ≥ `minShared` benchmark-shared 3-grams dropped. Per-source profile of
+    * what remains (docs, characters, and the drop count so censuses
+    * reconcile: checked = kept + dropped). Same semi-join shape as the
+    * census; the action is one more filter on the frame it already built. */
+  def decontaminatedProfile(docs: DataFrame, den: Int = 20, minShared: Int = 5): DataFrame =
+    contaminationChecked(docs, den)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_checked"),
+        Cols.countWhen(col("shared_grams") < minShared).as("kept_docs"),
+        sum(when(col("shared_grams") < minShared, col("n_chars")).otherwise(0L))
+          .as("kept_chars"),
+        Cols.countWhen(col("shared_grams") >= minShared).as("dropped_docs"))
+      .orderBy(col("source"))
 
   // ---------------------------------------------------- stratified sampling
 

@@ -194,6 +194,35 @@ object Similarity {
       .distinct() // a pair can collide in several tables; cosine is deterministic
   }
 
+  /** kNN-graph construction: every vector's top-`k` neighbors among the
+    * LSH-verified candidate pairs — the offline graph-build step semantic
+    * dedup, diversity selection, and graph-ANN index construction all start
+    * from. Candidates come from [[nearDupCosineLshPairs]] (bucket equi-joins,
+    * exact-cosine verified, no cartesian), symmetrized so both endpoints see
+    * the edge; ranking is (cosine DESC, neighbor ASC) on the quantized
+    * cosine — deterministic on any engine. Vectors whose buckets collide
+    * with nothing above `minCosine` have no edges and are absent, on both
+    * sides of the oracle.
+    *
+    * Scale shape: the per-vector ranking window partitions on vec_id over
+    * each vector's candidate list (bounded by LSH bucket collisions, never
+    * by corpus size); at extreme collision skew the same contract runs as
+    * the bounded heap ([[graft.plans.TopKAggregate]], see [[topKCosineAgg]]). */
+  def knnGraph(embeddings: DataFrame, k: Int = 3, minCosine: Double = 0.3,
+               numTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    val pairs = nearDupCosineLshPairs(embeddings, minCosine, numTables, planesPerTable)
+    val sym = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor"), col("cosine"))
+      .unionByName(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor").asc)
+    sym.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor"), col("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact O(n²) within small corpora;
     * the registered scale path is [[nearDupCosineLsh]]). */
   def nearDupCosineExact(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {

@@ -116,6 +116,22 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("decontamination action reconciles with the census: checked = kept + dropped") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val census = CorpusFilters.contaminationProfile(docs, 20, 5).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("docs_checked"), r.getAs[Long]("contaminated_docs"))).toMap
+    val action = CorpusFilters.decontaminatedProfile(docs, 20, 5).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("docs_checked"), r.getAs[Long]("kept_docs"),
+        r.getAs[Long]("kept_chars"), r.getAs[Long]("dropped_docs"))).toMap
+    assert(census.keySet == action.keySet)
+    action.foreach { case (src, (checked, kept, keptChars, dropped)) =>
+      assert(checked == census(src)._1, s"$src: checked mismatch")
+      assert(dropped == census(src)._2, s"$src: the action must drop exactly the census count")
+      assert(kept + dropped == checked, s"$src: reconciliation failed")
+      assert(keptChars >= 0 && (kept > 0 || keptChars == 0))
+    }
+  }
+
   test("stratified sample: realized rate tracks the per-source quota") {
     val docs = graft.sources.Tables.documents(spark, sf)
     CorpusFilters.stratifiedSampleProfile(docs, 10).collect().foreach { r =>

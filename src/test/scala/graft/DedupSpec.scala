@@ -224,6 +224,30 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.checkpointDrivesObservation = prev
   }
 
+  test("knn graph: edges are verified pairs, ranks dense, top-k equals naive per-vec sort") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val pairs = Similarity.nearDupCosineLshPairs(emb, 0.3)
+      .as[(Long, Long, Double)].collect()
+    val graph = Similarity.knnGraph(emb, 3, 0.3)
+      .as[(Long, Long, Long, Double)].collect()
+    // every edge is a verified candidate pair with the same cosine
+    val pairSet = pairs.flatMap { case (a, b, c) => Seq((a, b) -> c, (b, a) -> c) }.toMap
+    graph.foreach { case (v, _, n, c) =>
+      assert(pairSet.get((v, n)).contains(c), s"edge ($v,$n,$c) not a verified pair")
+    }
+    // ranks are dense 1..deg with deg <= k, ordered by (cosine desc, neighbor asc)
+    graph.groupBy(_._1).foreach { case (v, edges) =>
+      val sorted = edges.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"ranks not dense for $v")
+      assert(sorted.length <= 3)
+      val naive = pairs.flatMap { case (a, b, c) =>
+        Seq((a, b, c), (b, a, c)) }.filter(_._1 == v)
+        .sortBy { case (_, n, c) => (-c, n) }.take(3).map(t => (t._2, t._3)).toSeq
+      assert(sorted.map(t => (t._3, t._4)).toSeq == naive, s"top-k mismatch for $v")
+    }
+    assert(graph.nonEmpty, "the deterministic corpus must yield some edges at cos>=0.3")
+  }
+
   test("nearest centroid: well-separated clusters assign diagonally, ties break low") {
     val e1 = Array(1.0f, 0.0f, 0.0f)
     val e2 = Array(0.0f, 1.0f, 0.0f)

@@ -334,6 +334,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket ranks must broadcast back:\n$p")
   }
 
+  test("knn graph: bucket equi-join candidates, per-vector rank window, no cartesian") {
+    val p = planOf(Similarity.knnGraph(Tables.embeddings(spark, sf), 3, 0.3))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from bucket equi-joins:\n$p")
+    assert(p.contains("hashpartitioning(vec_id"),
+      s"the rank window must partition per vector:\n$p")
+  }
+
   test("normalized dedup: fingerprint stats equi-join, projection rides the scan") {
     val p = planOf(Dedup.normalizedDedupProfile(Tables.documents(spark, sf)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
