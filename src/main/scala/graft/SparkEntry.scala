@@ -264,6 +264,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_embedding_gram" -> ((s, d) => // distributed PCA stage 1: exact integer scatter matrix
+      Spectral.gramMatrix(Tables.embeddings(s, d), 64)),
+    "q_embedding_dim_stats" -> ((s, d) => // per-dimension dead/saturated/drift check
+      Spectral.dimStats(Tables.embeddings(s, d))),
     "q_near_dup_cosine" -> ((s, d) => // multi-table LSH candidates + exact verify
       Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)),
     "q_knn_graph" -> ((s, d) => // kNN-graph build over LSH-verified candidates
@@ -2149,7 +2153,34 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, q_dot FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    
+    // Mirror of Spectral.gramMatrix: GLOBAL fixed-point codes (⌊x·4096⌋ —
+    // one scale for the whole corpus, unlike the per-vector int8 scheme),
+    // then the exact integer upper-triangle scatter sums. The oracle pays
+    // the explode+self-join the Spark side avoids with its bounded-buffer
+    // aggregate; the sums are integer so both shapes agree bit-for-bit.
+    "q_embedding_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, qs, unnest(range(1, len(qs) + 1)) AS i1 FROM q),
+        |n AS (SELECT count(*) AS n_vecs FROM embeddings)
+        |SELECT CAST(a.i1 - 1 AS BIGINT) AS i, CAST(b.i1 - 1 AS BIGINT) AS j,
+        |  CAST(sum(a.qs[a.i1] * b.qs[b.i1]) AS BIGINT) AS q_sum, n.n_vecs
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i1 <= b.i1, n
+        |GROUP BY 1, 2, n.n_vecs ORDER BY i, j""".stripMargin,
+
+    // Mirror of Spectral.dimStats: same fixed-point codes, per-coordinate
+    // count/sum/min/max — all integer lanes.
+    "q_embedding_dim_stats" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |e AS (SELECT qs, unnest(range(1, len(qs) + 1)) AS i1 FROM q)
+        |SELECT CAST(i1 - 1 AS BIGINT) AS i, count(*) AS n,
+        |  CAST(sum(qs[i1]) AS BIGINT) AS q_sum,
+        |  min(qs[i1]) AS q_min, max(qs[i1]) AS q_max
+        |FROM e GROUP BY 1 ORDER BY i""".stripMargin,
 
     "q_near_dup_cosine" -> nearDupCosineLshOracleSql,
 

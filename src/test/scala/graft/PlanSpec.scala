@@ -334,6 +334,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket ranks must broadcast back:\n$p")
   }
 
+  test("gram matrix: bounded-buffer aggregate, no explode or join before the final agg") {
+    val p = planOf(graft.operators.Spectral.gramMatrix(Tables.embeddings(spark, sf), 64),
+      mode = "simple")
+    assert(p.contains("ObjectHashAggregate"),
+      s"gram must run as a TypedImperativeAggregate (partial+final):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), s"gram needs no join:\n$p")
+    // simple mode prints sink-first: the triangle explode (Generate) must sit
+    // ABOVE the aggregate pair — it consumes the d^2/2-row buffer, never the
+    // corpus (n*d^2/2 rows)
+    val lines  = p.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val aggIdx = lines.indexWhere(_.contains("ObjectHashAggregate"))
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"explode must consume the aggregated buffer, not the corpus:\n$p")
+  }
+
   test("knn graph: bucket equi-join candidates, per-vector rank window, no cartesian") {
     val p = planOf(Similarity.knnGraph(Tables.embeddings(spark, sf), 3, 0.3))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
