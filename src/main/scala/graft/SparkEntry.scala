@@ -170,6 +170,9 @@ object SparkEntry {
     "q_mixture_weights" -> ((s, d) => // uniform-share mixture reweighting
       CorpusFilters.mixtureWeights(Tables.documents(s, d))),
 
+    "q_snapshot_diff" -> ((s, d) => // re-crawl added/removed/changed census
+      Snapshot.snapshotDiffProfile(Tables.documents(s, d))),
+
     // --- deduplication
     "q_exact_dedup_counts" -> ((s, d) =>
       Tables.documents(s, d).groupBy(col("source"))
@@ -305,6 +308,8 @@ object SparkEntry {
       AsOfJoin.purchaseAttributionNative(Tables.events(s, d))),
     "q_purchase_context" -> ((s, d) => // constant-bound range join as window
       EventAnalytics.purchaseContext(Tables.events(s, d))),
+    "q_value_fill" -> ((s, d) => // forward-fill / last-known-value census
+      EventAnalytics.lastKnownValueProfile(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -1458,6 +1463,33 @@ object SparkEntry {
         |FROM f JOIN g USING (fp)
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // Mirror of Snapshot.snapshotDiffProfile: the same md5₄₈-derived
+    // snapshot membership/mutation, a full-outer fingerprint join, and the
+    // per-source status census.
+    "q_snapshot_diff" ->
+      s"""WITH oldS AS (
+         |  SELECT doc_id, source, md5(text) AS fp FROM documents
+         |  WHERE ${md5h48("'snapA:' || CAST(doc_id AS VARCHAR)")} % 10 < 9),
+         |newS AS (
+         |  SELECT doc_id, source,
+         |    md5(CASE WHEN ${md5h48("'mut:' || CAST(doc_id AS VARCHAR)")} % 8 < 1
+         |             THEN text || ' rev2' ELSE text END) AS fp
+         |  FROM documents
+         |  WHERE ${md5h48("'snapB:' || CAST(doc_id AS VARCHAR)")} % 10 < 9),
+         |d AS (
+         |  SELECT coalesce(o.source, n.source) AS source,
+         |    CASE WHEN o.fp IS NULL THEN 'added'
+         |         WHEN n.fp IS NULL THEN 'removed'
+         |         WHEN o.fp <> n.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM oldS o FULL OUTER JOIN newS n ON o.doc_id = n.doc_id)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
     "q_token_classes" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z]+')) AS word_tokens,
@@ -2016,6 +2048,26 @@ object SparkEntry {
         |  CAST(views_last_hour AS BIGINT) AS views_last_hour,
         |  CAST(clicks_last_hour AS BIGINT) AS clicks_last_hour
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Mirror of EventAnalytics.lastKnownValueProfile: the same total order
+    // (ts_sec, event_id), last_value IGNORE NULLS over an unbounded row
+    // frame, cents floored per row in double space and summed as BIGINT.
+    "q_value_fill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lpv
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN lpv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_carry,
+        |  CAST(sum(CASE WHEN lpv IS NOT NULL THEN CAST(floor(lpv * 100.0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS carry_cents
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

@@ -209,6 +209,39 @@ object EventAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Last-known-value carry-forward: enrich every event with the value of
+    * the user's most recent purchase at or before it — the forward-fill /
+    * LKV repair step event pipelines run before attribution joins (the
+    * batch analogue of the reference's conditional null-repair, P3,
+    * streaming_processor.py:109-115, generalized from "repair this row"
+    * to "carry the last known state"). Events before the user's first
+    * purchase keep NULL: fabricating a value would be a correctness bug.
+    *
+    * Shape: one window per user (hash-partitioned on user_id, per-partition
+    * sort on (ts_sec, event_id) — a total order, so the fill is
+    * deterministic), `last(..., ignoreNulls)` over an unbounded-preceding
+    * row frame. Linear in events, one shuffle, no join. */
+  def lastKnownValueFill(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.withColumn("last_purchase_value",
+      last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+  }
+
+  /** Oracle-facing census of the fill: per event type, how many events
+    * carry a known value and the exact integer-cent mass carried
+    * (⌊v·100⌋ — floored in double space, summed as longs, so the total is
+    * partition-order independent and engine-portable). */
+  def lastKnownValueProfile(events: DataFrame): DataFrame =
+    lastKnownValueFill(events)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Cols.countWhen(col("last_purchase_value").isNotNull).as("with_carry"),
+        sum(when(col("last_purchase_value").isNotNull,
+          floor(col("last_purchase_value") * 100.0).cast("long")).otherwise(0L))
+          .as("carry_cents"))
+      .orderBy(col("event_type"))
+
   /** Parse the JSON props payload against a fixed contract (reference S2:
     * from_json with explicit schema, streaming_processor.py:109-115). */
   def withParsedProps(events: DataFrame): DataFrame =

@@ -141,4 +141,49 @@ class OperatorSpec extends SparkSpec {
       assert(probe == expect, s"n=$n: $probe != $expect")
     }
   }
+
+  test("forward fill equals the naive per-user scan; pre-first-purchase stays null") {
+    val filled = EventAnalytics.lastKnownValueFill(Tables.events(spark, sf))
+      .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type"),
+        col("value"), col("last_purchase_value"))
+      .as[(Long, Long, Long, String, Double, Option[Double])].collect()
+    filled.groupBy(_._1).foreach { case (_, evs) =>
+      var lastPurchase: Option[Double] = None
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, _, id, typ, v, got) =>
+        if (typ == "purchase") lastPurchase = Some(v)
+        assert(got == lastPurchase, s"event $id: expected $lastPurchase, got $got")
+      }
+    }
+    assert(filled.exists(_._6.isEmpty), "some user's head events precede any purchase")
+    assert(filled.exists(e => e._6.nonEmpty && e._4 != "purchase"),
+      "carry must reach non-purchase events")
+  }
+
+  test("snapshot diff statuses on crafted snapshots; census conserves both sides") {
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "source", "text")
+    val oldSnap = df(Seq((1L, "s", "a"), (2L, "s", "b"), (3L, "s", "c")))
+    val newSnap = df(Seq((2L, "s", "b"), (3L, "s", "c2"), (4L, "s", "d")))
+    val got = Snapshot.snapshotDiff(oldSnap, newSnap)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+
+    // per-source conservation on the derived-fixture profile:
+    //   added+changed+unchanged = |new|, removed+changed+unchanged = |old|
+    val docs = Tables.documents(spark, sf)
+    val prof = Snapshot.snapshotDiffProfile(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(prof.nonEmpty && prof.map(_._2).sum > 0 && prof.map(_._3).sum > 0)
+    val mut = Dedup.PortableHash(concat(lit("mut:"), col("doc_id").cast("string"))) % 8 < 1
+    def count(member: String, extra: org.apache.spark.sql.Column = lit(true)) =
+      docs.where(Dedup.PortableHash(concat(lit(member), col("doc_id").cast("string"))) % 10 < 9)
+        .where(extra).groupBy(col("source")).count()
+        .as[(String, Long)].collect().toMap
+    val oldN = count("snapA:")
+    val newN = count("snapB:")
+    prof.foreach { case (src, added, removed, changed, unchanged) =>
+      assert(added + changed + unchanged == newN.getOrElse(src, 0L), s"$src new side")
+      assert(removed + changed + unchanged == oldN.getOrElse(src, 0L), s"$src old side")
+    }
+    assert(prof.map(_._4).sum > 0, "the 1/8 mutation rule must yield changed docs")
+  }
 }

@@ -351,6 +351,24 @@ class PlanSpec extends SparkSpec {
       s"explode must consume the aggregated buffer, not the corpus:\n$p")
   }
 
+  test("value fill: user-partitioned window, no join anywhere in the plan") {
+    val p = planOf(graft.operators.EventAnalytics.lastKnownValueProfile(
+      Tables.events(spark, sf)))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the fill window must partition per user:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"forward fill is a window, not a join:\n$p")
+  }
+
+  test("snapshot diff: full-outer equi-join on the key, no cartesian") {
+    val p = planOf(graft.operators.Snapshot.snapshotDiffProfile(
+      Tables.documents(spark, sf)))
+    assert(p.contains("FullOuter"), s"diff must full-outer join the snapshots:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must join on the document key:\n$p")
+  }
+
   test("knn graph: bucket equi-join candidates, per-vector rank window, no cartesian") {
     val p = planOf(Similarity.knnGraph(Tables.embeddings(spark, sf), 3, 0.3))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
