@@ -310,6 +310,8 @@ object SparkEntry {
       EventAnalytics.purchaseContext(Tables.events(s, d))),
     "q_value_fill" -> ((s, d) => // forward-fill / last-known-value census
       EventAnalytics.lastKnownValueProfile(Tables.events(s, d))),
+    "q_cooccurrence" -> ((s, d) => // skip-gram pair counts over user streams
+      EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2)),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -2068,6 +2070,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lpv IS NOT NULL THEN CAST(floor(lpv * 100.0) AS BIGINT)
         |           ELSE 0 END) AS BIGINT) AS carry_cents
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Mirror of EventAnalytics.cooccurrenceCounts (windowSize=2): the same
+    // per-user total order, one lag per offset, unordered-normalized pairs.
+    "q_cooccurrence" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |l AS (
+        |  SELECT k,
+        |    lag(k, 1) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS l1,
+        |    lag(k, 2) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS l2
+        |  FROM e),
+        |p AS (
+        |  SELECT least(k, l1) AS item_a, greatest(k, l1) AS item_b
+        |  FROM l WHERE k IS NOT NULL AND l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(k, l2), greatest(k, l2)
+        |  FROM l WHERE k IS NOT NULL AND l2 IS NOT NULL)
+        |SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+        |  count(*) AS pairs
+        |FROM p GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin,
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

@@ -247,6 +247,36 @@ object EventAnalytics {
   def withParsedProps(events: DataFrame): DataFrame =
     events.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
 
+  /** Skip-gram co-occurrence counts over per-user event streams: for each
+    * event, pair its entity id (`props.k`) with the ids of the previous
+    * `windowSize` events of the same user, unordered-normalized
+    * (a ≤ b), and count each pair — the corpus statistic item2vec / SGNS
+    * embedding training consumes, and the batch form of "what co-occurs in
+    * a session".
+    *
+    * Shape: `windowSize` `lag` columns over ONE user-partitioned window
+    * (single shuffle + per-partition sort, shared by all lags — Catalyst
+    * collapses same-spec windows), exploded pairs go straight into a hash
+    * aggregate with map-side combine, so the shuffle after the window is
+    * |distinct pairs| per partition, bounded by the entity vocabulary —
+    * never a self-join of events against events. */
+  def cooccurrenceCounts(events: DataFrame, windowSize: Int = 2): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val lagged = (1 to windowSize).foldLeft(withParsedProps(events)) { (df, i) =>
+      df.withColumn(s"__lag$i", lag(col("k"), i).over(w))
+    }
+    val pairCols = (1 to windowSize).map(i => array(col("k"), col(s"__lag$i")))
+    lagged
+      .select(explode(array(pairCols: _*)).as("p"))
+      .where(!array_contains(transform(col("p"), x => x.isNull), true))
+      .select(least(col("p")(0), col("p")(1)).cast("long").as("item_a"),
+        greatest(col("p")(0), col("p")(1)).cast("long").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   /** Day-over-day retention: of the users active on day d, the fraction
     * also active on day d+1 — the canonical cohort health metric. Shape:
     * one distinct over (user, day) — a single shuffle with map-side

@@ -186,4 +186,25 @@ class OperatorSpec extends SparkSpec {
     }
     assert(prof.map(_._4).sum > 0, "the 1/8 mutation rule must yield changed docs")
   }
+
+  test("cooccurrence counts equal the naive sliding-window enumeration") {
+    val events = Tables.events(spark, sf)
+    val got = EventAnalytics.cooccurrenceCounts(events, 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val raw = EventAnalytics.withParsedProps(events)
+      .select(col("user_id"), col("ts_sec"), col("event_id"), col("k"))
+      .as[(Long, Long, Long, Option[Int])].collect()
+    val naive = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ks = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      ks.indices.flatMap { i =>
+        Seq(1, 2).flatMap { off =>
+          for { a <- ks(i); b <- if (i >= off) ks(i - off) else None }
+            yield (math.min(a, b).toLong, math.max(a, b).toLong)
+        }
+      }
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSeq.sortBy(p => (p._1, p._2))
+    assert(got == naive)
+    assert(got.nonEmpty && got.forall(p => p._1 <= p._2))
+  }
 }

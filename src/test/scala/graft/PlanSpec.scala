@@ -369,6 +369,16 @@ class PlanSpec extends SparkSpec {
       s"diff must join on the document key:\n$p")
   }
 
+  test("cooccurrence: all lags share one user window, explode feeds a hash agg, no join") {
+    val p = planOf(graft.operators.EventAnalytics.cooccurrenceCounts(
+      Tables.events(spark, sf), 2), mode = "simple")
+    val windows = p.linesIterator.count(_.contains("- Window "))
+    assert(windows == 1, s"Catalyst must collapse same-spec lag windows into one:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"window partitions per user:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"), s"never a self-join of events:\n$p")
+  }
+
   test("knn graph: bucket equi-join candidates, per-vector rank window, no cartesian") {
     val p = planOf(Similarity.knnGraph(Tables.embeddings(spark, sf), 3, 0.3))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
