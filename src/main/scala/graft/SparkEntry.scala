@@ -217,6 +217,8 @@ object SparkEntry {
       Sampling.groupSampleProfile(Tables.documents(s, d), 40)),
     "q_train_split" -> ((s, d) => // deterministic 8/1/1 train/val/test census
       Sampling.splitProfile(Tables.documents(s, d), 8, 1, 10)),
+    "q_split_balance" -> ((s, d) => // split x label stratification check
+      Sampling.splitBalance(Tables.embeddings(s, d), 8, 1, 10)),
     "q_weighted_sample" -> ((s, d) => // quality-proportional Bernoulli sample
       Sampling.weightedSampleProfile(
         TextAnalysis.qualityUnitsWide(Tables.documents(s, d)), 1, 2)),
@@ -1064,6 +1066,20 @@ object SparkEntry {
          |            WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
          |  source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
          |FROM b GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    // Mirror of Sampling.splitBalance: the same md5₄₈ split rule keyed on
+    // vec_id, label counts per split, share = ratio-to-total within split.
+    "q_split_balance" ->
+      s"""WITH b AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    CASE WHEN ${md5h48("'split:' || CAST(vec_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |         WHEN ${md5h48("'split:' || CAST(vec_id AS VARCHAR)")} % 10 < 9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM embeddings),
+         |g AS (SELECT split, label, count(*) AS n_vecs FROM b GROUP BY split, label),
+         |t AS (SELECT split, label, n_vecs, sum(n_vecs) OVER (PARTITION BY split) AS tot FROM g)
+         |SELECT split, label, n_vecs, ${pct("n_vecs", "tot")} AS split_share
+         |FROM t ORDER BY split, label""".stripMargin,
 
     // Mirror of Sampling.weightedSample ∘ TextAnalysis.qualityUnitsWide:
     // admit iff md5₄₈('wsample:'||doc_id) mod (10000·2) < qual_u·1 —

@@ -119,6 +119,22 @@ object Sampling {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
       .orderBy(col("split"), col("source"))
 
+  /** Split × class-label balance over a labeled corpus — the stratification
+    * check run before training: does every split carry every label at
+    * roughly the corpus share? The share is ratio-to-total WITHIN the split
+    * (the A11 window shape, but over the bounded (split, label) aggregate —
+    * |splits|·|labels| rows — never over the corpus). */
+  def splitBalance(labeled: DataFrame, trainNum: Int = 8, valNum: Int = 1,
+                   den: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("split"))
+    withSplit(labeled, col("vec_id"), trainNum, valNum, den)
+      .groupBy(col("split"), col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("split_share",
+        graft.functions.Cols.pct4(col("n_vecs"), sum(col("n_vecs")).over(w)))
+      .orderBy(col("split"), col("label"))
+  }
+
   /** Per-source profile of the exactly-k quota sample. */
   def groupSampleProfile(docs: DataFrame, k: Int = 40): DataFrame =
     groupSample(docs, col("source"), col("doc_id"), k)

@@ -62,6 +62,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(lo.subsetOf(hi) && lo.size < hi.size && hi.size < 400)
   }
 
+  test("split balance: partitions the corpus, covers labels, shares sum to ~100 per split") {
+    import graft.operators.Sampling
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = Sampling.splitBalance(emb, 8, 1, 10)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // every vector lands in exactly one split
+    assert(rows.map(_._3).sum == emb.count())
+    // within each split the pct4-floored shares sum to 100 within floor loss
+    rows.groupBy(_._1).foreach { case (split, rs) =>
+      val total = rs.map(_._4).sum
+      assert(total <= 100.0 + 1e-9 && total > 100.0 - 0.01 * rs.length,
+        s"$split shares sum to $total")
+    }
+    // train must dominate val and test at an 8/1/1 rule
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("vocab coverage: top-k membership exact on a crafted corpus") {
     // top-2 vocab by tf = {aa (4), bb (3)}; cc/dd are OOV
     val docs = Seq(
