@@ -44,22 +44,35 @@ object Bench {
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
     val results = selected.map { case (name, fn) =>
-      def once(): (Double, Long) = {
+      // a query that throws must be recorded as a FAILURE, never as a fast
+      // success: an analysis-time exception costs milliseconds, and counting
+      // it would let a regression that breaks queries IMPROVE the benchmark
+      // score (exactly what a broken events reader once did to a round record)
+      def once(): (Double, Long, Option[String]) = {
         val g0 = gcMs(); val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(200))
+        }
+        ((System.nanoTime() - t0) / 1e9, gcMs() - g0, err)
       }
       // best-of-two damps JIT/GC noise; skip the re-run for long queries
-      val (t1, gc1) = once()
-      val warm = if (t1 < 15.0) Some(once()) else None
-      val best = warm.map { case (t2, _) => math.min(t1, t2) }.getOrElse(t1)
-      (name, best, t1, gc1, warm)
+      val (t1, gc1, err1) = once()
+      err1.foreach(m => System.err.println(s"[bench] FAILED $name: $m"))
+      val warm = if (err1.isEmpty && t1 < 15.0) Some(once()) else None
+      val best = warm.map { case (t2, _, _) => math.min(t1, t2) }.getOrElse(t1)
+      (name, best, t1, gc1, warm, err1)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, _, _, _, Some(_)) => k }
+    // failed queries report null (not a time) and are excluded from the total
+    val qs = results.map { case (k, v, _, _, _, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "null" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _, None) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // untruncated sidecar: the driver's recorded bench tail clips the first
     // ~20 query entries, so every run also lands the full per-query JSON on
@@ -67,13 +80,15 @@ object Bench {
     // `detail` block carries the raw first rep (t, gc_ms), the warm rep
     // (t_warm, gc_warm_ms; null when the ≥15s rule skipped it), and the
     // reported min — enough to adjudicate any outlier from the record alone.
-    val detail = results.map { case (k, best, t1, gc1, warm) =>
-      val w = warm.map { case (t2, g2) => f""","t_warm":$t2%.3f,"gc_warm_ms":$g2""" }
+    val detail = results.map { case (k, best, t1, gc1, warm, err1) =>
+      val w = warm.map { case (t2, g2, _) => f""","t_warm":$t2%.3f,"gc_warm_ms":$g2""" }
         .getOrElse(""","t_warm":null,"gc_warm_ms":null""")
-      "\"" + k + "\":" + f"""{"t":$t1%.3f,"gc_ms":$gc1$w,"min":$best%.3f}"""
+      val e = err1.map(m => ""","err":"""" +
+        m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("")
+      "\"" + k + "\":" + f"""{"t":$t1%.3f,"gc_ms":$gc1$w,"min":$best%.3f$e}"""
     }.mkString("{", ",", "}")
     val sidecarLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "bench_full_latest.json") // cwd-relative: portable across machines
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),

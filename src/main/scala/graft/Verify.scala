@@ -23,6 +23,12 @@ object Verify {
     }
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // a query that throws writes no parquet and would silently VANISH from
+    // the driver's correctness record (the round-7 events-schema break hid
+    // 28 queries this way) — so failures are also recorded explicitly in
+    // outDir/errors.json, where "this round checked fewer queries" becomes
+    // "these named queries errored with these messages"
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +36,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = e.getClass.getName + ": " + String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +55,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer(ies) FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -37,7 +37,7 @@ object StreamingDedup {
     val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
     def src(): DataFrame = spark.readStream.schema(schema).parquet(path)
-      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("event_time", timestamp_seconds(graft.sources.Tables.tsSec(schema)))
     val doubled = src().unionByName(src())
     val deduped = byKeyWithinWatermark(doubled, "event_time", "10 minutes")
       .select(col("event_id"), col("event_type"))

@@ -29,9 +29,9 @@ object StreamingHourly {
     * scan+parse for every file-source streaming query over the events
     * table (all of which are proven slicing-independent by StreamingSpec).
     * The staged copy is invalidated when the source file's (size, mtime)
-    * changes. Callers need `spark.sql.legacy.parquet.nanosAsLong=true` for
-    * the ns-precision `ts` column — GraftSession sets it at session build;
-    * the staged rewrite stores `ts` as the same long values. */
+    * changes. The staged rewrite stores `ts` with the source's physical
+    * type unchanged (int64 nanos or timestamp[us] depending on generator
+    * vintage); readers derive `ts_sec` adaptively via `Tables.tsSec`. */
   private[streaming] val StagedSlices = 8
   private[streaming] def stagedEventsDir(spark: SparkSession, dir: String): String =
     synchronized {
@@ -73,7 +73,7 @@ object StreamingHourly {
                                              options: Map[String, String]): DataFrame = {
     val schema = stagedSchema(spark, path)
     val stream = spark.readStream.options(options).schema(schema).parquet(path)
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
     val agg = stream

@@ -39,7 +39,7 @@ object StreamingJoin {
     val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
     val purchases = stream.where(col("event_type") === "purchase")

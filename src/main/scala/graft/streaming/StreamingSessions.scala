@@ -34,7 +34,7 @@ object StreamingSessions {
                                     options: Map[String, String]): DataFrame = {
     val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.options(options).schema(schema).parquet(path)
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
     stream
@@ -84,7 +84,7 @@ object StreamingSessions {
     val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
     val agg = stream
