@@ -109,6 +109,18 @@ object SparkEntry {
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         graft.functions.Cols.cents(col("l_extendedprice"))))
     }),
+    "q_band_join" -> ((s, d) => // bucketized range join: price-band revenue
+      RangeJoin.purchaseBandProfile(Tables.events(s, d))),
+    "q_scd2_intervals" -> ((s, d) => // SCD2 change-capture history build
+      EventAnalytics.changeIntervals(Tables.events(s, d))),
+    "q_busy_hour_sessions" -> ((s, d) => { // interval-overlap join on the hour grid
+      val ev = Tables.events(s, d)
+      RangeJoin.busyHourSessionOverlap(ev, Sessionize.sessionMetrics(ev))
+    }),
+    "q_key_skew" -> ((s, d) => // count-of-counts salting diagnostic
+      Skew.keySkewHistogram(Tables.events(s, d), Seq("user_id", "event_type"))),
+    "q_systematic_sample" -> ((s, d) => // weight-proportional even-coverage sample
+      Sampling.systematicSampleProfile(Tables.documents(s, d))),
     "q_salted_join" -> ((s, d) => { // skew-spread shuffle join, salt invisible
       val li = Tables.lineitem(s, d).withColumn("p_partkey", col("l_partkey"))
       val pt = Tables.part(s, d)
@@ -772,6 +784,21 @@ object SparkEntry {
     "q_session_metrics" ->
       (sessionCte + "SELECT * FROM sm ORDER BY user_id, session_id"),
 
+    // Interval-overlap join: the grid is invisible — the oracle is the
+    // naive overlap predicate between top-k busy hours and session spans.
+    "q_busy_hour_sessions" ->
+      (sessionCte +
+        """, hb AS (
+          |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+          |    count(*) AS hour_events
+          |  FROM events GROUP BY 1
+          |  ORDER BY hour_events DESC, hour_sec LIMIT 16)
+          |SELECT h.hour_sec, h.hour_events,
+          |  count(*) AS n_sessions, count(DISTINCT sm.user_id) AS n_users
+          |FROM hb h JOIN sm
+          |  ON greatest(h.hour_sec, sm.start_sec) < least(h.hour_sec + 3600, sm.end_sec + 1)
+          |GROUP BY 1, 2 ORDER BY h.hour_sec""".stripMargin),
+
     "q_conversion_by_duration" ->
       (sessionCte +
         s"""SELECT CASE WHEN session_duration_seconds / 60.0 <= 5 THEN '0-5min'
@@ -1032,6 +1059,75 @@ object SparkEntry {
         |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value,
         |  count(*) AS rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Bucketization is invisible in the result: the oracle is the plain
+    // range-predicate join against the same integer-arithmetic band table.
+    "q_band_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(cents) AS maxc FROM p),
+        |b AS (
+        |  SELECT i AS band_id,
+        |    (maxc + 1) * (i * (i + 1)) // 600 AS lo_cents,
+        |    (maxc + 1) * ((i + 1) * (i + 2)) // 600 AS hi_cents
+        |  FROM range(24) t(i), mx)
+        |SELECT band_id, lo_cents, hi_cents,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM p JOIN b ON p.cents >= b.lo_cents AND p.cents < b.hi_cents
+        |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
+
+    // SCD2 change capture: change rows + half-open validity, open rows
+    // closed by the 9_999_999_999 sentinel; (ts_sec, event_id) total order.
+    "q_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, ts_sec FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id, event_type,
+        |  ts_sec AS valid_from_sec,
+        |  coalesce(lead(ts_sec) OVER w, 9999999999) AS valid_to_sec,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // log2 bucket via integer bit length (length(bin(cnt))-1) — never a
+    // floating log whose last ulp could flip a boundary key.
+    "q_key_skew" ->
+      """WITH k AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+        |  count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
+        |FROM k GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+
+    // The distributed prefix sum is invisible: the oracle is the plain
+    // global cumulative weight in doc_id order + the integer mark test.
+    "q_systematic_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+        |c AS (
+        |  SELECT source, w,
+        |    CAST(sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT source, count(*) AS sampled_docs, CAST(sum(w) AS BIGINT) AS sampled_chars
+        |FROM c, t
+        |WHERE (cum * 100) // tw > ((cum - w) * 100) // tw
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Membership is a pure function of md5(tag:doc_id) — identical sample
     // in any engine.

@@ -209,6 +209,37 @@ object EventAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** SCD2-style change capture over the event stream: collapse each user's
+    * event sequence to the rows where `event_type` CHANGES, each carrying a
+    * half-open validity interval [valid_from_sec, valid_to_sec) and a
+    * per-user version number — the slowly-changing-dimension (type 2)
+    * history table a warehouse builds from a mutation feed, derived here
+    * from the reference's event stream (the dimension being tracked is the
+    * user's current activity type). The final state of every user is held
+    * open with the 9_999_999_999 sentinel (year 2286) instead of NULL:
+    * downstream BETWEEN probes need a closed predicate, and cross-engine
+    * compare treats a sentinel long identically everywhere while NULL longs
+    * round-trip differently through column stores.
+    *
+    * Shape: two windows over the SAME (user_id → ts_sec, event_id) hash
+    * partition + sort — Catalyst collapses them into one exchange and one
+    * sort, so the whole history build is one shuffle, linear in events, no
+    * join, no state. Ties on ts_sec order by event_id: a total order, so
+    * versions are deterministic. */
+  def changeIntervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_sec"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .withColumn("valid_to_sec",
+        coalesce(lead(col("ts_sec"), 1).over(w), lit(9999999999L)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_sec").as("valid_from_sec"), col("valid_to_sec"), col("version"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Last-known-value carry-forward: enrich every event with the value of
     * the user's most recent purchase at or before it — the forward-fill /
     * LKV repair step event pipelines run before attribution joins (the

@@ -141,4 +141,59 @@ object Sampling {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
       .orderBy(col("source"))
+
+  /** Systematic weight-proportional sample of ~`k` rows: lay the rows out on
+    * a line in `idCol` order, each occupying a segment of length = its
+    * integer weight, and pick the rows whose segment crosses one of `k`
+    * equally-spaced marks — P(selected) ≈ k·wᵢ/W, at most one selection per
+    * row, spread evenly through the corpus (the classic systematic /
+    * "wheel" sampler). Selection is `⌊cum·k/W⌋ > ⌊(cum−w)·k/W⌋` on the
+    * inclusive cumulative weight — pure INTEGER arithmetic, so unlike
+    * exponential-key weighted reservoirs (whose ln/pow order can flip in
+    * the last ulp between engines) the sample is bit-reproducible anywhere.
+    * Fits weight-aware corpus budgeting where [[weightedSample]]'s
+    * independent Bernoulli draws would leave quota variance.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global row window:
+    *  1. rows bucket by `idCol div bucketSize`; per-bucket weight sums are
+    *     one hash aggregation (|rows|/bucketSize rows out);
+    *  2. bucket offsets = a running sum over that bounded bucket table
+    *     (the only single-partition window, 4096× smaller than the data;
+    *     recurse the same trick if even that outgrows a partition);
+    *  3. offsets join back on the bucket id and an intra-bucket window
+    *     (partitioned by bucket — parallel) finishes the cumulative sum.
+    * Overflow headroom: cum·k must stay under 2^63 — at W = 10^14 chars
+    * (≈100 TB of text) and k = 10^4, cum·k ≤ 10^18 < 9.2·10^18. */
+  def systematicWeighted(df: DataFrame, idCol: Column, weightCol: Column,
+                         k: Int, bucketBits: Int = 12): DataFrame = {
+    require(k > 0 && bucketBits > 0 && bucketBits < 63)
+    // bucket = id >> bucketBits (2^bucketBits ids per bucket): an integer
+    // bit shift, never a float division that could mis-bucket ids > 2^53
+    val w = df.withColumn("__w", weightCol.cast("long"))
+      .withColumn("__b", shiftright(idCol.cast("long"), bucketBits))
+    val bucketSums = w.groupBy(col("__b")).agg(sum(col("__w")).as("__bw"))
+    val bw = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("__off", coalesce(sum(col("__bw")).over(bw), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val iw = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+      .orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = w.agg(sum(col("__w")).as("__tw"))
+    w.join(offsets, "__b")
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(iw))
+      .crossJoin(broadcast(total))
+      .where(expr(s"(__cum * ${k}L) div __tw > ((__cum - __w) * ${k}L) div __tw"))
+      .drop("__b", "__w", "__off", "__cum", "__tw")
+  }
+
+  /** Per-source profile of the ~k systematic weight-proportional sample
+    * (weight = document length): the quota report after even-coverage
+    * budgeting. */
+  def systematicSampleProfile(docs: DataFrame, k: Int = 100): DataFrame =
+    systematicWeighted(docs, col("doc_id"), col("n_chars"), k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy(col("source"))
 }

@@ -62,4 +62,31 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("rows"))
   }
+
+  /** Key-skew histogram: the count-of-counts profile that DECIDES whether a
+    * key needs salting before you pay for a bad shuffle. Rows are counted
+    * per key, then keys are bucketed by ⌊log₂(count)⌋ — each output row
+    * says "n_keys keys carry between 2^b and 2^(b+1)−1 rows each, n_rows
+    * rows in total". A heavy-tailed histogram (few keys in a high bucket
+    * holding most rows) is the signature that [[saltedSumCount]] /
+    * [[saltedJoin]] are needed; a tight histogram says plain hash
+    * partitioning is safe.
+    *
+    * The log₂ bucket is computed INTEGER-exactly as `length(bin(cnt)) − 1`
+    * (bit length of the count, identical in any engine) — never via a
+    * floating log whose last-ulp could flip a boundary key.
+    *
+    * Shape: two hash aggregations (key → count, bucket → stats); the first
+    * is exactly the shuffle being diagnosed, the second is over the bounded
+    * bucket domain (≤ 64 rows out). Linear, no window, no join. */
+  def keySkewHistogram(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy((length(bin(col("__cnt"))) - 1).cast("long").as("log2_bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__cnt")).as("n_rows"),
+        min(col("__cnt")).as("min_cnt"),
+        max(col("__cnt")).as("max_cnt"))
+      .orderBy(col("log2_bucket"))
 }

@@ -207,4 +207,69 @@ class OperatorSpec extends SparkSpec {
     assert(got == naive)
     assert(got.nonEmpty && got.forall(p => p._1 <= p._2))
   }
+
+  test("scd2 intervals: per-user tiling, consecutive versions, and every event covered by its own type") {
+    val events = Tables.events(spark, sf)
+    val iv = EventAnalytics.changeIntervals(events)
+    // intervals tile [first event, sentinel): consecutive versions abut
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    val tiled = iv.withColumn("next_from", lead(col("valid_from_sec"), 1).over(w))
+    assert(tiled.where(col("next_from").isNotNull
+      && col("valid_to_sec") =!= col("next_from")).count() == 0, "intervals must abut")
+    assert(tiled.where(col("next_from").isNull
+      && col("valid_to_sec") =!= 9999999999L).count() == 0, "last interval must stay open")
+    val badVersion = iv.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("version")).as("mx"), min(col("version")).as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(badVersion.count() == 0, "versions must be 1..n per user")
+    // reconstruction: an event strictly between change points carries the
+    // type of the covering interval (the SCD2 read-back contract)
+    val covered = events.select(col("user_id"), col("ts_sec"), col("event_id"),
+        col("event_type").as("et"))
+      .join(iv, Seq("user_id"))
+      .where(col("ts_sec") >= col("valid_from_sec") && col("ts_sec") < col("valid_to_sec"))
+    // ts ties at a change boundary legitimately mix types within one
+    // second; exclude exactly those (same user, same second, >1 type)
+    val mixed = events.groupBy(col("user_id"), col("ts_sec"))
+      .agg(countDistinct(col("event_type")).as("nt")).where(col("nt") > 1)
+      .select(col("user_id"), col("ts_sec"))
+    val bad = covered.join(mixed, Seq("user_id", "ts_sec"), "left_anti")
+      .where(col("et") =!= col("event_type"))
+    assert(bad.count() == 0, "covered events must carry the interval's type")
+  }
+
+  test("systematic weighted sample: ~k rows, zero-weight rows excluded, partitioning-independent") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val k = 40
+    val picked = Sampling.systematicWeighted(docs, col("doc_id"), col("n_chars"), k)
+    val ids = picked.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(ids.size <= k, s"systematic sample can never exceed k (got ${ids.size})")
+    assert(ids.size >= k / 2 && ids.nonEmpty, s"sample too small: ${ids.size} of $n")
+    assert(picked.where(col("n_chars") <= 0).count() == 0)
+    // same selection regardless of how the input happens to be partitioned
+    val re = Sampling.systematicWeighted(docs.repartition(7, col("source")),
+      col("doc_id"), col("n_chars"), k)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(re == ids, "selection must be a pure function of (id, weight)")
+    // heavier docs are favored: sampled mean length ≥ corpus mean length
+    val meanAll = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    val meanSel = picked.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(meanSel >= meanAll, f"weighting must favor heavy docs ($meanSel%.0f < $meanAll%.0f)")
+  }
+
+  test("key skew histogram: crafted counts land in their exact log2 buckets") {
+    // keys with 1, 3, 4, 7, 8, 1000 rows → buckets 0,1,2,2,3,9
+    val rows = Seq(("a", 1), ("b", 3), ("c", 4), ("d", 7), ("e", 8), ("f", 1000))
+      .flatMap { case (key, c) => Seq.fill(c)(key) }
+    val hist = Skew.keySkewHistogram(rows.toDF("k"), Seq("k"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(hist == Seq(
+      (0L, 1L, 1L, 1L, 1L),      // 1
+      (1L, 1L, 3L, 3L, 3L),      // 3
+      (2L, 2L, 11L, 4L, 7L),     // 4, 7
+      (3L, 1L, 8L, 8L, 8L),      // 8
+      (9L, 1L, 1000L, 1000L, 1000L))) // 1000 (2^9 ≤ 1000 < 2^10)
+  }
 }

@@ -393,4 +393,54 @@ class PlanSpec extends SparkSpec {
       s"group stats must equi-join on the fingerprint:\n$p")
     assert(!p.contains("SinglePartition"), s"no global structure anywhere:\n$p")
   }
+
+  test("band join: grid cell is an EQUI key — the range probe never nested-loops the points") {
+    val p = planOf(RangeJoin.purchaseBandProfile(Tables.events(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the point→interval probe hashes on the grid cell (range predicate is
+    // only the residual condition of the equi join)
+    assert(p.linesIterator.exists(l => l.contains("keys") && l.contains("__bkt")),
+      s"the probe must be an equi join on the grid cell:\n$p")
+    // the only nested loop is the bounded band-table build: range(n) × the
+    // broadcast 1-row max — metadata, never the point stream (formatted
+    // mode prints each node twice: once in the tree, once as "(i) Node")
+    assert(p.linesIterator.count(
+        _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"points must never flow through a nested loop:\n$p")
+  }
+
+  test("interval overlap: both sides meet on the grid cell — an equi join, no cartesian") {
+    val ev = Tables.events(spark, sf)
+    val p = planOf(graft.operators.RangeJoin.busyHourSessionOverlap(
+      ev, Sessionize.sessionMetrics(ev)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap candidates must come from the shared grid cell:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys") && l.contains("__bkt")),
+      s"the overlap join must be EQUI on the grid cell:\n$p")
+  }
+
+  test("scd2 history: both windows share one user partition+sort, no join, no global window") {
+    val p = planOf(EventAnalytics.changeIntervals(Tables.events(spark, sf)),
+      mode = "simple")
+    assert(!p.contains("Join"), s"change capture is windows, not a self-join:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"windows must partition per user:\n$p")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"lag/lead/row_number over the same spec must reuse ONE exchange:\n$p")
+  }
+
+  test("systematic sample: the only unpartitioned window is the bucket table, 4096x smaller") {
+    val p = planOf(Sampling.systematicSampleProfile(Tables.documents(spark, sf)),
+      mode = "simple")
+    // the per-row cumulative window must partition by bucket
+    assert(p.contains("hashpartitioning(__b"),
+      s"the row-scale window must partition by bucket:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // one bounded nested loop is allowed: the broadcast 1-row total-weight
+    // scalar; the bucket offsets themselves equi-join back on __b
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2,
+      s"rows must never flow through more than the scalar broadcast:\n$p")
+  }
 }
