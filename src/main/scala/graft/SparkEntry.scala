@@ -326,6 +326,11 @@ object SparkEntry {
       EventAnalytics.lastKnownValueProfile(Tables.events(s, d))),
     "q_cooccurrence" -> ((s, d) => // skip-gram pair counts over user streams
       EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2)),
+    "q_entity_pagerank" -> ((s, d) => // fixed-point weighted PageRank, 10 rounds
+      GraphRank.weightedPageRank(
+        EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2))),
+    "q_zorder_layout" -> ((s, d) => // Morton-layout audit: per-cell rectangles
+      ZOrder.zOrderProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -432,6 +437,84 @@ object SparkEntry {
   /** Mirror of Dedup.PortableHash: first 48 bits of md5 as a BIGINT. */
   private def md5h48(x: String) =
     s"CAST(('0x' || substring(md5($x), 1, 12)) AS BIGINT)"
+
+  /** Shared CTE mirroring EventAnalytics.cooccurrenceCounts (windowSize=2):
+    * per-user (ts_sec, event_id) total order, one lag per offset,
+    * unordered-normalized pairs → weighted co-occurrence graph `g`. */
+  private val cooccurrenceGraphCte: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |l AS (
+      |  SELECT k,
+      |    lag(k, 1) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS l1,
+      |    lag(k, 2) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS l2
+      |  FROM e),
+      |p AS (
+      |  SELECT least(k, l1) AS item_a, greatest(k, l1) AS item_b
+      |  FROM l WHERE k IS NOT NULL AND l1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT least(k, l2), greatest(k, l2)
+      |  FROM l WHERE k IS NOT NULL AND l2 IS NOT NULL),
+      |g AS (
+      |  SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+      |    count(*) AS pairs
+      |  FROM p GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** Mirror of GraphRank.weightedPageRank(iterations=10, k=50, scale=1e12):
+    * the graph CTE, both edge directions (self-loops once), integer
+    * strengths, then ten UNROLLED rounds of
+    * `teleport + (85·Σ(rank·w div s)) div 100` — the same fixed-point ops
+    * the engine runs, generated by the same loop bound. */
+  private lazy val pageRankOracleSql: String = {
+    val S = "1000000000000"
+    val head = cooccurrenceGraphCte +
+      s""", dir AS (
+         |  SELECT item_a AS src, item_b AS dst, pairs AS w FROM g
+         |  UNION ALL
+         |  SELECT item_b, item_a, pairs FROM g WHERE item_a <> item_b),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM dir GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+         |r0 AS (SELECT src AS node, ($S // n) AS rank FROM st, nn)
+         |""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      s""", r$i AS (
+         |  SELECT b.node,
+         |    ((15 * ($S // b.n)) // 100) + (85 * coalesce(c.im, 0)) // 100 AS rank
+         |  FROM (SELECT st.src AS node, nn.n AS n FROM st, nn) b
+         |  LEFT JOIN (
+         |    SELECT d.dst AS node, CAST(sum((r.rank * d.w) // st2.s) AS BIGINT) AS im
+         |    FROM dir d JOIN st st2 ON d.src = st2.src
+         |    JOIN r${i - 1} r ON r.node = d.src
+         |    GROUP BY 1) c ON b.node = c.node)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      "SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 50"
+  }
+
+  /** Mirror of ZOrder.zOrderProfile(lineitem, l_partkey, l_suppkey,
+    * bits=16, buckets=256): generated from the same loop bounds as the
+    * engine's interleave, so both engines compute identical Morton codes. */
+  private lazy val zorderOracleSql: String = {
+    val bits = 16
+    val mask = 1L << bits
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        s"((l_partkey % $mask) // ${1L << i} % 2) * ${1L << (2 * i)}",
+        s"((l_suppkey % $mask) // ${1L << i} % 2) * ${1L << (2 * i + 1)}")
+    }
+    val z = terms.mkString("(", " + ", ")")
+    val cell = (1L << (2 * bits)) / 256
+    s"""WITH zt AS (
+       |  SELECT $z AS z, l_partkey AS x, l_suppkey AS y FROM lineitem)
+       |SELECT z // $cell AS z_bucket, count(*) AS n_rows,
+       |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+       |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  }
 
   /** Shared CTE chain mirroring Dedup.{shingleRows, signatures(PortableHash),
     * nearDupMinhash}: 3-word shingles → 48-bit md5 hashes → 64 permuted
@@ -2186,25 +2269,16 @@ object SparkEntry {
     // Mirror of EventAnalytics.cooccurrenceCounts (windowSize=2): the same
     // per-user total order, one lag per offset, unordered-normalized pairs.
     "q_cooccurrence" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
-        |l AS (
-        |  SELECT k,
-        |    lag(k, 1) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS l1,
-        |    lag(k, 2) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS l2
-        |  FROM e),
-        |p AS (
-        |  SELECT least(k, l1) AS item_a, greatest(k, l1) AS item_b
-        |  FROM l WHERE k IS NOT NULL AND l1 IS NOT NULL
-        |  UNION ALL
-        |  SELECT least(k, l2), greatest(k, l2)
-        |  FROM l WHERE k IS NOT NULL AND l2 IS NOT NULL)
-        |SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
-        |  count(*) AS pairs
-        |FROM p GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin,
+      (cooccurrenceGraphCte +
+        "SELECT item_a, item_b, pairs FROM g ORDER BY item_a, item_b"),
+
+    // Mirror of GraphRank.weightedPageRank over the same graph: 10 unrolled
+    // fixed-point rounds — every operation integer, so ranks are bit-equal.
+    "q_entity_pagerank" -> pageRankOracleSql,
+
+    // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer
+    // bit arithmetic via // 2^i % 2 — identical z in any engine.
+    "q_zorder_layout" -> zorderOracleSql,
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

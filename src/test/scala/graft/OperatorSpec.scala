@@ -259,6 +259,54 @@ class OperatorSpec extends SparkSpec {
     assert(meanSel >= meanAll, f"weighting must favor heavy docs ($meanSel%.0f < $meanAll%.0f)")
   }
 
+  test("weighted pagerank equals the naive fixed-point iteration, mass near-conserved") {
+    val edges = EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2)
+    val scale = 1000000000000L
+    val got = GraphRank.weightedPageRank(edges, iterations = 10, k = 50, scale = scale)
+      .as[(Long, Long)].collect().toSeq
+    // naive driver-side reference on the collected edge list
+    val e = edges.as[(Long, Long, Long)].collect()
+    val dir = e.flatMap { case (a, b, w) =>
+      if (a == b) Seq((a, b, w)) else Seq((a, b, w), (b, a, w)) }
+    val strength = dir.groupBy(_._1).map { case (s, xs) => (s, xs.map(_._3).sum) }
+    val nodes = strength.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    val teleport = (15L * (scale / n)) / 100L
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 10) {
+      val in = dir.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => (rank(src) * w) / strength(src) }.sum }
+      rank = nodes.map(v => v -> (teleport + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val expect = rank.toSeq.sortBy { case (v, r) => (-r, v) }.take(50)
+    assert(got == expect)
+    // integer division only sheds mass: total stays within n units per round
+    val total = rank.values.sum
+    assert(total <= scale && total >= scale - 11 * n * 100,
+      s"mass drifted implausibly: $total of $scale")
+  }
+
+  test("z-order: known interleaves, domain folding, and per-cell aligned rectangles") {
+    // bit-level ground truth: x=3 (011), y=5 (101) → z = 1+2+4+32 = 39
+    val pts = Seq((3L, 5L), (1L, 0L), (0L, 1L), (65536L + 3L, 5L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")).as("z")).as[Long].collect().toSeq
+    assert(pts == Seq(39L, 1L, 2L, 39L), s"morton codes wrong: $pts")
+    // layout audit: 256 cells over 16-bit dims → every cell is an aligned
+    // 4096×4096 rectangle in (partkey, suppkey) space
+    val prof = ZOrder.zOrderProfile(Tables.lineitem(spark, sf),
+      "l_partkey", "l_suppkey").collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      val (xmin, xmax, ymin, ymax) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(xmin / 4096 == xmax / 4096 && ymin / 4096 == ymax / 4096,
+        s"cell ${r.getLong(0)} not an aligned 4096-rectangle: $r")
+    }
+    // conservation: every lineitem row lands in exactly one cell
+    assert(prof.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+  }
+
   test("key skew histogram: crafted counts land in their exact log2 buckets") {
     // keys with 1, 3, 4, 7, 8, 1000 rows → buckets 0,1,2,2,3,9
     val rows = Seq(("a", 1), ("b", 3), ("c", 4), ("d", 7), ("e", 8), ("f", 1000))

@@ -419,6 +419,14 @@ class PlanSpec extends SparkSpec {
       s"the overlap join must be EQUI on the grid cell:\n$p")
   }
 
+  test("pagerank: ten rounds of equi-join + agg — no cartesian at any depth") {
+    val p = planOf(graft.operators.GraphRank.weightedPageRank(
+      graft.operators.EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2),
+      iterations = 3))
+    assert(!p.contains("CartesianProduct"),
+      s"rank propagation must stay an equi-join per round:\n$p")
+  }
+
   test("scd2 history: both windows share one user partition+sort, no join, no global window") {
     val p = planOf(EventAnalytics.changeIntervals(Tables.events(spark, sf)),
       mode = "simple")
