@@ -364,6 +364,8 @@ object SparkEntry {
       graft.streaming.StreamingHourly.closedHourlyMetrics(s, d)),
     "q_streaming_interval_join" -> ((s, d) => // stream-stream interval join
       graft.streaming.StreamingJoin.purchaseViewPairs(s, d)),
+    "q_streaming_full_outer_join" -> ((s, d) => // both-side watermark-closed nulls
+      graft.streaming.StreamingJoin.purchaseViewPairsFull(s, d)),
     "q_streaming_outer_join" -> ((s, d) => // watermark-closed outer emission
       graft.streaming.StreamingJoin.purchaseViewPairsOuter(s, d)),
     "q_streaming_sessions" -> ((s, d) => // session_window, append mode
@@ -1996,6 +1998,36 @@ object SparkEntry {
         |  FROM p, m
         |  WHERE p.p_sec < m.wg AND NOT EXISTS (
         |    SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |      AND v.v_sec BETWEEN p.p_sec - 3600 AND p.p_sec)
+        |) ORDER BY purchase_id, view_id""".stripMargin,
+
+    // Full outer = the left-outer rule for purchases PLUS the symmetric
+    // view rule: a view's match window is [v, v+3600], so its null row
+    // emits once the global watermark passes v_sec + 3600.
+    "q_streaming_full_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |m AS (SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts_sec END),
+        |                   max(CASE WHEN event_type = 'view' THEN ts_sec END)) - 600 AS wg FROM e),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, ts_sec AS v_sec FROM e WHERE event_type = 'view')
+        |SELECT * FROM (
+        |  SELECT p.user_id, p.purchase_id, v.view_id, p.p_sec, v.v_sec
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.v_sec BETWEEN p.p_sec - 3600 AND p.p_sec
+        |  UNION ALL
+        |  SELECT p.user_id, p.purchase_id, CAST(NULL AS BIGINT), p.p_sec, CAST(NULL AS BIGINT)
+        |  FROM p, m
+        |  WHERE p.p_sec < m.wg AND NOT EXISTS (
+        |    SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |      AND v.v_sec BETWEEN p.p_sec - 3600 AND p.p_sec)
+        |  UNION ALL
+        |  SELECT v.user_id, CAST(NULL AS BIGINT), v.view_id, CAST(NULL AS BIGINT), v.v_sec
+        |  FROM v, m
+        |  WHERE v.v_sec + 3600 < m.wg AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = v.user_id
         |      AND v.v_sec BETWEEN p.p_sec - 3600 AND p.p_sec)
         |) ORDER BY purchase_id, view_id""".stripMargin,
 

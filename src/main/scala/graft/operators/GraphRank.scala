@@ -50,17 +50,37 @@ object GraphRank {
       .select(col("node"),
         expr(s"(15L * (${scale}L div n)) div 100L").as("teleport"),
         expr(s"${scale}L div n").as("rank0"))
-    val outEdges = dir.join(strength, "src") // (src, dst, w, s)
-    var rank = base.select(col("node"), col("rank0").as("rank"))
-    for (_ <- 1 to iterations) {
+    // materialize the loop invariants once and each round's ranks: without
+    // this the 10 rounds compile into ONE plan that re-derives the edge
+    // list (and its whole upstream) per round — 10× the scan/window work
+    // and a planner tree that grows superlinearly. localCheckpoint keeps
+    // each round a shallow job over bounded frames (|V| rank rows, |E|
+    // edges); on a cluster the same role is played by persist().
+    // bounded frames also coalesce before checkpointing: a 100-node rank
+    // table spread over 32 shuffle partitions costs a 32-task job per
+    // round for nothing — partition counts here follow |V|/|E|, not the
+    // session's shuffle default
+    val outEdges = dir.join(strength, "src").coalesce(8).localCheckpoint()
+    val baseCk = base.coalesce(1).localCheckpoint()
+    var rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
+    // rank and contribution frames are |V| rows — broadcast them onto the
+    // edge list so a round is map-side join + one agg (on an entity graph
+    // |V| is vocabulary-bounded; for a billion-node graph drop the hints
+    // and let both joins shuffle-hash on the node id)
+    // checkpoint on a stride: each materialization is a full job round-trip
+    // (~fixed driver latency at bounded |V|), and a 2-round plan over
+    // checkpointed inputs is still shallow — same trick as the clustering
+    // fixpoint's stride-3 (`Dedup.scala`)
+    for (i <- 1 to iterations) {
       val contribs = outEdges
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("(rank * w) div s").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      rank = base
-        .join(contribs, Seq("node"), "left")
+      val next = baseCk
+        .join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+      rank = if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
     }
     rank.orderBy(col("rank").desc, col("node").asc).limit(k)
   }

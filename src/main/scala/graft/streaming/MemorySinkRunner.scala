@@ -40,7 +40,10 @@ private[streaming] object MemorySinkRunner {
     val base =
       if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
       else Paths.get(System.getProperty("java.io.tmpdir"))
-    base.resolve("graft_ck")
+    // per-process root: two concurrent harness JVMs (a dev verify beside a
+    // driver bench) must never see each other's offset logs — a structured
+    // streaming query refuses to start over a foreign checkpoint
+    base.resolve(s"graft_ck_${ProcessHandle.current().pid()}")
   }
 
   private def deleteRecursively(p: Path): Unit =

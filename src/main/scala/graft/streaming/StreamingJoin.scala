@@ -35,6 +35,16 @@ object StreamingJoin {
   def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame =
     runJoin(spark, dir, "inner")
 
+  /** Full-outer variant (T13 completed): BOTH unmatched sides surface with
+    * nulls once their state can no longer match. The two expiry rules
+    * differ because the interval binds them asymmetrically: a purchase
+    * matches views in [p−1h, p], so it finalizes when the global watermark
+    * passes `p_sec` (same as left-outer); a view matches purchases in
+    * [v, v+1h], so it finalizes only when the watermark passes
+    * `v_sec + 3600`. The SQL oracle states both conditions. */
+  def purchaseViewPairsFull(spark: SparkSession, dir: String): DataFrame =
+    runJoin(spark, dir, "full_outer")
+
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
@@ -56,16 +66,18 @@ object StreamingJoin {
                 |AND v_time >= p_time - INTERVAL $IntervalSeconds SECONDS
                 |AND v_time <= p_time""".stripMargin),
         joinType)
-      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
-        col("p_sec"), col("v_sec"))
+      .select(coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("purchase_id"), col("view_id"), col("p_sec"), col("v_sec"))
 
     // join output is a few hundred rows; state-store open/commit per
     // partition per side per micro-batch dominates, so keep partitions low.
     // Inner joins emit each pair as soon as both rows arrive, so the
     // watermark-advancing no-data batch adds nothing; LEFT OUTER emits its
     // null rows only on that batch and must keep it.
+    // nulls-last on both keys: full-outer emits null purchase_id rows, and
+    // the oracle engine's default ASC ordering puts nulls last
     MemorySinkRunner.run(spark, joined, "graft_stream_join", shufflePartitions = 4,
         needNoDataBatch = joinType != "inner")
-      .orderBy(col("purchase_id"), col("view_id"))
+      .orderBy(col("purchase_id").asc_nulls_last, col("view_id").asc_nulls_last)
   }
 }
