@@ -331,6 +331,9 @@ object SparkEntry {
         EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2))),
     "q_zorder_layout" -> ((s, d) => // Morton-layout audit: per-cell rectangles
       ZOrder.zOrderProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
+    "q_triangle_census" -> ((s, d) => // degree-oriented wedge-join triangles
+      GraphRank.triangleCounts(
+        EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -2311,6 +2314,30 @@ object SparkEntry {
     // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer
     // bit arithmetic via // 2^i % 2 — identical z in any engine.
     "q_zorder_layout" -> zorderOracleSql,
+
+    // The degree orientation is invisible: the oracle enumerates triangles
+    // as ordered triples a<b<c and expands each to its three corners.
+    "q_triangle_census" ->
+      (cooccurrenceGraphCte +
+        """, ce AS (SELECT item_a AS a, item_b AS b FROM g WHERE item_a < item_b),
+          |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          |         SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY 1),
+          |tr AS (
+          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+          |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |pn AS (
+          |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+          |    SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+          |    UNION ALL SELECT z FROM tr) GROUP BY 1)
+          |SELECT dg.node, dg.degree,
+          |  coalesce(pn.triangles, 0) AS triangles,
+          |  CASE WHEN dg.degree < 2 THEN 0.0
+          |       ELSE floor((2.0 * coalesce(pn.triangles, 0))
+          |              / (dg.degree * (dg.degree - 1)) * 10000.0) / 10000.0
+          |  END AS clustering_coeff
+          |FROM dg LEFT JOIN pn ON dg.node = pn.node
+          |ORDER BY triangles DESC, dg.node LIMIT 30""".stripMargin),
 
     // Golden-value oracles: these two queries run over the seeded generator
     // corpus (deterministic, scale-factor independent), so their expected

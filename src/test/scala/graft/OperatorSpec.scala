@@ -307,6 +307,33 @@ class OperatorSpec extends SparkSpec {
     assert(prof.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
   }
 
+  test("triangle census: crafted graphs and equality with the naive triple enumeration") {
+    // K4 plus a pendant: every K4 node closes 3 of its wedges; the pendant
+    // (node 5, degree 1) and its attachment point get the right coefficient
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("item_a", "item_b").withColumn("pairs", lit(1L))
+    val got = GraphRank.triangleCounts(k4, k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0),
+      (4L, 4L, 3L, 0.5), (5L, 1L, 0L, 0.0)), s"got $got")
+    // real graph: per-node counts equal the naive a<b<c enumeration
+    val edges = EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2)
+    val e = edges.as[(Long, Long, Long)].collect()
+      .collect { case (a, b, _) if a < b => (a, b) }.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val triples = for {
+      t <- e.toSeq; (a, b) = t; c <- nodes
+      if b < c && e.contains((b, c)) && e.contains((a, c))
+    } yield (a, b, c)
+    val naive = triples.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val gotReal = GraphRank.triangleCounts(edges, k = 1000)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(gotReal.map(r => r._1 -> r._3).toMap ==
+      nodes.map(n => n -> naive.getOrElse(n, 0L)).toMap)
+  }
+
   test("key skew histogram: crafted counts land in their exact log2 buckets") {
     // keys with 1, 3, 4, 7, 8, 1000 rows → buckets 0,1,2,2,3,9
     val rows = Seq(("a", 1), ("b", 3), ("c", 4), ("d", 7), ("e", 8), ("f", 1000))

@@ -427,6 +427,13 @@ class PlanSpec extends SparkSpec {
       s"rank propagation must stay an equi-join per round:\n$p")
   }
 
+  test("triangle census: oriented wedge equi-joins only, no cartesian") {
+    val p = planOf(graft.operators.GraphRank.triangleCounts(
+      graft.operators.EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedges must come from apex equi-joins:\n$p")
+  }
+
   test("scd2 history: both windows share one user partition+sort, no join, no global window") {
     val p = planOf(EventAnalytics.changeIntervals(Tables.events(spark, sf)),
       mode = "simple")
