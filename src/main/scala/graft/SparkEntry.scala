@@ -334,6 +334,10 @@ object SparkEntry {
     "q_triangle_census" -> ((s, d) => // degree-oriented wedge-join triangles
       GraphRank.triangleCounts(
         EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2))),
+    "q_type_transitions" -> ((s, d) => // per-user Markov bigram matrix
+      EventAnalytics.typeTransitions(Tables.events(s, d))),
+    "q_curation_funnel" -> ((s, d) => // end-to-end pipeline drop census
+      CorpusFilters.curationFunnel(Tables.documents(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -2314,6 +2318,84 @@ object SparkEntry {
     // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer
     // bit arithmetic via // 2^i % 2 — identical z in any engine.
     "q_zorder_layout" -> zorderOracleSql,
+
+    // Mirror of CorpusFilters.curationFunnel: gate → dedup-among-survivors
+    // → bench holdout + contamination → sample, first-failing-stage
+    // attribution; every rule reuses its member oracle's expression.
+    "q_curation_funnel" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, text, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shingle
+         |  FROM t),
+         |pc AS (SELECT doc_id, shingle, count(*) AS c FROM sh0 GROUP BY doc_id, shingle),
+         |rep AS (
+         |  SELECT doc_id,
+         |    ${q4("CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS dup_frac
+         |  FROM pc GROUP BY doc_id),
+         |scored AS (
+         |  SELECT t.doc_id, t.source, t.n_chars, md5(lower(t.text)) AS fp,
+         |    ((t.n_chars BETWEEN 100 AND 5000)
+         |     AND ${q4("CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.2
+         |     AND ${q4("CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.02
+         |     AND rep.dup_frac <= 0.7) AS q_ok
+         |  FROM t JOIN rep ON t.doc_id = rep.doc_id),
+         |keep AS (SELECT fp, min(doc_id) AS keep_id FROM scored WHERE q_ok GROUP BY fp),
+         |d AS (
+         |  SELECT s.*, (s.q_ok AND s.doc_id <> k.keep_id) AS dup_loser
+         |  FROM scored s LEFT JOIN keep k ON s.fp = k.fp),
+         |e AS (
+         |  SELECT *, (q_ok AND NOT dup_loser) AS surv2,
+         |    (q_ok AND NOT dup_loser
+         |     AND ${md5h48("'bench:' || CAST(doc_id AS VARCHAR)")} % 20 < 1) AS is_bench
+         |  FROM d),
+         |bg AS (
+         |  SELECT DISTINCT sh0.shingle
+         |  FROM sh0 JOIN e ON sh0.doc_id = e.doc_id WHERE e.is_bench),
+         |cg AS (
+         |  SELECT DISTINCT sh0.doc_id, sh0.shingle
+         |  FROM sh0 JOIN e ON sh0.doc_id = e.doc_id
+         |  WHERE e.surv2 AND NOT e.is_bench),
+         |sgc AS (
+         |  SELECT cg.doc_id, count(*) AS sg
+         |  FROM cg JOIN bg ON cg.shingle = bg.shingle GROUP BY 1),
+         |f AS (
+         |  SELECT e.*, (e.surv2 AND NOT e.is_bench AND coalesce(sgc.sg, 0) >= 5) AS contam
+         |  FROM e LEFT JOIN sgc ON e.doc_id = sgc.doc_id),
+         |g2 AS (
+         |  SELECT *, (surv2 AND NOT is_bench AND NOT contam) AS surv3,
+         |    (surv2 AND NOT is_bench AND NOT contam
+         |     AND ${md5h48("'sample:' || CAST(doc_id AS VARCHAR)")} % 5 < 1) AS kept
+         |  FROM f)
+         |SELECT source, count(*) AS docs,
+         |  CAST(sum(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+         |  CAST(sum(CASE WHEN dup_loser THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+         |  CAST(sum(CASE WHEN is_bench THEN 1 ELSE 0 END) AS BIGINT) AS held_out_bench,
+         |  CAST(sum(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT) AS drop_contam,
+         |  CAST(sum(CASE WHEN surv3 AND NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS drop_sample,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM g2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of EventAnalytics.typeTransitions: the same per-user total
+    // order, bigram lag, and row-conditional floor-quantized percentage.
+    "q_type_transitions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type AS next_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
+         |  FROM e),
+         |m AS (
+         |  SELECT prev_type, next_type, count(*) AS transitions
+         |  FROM b WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, transitions,
+         |  ${pct("transitions", "sum(transitions) OVER (PARTITION BY prev_type)")} AS transition_pct
+         |FROM m ORDER BY prev_type, next_type""".stripMargin,
 
     // The degree orientation is invisible: the oracle enumerates triangles
     // as ordered triples a<b<c and expands each to its three corners.

@@ -419,6 +419,79 @@ object CorpusFilters {
       .orderBy(col("source"))
   }
 
+  /** End-to-end curation FUNNEL — the whole pipeline a pre-training corpus
+    * runs, as one plan with a per-source census of where every document
+    * went. Stages apply in the published order, each to the survivors of
+    * the previous (the drop census is therefore first-failing-stage
+    * attribution, and the row counts reconcile exactly):
+    *
+    *   1. quality gate (length band + TTR + stopword + repetition — the
+    *      [[qualityGateProfile]] rule stack);
+    *   2. exact dedup among gate survivors (keep lowest doc_id per
+    *      md5(lower(text)) — [[Dedup.exactDeduped]]'s survivor rule);
+    *   3. benchmark holdout (hash-designated eval split, held out rather
+    *      than dropped) and contamination (≥ `minShared` 3-grams shared
+    *      with the held-out set — [[decontaminatedProfile]]'s rule);
+    *   4. deterministic 1/`sampleDen` budget sample ([[Sampling]] rule).
+    *
+    * Conservation invariant (asserted by spec and visible per source):
+    * docs = drop_quality + drop_dup + held_out_bench + drop_contam +
+    * drop_sample + kept.
+    *
+    * Scale shape: the flag derivation is the union of the member
+    * operators' shapes (shingle explode + hash aggs, fingerprint agg +
+    * broadcast-able keep list, bench-gram semi-join, scan-side sample
+    * filter); the funnel itself adds ONE final hash agg per source — no
+    * new shuffles over what the stages already cost. */
+  def curationFunnel(docs: DataFrame, benchDen: Int = 20, minShared: Int = 5,
+                     sampleNum: Int = 1, sampleDen: Int = 5): DataFrame = {
+    val perDoc = TextAnalysis.qualityScored(docs)
+      .join(repetitionStats(docs).select(col("doc_id"), col("dup_ngram_frac")),
+        Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("n_chars"),
+        md5(lower(col("text"))).as("fp")), Seq("doc_id"))
+    val qOk = col("n_chars").between(100, 5000) &&
+      col("type_token_ratio") >= 0.2 && col("stopword_ratio") >= 0.02 &&
+      col("dup_ngram_frac") <= 0.7
+    val q = perDoc.withColumn("q_ok", qOk)
+    val keep = q.where(col("q_ok"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val d = q.join(keep, Seq("fp"), "left")
+      .withColumn("dup_loser", col("q_ok") && col("doc_id") =!= col("keep_id"))
+    val isBench = Dedup.PortableHash(
+      concat(lit("bench:"), col("doc_id").cast("string"))) % benchDen < 1
+    val e = d
+      .withColumn("surv2", col("q_ok") && !col("dup_loser"))
+      .withColumn("is_bench", col("surv2") && isBench)
+    val benchDocs = e.where(col("is_bench")).select(col("doc_id"))
+    val candDocs  = e.where(col("surv2") && !col("is_bench")).select(col("doc_id"))
+    val benchGrams = Dedup.shingleRows(
+        docs.join(benchDocs, Seq("doc_id"), "left_semi"))
+      .select(col("shingle")).distinct()
+    val candGrams = Dedup.shingleRows(
+        docs.join(candDocs, Seq("doc_id"), "left_semi")).distinct()
+    val shared = candGrams.join(benchGrams, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sg"))
+    val inSample = Dedup.PortableHash(
+      concat(lit("sample:"), col("doc_id").cast("string"))) % sampleDen < sampleNum
+    val g = e.join(shared, Seq("doc_id"), "left")
+      .withColumn("contam",
+        col("surv2") && !col("is_bench") && coalesce(col("sg"), lit(0L)) >= minShared)
+      .withColumn("surv3", col("surv2") && !col("is_bench") && !col("contam"))
+      .withColumn("kept", col("surv3") && inSample)
+    g.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        Cols.countWhen(!col("q_ok")).as("drop_quality"),
+        Cols.countWhen(col("dup_loser")).as("drop_dup"),
+        Cols.countWhen(col("is_bench")).as("held_out_bench"),
+        Cols.countWhen(col("contam")).as("drop_contam"),
+        Cols.countWhen(col("surv3") && !col("kept")).as("drop_sample"),
+        Cols.countWhen(col("kept")).as("kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   // ----------------------------------------------------------- token budget
 
   /** Global quality-ordered token-budget cut: keep documents in

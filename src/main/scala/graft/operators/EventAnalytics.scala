@@ -240,6 +240,28 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** First-order Markov transition census over each user's event stream:
+    * count (prev_type → next_type) bigrams along the per-user
+    * (ts_sec, event_id) total order, then the row-conditional transition
+    * probability P(next | prev) as a floor-quantized percentage. The
+    * behavioral-model / next-event-prediction baseline.
+    *
+    * Shape: one user window for the lag (the sessionization exchange
+    * shape), one hash agg to the bounded |types|² matrix; the probability
+    * window runs over that bounded aggregate, never the event stream. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val rowW = Window.partitionBy(col("prev_type"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+      .withColumn("transition_pct",
+        Cols.pct4(col("transitions"), sum(col("transitions")).over(rowW)))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Last-known-value carry-forward: enrich every event with the value of
     * the user's most recent purchase at or before it — the forward-fill /
     * LKV repair step event pipelines run before attribution joins (the

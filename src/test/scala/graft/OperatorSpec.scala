@@ -334,6 +334,19 @@ class OperatorSpec extends SparkSpec {
       nodes.map(n => n -> naive.getOrElse(n, 0L)).toMap)
   }
 
+  test("type transitions: bigram conservation and row-conditional shares sum to ~100") {
+    val events = Tables.events(spark, sf)
+    val tt = EventAnalytics.typeTransitions(events).collect()
+    // every user with n events contributes exactly n-1 bigrams
+    val nEvents = events.count()
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(tt.map(_.getLong(2)).sum == nEvents - nUsers)
+    tt.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(s >= 99.0 && s <= 100.0001, s"$prev shares sum to $s")
+    }
+  }
+
   test("key skew histogram: crafted counts land in their exact log2 buckets") {
     // keys with 1, 3, 4, 7, 8, 1000 rows → buckets 0,1,2,2,3,9
     val rows = Seq(("a", 1), ("b", 3), ("c", 4), ("d", 7), ("e", 8), ("f", 1000))
