@@ -338,6 +338,10 @@ object SparkEntry {
       EventAnalytics.typeTransitions(Tables.events(s, d))),
     "q_curation_funnel" -> ((s, d) => // end-to-end pipeline drop census
       CorpusFilters.curationFunnel(Tables.documents(s, d))),
+    "q_revenue_trend" -> ((s, d) => // least-squares slope from exact sums
+      Stats.dailyRevenueTrend(Tables.orders(s, d))),
+    "q_ab_lift" -> ((s, d) => // hash-armed A/B with Wilson 95% interval
+      Stats.abConversionLift(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -2318,6 +2322,55 @@ object SparkEntry {
     // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer
     // bit arithmetic via // 2^i % 2 — identical z in any engine.
     "q_zorder_layout" -> zorderOracleSql,
+
+    // Mirror of Stats.dailyRevenueTrend: exact integer sums under the agg,
+    // one fixed IEEE expression for the slope, day rebased to the corpus
+    // min so every long→double conversion stays under 2^53.
+    "q_revenue_trend" ->
+      s"""WITH daily AS (
+         |  SELECT o_orderpriority AS priority,
+         |    CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS day0 FROM daily),
+         |s AS (
+         |  SELECT priority, count(*) AS n_days,
+         |    CAST(sum(day - day0) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum((day - day0) * y) AS BIGINT) AS sxy,
+         |    CAST(sum((day - day0) * (day - day0)) AS BIGINT) AS sxx
+         |  FROM daily, b GROUP BY 1)
+         |SELECT priority, n_days,
+         |  CASE WHEN n_days * sxx - sx * sx > 0
+         |       THEN ${q4("(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")}
+         |       ELSE 0.0 END AS slope_cents_per_day
+         |FROM s ORDER BY priority""".stripMargin,
+
+    // Mirror of Stats.abConversionLift (z = 1.96): identical IEEE op tree —
+    // z² written as (1.96 * 1.96) so both engines round the same product.
+    "q_ab_lift" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT ${md5h48("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CASE WHEN purchases > 0 THEN 1 ELSE 0 END AS conv
+         |  FROM pu),
+         |s AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS users,
+         |    CAST(sum(conv) AS BIGINT) AS converters
+         |  FROM a GROUP BY 1),
+         |w AS (
+         |  SELECT arm, users, converters,
+         |    CAST(converters AS DOUBLE) / CAST(users AS DOUBLE) AS p,
+         |    CAST(users AS DOUBLE) AS n
+         |  FROM s)
+         |SELECT arm, users, converters,
+         |  ${pct("converters", "users")} AS conversion_pct,
+         |  ${q4("((p + (1.96 * 1.96) / (2.0 * n)) - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n))) / (1.0 + (1.96 * 1.96) / n) * 100.0")} AS wilson_low_pct,
+         |  ${q4("((p + (1.96 * 1.96) / (2.0 * n)) + 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n))) / (1.0 + (1.96 * 1.96) / n) * 100.0")} AS wilson_high_pct
+         |FROM w ORDER BY arm""".stripMargin,
 
     // Mirror of CorpusFilters.curationFunnel: gate → dedup-among-survivors
     // → bench holdout + contamination → sample, first-failing-stage

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+
+/** Cross-engine-deterministic statistics operators: least-squares trend
+  * slopes and experiment (A/B) lift with Wilson intervals.
+  *
+  * Doctrine (graft.functions.Cols): accumulate EXACT integer sums under the
+  * aggregation (order-independent), convert once, and run a fixed IEEE
+  * expression tree on the scalars — never `avg`/`stddev` over raw doubles,
+  * whose reduction order varies by partitioning. Every emitted double is
+  * floor-quantized to 4 decimals.
+  */
+object Stats {
+
+  /** Per-priority least-squares slope of daily revenue — "is this segment
+    * growing?" as a regression, not an eyeball. x = day index rebased to
+    * the corpus's first day (keeps Σxy far inside 2^53 so the long→double
+    * conversions stay exact), y = exact cents. slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx) in cents/day, one fixed double
+    * expression over the exact sums; groups with a degenerate denominator
+    * (fewer than two distinct days) report 0.
+    *
+    * Shape: one hash agg to (priority, day) cents, one to the per-priority
+    * sums (both map-side combinable), the global min day broadcast — no
+    * window, no sort, linear in orders. */
+  def dailyRevenueTrend(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(col("o_orderpriority").as("priority"),
+        Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy(col("priority"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+    val base = daily.agg(min(col("day")).as("day0"))
+    daily.crossJoin(broadcast(base))
+      .withColumn("x", col("day") - col("day0"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("priority"), col("n_days"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") > 0,
+          Cols.q4((col("n_days").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n_days").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))))
+          .otherwise(lit(0.0)).as("slope_cents_per_day"))
+      .orderBy(col("priority"))
+  }
+
+  /** Deterministic A/B readout: users hash-split into two arms
+    * (md5₄₈("ab:" + user_id) % 2 — the [[Sampling]] membership doctrine, so
+    * the assignment is reproducible anywhere), outcome = the user made ≥1
+    * purchase. Reports per arm: users, converters, conversion %, and the
+    * Wilson 95% score interval — the interval of choice at small n because
+    * it never leaves [0, 1]. Wilson terms are one fixed IEEE expression
+    * over (converters, users); IEEE ops (incl. sqrt) are correctly rounded,
+    * so both engines emit bit-identical bounds.
+    *
+    * Shape: per-user outcome is one hash agg over events; the arm rollup
+    * is a second agg to two rows. The interval math runs on the 2-row
+    * aggregate. */
+  def abConversionLift(events: DataFrame, z: Double = 1.96): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(Cols.countWhen(col("event_type") === "purchase").as("purchases"))
+      .select(
+        (Dedup.PortableHash(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .as("arm"),
+        when(col("purchases") > 0, 1L).otherwise(0L).as("converted"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("users"), sum(col("converted")).as("converters"))
+    val n = col("users").cast("double")
+    val p = col("converters").cast("double") / col("users").cast("double")
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0) * n)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2 / n
+    arms.select(col("arm"), col("users"), col("converters"),
+        Cols.pct4(col("converters"), col("users")).as("conversion_pct"),
+        Cols.q4((center - margin) / denom * 100.0).as("wilson_low_pct"),
+        Cols.q4((center + margin) / denom * 100.0).as("wilson_high_pct"))
+      .orderBy(col("arm"))
+  }
+}

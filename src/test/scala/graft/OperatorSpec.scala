@@ -347,6 +347,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("revenue trend: a perfectly linear series recovers its exact slope") {
+    // priority P: revenue 100.00 + 7.25/day over 10 days → slope 725 cents/day
+    // priority F: constant revenue → slope 0; priority S: single day → 0
+    val rows =
+      (0 until 10).map(d => ("P", 86400L * (20000 + d), 100.0 + 7.25 * d)) ++
+        (0 until 10).map(d => ("F", 86400L * (20000 + d), 55.5)) ++
+        Seq(("S", 86400L * 20003, 10.0))
+    val orders = rows.toDF("o_orderpriority", "sec", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_seconds(col("sec")))
+    val got = Stats.dailyRevenueTrend(orders)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("F", 10L, 0.0), ("P", 10L, 725.0), ("S", 1L, 0.0)), s"got $got")
+  }
+
+  test("ab lift: arms partition users, wilson interval brackets the estimate") {
+    val events = Tables.events(spark, sf)
+    val arms = Stats.abConversionLift(events).collect()
+    assert(arms.length == 2 && arms.map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(arms.map(_.getLong(1)).sum ==
+      events.select(col("user_id")).distinct().count())
+    arms.foreach { r =>
+      val (users, conv) = (r.getLong(1), r.getLong(2))
+      val (pct, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(conv <= users)
+      assert(lo <= pct + 1e-9 && pct <= hi + 1e-9, s"interval must bracket: $r")
+      assert(lo >= 0.0 && hi <= 100.0, s"wilson stays inside [0,100]: $r")
+    }
+  }
+
   test("key skew histogram: crafted counts land in their exact log2 buckets") {
     // keys with 1, 3, 4, 7, 8, 1000 rows → buckets 0,1,2,2,3,9
     val rows = Seq(("a", 1), ("b", 3), ("c", 4), ("d", 7), ("e", 8), ("f", 1000))
