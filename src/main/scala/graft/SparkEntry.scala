@@ -63,6 +63,8 @@ object SparkEntry {
       EventAnalytics.hourlyMetrics(Tables.events(s, d)).orderBy(col("hour_sec"))),
     "q_hourly_anomalies" -> ((s, d) => // trailing-24h z-score volume anomalies
       EventAnalytics.hourlyAnomalies(Tables.events(s, d), 24, 2.0)),
+    "q_hourly_anomalies_robust" -> ((s, d) => // median/MAD outliers, breakdown 50%
+      EventAnalytics.hourlyAnomaliesRobust(Tables.events(s, d))),
     "q_session_metrics" -> ((s, d) => // A1+P4 (engine-side sessionization, T9)
       Sessionize.sessionMetrics(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_id"))),
@@ -885,6 +887,29 @@ object SparkEntry {
          |  FROM b WHERE n = 24)
          |SELECT hour_sec, cnt, baseline_mean, z
          |FROM s WHERE abs(z) >= 2.0 ORDER BY hour_sec""".stripMargin,
+
+    // Mirror of EventAnalytics.hourlyAnomaliesRobust: exact interpolated
+    // medians over the bounded hourly aggregate (quantile_cont ==
+    // Spark percentile), deviation/MAD in the same IEEE op order.
+    "q_hourly_anomalies_robust" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+         |    count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT quantile_cont(cnt, 0.5) AS med FROM h),
+         |d AS (
+         |  SELECT h.hour_sec, h.cnt, m.med,
+         |    abs(CAST(h.cnt AS DOUBLE) - m.med) AS dev
+         |  FROM h, m),
+         |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d),
+         |r AS (
+         |  SELECT hour_sec, cnt, med, mad,
+         |    CASE WHEN mad > 0.0 THEN ${q4("dev / mad")}
+         |         WHEN dev > 0.0 THEN 9999.0 ELSE 0.0 END AS robust_z
+         |  FROM d, md)
+         |SELECT hour_sec, cnt, ${q4("med")} AS median_cnt, ${q4("mad")} AS mad,
+         |  robust_z
+         |FROM r WHERE robust_z >= 3.0 ORDER BY hour_sec""".stripMargin,
 
     "q_session_metrics" ->
       (sessionCte + "SELECT * FROM sm ORDER BY user_id, session_id"),

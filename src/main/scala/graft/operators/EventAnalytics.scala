@@ -124,6 +124,36 @@ object EventAnalytics {
       .orderBy(col("hour_sec"))
   }
 
+  /** Robust sibling of [[hourlyAnomalies]]: outliers by median/MAD instead
+    * of trailing mean/σ. One extreme hour inflates a mean-based σ and can
+    * mask its neighbors (breakdown point 0); the median and the median
+    * absolute deviation ignore up to half the hours being wild, which is
+    * what traffic data looks like during an incident. robust_z =
+    * |cnt − median| / MAD, flagged at `zMin` (≈ 3·MAD is the textbook
+    * cut); MAD = 0 with a nonzero deviation gets the 9999 sentinel (same
+    * convention as the trailing-z operator).
+    *
+    * Scale: both medians are exact interpolated percentiles over the
+    * BOUNDED hourly aggregate (|hours| rows — the A11 posture), never the
+    * event stream; the two 1-row results broadcast back. */
+  def hourlyAnomaliesRobust(events: DataFrame, zMin: Double = 3.0): DataFrame = {
+    val hours = events.groupBy(Cols.hourSec(col("ts_sec")).as("hour_sec"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = hours.agg(percentile(col("cnt"), lit(0.5)).as("med"))
+    val withDev = hours.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("cnt").cast("double") - col("med")))
+    val mad = withDev.agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    withDev.crossJoin(broadcast(mad))
+      .withColumn("robust_z",
+        when(col("mad") > 0.0, Cols.q4(col("dev") / col("mad")))
+          .otherwise(when(col("dev") > 0.0, lit(9999.0)).otherwise(lit(0.0))))
+      .where(col("robust_z") >= zMin)
+      .select(col("hour_sec"), col("cnt"),
+        Cols.q4(col("med")).as("median_cnt"), Cols.q4(col("mad")).as("mad"),
+        col("robust_z"))
+      .orderBy(col("hour_sec"))
+  }
+
   /** Global KPI table in the reference's tall (key, value, label) layout
     * (analytics.dashboard_metrics, db/init.sql:65-70). One whole-table
     * aggregation; emitting the tall shape is a driver-free explode of the

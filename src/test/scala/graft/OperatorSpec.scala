@@ -347,6 +347,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("robust anomalies: a wild hour cannot mask a moderate outlier (MAD breakdown)") {
+    // 47 calm hours alternating 99/101, one extreme hour (10000 events) and
+    // one moderate outlier (160). Median = 101, MAD = 2 → the moderate hour
+    // scores 59/2 = 29.5 and is flagged DESPITE the wild hour; a
+    // mean/σ detector would fold the 10000 into σ and miss it.
+    val rows =
+      (for { h <- 0 until 47; i <- 1 to (if (h % 2 == 0) 99 else 101) }
+        yield h.toLong * 3600 + i) ++
+        (1 to 10000).map(i => 47L * 3600 + (i % 3600)) ++
+        (1 to 160).map(i => 48L * 3600 + i)
+    val out = EventAnalytics.hourlyAnomaliesRobust(rows.toDF("ts_sec"), 3.0)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(47L * 3600, 48L * 3600),
+      s"expected exactly the wild and moderate hours: ${out.mkString(",")}")
+    val moderate = out.find(_.getLong(0) == 48L * 3600).get
+    assert(moderate.getDouble(4) == 29.5, s"59/2 must score 29.5: $moderate")
+  }
+
   test("revenue trend: a perfectly linear series recovers its exact slope") {
     // priority P: revenue 100.00 + 7.25/day over 10 days → slope 725 cents/day
     // priority F: constant revenue → slope 0; priority S: single day → 0
