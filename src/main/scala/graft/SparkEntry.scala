@@ -65,6 +65,8 @@ object SparkEntry {
       EventAnalytics.hourlyAnomalies(Tables.events(s, d), 24, 2.0)),
     "q_hourly_anomalies_robust" -> ((s, d) => // median/MAD outliers, breakdown 50%
       EventAnalytics.hourlyAnomaliesRobust(Tables.events(s, d))),
+    "q_conversion_latency" -> ((s, d) => // first-view→first-purchase log2 histogram
+      EventAnalytics.conversionLatency(Tables.events(s, d))),
     "q_session_metrics" -> ((s, d) => // A1+P4 (engine-side sessionization, T9)
       Sessionize.sessionMetrics(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_id"))),
@@ -910,6 +912,28 @@ object SparkEntry {
          |SELECT hour_sec, cnt, ${q4("med")} AS median_cnt, ${q4("mad")} AS mad,
          |  robust_z
          |FROM r WHERE robust_z >= 3.0 ORDER BY hour_sec""".stripMargin,
+
+    // Mirror of EventAnalytics.conversionLatency: same conditional mins,
+    // same integer bit-length log2 bucket.
+    "q_conversion_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t_view
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, v.t_view, min(e.ts_sec) AS t_purchase
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_sec >= v.t_view
+        |  GROUP BY 1, 2),
+        |d AS (SELECT t_purchase - t_view AS delta FROM p)
+        |SELECT CAST(length(bin(delta + 1)) - 1 AS BIGINT) AS log2_bucket,
+        |  count(*) AS users,
+        |  min(delta) AS min_sec, max(delta) AS max_sec
+        |FROM d GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
 
     "q_session_metrics" ->
       (sessionCte + "SELECT * FROM sm ORDER BY user_id, session_id"),

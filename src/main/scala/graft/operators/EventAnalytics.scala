@@ -154,6 +154,37 @@ object EventAnalytics {
       .orderBy(col("hour_sec"))
   }
 
+  /** Conversion-latency distribution: per user, seconds from FIRST view to
+    * the first purchase at-or-after it, bucketed by ⌊log₂(delta+1)⌋ — the
+    * "how long does intent take to convert" histogram. Log₂ buckets via
+    * the integer bit-length trick (`length(bin(x)) − 1`, same doctrine as
+    * the key-skew histogram: never a float log), so the output stays ≤ 64
+    * rows no matter how many users exist — the scalable form of a latency
+    * percentile (the exact-percentile equivalent would buffer a value per
+    * user). delta = 0 (purchase in the same second as the first view)
+    * lands in bucket 0.
+    *
+    * Shape: one hash agg to per-user (first view, first purchase-after)
+    * via conditional mins — conditional-aggregation form, no window, no
+    * join, two shuffles total (user, then bucket). */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_sec"))).as("t_view"))
+    val withPurchase = events
+      .where(col("event_type") === "purchase")
+      .join(perUser, Seq("user_id"))
+      .where(col("ts_sec") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts_sec")).as("t_purchase"))
+    withPurchase
+      .select((col("t_purchase") - col("t_view")).as("delta"))
+      .groupBy((length(bin(col("delta") + 1)) - 1).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("users"),
+        min(col("delta")).as("min_sec"), max(col("delta")).as("max_sec"))
+      .orderBy(col("log2_bucket"))
+  }
+
   /** Global KPI table in the reference's tall (key, value, label) layout
     * (analytics.dashboard_metrics, db/init.sql:65-70). One whole-table
     * aggregation; emitting the tall shape is a driver-free explode of the

@@ -365,6 +365,23 @@ class OperatorSpec extends SparkSpec {
     assert(moderate.getDouble(4) == 29.5, s"59/2 must score 29.5: $moderate")
   }
 
+  test("conversion latency: crafted deltas land in exact log2 buckets; non-converters excluded") {
+    // user 1: view@100, purchase@100 → delta 0 → bucket 0
+    // user 2: view@100, purchase@103 → delta 3 → bucket 2
+    // user 3: purchase@50 BEFORE first view@100, purchase@1124 after → delta 1024 → bucket 10
+    // user 4: views only; user 5: purchases only — both excluded
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "purchase", 100L),
+      (2L, "view", 100L), (2L, "purchase", 103L),
+      (3L, "purchase", 50L), (3L, "view", 100L), (3L, "purchase", 1124L),
+      (4L, "view", 100L), (5L, "purchase", 100L)
+    ).toDF("user_id", "event_type", "ts_sec")
+    val got = EventAnalytics.conversionLatency(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 0L, 0L), (2L, 1L, 3L, 3L), (10L, 1L, 1024L, 1024L)),
+      s"got $got")
+  }
+
   test("revenue trend: a perfectly linear series recovers its exact slope") {
     // priority P: revenue 100.00 + 7.25/day over 10 days → slope 725 cents/day
     // priority F: constant revenue → slope 0; priority S: single day → 0
