@@ -43,33 +43,80 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
-    val results = selected.map { case (name, fn) =>
-      // a query that throws must be recorded as a FAILURE, never as a fast
-      // success: an analysis-time exception costs milliseconds, and counting
-      // it would let a regression that breaks queries IMPROVE the benchmark
-      // score (exactly what a broken events reader once did to a round record)
-      def once(): (Double, Long, Option[String]) = {
-        val g0 = gcMs(); val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
-            Some(e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(200))
-        }
-        ((System.nanoTime() - t0) / 1e9, gcMs() - g0, err)
+    // a query that throws must be recorded as a FAILURE, never as a fast
+    // success: an analysis-time exception costs milliseconds, and counting
+    // it would let a regression that breaks queries IMPROVE the benchmark
+    // score (exactly what a broken events reader once did to a round record)
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Option[String]) = {
+      val g0 = gcMs(); val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(200))
       }
-      // best-of-two damps JIT/GC noise; skip the re-run for long queries
-      val (t1, gc1, err1) = once()
-      err1.foreach(m => System.err.println(s"[bench] FAILED $name: $m"))
-      val warm = if (err1.isEmpty && t1 < 15.0) Some(once()) else None
-      val best = warm.map { case (t2, _, _) => math.min(t1, t2) }.getOrElse(t1)
-      (name, best, t1, gc1, warm, err1)
+      ((System.nanoTime() - t0) / 1e9, gcMs() - g0, err)
     }
-    val failed = results.collect { case (k, _, _, _, _, Some(_)) => k }
+    case class Rep(name: String, best: Double, t1: Double, gc1: Long,
+                   warm: Option[(Double, Long, Option[String])],
+                   retry: Option[Double], err: Option[String])
+    val firstPass = selected.map { case (name, fn) =>
+      // best-of-two damps JIT/GC noise; skip the re-run for long queries
+      val (t1, gc1, err1) = once(fn)
+      err1.foreach(m => System.err.println(s"[bench] FAILED $name: $m"))
+      val warm = if (err1.isEmpty && t1 < 15.0) Some(once(fn)) else None
+      val best = warm.map { case (t2, _, _) => math.min(t1, t2) }.getOrElse(t1)
+      Rep(name, best, t1, gc1, warm, None, err1)
+    }
+    // Stall-proofing: a host stall (noisy neighbor / IO freeze) can span
+    // BOTH back-to-back reps of one query and write a multi-× phantom into
+    // the official record — gc_ms≈0 proves it wasn't GC but can't repair
+    // the number. A third rep at END of suite is temporally decorrelated
+    // from the stall window, so any query whose best-of-two exceeds 2× its
+    // value in the previous committed sidecar re-runs once more and the
+    // headline is the min of all reps. Threshold has an absolute floor so
+    // sub-second jitter on tiny queries never triggers a retry.
+    val priorMin: Map[String, Double] = {
+      val f = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+        "bench_full_latest.json"))
+      if (!f.isFile) Map.empty
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        // a sidecar recorded at a different scale factor is no baseline:
+        // comparing sf0.1 times against sf0.01 priors would retry (or
+        // mask) everything for the wrong reason
+        if (root.path("sf").asText() != sfDir) {
+          System.err.println(s"[bench] prior sidecar is for ${root.path("sf").asText()}, " +
+            s"not $sfDir; no retries")
+          Map.empty
+        } else {
+        val det = root.path("detail")
+        import scala.jdk.CollectionConverters._
+        det.properties().asScala.map(e => (e.getKey, e.getValue.path("min"))).collect {
+          case (k, m) if m.isNumber => k -> m.asDouble
+        }.toMap
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] prior sidecar unreadable ($e); no retries"); Map.empty
+      }
+    }
+    val results = selected.zip(firstPass).map { case ((_, fn), r) =>
+      val suspect = r.err.isEmpty && priorMin.get(r.name).exists(p =>
+        r.best > 2.0 * p && r.best - p > 0.2) && r.best < 60.0
+      if (!suspect) r
+      else {
+        System.err.println(f"[bench] retry ${r.name}: best=${r.best}%.3f vs prior=${priorMin(r.name)}%.3f")
+        val (t3, _, err3) = once(fn)
+        if (err3.isDefined) r // a retry that throws never improves the record
+        else r.copy(best = math.min(r.best, t3), retry = Some(t3))
+      }
+    }
+    val failed = results.collect { case Rep(k, _, _, _, _, _, Some(_)) => k }
     // failed queries report null (not a time) and are excluded from the total
-    val qs = results.map { case (k, v, _, _, _, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "null" else f"$v%.3f")
+    val qs = results.map { r =>
+      "\"" + r.name + "\":" + (if (r.err.isDefined) "null" else f"${r.best}%.3f")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _, None) => v }.sum
+    val total = results.collect { case Rep(_, v, _, _, _, _, None) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
@@ -78,14 +125,21 @@ object Bench {
     // ~20 query entries, so every run also lands the full per-query JSON on
     // disk where it can be committed and ranked without estimation. The
     // `detail` block carries the raw first rep (t, gc_ms), the warm rep
-    // (t_warm, gc_warm_ms; null when the ≥15s rule skipped it), and the
-    // reported min — enough to adjudicate any outlier from the record alone.
-    val detail = results.map { case (k, best, t1, gc1, warm, err1) =>
+    // (t_warm, gc_warm_ms; null when the ≥15s rule skipped it), the
+    // end-of-suite retry (t_retry; null unless the 2×-prior rule fired),
+    // and the reported min — enough to adjudicate any outlier from the
+    // record alone. A failed query's detail keeps only the error + gc
+    // stats: its "t"/"min" are null so no consumer scanning minima can
+    // mistake a milliseconds-fast failure for a best time.
+    val detail = results.map { case Rep(k, best, t1, gc1, warm, retry, err1) =>
       val w = warm.map { case (t2, g2, _) => f""","t_warm":$t2%.3f,"gc_warm_ms":$g2""" }
         .getOrElse(""","t_warm":null,"gc_warm_ms":null""")
+      val rt = retry.map(t3 => f""","t_retry":$t3%.3f""").getOrElse(""","t_retry":null""")
       val e = err1.map(m => ""","err":"""" +
         m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("")
-      "\"" + k + "\":" + f"""{"t":$t1%.3f,"gc_ms":$gc1$w,"min":$best%.3f$e}"""
+      val tCol = if (err1.isDefined) "null" else f"$t1%.3f"
+      val minCol = if (err1.isDefined) "null" else f"$best%.3f"
+      "\"" + k + "\":" + s"""{"t":$tCol,"gc_ms":$gc1$w$rt,"min":$minCol$e}"""
     }.mkString("{", ",", "}")
     val sidecarLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""

@@ -61,6 +61,18 @@ object GraphRank {
     // round for nothing — partition counts here follow |V|/|E|, not the
     // session's shuffle default
     val outEdges = dir.join(strength, "src").coalesce(8).localCheckpoint()
+    // Overflow headroom (same doctrine as Sampling.systematicWeighted's
+    // documented bound): the per-edge contribution `rank * w` reaches
+    // scale·max(w) in the worst case (one node holding all mass). Spark
+    // multiplies longs with non-ANSI wraparound, so past 2⁶³ the engine
+    // would silently diverge from an oracle whose BIGINT raises — fail
+    // loudly here instead. One bounded agg over the already-checkpointed
+    // edge frame; callers with heavier edges pass a smaller `scale`.
+    val maxW = outEdges.agg(max(col("w"))).head().getLong(0)
+    require(maxW <= 0L || maxW <= Long.MaxValue / scale,
+      s"weightedPageRank: scale=$scale x max edge weight=$maxW can overflow " +
+        "Long in the per-edge contribution (rank*w); pass a smaller scale " +
+        s"(need scale <= ${Long.MaxValue / maxW})")
     val baseCk = base.coalesce(1).localCheckpoint()
     var rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
     // rank and contribution frames are |V| rows — broadcast them onto the

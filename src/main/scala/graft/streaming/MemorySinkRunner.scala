@@ -35,15 +35,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[streaming] object MemorySinkRunner {
   private val counter = new AtomicInteger()
 
-  private def checkpointRoot: Path = {
+  private def ckBase: Path = {
     val shm = Paths.get("/dev/shm")
-    val base =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-      else Paths.get(System.getProperty("java.io.tmpdir"))
-    // per-process root: two concurrent harness JVMs (a dev verify beside a
-    // driver bench) must never see each other's offset logs — a structured
-    // streaming query refuses to start over a foreign checkpoint
-    base.resolve(s"graft_ck_${ProcessHandle.current().pid()}")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+    else Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  // per-process root: two concurrent harness JVMs (a dev verify beside a
+  // driver bench) must never see each other's offset logs — a structured
+  // streaming query refuses to start over a foreign checkpoint. Lazily
+  // initialized ONCE per process so first use can clear any stale root a
+  // crashed JVM with a since-reused pid left behind: per-run names restart
+  // at _1 each process, so a foreign leftover under the same pid would
+  // collide with our first run. The sweep beside it reaps siblings whose
+  // owning pid is dead — RAM-backed /dev/shm never reaps itself.
+  private lazy val checkpointRoot: Path = {
+    val base = ckBase
+    try {
+      import scala.jdk.CollectionConverters._
+      val kids = Files.list(base)
+      try kids.iterator.asScala
+        .filter(_.getFileName.toString.startsWith("graft_ck_"))
+        .foreach { p =>
+          val pid = p.getFileName.toString.stripPrefix("graft_ck_")
+          val alive = pid.toLongOption.exists(id =>
+            ProcessHandle.of(id).map[Boolean](_.isAlive).orElse(false))
+          if (!alive) deleteRecursively(p)
+        }
+      finally kids.close()
+    } catch { case _: Throwable => () } // best-effort: sweep must never fail a run
+    val mine = base.resolve(s"graft_ck_${ProcessHandle.current().pid()}")
+    deleteRecursively(mine) // process-private by construction; anything here is stale
+    mine
   }
 
   private def deleteRecursively(p: Path): Unit =
