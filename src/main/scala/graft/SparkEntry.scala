@@ -300,6 +300,8 @@ object SparkEntry {
       Spectral.gramMatrix(Tables.embeddings(s, d), 64)),
     "q_embedding_dim_stats" -> ((s, d) => // per-dimension dead/saturated/drift check
       Spectral.dimStats(Tables.embeddings(s, d))),
+    "q_top_eigenvector" -> ((s, d) => // distributed PCA stage 2: fixed-point power iteration
+      Spectral.powerIteration(Tables.embeddings(s, d), 64)),
     "q_near_dup_cosine" -> ((s, d) => // multi-table LSH candidates + exact verify
       Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)),
     "q_knn_graph" -> ((s, d) => // kNN-graph build over LSH-verified candidates
@@ -520,6 +522,54 @@ object SparkEntry {
     }.mkString
     head + rounds +
       "SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 50"
+  }
+
+  /** Mirror of Spectral.powerIteration(dim=64, rounds=8, scale=1e6): the
+    * gram CTE (same fixed-point codes as q_embedding_gram), the symmetric
+    * rescaled matrix G' = sign(g)·(|g| div max(1, max|g| div 2²⁶)), then
+    * eight UNROLLED rounds of `w ← G'·v; v ← sign(w)·(|w|·1e6 div max|w|)`
+    * — generated by the same loop bound the engine runs. The |w|·1e6
+    * widening runs in HUGEINT here and DECIMAL(38,0) in the engine;
+    * truncating division on nonnegative operands agrees everywhere. */
+  private lazy val powerIterationOracleSql: String = {
+    val S = 1000000L
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS qs
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, qs, unnest(range(1, len(qs) + 1)) AS i1 FROM q),
+         |gr AS MATERIALIZED (
+         |  SELECT CAST(a.i1 - 1 AS BIGINT) AS i, CAST(b.i1 - 1 AS BIGINT) AS j,
+         |    CAST(sum(a.qs[a.i1] * b.qs[b.i1]) AS BIGINT) AS g
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i1 <= b.i1
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT i, j, g FROM gr UNION ALL SELECT j, i, g FROM gr WHERE i < j),
+         |gm AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT), max(abs(g)) // 67108864) AS d_div FROM sym),
+         |es AS MATERIALIZED (
+         |  SELECT i, j,
+         |    (CASE WHEN g < 0 THEN -1 ELSE 1 END) * (abs(g) // d_div) AS gs
+         |  FROM sym, gm),
+         |v0 AS MATERIALIZED (SELECT DISTINCT i AS node, CAST($S AS BIGINT) AS v FROM es)
+         |""".stripMargin
+    val rounds = (1 to 8).map { r =>
+      s""", w$r AS MATERIALIZED (
+         |  SELECT e.i AS node, CAST(sum(e.gs * v.v) AS BIGINT) AS w
+         |  FROM es e JOIN v${r - 1} v ON v.node = e.j GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT), max(abs(w))) AS m FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT node, (CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+         |    CAST((CAST(abs(w) AS HUGEINT) * $S) // m AS BIGINT) AS v
+         |  FROM w$r, m$r)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      s""", s0 AS (
+         |  SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+         |                   FROM v8 WHERE v <> 0 ORDER BY node LIMIT 1), 1) AS s)
+         |SELECT v8.node AS i, v8.v * s0.s AS v_unit,
+         |  CAST((CAST(m8.m AS HUGEINT) * gm.d_div) // $S AS BIGINT) AS lambda_u
+         |FROM v8, s0, m8, gm ORDER BY i""".stripMargin
   }
 
   /** Mirror of ZOrder.zOrderProfile(lineitem, l_partkey, l_suppkey,
@@ -2696,6 +2746,8 @@ object SparkEntry {
         |  CAST(sum(qs[i1]) AS BIGINT) AS q_sum,
         |  min(qs[i1]) AS q_min, max(qs[i1]) AS q_max
         |FROM e GROUP BY 1 ORDER BY i""".stripMargin,
+
+    "q_top_eigenvector" -> powerIterationOracleSql,
 
     "q_near_dup_cosine" -> nearDupCosineLshOracleSql,
 

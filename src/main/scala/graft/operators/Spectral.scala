@@ -67,6 +67,78 @@ object Spectral {
         min(col("q")).as("q_min"), max(col("q")).as("q_max"))
       .orderBy(col("i"))
 
+  /** Distributed fixed-point power iteration over the gram matrix — PCA
+    * stage 2 as a REGISTERED, oracle-checkable query (the driver-side
+    * [[topEigenvector]] stays as the test anchor; this is the shape that
+    * scales when d is large enough that d² driver work matters, and it
+    * keeps the whole pipeline corpus→gram→eigenvector on the cluster).
+    *
+    * Same doctrine as [[GraphRank.weightedPageRank]]: a FIXED number of
+    * rounds of `w ← G'·v` as one broadcast equi-join + one hash
+    * aggregation per round over bounded frames (d² matrix entries, d rank
+    * rows), all arithmetic exact integer so a SQL oracle can unroll the
+    * identical recurrence.
+    *
+    * Determinism mechanics:
+    *  - matrix rescale: G' = sign(g)·(|g| div D) with D = max(1,
+    *    max|g| div 2²⁶) — caps |G'| ≈ 2²⁷ so each round's 64-term integer
+    *    dot products stay ≤ 2²⁷·scale·d ≪ 2⁶³ (no wraparound, mirrored by
+    *    BIGINT lanes in the oracle);
+    *  - renormalization by max-|component| (not L2): v' = sign(w)·
+    *    (|w|·scale div max|w|) — exact integers end to end; the one
+    *    widening (|w|·scale can pass 2⁶³) runs in DECIMAL(38,0) here and
+    *    HUGEINT in DuckDB, truncating division on nonnegative operands is
+    *    engine-independent;
+    *  - final sign convention: the lowest-indexed nonzero component is
+    *    positive (same convention as [[topEigenvector]]).
+    *
+    * Output: one row per dimension (i, v_unit ∈ [−scale, scale],
+    * lambda_u) where lambda_u = (max|w|·D) div scale ≈ the dominant
+    * eigenvalue of the gram matrix in fixed-point units — constant across
+    * rows, carried so the oracle pins the eigenvalue too. */
+  def powerIteration(embeddings: DataFrame, dim: Int = 64, rounds: Int = 8,
+                     scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && scale >= 1)
+    val gram = gramMatrix(embeddings, dim)
+    val sym = gram.select(col("i"), col("j"), col("q_sum").as("g"))
+      .union(gram.where(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("q_sum").as("g")))
+    val gm = sym.agg(greatest(lit(1L),
+      expr("max(abs(g)) div 67108864")).as("d_div"))
+    // d² + 1 rows; materialized once — every round re-joins this frame
+    val edges = sym.crossJoin(broadcast(gm))
+      .select(col("i"), col("j"),
+        (when(col("g") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(g) div d_div")).as("gs"), col("d_div"))
+      .coalesce(1).localCheckpoint()
+    var v = edges.select(col("i").as("node")).distinct()
+      .select(col("node"), lit(scale).as("v"))
+    var lambda = edges.select(lit(0L).as("m"), col("d_div")).limit(1)
+    for (r <- 1 to rounds) {
+      val w = edges
+        .join(broadcast(v.select(col("node").as("j"), col("v").as("vj"))), "j")
+        .groupBy(col("i")).agg(sum(col("gs") * col("vj")).as("w"))
+      val m = w.agg(greatest(lit(1L), max(abs(col("w")))).as("m"))
+      val vn = w.crossJoin(broadcast(m))
+        .select(col("i").as("node"),
+          (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"CAST(abs(w) AS DECIMAL(38,0)) * ${scale}L div m")).as("v"))
+      v = if (r % 2 == 0 || r == rounds) vn.coalesce(1).localCheckpoint() else vn
+      if (r == rounds)
+        lambda = m.crossJoin(broadcast(gm))
+          .select(expr(s"CAST(m AS DECIMAL(38,0)) * d_div div ${scale}L").as("lambda_u"))
+    }
+    // sign convention: flip so the lowest-indexed nonzero component is
+    // positive; agg-on-empty yields null → coalesce to +1 (zero vector)
+    val s0 = v.where(col("v") =!= 0)
+      .agg(coalesce(min_by(when(col("v") < 0, lit(-1L)).otherwise(lit(1L)),
+        col("node")), lit(1L)).as("s0"))
+    v.crossJoin(broadcast(s0)).crossJoin(broadcast(lambda))
+      .select(col("node").as("i"), (col("v") * col("s0")).as("v_unit"),
+        col("lambda_u"))
+      .orderBy(col("i"))
+  }
+
   /** Driver-side power iteration on a collected gram frame (the O(d³) half
     * of the PCA split; d×d fits on any driver). Deterministic: fixed start
     * vector, fixed iteration count, double arithmetic on one thread.

@@ -64,6 +64,32 @@ class SpectralSpec extends SparkSpec {
     assert(v(1) > 0, "sign normalization: first nonzero component positive")
   }
 
+  test("distributed power iteration matches the planted direction and the driver anchor") {
+    val dim = 4
+    val vecs = (0 until 40).map { k =>
+      val sign = if (k % 2 == 0) 1.0f else -1.0f
+      k.toLong -> Array(0.01f * (k % 3), sign * 1.0f, 0.01f * (k % 2), 0.0f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Spectral.powerIteration(df, dim, rounds = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (0L until dim).toSeq)
+    assert(got.map(_._3).distinct.length == 1 && got.head._3 > 0,
+      "lambda_u constant across rows and positive on a nonzero corpus")
+    // compare direction against the driver-side anchor: cosine ≈ 1
+    val gram = Spectral.gramMatrix(df, dim)
+      .select(col("i").cast("int"), col("j").cast("int"), col("q_sum"))
+      .as[(Int, Int, Long)].collect()
+    val anchor = Spectral.topEigenvector(gram, dim)
+    val vd = got.map(_._2.toDouble)
+    val n = math.sqrt(vd.map(x => x * x).sum)
+    val cos = vd.zip(anchor).map { case (a, b) => a / n * b }.sum
+    assert(math.abs(cos) > 0.999, s"distributed vs driver eigenvector cosine $cos")
+    val firstNonzero = vd.find(_ != 0.0)
+    assert(firstNonzero.forall(_ > 0), "sign convention: lowest-indexed nonzero " +
+      s"component positive, got ${vd.toSeq}")
+  }
+
   test("dim stats equal the naive per-coordinate reduction") {
     val vecs = Seq(
       1L -> Array(0.5f, -0.25f, 0.0f),
