@@ -232,6 +232,14 @@ object SparkEntry {
         Dedup.dedupClusters(verifiedPairsShared(s, d)),
         TextAnalysis.qualityUnits(docs))
     }),
+    "q_centrality_survivors" -> ((s, d) => { // survivor = most-central cluster member
+      val pairs = verifiedPairsShared(s, d)
+      Dedup.centralitySurvivors(
+        Dedup.dedupClusters(pairs),
+        GraphRank.pageRanks(pairs.select(col("doc_a").as("item_a"),
+          col("doc_b").as("item_b"), lit(1L).as("pairs"))),
+        TextAnalysis.qualityUnits(Tables.documents(s, d)))
+    }),
     "q_embedding_dedup_clusters" -> ((s, d) => // semantic dedup: ANN pairs -> CC
       Dedup.dedupClusters(
         Similarity.nearDupCosineLshPairs(Tables.embeddings(s, d), 0.4)
@@ -524,6 +532,55 @@ object SparkEntry {
       "SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 50"
   }
 
+  /** Mirror of q_centrality_survivors — composes three already-proven
+    * mirrors: the LSH-verified pair stream, the unrolled CC layers, and a
+    * 10-round UNIT-WEIGHT PageRank over the same pair graph (identical
+    * fixed-point recurrence to [[pageRankOracleSql]], w=1), then picks
+    * each cluster's survivor by (rank DESC, qual_u DESC, doc_id ASC) —
+    * the centrality-first criterion the engine's max_by struct encodes. */
+  private lazy val centralitySurvivorsOracleSql: String = {
+    val S = "1000000000000"
+    val head =
+      s"""dir AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst, CAST(1 AS BIGINT) AS w FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a, CAST(1 AS BIGINT) FROM pairs),
+         |st AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM dir GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+         |r0 AS MATERIALIZED (SELECT src AS node, ($S // n) AS rank FROM st, nn)
+         |""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      s""", r$i AS MATERIALIZED (
+         |  SELECT b.node,
+         |    ((15 * ($S // b.n)) // 100) + (85 * coalesce(c.im, 0)) // 100 AS rank
+         |  FROM (SELECT st.src AS node, nn.n AS n FROM st, nn) b
+         |  LEFT JOIN (
+         |    SELECT d.dst AS node, CAST(sum((r.rank * d.w) // st2.s) AS BIGINT) AS im
+         |    FROM dir d JOIN st st2 ON d.src = st2.src
+         |    JOIN r${i - 1} r ON r.node = d.src
+         |    GROUP BY 1) c ON b.node = c.node)
+         |""".stripMargin
+    }.mkString
+    lshVerifiedPairsCte + ccLayersSql() + ",\n" + head + rounds +
+      """,
+        |qd AS MATERIALIZED (
+        |  SELECT doc_id, CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+        |    + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
+        |    + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS BIGINT) AS qual_u
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)),
+        |members AS (
+        |  SELECT l.doc_id, l.label AS cluster_id, qd.qual_u, r.rank
+        |  FROM l10 l JOIN qd ON qd.doc_id = l.doc_id JOIN r10 r ON r.node = l.doc_id),
+        |rk AS (
+        |  SELECT cluster_id, doc_id, rank, qual_u,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY rank DESC, qual_u DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS sz
+        |  FROM members)
+        |SELECT cluster_id, doc_id AS keep_doc_id, rank AS keep_rank,
+        |  CAST(qual_u AS DOUBLE) / 10000.0 AS keep_quality,
+        |  sz AS members, sz - 1 AS dropped
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
   /** Mirror of Spectral.powerIteration(dim=64, rounds=8, scale=1e6): the
     * gram CTE (same fixed-point codes as q_embedding_gram), the symmetric
     * rescaled matrix G' = sign(g)·(|g| div max(1, max|g| div 2²⁶)), then
@@ -730,7 +787,7 @@ object SparkEntry {
          |  JOIN sets a ON a.doc_id = e.doc_a
          |  JOIN sets b ON b.doc_id = e.doc_b
          |  WHERE e.est_jaccard >= 0.3),
-         |pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
          |""".stripMargin
 
   /** Shared CTE chain of the prefix-filter Jaccard join oracle (mirror of
@@ -2869,6 +2926,8 @@ object SparkEntry {
           |  CAST(max_qual_u AS DOUBLE) / 10000.0 AS keep_quality,
           |  sz AS members, sz - 1 AS dropped
           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
+    "q_centrality_survivors" -> centralitySurvivorsOracleSql,
 
     // Semantic dedup clusters: the multi-table cosine-LSH pair stream
     // (mirror of q_near_dup_cosine) fed through the same unrolled CC.

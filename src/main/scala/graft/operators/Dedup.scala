@@ -700,6 +700,41 @@ object Dedup {
         col("members"), (col("members") - 1).as("dropped"))
       .orderBy(col("cluster_id"))
 
+  /** [[clusterSurvivors]] with graph centrality as the PRIMARY criterion —
+    * the survivor choice PageRank was built for ([[GraphRank]] scaladoc):
+    * within each near-dup cluster keep the member most central to the
+    * near-dup graph (highest fixed-point rank), breaking ties by quality
+    * units then lowest doc_id. Centrality beats raw quality as the
+    * survivor signal when a cluster mixes a canonical page with partial
+    * mirrors: the canonical copy is the one MANY near-dup edges point at,
+    * not necessarily the one with the best stopword ratio.
+    *
+    * Inputs: the (doc_id, cluster_id) assignment, the full (node, rank)
+    * frame from [[GraphRank.pageRanks]] over the SAME pair graph the
+    * clusters came from (so every clustered doc has a rank — both derive
+    * from the identical edge set), and (doc_id, qual_u) integer quality.
+    * The ordering struct (rank, qual_u, −doc_id) is unique per member, so
+    * every max_by is deterministic. Two joins + one groupBy, all
+    * hash-partitioned on doc/cluster ids — scale shape identical to
+    * [[clusterSurvivors]] plus one |V|-row join. */
+  def centralitySurvivors(clusters: DataFrame, ranks: DataFrame,
+                          qualityUnits: DataFrame): DataFrame = {
+    val ord = struct(col("rank"), col("qual_u"), (-col("doc_id")).as("nid"))
+    clusters
+      .join(ranks.select(col("node").as("doc_id"), col("rank")), Seq("doc_id"))
+      .join(qualityUnits, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), ord).as("keep_doc_id"),
+        max_by(col("rank"), ord).as("keep_rank"),
+        max_by(col("qual_u"), ord).as("keep_qual_u"),
+        count(lit(1)).as("members"))
+      .select(col("cluster_id"), col("keep_doc_id"), col("keep_rank"),
+        (col("keep_qual_u").cast("double") / 10000.0).as("keep_quality"),
+        col("members"), (col("members") - 1).as("dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Self-looped undirected edge set for CC — ONE pass over the pair plan
     * (each pair explodes into its two mirror edges plus both self-loops,
     * one distinct). NOT materialized here: callers checkpoint the returned

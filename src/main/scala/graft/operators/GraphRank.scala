@@ -35,7 +35,18 @@ object GraphRank {
     * Returns (node, rank) for the top `k` by (rank desc, node asc). */
   def weightedPageRank(edges: DataFrame, iterations: Int = 10, k: Int = 50,
                        scale: Long = 1000000000000L): DataFrame = {
-    require(iterations >= 1 && k >= 1 && scale >= 1)
+    require(k >= 1)
+    pageRanks(edges, iterations, scale)
+      .orderBy(col("rank").desc, col("node").asc).limit(k)
+  }
+
+  /** The full (node, rank) frame behind [[weightedPageRank]] — for
+    * consumers that need every node's centrality rather than a top-k
+    * (e.g. centrality-weighted survivor selection over a near-dup graph,
+    * where the survivor choice joins ranks back onto cluster members). */
+  def pageRanks(edges: DataFrame, iterations: Int = 10,
+                scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 1)
     val dir = edges.select(col("item_a").cast("long").as("src"),
         col("item_b").cast("long").as("dst"), col("pairs").cast("long").as("w"))
       .union(edges.where(col("item_a") =!= col("item_b"))
@@ -94,7 +105,7 @@ object GraphRank {
           expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
       rank = if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
     }
-    rank.orderBy(col("rank").desc, col("node").asc).limit(k)
+    rank
   }
 
   /** Per-node triangle counts + local clustering coefficient over the same

@@ -186,6 +186,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("centrality survivors: centrality outranks quality, quality breaks rank ties") {
+    // star cluster {1..5}: hub 1 touches every member, leaves only touch
+    // the hub — hub 1 has max centrality despite the WORST quality, so
+    // the centrality-first rule must keep 1 where quality-first keeps a
+    // leaf. Disjoint pair {10,11}: symmetric ranks → quality decides.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.dedupClusters(pairs)
+    val ranks = graft.operators.GraphRank.pageRanks(
+      pairs.select(col("doc_a").as("item_a"), col("doc_b").as("item_b"),
+        lit(1L).as("pairs")))
+    val qual = Seq(1L -> 100L, 2L -> 9000L, 3L -> 8000L, 4L -> 7000L,
+      5L -> 6000L, 10L -> 2000L, 11L -> 5000L).toDF("doc_id", "qual_u")
+    val out = Dedup.centralitySurvivors(clusters, ranks, qual)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("members"),
+          r.getAs[Double]("keep_quality"))).toMap
+    assert(out(1L) == ((1L, 5L, 0.01)),
+      s"star cluster must keep the central hub over higher-quality leaves: $out")
+    assert(out(10L) == ((11L, 2L, 0.5)),
+      s"symmetric pair must fall back to quality: $out")
+    // survivor's rank is the cluster max rank
+    val rankMap = ranks.as[(Long, Long)].collect().toMap
+    assert(rankMap(1L) > rankMap(2L), "hub must out-rank leaves")
+    assert(rankMap(10L) == rankMap(11L), "symmetric pair ranks equal")
+  }
+
   test("dedup clusters: a chain component deeper than any fixed round count converges") {
     // path graph 1-2-3-…-12: diameter 11 — min-label propagation needs 11
     // synchronous rounds to push label 1 to vertex 12; the old fixed
