@@ -35,6 +35,20 @@ object ClickstreamPipeline {
       hourly: (DataFrame, Long) => Unit,
       dashboard: (DataFrame, Long) => Unit)
 
+  /** `landOnce = true` switches the topology from the reference's
+    * 4-cursor fan-out to the land-once shape this file's header recommends
+    * at 100 TB/day: ONE query reads the upstream source and lands parsed
+    * events as a parquet table (the exactly-once file sink with its
+    * `_spark_metadata` commit log — this landing table IS the raw audit;
+    * `SinkSet.raw` is not called in this mode), and sessions / hourly /
+    * dashboard each run as file-stream sources OVER the landed table.
+    * Upstream (Kafka) is read once instead of four times; the derived
+    * cursors list local committed files, which is the cheap side of the
+    * trade. Aggregation plans, triggers, modes and checkpoints are
+    * identical to the fan-out, so sink outputs match up to trigger
+    * timing. `landingDir` defaults to `<checkpointRoot>/landed`; at real
+    * scale point it at the warehouse path (and partition by date —
+    * see Sinks.parquetAppend). */
   final case class Config(
       checkpointRoot: String,
       rawTrigger: Trigger = Trigger.ProcessingTime("90 seconds"),
@@ -42,7 +56,9 @@ object ClickstreamPipeline {
       hourlyTrigger: Trigger = Trigger.ProcessingTime("5 minutes"),
       dashboardTrigger: Trigger = Trigger.ProcessingTime("3 minutes"),
       watermarkSessions: Boolean = false,
-      fixedClock: Option[java.sql.Timestamp] = None)
+      fixedClock: Option[java.sql.Timestamp] = None,
+      landOnce: Boolean = false,
+      landingDir: Option[String] = None)
 
   /** Kafka source (S1) — subscribe/startingOffsets/failOnDataLoss parity
     * with streaming_processor.py:90-107. Offline environments never call
@@ -76,8 +92,17 @@ object ClickstreamPipeline {
             .cast("decimal(10,2)").as("total_purchase_amount"))
         .drop("sw"))
 
-  /** Start the 4-query fan-out; returns the queries (caller awaits). */
-  def start(kafkaShaped: DataFrame, sinks: SinkSet, cfg: Config): Seq[StreamingQuery] = {
+  /** Start the pipeline; returns the queries (caller awaits). The first
+    * returned query is always the one reading the upstream source, so a
+    * test draining with `qs.foreach(_.processAllAvailable())` lands data
+    * before the derived queries poll for it (land-once mode). */
+  def start(kafkaShaped: DataFrame, sinks: SinkSet, cfg: Config): Seq[StreamingQuery] =
+    if (cfg.landOnce) startLandOnce(kafkaShaped, sinks, cfg)
+    else startFanOut(kafkaShaped, sinks, cfg)
+
+  /** Reference topology: 4 concurrent queries, each with its own cursor
+    * into the upstream source (the reference's visible semantics). */
+  private def startFanOut(kafkaShaped: DataFrame, sinks: SinkSet, cfg: Config): Seq[StreamingQuery] = {
     val parsed = Parse.parse(kafkaShaped, cfg.fixedClock)
 
     val raw = parsed.writeStream.queryName("raw_audit")
@@ -115,6 +140,55 @@ object ClickstreamPipeline {
       .start()
 
     Seq(raw, sessions, hourly, dashboard)
+  }
+
+  /** Land-once topology (see [[Config.landOnce]]): source → parquet
+    * landing table (exactly-once file sink) → three file-stream readers.
+    * The derived sources read the landing's `_spark_metadata` commit log,
+    * so they only ever see files the landing query has committed —
+    * exactly-once composes across the hop. */
+  private def startLandOnce(kafkaShaped: DataFrame, sinks: SinkSet, cfg: Config): Seq[StreamingQuery] = {
+    val spark = kafkaShaped.sparkSession
+    val parsed = Parse.parse(kafkaShaped, cfg.fixedClock)
+    val landing = cfg.landingDir.getOrElse(s"${cfg.checkpointRoot}/landed")
+    // the file-stream sources need the directory to exist before first poll
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+
+    val land = parsed.writeStream.queryName("raw_landing")
+      .format("parquet")
+      .option("path", landing)
+      .outputMode(OutputMode.Append)
+      .trigger(cfg.rawTrigger)
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/raw")
+      .start()
+
+    def landed: DataFrame = spark.readStream.schema(parsed.schema).parquet(landing)
+
+    val sessionDf =
+      if (cfg.watermarkSessions) sessionAggWatermarked(landed)
+      else Parse.sessionAgg(landed)
+    val sessions = sessionDf.writeStream.queryName("session_metrics")
+      .outputMode(if (cfg.watermarkSessions) OutputMode.Append else OutputMode.Update)
+      .trigger(cfg.sessionTrigger)
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/sessions")
+      .foreachBatch(sinks.sessions)
+      .start()
+
+    val hourly = Parse.hourlyAgg(landed).writeStream.queryName("hourly_metrics")
+      .outputMode(OutputMode.Append)
+      .trigger(cfg.hourlyTrigger)
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/hourly")
+      .foreachBatch(sinks.hourly)
+      .start()
+
+    val dashboard = landed.writeStream.queryName("dashboard_metrics")
+      .outputMode(OutputMode.Update)
+      .trigger(cfg.dashboardTrigger)
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/dashboard")
+      .foreachBatch((df: DataFrame, id: Long) => sinks.dashboard(Parse.dashboardKpis(df), id))
+      .start()
+
+    Seq(land, sessions, hourly, dashboard)
   }
 
   /** Run until any query terminates (fail-fast, unlike the reference). */

@@ -91,6 +91,51 @@ class StreamingSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("land-once mode lands raw exactly once and matches the fan-out's final session state") {
+    implicit val sq = spark.sqlContext
+    val clock = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    // run the SAME seeded wire data through both topologies; the final
+    // per-session aggregates must be identical (update-mode row COUNTS may
+    // differ with trigger timing — last-write-wins state may not)
+    def run(landOnce: Boolean): (Long, Map[String, (Long, Long, Long, String)]) = {
+      val gen  = new EventGenerator(seed = 7)
+      val wire = gen.asWire(spark, 500).withColumn("timestamp", lit(clock)).collect()
+      val mem  = MemoryStream[(String, String, java.sql.Timestamp)]
+      mem.addData(wire.map(r => (r.getString(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2))).toSeq)
+      val kafkaShaped = mem.toDF().toDF("key", "value", "timestamp")
+      val rawSink = new java.util.concurrent.atomic.AtomicLong()
+      val sessionsFinal = scala.collection.concurrent.TrieMap[String, (Long, Long, Long, String)]()
+      val ckpt = Files.createTempDirectory(if (landOnce) "graft_lo" else "graft_fo").toString
+      val qs = ClickstreamPipeline.start(kafkaShaped,
+        ClickstreamPipeline.SinkSet(
+          (df, _) => { rawSink.addAndGet(df.count()); () },
+          (df, _) => df.select("session_id", "total_events", "page_views", "purchases",
+              "total_purchase_amount").collect().foreach(r =>
+              sessionsFinal(r.getString(0)) = (r.getLong(1), r.getLong(2), r.getLong(3),
+                String.valueOf(r.getDecimal(4)))),
+          (df, _) => { df.count(); () },
+          (df, _) => { df.count(); () }),
+        ClickstreamPipeline.Config(ckpt,
+          rawTrigger = Trigger.ProcessingTime(0), sessionTrigger = Trigger.ProcessingTime(0),
+          hourlyTrigger = Trigger.ProcessingTime(0), dashboardTrigger = Trigger.ProcessingTime(0),
+          fixedClock = Some(clock), landOnce = landOnce))
+      try { (1 to 2).foreach(_ => qs.foreach(_.processAllAvailable())) }
+      finally qs.foreach(_.stop())
+      // in land-once mode the parquet landing table IS the raw audit
+      val audited =
+        if (landOnce) spark.read.parquet(s"$ckpt/landed").count() else rawSink.get()
+      (audited, sessionsFinal.toMap)
+    }
+    val (fanAudited, fanSessions) = run(landOnce = false)
+    val (loAudited, loSessions)   = run(landOnce = true)
+    assert(fanAudited > 400 && loAudited == fanAudited,
+      s"landed table must audit every event exactly once: $loAudited vs $fanAudited")
+    assert(loSessions == fanSessions,
+      "final per-session state must be identical across topologies")
+    assert(loSessions.nonEmpty)
+  }
+
   test("streaming dedup within watermark drops redelivered events, keeps state bounded") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
