@@ -51,6 +51,33 @@ object StreamingHourly {
       d.toString
     }
 
+  /** Side-specific staged slice: events of ONE type, for queries that only
+    * consume that side (the stream-stream interval joins read purchases and
+    * views — 40% of the corpus; scanning the full staged table on BOTH
+    * sides of a self-join decodes 200%). This is materialized predicate
+    * pushdown at staging time: the filter commutes with everything
+    * downstream (each side filtered before its watermark either way), so
+    * results are bit-identical — only the per-micro-batch scan shrinks.
+    * Fewer slices than the full table: each side is ~1/5 the rows. */
+  private[streaming] def stagedTypeDir(spark: SparkSession, dir: String, eventType: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      val src = Paths.get(s"$dir/events.parquet")
+      val d   = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${Integer.toHexString(dir.hashCode)}_$eventType")
+      val marker = d.resolve("_staged")
+      val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:4"
+      val valid = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == stamp
+      if (!valid) {
+        spark.read.parquet(src.toString)
+          .where(org.apache.spark.sql.functions.col("event_type") === eventType)
+          .repartition(4).write.mode("overwrite").parquet(d.toString)
+        Files.write(marker, stamp.getBytes("UTF-8"))
+      }
+      d.toString
+    }
+
   /** Staged-source schema, cached per path: every oracle streaming query
     * pays a batch footer-read just to declare the file-stream schema, and
     * the staged testdata is immutable — one read per path per JVM serves

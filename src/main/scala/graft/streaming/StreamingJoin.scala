@@ -46,17 +46,23 @@ object StreamingJoin {
     runJoin(spark, dir, "full_outer")
 
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
-    val path   = StreamingHourly.stagedEventsDir(spark, dir)
-    val schema = StreamingHourly.stagedSchema(spark, path)
-    val stream = spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
-      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
-
-    val purchases = stream.where(col("event_type") === "purchase")
+    // per-side staged slices (materialized predicate pushdown): each side
+    // scans only its own event type instead of both sides decoding the
+    // whole table — identical results, 40% of the scan volume. The
+    // defensive `where` stays (it rides the parquet scan for free).
+    def side(eventType: String): DataFrame = {
+      val path   = StreamingHourly.stagedTypeDir(spark, dir, eventType)
+      val schema = StreamingHourly.stagedSchema(spark, path)
+      spark.readStream.schema(schema).parquet(path)
+        .where(col("event_type") === eventType)
+        .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
+        .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+    }
+    val purchases = side("purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts_sec").as("p_sec"), col("event_time").as("p_time"))
       .withWatermark("p_time", "600 seconds")
-    val views = stream.where(col("event_type") === "view")
+    val views = side("view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts_sec").as("v_sec"), col("event_time").as("v_time"))
       .withWatermark("v_time", "600 seconds")
