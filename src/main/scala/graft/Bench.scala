@@ -22,8 +22,17 @@ object Bench {
     // sibling scale factor is worth streaming end-to-end
     if (warmDir != sfDir) {
       System.err.println(s"[bench] streaming warm-up on $warmDir")
-      try graft.streaming.StreamingSessions.closedSessions(spark, warmDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] streaming warm-up skipped: $e") }
+      // cover each stateful-operator family once: session-window agg,
+      // symmetric hash join (outer paths), and streaming dedup each load
+      // and JIT their own exec classes — warming only sessions left the
+      // first join/dedup rep paying ~0.5-1 s of one-time compilation
+      def warm(label: String)(f: => Long): Unit =
+        try { f; () } catch {
+          case e: Throwable => System.err.println(s"[bench] $label warm-up skipped: $e")
+        }
+      warm("sessions")(graft.streaming.StreamingSessions.closedSessions(spark, warmDir).count())
+      warm("join")(graft.streaming.StreamingJoin.purchaseViewPairsFull(spark, warmDir).count())
+      warm("dedup")(graft.streaming.StreamingDedup.dedupedTypeCounts(spark, warmDir).count())
     } else System.err.println(
       s"[bench] no smaller sibling of $sfDir; skipping streaming warm-up")
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the run for local iteration;
