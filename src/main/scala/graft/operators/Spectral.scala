@@ -99,7 +99,11 @@ object Spectral {
   def powerIteration(embeddings: DataFrame, dim: Int = 64, rounds: Int = 8,
                      scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1 && scale >= 1)
-    val gram = gramMatrix(embeddings, dim)
+    // materialize the corpus-wide aggregate ONCE: sym references the gram
+    // twice (the union) and gm/edges re-derive sym again — without this
+    // checkpoint the one edges materialization runs the full-corpus
+    // ObjectHashAggregate four times for a d²-row result
+    val gram = gramMatrix(embeddings, dim).coalesce(1).localCheckpoint()
     val sym = gram.select(col("i"), col("j"), col("q_sum").as("g"))
       .union(gram.where(col("i") < col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("q_sum").as("g")))
@@ -113,21 +117,39 @@ object Spectral {
       .coalesce(1).localCheckpoint()
     var v = edges.select(col("i").as("node")).distinct()
       .select(col("node"), lit(scale).as("v"))
-    var lambda = edges.select(lit(0L).as("m"), col("d_div")).limit(1)
+    var lastW = v.select(col("node").as("i"), col("v").as("w")) // replaced below
     for (r <- 1 to rounds) {
+      // repartition(1, i) BEFORE the agg: it satisfies the aggregation's
+      // required distribution, so the d-group agg runs as one task instead
+      // of fanning a 64-row frame across the session's 32 shuffle
+      // partitions every round (the shuffle machinery, not the sums, was
+      // the round cost; on a big-d cluster raise the partition count with
+      // the frame size)
       val w = edges
         .join(broadcast(v.select(col("node").as("j"), col("v").as("vj"))), "j")
+        .repartition(1, col("i"))
         .groupBy(col("i")).agg(sum(col("gs") * col("vj")).as("w"))
-      val m = w.agg(greatest(lit(1L), max(abs(col("w")))).as("m"))
-      val vn = w.crossJoin(broadcast(m))
+      // renormalization max as an empty-frame window, not a separate agg:
+      // an agg + crossJoin(broadcast) here costs one extra Spark job per
+      // round (8 driver round-trips per query); the window computes the
+      // identical integer max inside the same job the checkpoint runs.
+      // The d-row frame sits in one partition after coalesce, so the
+      // global window is a non-event at any dimension this engine targets.
+      val vn = w.coalesce(1)
         .select(col("i").as("node"),
           (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"CAST(abs(w) AS DECIMAL(38,0)) * ${scale}L div m")).as("v"))
-      v = if (r % 2 == 0 || r == rounds) vn.coalesce(1).localCheckpoint() else vn
-      if (r == rounds)
-        lambda = m.crossJoin(broadcast(gm))
-          .select(expr(s"CAST(m AS DECIMAL(38,0)) * d_div div ${scale}L").as("lambda_u"))
+            expr(s"CAST(abs(w) AS DECIMAL(38,0)) * ${scale}L" +
+              " div greatest(max(abs(w)) OVER (), 1L)")).as("v"))
+      v = if (r % 2 == 0 || r == rounds) vn.localCheckpoint() else vn
+      if (r == rounds) lastW = w
     }
+    // the final round's max|w| (the eigenvalue proxy) is re-derived from
+    // the last w frame — one shallow job over the round-8 checkpointed
+    // inputs; the normalized v cannot recover it (its max is scale by
+    // construction)
+    val lambda = lastW.agg(greatest(lit(1L), max(abs(col("w")))).as("m"))
+      .crossJoin(broadcast(gm))
+      .select(expr(s"CAST(m AS DECIMAL(38,0)) * d_div div ${scale}L").as("lambda_u"))
     // sign convention: flip so the lowest-indexed nonzero component is
     // positive; agg-on-empty yields null → coalesce to +1 (zero vector)
     val s0 = v.where(col("v") =!= 0)
