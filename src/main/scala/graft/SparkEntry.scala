@@ -310,6 +310,10 @@ object SparkEntry {
       Spectral.dimStats(Tables.embeddings(s, d))),
     "q_top_eigenvector" -> ((s, d) => // distributed PCA stage 2: fixed-point power iteration
       Spectral.powerIteration(Tables.embeddings(s, d), 64)),
+    "q_dim_correlations" -> ((s, d) => // dimension-redundancy census from exact moments
+      Spectral.dimCorrelations(Tables.embeddings(s, d), 64)),
+    "q_pca_scores" -> ((s, d) => // PCA reduce step: signed log2 projection histogram
+      Spectral.pcaScoreHistogram(Tables.embeddings(s, d), 64)),
     "q_near_dup_cosine" -> ((s, d) => // multi-table LSH candidates + exact verify
       Similarity.nearDupCosineLsh(Tables.embeddings(s, d), 0.4)),
     "q_knn_graph" -> ((s, d) => // kNN-graph build over LSH-verified candidates
@@ -588,7 +592,13 @@ object SparkEntry {
     * — generated by the same loop bound the engine runs. The |w|·1e6
     * widening runs in HUGEINT here and DECIMAL(38,0) in the engine;
     * truncating division on nonnegative operands agrees everywhere. */
-  private lazy val powerIterationOracleSql: String = {
+  private lazy val powerIterationOracleSql: String =
+    powerIterationCte + powerIterationFinalSelect
+
+  /** Everything through the converged v8/m8 plus the sign CTE — shared by
+    * the eigenvector oracle and the PCA-scores oracle that projects onto
+    * it. */
+  private lazy val powerIterationCte: String = {
     val S = 1000000L
     val head =
       s"""WITH q AS (
@@ -621,13 +631,65 @@ object SparkEntry {
          |""".stripMargin
     }.mkString
     head + rounds +
-      s""", s0 AS (
+      """, s0 AS (
          |  SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
          |                   FROM v8 WHERE v <> 0 ORDER BY node LIMIT 1), 1) AS s)
-         |SELECT v8.node AS i, v8.v * s0.s AS v_unit,
-         |  CAST((CAST(m8.m AS HUGEINT) * gm.d_div) // $S AS BIGINT) AS lambda_u
-         |FROM v8, s0, m8, gm ORDER BY i""".stripMargin
+         |""".stripMargin
   }
+
+  private lazy val powerIterationFinalSelect: String =
+    """SELECT v8.node AS i, v8.v * s0.s AS v_unit,
+      |  CAST((CAST(m8.m AS HUGEINT) * gm.d_div) // 1000000 AS BIGINT) AS lambda_u
+      |FROM v8, s0, m8, gm ORDER BY i""".stripMargin
+
+  /** Mirror of Spectral.pcaScoreHistogram: the power-iteration chain, the
+    * per-vector exact integer projection Σ qₖ·v_unitₖ, then the signed
+    * ⌊log₂⌋ bucket census (`length(bin(|s|)) − 1`, the key-skew idiom). */
+  private lazy val pcaScoresOracleSql: String =
+    powerIterationCte +
+      """, vec AS MATERIALIZED (SELECT v8.node AS i, v8.v * s0.s AS v_unit FROM v8, s0),
+        |sc AS MATERIALIZED (
+        |  SELECT e.vec_id, CAST(sum(e.qs[e.i1] * vv.v_unit) AS BIGINT) AS score
+        |  FROM e JOIN vec vv ON vv.i = e.i1 - 1 GROUP BY 1)
+        |SELECT CASE WHEN score = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE (CASE WHEN score < 0 THEN -1 ELSE 1 END)
+        |                 * CAST(length(bin(abs(score))) - 1 AS BIGINT) END AS log2_bucket,
+        |  count(*) AS n_vecs, CAST(sum(score) AS BIGINT) AS score_sum
+        |FROM sc GROUP BY 1 ORDER BY log2_bucket""".stripMargin
+
+  /** Mirror of Spectral.dimCorrelations: the same gram + per-dim moment
+    * CTEs in HUGEINT lanes, then ONE divide/√/floor-quantize IEEE
+    * sequence per pair — identical op order to the engine expression. */
+  private lazy val dimCorrelationsOracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS qs
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, qs, unnest(range(1, len(qs) + 1)) AS i1 FROM q),
+      |gr AS MATERIALIZED (
+      |  SELECT CAST(a.i1 - 1 AS BIGINT) AS i, CAST(b.i1 - 1 AS BIGINT) AS j,
+      |    CAST(sum(a.qs[a.i1] * b.qs[b.i1]) AS BIGINT) AS g
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i1 <= b.i1
+      |  GROUP BY 1, 2),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |s1 AS MATERIALIZED (
+      |  SELECT CAST(i1 - 1 AS BIGINT) AS k, CAST(sum(qs[i1]) AS BIGINT) AS s1
+      |  FROM e GROUP BY 1),
+      |diag AS MATERIALIZED (SELECT i AS k, g AS s2 FROM gr WHERE i = j)
+      |SELECT p.i, p.j,
+      |  CASE WHEN (CAST(nn.n AS HUGEINT) * di.s2 - CAST(ai.s1 AS HUGEINT) * ai.s1) > 0
+      |        AND (CAST(nn.n AS HUGEINT) * dj.s2 - CAST(aj.s1 AS HUGEINT) * aj.s1) > 0
+      |  THEN CAST(floor(
+      |    CAST(CAST(nn.n AS HUGEINT) * p.g - CAST(ai.s1 AS HUGEINT) * aj.s1 AS DOUBLE)
+      |    / sqrt(CAST(CAST(nn.n AS HUGEINT) * di.s2 - CAST(ai.s1 AS HUGEINT) * ai.s1 AS DOUBLE)
+      |         * CAST(CAST(nn.n AS HUGEINT) * dj.s2 - CAST(aj.s1 AS HUGEINT) * aj.s1 AS DOUBLE))
+      |    * 10000.0) AS BIGINT)
+      |  ELSE CAST(0 AS BIGINT) END AS corr_u
+      |FROM gr p
+      |JOIN diag di ON di.k = p.i JOIN diag dj ON dj.k = p.j
+      |JOIN s1 ai ON ai.k = p.i JOIN s1 aj ON aj.k = p.j, nn
+      |WHERE p.i < p.j
+      |ORDER BY p.i, p.j""".stripMargin
 
   /** Mirror of ZOrder.zOrderProfile(lineitem, l_partkey, l_suppkey,
     * bits=16, buckets=256): generated from the same loop bounds as the
@@ -2805,6 +2867,8 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY i""".stripMargin,
 
     "q_top_eigenvector" -> powerIterationOracleSql,
+    "q_dim_correlations" -> dimCorrelationsOracleSql,
+    "q_pca_scores" -> pcaScoresOracleSql,
 
     "q_near_dup_cosine" -> nearDupCosineLshOracleSql,
 

@@ -161,6 +161,67 @@ object Spectral {
       .orderBy(col("i"))
   }
 
+  /** Pearson correlation census of the embedding dimensions — the
+    * redundancy check run before trusting (or pruning) an embedding
+    * space: highly correlated coordinate pairs mean wasted dimensions.
+    * corr(i,j) = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / √((n·Σqᵢ² − (Σqᵢ)²)(n·Σqⱼ² −
+    * (Σqⱼ)²)) over the same global fixed-point codes as the gram, so
+    * every moment is an exact integer: the numerator and both variance
+    * terms compute in DECIMAL(38,0) lanes (HUGEINT in the oracle), and
+    * the only float work is ONE divide/√/floor-quantize sequence per
+    * pair, mirrored verbatim. Zero-variance dimensions report 0.
+    *
+    * Scale shape: two corpus passes (gram aggregate + per-dim sums — both
+    * corpus-size-independent shuffles), then all joins are broadcasts of
+    * d-row frames onto the d²/2-row pair frame. */
+  def dimCorrelations(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val gram = gramMatrix(embeddings, dim).coalesce(1).localCheckpoint()
+    val diag = gram.where(col("i") === col("j"))
+      .select(col("i").as("k"), col("q_sum").as("s2"))
+    val sums = dimStats(embeddings).select(col("i").as("k"), col("q_sum").as("s1"))
+    gram.where(col("i") < col("j"))
+      .join(broadcast(diag.select(col("k").as("i"), col("s2").as("s2i"))), Seq("i"))
+      .join(broadcast(diag.select(col("k").as("j"), col("s2").as("s2j"))), Seq("j"))
+      .join(broadcast(sums.select(col("k").as("i"), col("s1").as("s1i"))), Seq("i"))
+      .join(broadcast(sums.select(col("k").as("j"), col("s1").as("s1j"))), Seq("j"))
+      .select(col("i"), col("j"), expr(
+        """CASE WHEN (CAST(n_vecs AS DECIMAL(38,0)) * s2i - CAST(s1i AS DECIMAL(38,0)) * s1i) > 0
+          |       AND (CAST(n_vecs AS DECIMAL(38,0)) * s2j - CAST(s1j AS DECIMAL(38,0)) * s1j) > 0
+          |  THEN CAST(floor(
+          |    CAST(CAST(n_vecs AS DECIMAL(38,0)) * q_sum - CAST(s1i AS DECIMAL(38,0)) * s1j AS DOUBLE)
+          |    / sqrt(CAST(CAST(n_vecs AS DECIMAL(38,0)) * s2i - CAST(s1i AS DECIMAL(38,0)) * s1i AS DOUBLE)
+          |         * CAST(CAST(n_vecs AS DECIMAL(38,0)) * s2j - CAST(s1j AS DECIMAL(38,0)) * s1j AS DOUBLE))
+          |    * 10000.0) AS BIGINT)
+          |  ELSE 0 END""".stripMargin).as("corr_u"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** PCA "reduce" action step: project every vector onto the
+    * [[powerIteration]] dominant eigenvector and report the score
+    * distribution as a signed ⌊log₂⌋ histogram (≤ ~80 rows at any corpus
+    * size — the same bounded-census doctrine as the key-skew and latency
+    * histograms). Scores are exact integers (code units × eigenvector
+    * units, ≤ 2⁶³ headroom documented at both scales), so the census is
+    * bit-reproducible; bucket = sign · (length(bin(|score|)) − 1).
+    *
+    * Scale shape: the eigenvector is a d-row broadcast; scoring is
+    * explode → map-side-combined per-vector sum (shuffle |vecs| rows) →
+    * bounded bucket agg. */
+  def pcaScoreHistogram(embeddings: DataFrame, dim: Int = 64, rounds: Int = 8): DataFrame = {
+    val v = powerIteration(embeddings, dim, rounds).select(col("i"), col("v_unit"))
+    val codes = embeddings.select(col("vec_id"),
+      posexplode(fixedPoint(col("embedding"))).as(Seq("i", "q")))
+    val scores = codes.join(broadcast(v), Seq("i"))
+      .groupBy(col("vec_id")).agg(sum(col("q") * col("v_unit")).as("score"))
+    scores
+      .groupBy(when(col("score") === 0, lit(0L))
+        .otherwise(when(col("score") < 0, lit(-1L)).otherwise(lit(1L)) *
+          (length(bin(abs(col("score")))) - 1).cast("long"))
+        .as("log2_bucket"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("score")).as("score_sum"))
+      .orderBy(col("log2_bucket"))
+  }
+
   /** Driver-side power iteration on a collected gram frame (the O(d³) half
     * of the PCA split; d×d fits on any driver). Deterministic: fixed start
     * vector, fixed iteration count, double arithmetic on one thread.

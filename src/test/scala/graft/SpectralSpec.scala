@@ -90,6 +90,44 @@ class SpectralSpec extends SparkSpec {
       s"component positive, got ${vd.toSeq}")
   }
 
+  test("dim correlations: perfect/anti/zero-variance dimensions pin the quantized corr") {
+    // dim1 = dim0 (corr exactly 1), dim2 = -dim0 (corr ≈ -1 up to the
+    // floor-code asymmetry ⌊-x⌋ = -⌈x⌉), dim3 constant (variance 0 → 0)
+    val vecs = Seq(0.1f, 0.4f, -0.3f, 0.2f, -0.5f).zipWithIndex.map { case (x, k) =>
+      k.toLong -> Array(x, x, -x, 0.25f)
+    }
+    val m = Spectral.dimCorrelations(vecs.toDF("vec_id", "embedding"), 4)
+      .as[(Long, Long, Long)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(m.size == 6, s"expected all 6 pairs, got $m")
+    assert(m((0L, 1L)) == 10000L, s"identical dims must quantize to 10000: $m")
+    assert(m((0L, 2L)) <= -9999L, s"negated dims must be ≈ -1: $m")
+    assert(m((0L, 3L)) == 0L && m((1L, 3L)) == 0L && m((2L, 3L)) == 0L,
+      s"zero-variance dim must report 0: $m")
+  }
+
+  test("pca score histogram: census conserves the corpus and matches naive bucketing") {
+    val vecs = (0 until 30).map { k =>
+      val sign = if (k % 2 == 0) 1.0f else -1.0f
+      k.toLong -> Array(0.02f * (k % 5), sign * (0.5f + 0.01f * (k % 3)), 0.0f, 0.01f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val hist = Spectral.pcaScoreHistogram(df, 4, rounds = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(hist.map(_._2).sum == vecs.size, "every vector lands in exactly one bucket")
+    // recompute scores from the engine's own eigenvector, bucket naively
+    val v = Spectral.powerIteration(df, 4, rounds = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1.toInt -> r._2).toMap
+    val naive = vecs.map { case (_, emb) =>
+      val q = emb.map(x => math.floor(x.toDouble * Spectral.FixedPointScale).toLong)
+      q.indices.map(i => q(i) * v(i)).sum
+    }.groupBy { s =>
+      if (s == 0L) 0L
+      else (if (s < 0) -1L else 1L) * (63 - java.lang.Long.numberOfLeadingZeros(math.abs(s)))
+    }.view.mapValues(ss => (ss.size.toLong, ss.sum)).toMap
+    val got = hist.map { case (b, n, sum) => b -> ((n, sum)) }.toMap
+    assert(got == naive, s"histogram $got != naive $naive")
+  }
+
   test("dim stats equal the naive per-coordinate reduction") {
     val vecs = Seq(
       1L -> Array(0.5f, -0.25f, 0.0f),
