@@ -361,6 +361,8 @@ object SparkEntry {
       ZOrder.zOrderProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_triangle_census" -> ((s, d) => // degree-oriented wedge-join triangles
       GraphRank.triangleCounts(cooccurrenceShared(s, d))),
+    "q_entity_reachability" -> ((s, d) => // multi-source BFS distance census
+      GraphRank.bfsDistances(cooccurrenceShared(s, d))),
     "q_type_transitions" -> ((s, d) => // per-user Markov bigram matrix
       EventAnalytics.typeTransitions(Tables.events(s, d))),
     "q_curation_funnel" -> ((s, d) => // end-to-end pipeline drop census
@@ -534,6 +536,44 @@ object SparkEntry {
     }.mkString
     head + rounds +
       "SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 50"
+  }
+
+  /** Mirror of GraphRank.bfsDistances(seeds=3, hops=4): the graph CTE,
+    * both edge directions, the 3 strongest seeds, then four UNROLLED
+    * rounds of packed-label min propagation (`dist·2⁴⁰ + root`, min =
+    * lexicographic (dist, root)) — generated by the same loop bound the
+    * engine runs. Unreached nodes report dist = root = −1. */
+  private lazy val bfsOracleSql: String = {
+    val P = (1L << 40).toString
+    val head = cooccurrenceGraphCte +
+      s""", dir AS (
+         |  SELECT item_a AS src, item_b AS dst, pairs AS w FROM g
+         |  UNION ALL
+         |  SELECT item_b, item_a, pairs FROM g WHERE item_a <> item_b),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM dir GROUP BY 1),
+         |sd AS (SELECT src AS node FROM st ORDER BY s DESC, src LIMIT 3),
+         |b0 AS (SELECT node, CAST(node AS BIGINT) AS packed FROM sd)
+         |""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s""", b$i AS (
+         |  SELECT node, min(packed) AS packed FROM (
+         |    SELECT node, packed FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT d.dst AS node, b.packed + $P
+         |    FROM dir d JOIN b${i - 1} b ON b.node = d.src)
+         |  GROUP BY 1)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""SELECT root, dist, count(*) AS nodes,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM (
+         |  SELECT a.node,
+         |    CASE WHEN b.packed IS NULL THEN -1 ELSE b.packed // $P END AS dist,
+         |    CASE WHEN b.packed IS NULL THEN -1 ELSE b.packed % $P END AS root
+         |  FROM (SELECT src AS node FROM st) a
+         |  LEFT JOIN b4 b ON a.node = b.node)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** Mirror of q_centrality_survivors — composes three already-proven
@@ -2545,6 +2585,7 @@ object SparkEntry {
     // Mirror of GraphRank.weightedPageRank over the same graph: 10 unrolled
     // fixed-point rounds — every operation integer, so ranks are bit-equal.
     "q_entity_pagerank" -> pageRankOracleSql,
+    "q_entity_reachability" -> bfsOracleSql,
 
     // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer
     // bit arithmetic via // 2^i % 2 — identical z in any engine.

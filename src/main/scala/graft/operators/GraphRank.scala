@@ -108,6 +108,66 @@ object GraphRank {
     rank
   }
 
+  /** Multi-source BFS distance census over the same undirected weighted
+    * edge list — the reachability/radius diagnostic completing the graph
+    * family (PageRank = centrality, triangles = density, CC = components,
+    * this = distance): from the `seeds` highest-strength entities, the
+    * minimum hop count to every node within `hops` rounds, attributed to
+    * the NEAREST seed (ties → smallest seed id).
+    *
+    * Scale shape — frontier-free label-min propagation, the Pregel BFS as
+    * joins: per round ONE equi-join (current best labels onto out-edges)
+    * plus ONE min-aggregation by target. (dist, root) pairs are packed
+    * into a single long `dist·2⁴⁰ + root` so lexicographic (dist, root)
+    * minimization is a plain `min(packed)` — integer, bit-reproducible,
+    * same-packing mirrored by the SQL oracle. Round count is FIXED (the
+    * oracle unrolls the same rounds — the PageRank doctrine); nodes not
+    * reached within `hops` report dist = −1 rather than extending the
+    * loop, so the result is well-defined at every scale factor.
+    *
+    * Output is the bounded census (root, dist) → node count + id range:
+    * ≤ seeds·(hops+1)+1 rows at any graph size. Requires node ids < 2⁴⁰
+    * (entity vocabularies are; checked). */
+  def bfsDistances(edges: DataFrame, seeds: Int = 3, hops: Int = 4): DataFrame = {
+    require(seeds >= 1 && hops >= 1)
+    val Pack = 1L << 40
+    val dir = edges.select(col("item_a").cast("long").as("src"),
+        col("item_b").cast("long").as("dst"), col("pairs").cast("long").as("w"))
+      .union(edges.where(col("item_a") =!= col("item_b"))
+        .select(col("item_b").cast("long").as("src"),
+          col("item_a").cast("long").as("dst"), col("pairs").cast("long").as("w")))
+    val strength = dir.groupBy(col("src")).agg(sum(col("w")).as("s"))
+    val maxId = strength.agg(max(col("src"))).head().getLong(0)
+    require(maxId < Pack, s"bfsDistances: node id $maxId >= 2^40 breaks the (dist,root) packing")
+    // seed labels: dist 0, root = self → packed = node id
+    val seedDF = strength.orderBy(col("s").desc, col("src").asc).limit(seeds)
+      .select(col("src").as("node"))
+    // propagation graph: (src, dst) only — w already folded into seed choice
+    val edgesCk = dir.select(col("src"), col("dst")).coalesce(8).localCheckpoint()
+    var best = seedDF.select(col("node"), col("node").as("packed"))
+      .coalesce(1).localCheckpoint()
+    for (i <- 1 to hops) {
+      // labels are |reached| ≤ |V| rows — broadcast onto the edge list (same
+      // vocabulary-bounded argument as the PageRank rank frame; for a
+      // billion-node graph drop the hint and shuffle-hash on the node id)
+      val prop = edgesCk
+        .join(broadcast(best.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("packed") + Pack).as("packed"))
+      val next = best.union(prop)
+        .groupBy(col("node")).agg(min(col("packed")).as("packed"))
+      best = if (i % 2 == 0 || i == hops) next.coalesce(4).localCheckpoint() else next
+    }
+    strength.select(col("src").as("node"))
+      .join(best, Seq("node"), "left")
+      .select(col("node"),
+        when(col("packed").isNull, lit(-1L)).otherwise(expr(s"packed div ${Pack}L")).as("dist"),
+        when(col("packed").isNull, lit(-1L)).otherwise(expr(s"packed % ${Pack}L")).as("root"))
+      .groupBy(col("root"), col("dist"))
+      .agg(count(lit(1)).as("nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(col("root"), col("dist"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over the same
     * undirected edge list — the community-density diagnostic (how cliquish
     * is each entity's neighborhood).

@@ -286,6 +286,45 @@ class OperatorSpec extends SparkSpec {
       s"mass drifted implausibly: $total of $scale")
   }
 
+  test("bfs distances: crafted path graph and naive BFS equality on the real graph") {
+    // path 1-2-3-4-5-6, heavy (1,2) edge: node 2's strength 11 (10+1) tops
+    // node 1's 10, so the single seed is 2; hops=2 reaches {1,2,3,4}
+    // (dist 1 = {1,3}, dist 2 = {4}); 5,6 stay unreached (dist/root −1)
+    val path = Seq((1L, 2L, 10L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L))
+      .toDF("item_a", "item_b", "pairs")
+    val got = GraphRank.bfsDistances(path, seeds = 1, hops = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (-1L, -1L, 2L, 5L, 6L),
+      (2L, 0L, 1L, 2L, 2L), (2L, 1L, 2L, 1L, 3L), (2L, 2L, 1L, 4L, 4L)), s"got $got")
+    // real graph: census equals a naive driver-side multi-source BFS
+    val edges = EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2)
+    val e = edges.as[(Long, Long, Long)].collect()
+    val adj = e.flatMap { case (a, b, _) =>
+      if (a == b) Seq(a -> b) else Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val strength = e.flatMap { case (a, b, w) =>
+      if (a == b) Seq(a -> w) else Seq(a -> w, b -> w) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val seeds = strength.toSeq.sortBy { case (n, s) => (-s, n) }.take(3).map(_._1)
+    var lbl = seeds.map(s => s -> (0L, s)).toMap // node -> (dist, root), lex-min
+    for (_ <- 1 to 4) {
+      val prop = lbl.toSeq.flatMap { case (n, (d, r)) =>
+        adj.getOrElse(n, Set.empty).map(m => m -> (d + 1, r)) }
+      lbl = (lbl.toSeq ++ prop).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    val naive = strength.keys.toSeq
+      .map(n => lbl.get(n).map { case (d, r) => (r, d) }.getOrElse((-1L, -1L)) -> n)
+      .groupBy(_._1)
+      .map { case ((r, d), xs) =>
+        (r, d, xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val gotReal = GraphRank.bfsDistances(edges, seeds = 3, hops = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotReal == naive)
+  }
+
   test("z-order: known interleaves, domain folding, and per-cell aligned rectangles") {
     // bit-level ground truth: x=3 (011), y=5 (101) → z = 1+2+4+32 = 39
     val pts = Seq((3L, 5L), (1L, 0L), (0L, 1L), (65536L + 3L, 5L))

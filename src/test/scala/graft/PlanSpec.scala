@@ -427,6 +427,14 @@ class PlanSpec extends SparkSpec {
       s"rank propagation must stay an equi-join per round:\n$p")
   }
 
+  test("bfs distances: label propagation is an equi-join + min-agg per round, no cartesian") {
+    val p = planOf(graft.operators.GraphRank.bfsDistances(
+      graft.operators.EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2),
+      seeds = 3, hops = 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation must stay an equi-join per round:\n$p")
+  }
+
   test("triangle census: oriented wedge equi-joins only, no cartesian") {
     val p = planOf(graft.operators.GraphRank.triangleCounts(
       graft.operators.EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2)))
