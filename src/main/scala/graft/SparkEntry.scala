@@ -199,6 +199,8 @@ object SparkEntry {
 
     "q_snapshot_diff" -> ((s, d) => // re-crawl added/removed/changed census
       Snapshot.snapshotDiffProfile(Tables.documents(s, d))),
+    "q_merge_upsert" -> ((s, d) => // batch CDC MERGE: latest-wins upsert+delete
+      Snapshot.mergeUpsertProfile(Tables.orders(s, d))),
 
     // --- deduplication
     "q_exact_dedup_counts" -> ((s, d) =>
@@ -1966,6 +1968,42 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
          |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of Snapshot.mergeUpsertProfile: the same md5₄₈-derived
+    // changelog (two update generations, deletes at seq 3, inserts under a
+    // disjoint key range), latest-per-key winner, full-outer MERGE apply,
+    // and the per-status census over exact cents.
+    "q_merge_upsert" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |chg AS (
+         |  SELECT k, 1 AS seq, 'U' AS op, 'P' AS st, cents + 1000 AS cents
+         |  FROM base WHERE ${md5h48("'chg:' || CAST(k AS VARCHAR)")} % 5 < 2
+         |  UNION ALL
+         |  SELECT k, 2, 'U', 'F', cents + 2000
+         |  FROM base WHERE ${md5h48("'chg:' || CAST(k AS VARCHAR)")} % 5 < 2
+         |    AND ${md5h48("'chg2:' || CAST(k AS VARCHAR)")} % 2 = 0
+         |  UNION ALL
+         |  SELECT k, 3, 'D', NULL, NULL
+         |  FROM base WHERE ${md5h48("'del:' || CAST(k AS VARCHAR)")} % 7 < 1
+         |  UNION ALL
+         |  SELECT k + 100000000, 1, 'I', 'N', (k % 1000) * 100 + 50
+         |  FROM base WHERE ${md5h48("'ins:' || CAST(k AS VARCHAR)")} % 9 < 1),
+         |w AS (
+         |  SELECT k, op, st, cents FROM (
+         |    SELECT k, op, st, cents,
+         |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         |    FROM chg) WHERE rn = 1),
+         |m AS (
+         |  SELECT CASE WHEN w.op IS NULL THEN b.st ELSE w.st END AS st,
+         |    CASE WHEN w.op IS NULL THEN b.cents ELSE w.cents END AS cents
+         |  FROM base b FULL OUTER JOIN w ON b.k = w.k
+         |  WHERE w.op IS NULL OR w.op <> 'D')
+         |SELECT st AS o_orderstatus, count(*) AS orders,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+         |FROM m GROUP BY st ORDER BY st""".stripMargin,
 
     "q_token_classes" ->
       """SELECT doc_id,

@@ -34,6 +34,70 @@ object Snapshot {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Batch CDC MERGE (upsert + delete): apply a changelog to a base
+    * snapshot, latest change per key winning. The changelog carries full
+    * row images (`op` ∈ I/U/D, a per-key-unique `seq`, payload columns);
+    * semantics are the MERGE INTO of warehouse engines — a 'D' winner
+    * removes the key, an 'I'/'U' winner replaces (or introduces) the
+    * payload, untouched base keys pass through.
+    *
+    * Scale shape: the changelog collapses to one winner per key with a
+    * map-side-combinable `max(struct(seq, …))` hash aggregate (seq is
+    * unique per key by contract, so the struct max is deterministic — no
+    * window, no sort), then ONE full-outer hash join on the merge key.
+    * Both shuffles are on the key the output is keyed by; at 100 TB the
+    * changelog is typically ≪ the base, and AQE will broadcast it when it
+    * fits. Nothing here buffers more than one winner row per key.
+    */
+  def mergeChanges(base: DataFrame, changes: DataFrame): DataFrame = {
+    val winner = changes
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("st"), col("cents"))).as("w"))
+      .select(col("k"), col("w.op").as("op"),
+        col("w.st").as("new_st"), col("w.cents").as("new_cents"))
+    base.join(winner, Seq("k"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op").isNull, col("base_st")).otherwise(col("new_st")).as("st"),
+        when(col("op").isNull, col("base_cents")).otherwise(col("new_cents")).as("cents"))
+  }
+
+  /** Oracle-facing fixture: a deterministic changelog derived from the
+    * orders table (membership and images are pure functions of
+    * md5₄₈(tag‖key), mirrored verbatim in SQL). ~40% of keys get an update
+    * (half of those a second, later update — exercising latest-wins), ~14%
+    * a delete (seq 3, so it beats any update on the same key), and ~11%
+    * spawn inserts under a disjoint key range. Output is the per-status
+    * census of the merged table — counts plus an exact cents revenue sum,
+    * so every surviving row's payload participates in the hash check.
+    */
+  def mergeUpsertProfile(orders: DataFrame): DataFrame = {
+    import graft.functions.Cols
+    def h(tag: String) =
+      Dedup.PortableHash(concat(lit(tag), col("k").cast("string")))
+    val base = orders.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("base_st"), Cols.cents(col("o_totalprice")).as("cents"))
+    val u1 = base.where(h("chg:") % 5 < 2)
+      .select(col("k"), lit(1L).as("seq"), lit("U").as("op"), lit("P").as("st"),
+        (col("cents") + 1000L).as("cents"))
+    val u2 = base.where(h("chg:") % 5 < 2 && h("chg2:") % 2 === 0)
+      .select(col("k"), lit(2L).as("seq"), lit("U").as("op"), lit("F").as("st"),
+        (col("cents") + 2000L).as("cents"))
+    val del = base.where(h("del:") % 7 < 1)
+      .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("st"), lit(null).cast("long").as("cents"))
+    val ins = base.where(h("ins:") % 9 < 1)
+      .select((col("k") + 100000000L).as("k"), lit(1L).as("seq"), lit("I").as("op"),
+        lit("N").as("st"), ((col("k") % 1000L) * 100L + 50L).as("cents"))
+    val changes = u1.unionAll(u2).unionAll(del).unionAll(ins)
+    mergeChanges(base.withColumnRenamed("cents", "base_cents"), changes)
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("orders"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("st"))
+      .select(col("st").as("o_orderstatus"), col("orders"), col("revenue"))
+  }
+
   /** Oracle-facing fixture over one documents table: derives two
     * deterministic snapshot states (membership and mutation are pure
     * functions of md5₄₈(doc_id), mirrored verbatim in SQL — the same

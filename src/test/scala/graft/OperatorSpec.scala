@@ -159,6 +159,34 @@ class OperatorSpec extends SparkSpec {
       "carry must reach non-purchase events")
   }
 
+  test("CDC merge: latest change wins, deletes drop, inserts add, untouched keys pass") {
+    val base = Seq((1L, "O", 100L), (2L, "O", 200L), (3L, "O", 300L), (4L, "O", 400L))
+      .toDF("k", "base_st", "base_cents")
+    val changes = Seq(
+      (2L, 1L, "U", "P", 250L),  // single update
+      (3L, 1L, "U", "P", 310L),  // superseded…
+      (3L, 2L, "U", "F", 320L),  // …by this later image
+      (4L, 1L, "U", "P", 410L),  // update, then
+      (4L, 3L, "D", "x", 0L),    // delete wins on seq
+      (9L, 1L, "I", "N", 950L))  // insert under a fresh key
+      .toDF("k", "seq", "op", "st", "cents")
+    val got = Snapshot.mergeChanges(base, changes)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> (("O", 100L)), 2L -> (("P", 250L)),
+      3L -> (("F", 320L)), 9L -> (("N", 950L))))
+
+    // fixture conservation: deletes always carry the max seq on their key,
+    // so merged row count = |base| − |delete keys| + |insert keys|
+    val orders = Tables.orders(spark, sf)
+    def sel(tag: String) = orders.where(
+      Dedup.PortableHash(concat(lit(tag), col("o_orderkey").cast("string"))) % lit(
+        if (tag == "del:") 7 else 9) < 1).count()
+    val prof = Snapshot.mergeUpsertProfile(orders)
+      .as[(String, Long, Double)].collect()
+    assert(prof.map(_._2).sum == orders.count() - sel("del:") + sel("ins:"))
+    assert(prof.exists(_._1 == "N"), "insert status must appear in the census")
+  }
+
   test("snapshot diff statuses on crafted snapshots; census conserves both sides") {
     def df(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "source", "text")
     val oldSnap = df(Seq((1L, "s", "a"), (2L, "s", "b"), (3L, "s", "c")))
