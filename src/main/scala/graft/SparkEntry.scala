@@ -404,6 +404,8 @@ object SparkEntry {
     //     memory sink; emits exactly the watermark-closed windows)
     "q_streaming_hourly" -> ((s, d) =>
       graft.streaming.StreamingHourly.closedHourlyMetrics(s, d)),
+    "q_streaming_sliding" -> ((s, d) => // overlapping 1h/30min sliding windows
+      graft.streaming.StreamingHourly.slidingHourCounts(s, d)),
     "q_streaming_interval_join" -> ((s, d) => // stream-stream interval join
       graft.streaming.StreamingJoin.purchaseViewPairs(s, d)),
     "q_streaming_full_outer_join" -> ((s, d) => // both-side watermark-closed nulls
@@ -2246,6 +2248,28 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
          |ORDER BY hour_sec""".stripMargin,
+
+    // Sliding-window mirror: Spark aligns 1h/30min windows to the epoch
+    // grid, so each event joins the windows starting at ⌊t/1800⌋·1800 and
+    // that minus 1800 — stated as a two-branch UNION ALL; closure is the
+    // same end ≤ watermark rule as the tumbling query.
+    "q_streaming_sliding" ->
+      s"""WITH e AS (
+         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+         |    event_type, value
+         |  FROM events),
+         |m AS (SELECT max(ts_sec) AS max_sec FROM e),
+         |x AS (
+         |  SELECT (ts_sec - ts_sec % 1800) AS win_start_sec, event_type, value FROM e
+         |  UNION ALL
+         |  SELECT (ts_sec - ts_sec % 1800) - 1800, event_type, value FROM e),
+         |g AS (
+         |  SELECT win_start_sec, count(*) AS events,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+         |    $revenueDec AS revenue
+         |  FROM x GROUP BY 1)
+         |SELECT g.* FROM g, m WHERE win_start_sec + 3600 <= max_sec - 600
+         |ORDER BY win_start_sec""".stripMargin,
 
     // session_window semantics: events ≥ gap apart split (the ≥ batch gap
     // rule on time-ordered events; same-second ties share a session either

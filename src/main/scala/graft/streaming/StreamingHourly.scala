@@ -127,6 +127,46 @@ object StreamingHourly {
       .orderBy(col("hour_sec"))
   }
 
+  /** Sliding windows (T2 extended beyond the reference's tumbling grid):
+    * 1-hour windows every 30 minutes, so each event lands in exactly TWO
+    * overlapping windows. Spark aligns slide starts to the epoch origin,
+    * so an event at second t belongs to the windows starting at
+    * ⌊t/1800⌋·1800 and ⌊t/1800⌋·1800 − 1800 — a condition the SQL oracle
+    * states as a two-branch UNION ALL over the same grid arithmetic.
+    * Append-mode closure is the tumbling rule unchanged: a window emits
+    * iff its END ≤ final watermark (max event second − 600).
+    *
+    * Scale shape: state is one row per open window — |slides| within the
+    * watermark horizon, independent of event volume; the aggregation is
+    * map-side combinable and the window assignment is a projection (Spark
+    * expands each row to its window memberships before the hash agg, no
+    * self-join). Same exact-cents revenue doctrine as the hourly query. */
+  def slidingHourCounts(spark: SparkSession, dir: String): DataFrame =
+    slidingHourCountsFrom(spark, stagedEventsDir(spark, dir), Map.empty)
+
+  /** [[slidingHourCounts]] over an explicit staged directory + file-source
+    * options — the StreamingSpec hook proving slicing-independence, same as
+    * [[closedHourlyMetricsFrom]]. */
+  private[graft] def slidingHourCountsFrom(spark: SparkSession, path: String,
+                                           options: Map[String, String]): DataFrame = {
+    val schema = stagedSchema(spark, path)
+    val stream = spark.readStream.options(options).schema(schema).parquet(path)
+      .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+
+    val agg = stream
+      .withWatermark("event_time", s"$WatermarkSeconds seconds")
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("events"),
+        Cols.countWhen(col("event_type") === "purchase").as("purchases"),
+        Cols.sumDec2When(col("event_type") === "purchase", col("value")).as("revenue"))
+      .select(unix_timestamp(col("w.start")).as("win_start_sec"),
+        col("events"), col("purchases"), col("revenue"))
+
+    MemorySinkRunner.run(spark, agg, "graft_stream_sliding", shufflePartitions = 8)
+      .orderBy(col("win_start_sec"))
+  }
+
   /** T8 complete mode — the third output mode: every micro-batch REPLACES
     * the sink with the full aggregate-so-far (the memory sink truncates per
     * batch), so after the last batch the table IS the total aggregation —

@@ -333,6 +333,48 @@ class StreamingSpec extends SparkSpec {
       "micro-batch slicing changed the append-mode result")
   }
 
+  test("sliding windows: each event lands in exactly two windows; slicing-independent") {
+    import scala.jdk.CollectionConverters._
+    val events = graft.sources.Tables.events(spark, sf)
+    // double-count conservation: summed window events = 2 × events whose
+    // BOTH windows close under the final watermark, plus 1 × those with
+    // only the earlier window closed — checked via the grid arithmetic
+    val sliding = StreamingHourly.slidingHourCounts(spark, sf)
+    val maxSec = events.agg(max(col("ts_sec"))).head().getLong(0)
+    val expected = events
+      .select((col("ts_sec") - col("ts_sec") % 1800).as("w1"))
+      .select(((col("w1") + 3600 <= maxSec - 600).cast("long")
+        + (col("w1") + 1800 <= maxSec - 600).cast("long")).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(sliding.agg(sum(col("events"))).head().getLong(0) == expected,
+      "summed sliding-window membership must equal per-event closed-window count")
+
+    // slicing independence, same doctrine as the hourly/session tests
+    val (lo, hi) = {
+      val r = events.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val srcDir = Files.createTempDirectory("graft_slices_sliding")
+    val k = 4
+    val step = (hi - lo) / k + 1
+    for (i <- 0 until k) {
+      val slice = events.where(col("ts_sec") >= lo + i * step
+        && col("ts_sec") < lo + (i + 1) * step)
+      val tmp = Files.createTempDirectory(s"graft_slice_sl_$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dest = srcDir.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sliced = StreamingHourly.slidingHourCountsFrom(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    assert(sliced.exceptAll(sliding).count() == 0 && sliding.exceptAll(sliced).count() == 0,
+      "micro-batch slicing changed the sliding-window result")
+  }
+
   test("session merging is independent of micro-batch slicing under time-ordered delivery") {
     // sessions spanning a slice boundary must be stitched across
     // micro-batches by the session_window state store into exactly the
