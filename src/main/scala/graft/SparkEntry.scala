@@ -306,6 +306,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_pq_topk" -> ((s, d) => { // product-quantization ADC top-k
+      val emb = Tables.embeddings(s, d)
+      Quantize.pqTopK(emb, emb.where(col("vec_id") < 5), 5)
+    }),
     "q_embedding_gram" -> ((s, d) => // distributed PCA stage 1: exact integer scatter matrix
       Spectral.gramMatrix(Tables.embeddings(s, d), 64)),
     "q_embedding_dim_stats" -> ((s, d) => // per-dimension dead/saturated/drift check
@@ -1016,6 +1020,43 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |      FROM scored)
        |SELECT query_id, rank, neighbor_id, ${q4("cos")} AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of Quantize.pqTopK (m=4 subspaces × 16 codewords over dim 64):
+    * the same md5₄₈-tagged bucket codebooks, max-dot encoding with
+    * lowest-code-id ties, 1e-4-unit integer LUT, and the ADC integer sum —
+    * the only IEEE math is the per-(query,codeword) dot, computed once on
+    * both sides with the identical fold order. */
+  private val pqOracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    s"""WITH sv AS (
+       |  SELECT vec_id, r.i AS sub,
+       |    list_slice(embedding, r.i * 16 + 1, r.i * 16 + 16) AS sv
+       |  FROM embeddings, range(4) r(i)),
+       |cb AS (
+       |  SELECT sub, min(vec_id) AS code_id, arg_min(sv, vec_id) AS c_emb
+       |  FROM sv
+       |  GROUP BY sub, ${md5h48("'pq' || CAST(sub AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")} % 16),
+       |enc AS (
+       |  SELECT vec_id, sub, code_id FROM (
+       |    SELECT s.vec_id, s.sub, c.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY ${dot("s.sv", "c.c_emb")} DESC, c.code_id ASC) AS rn
+       |    FROM sv s JOIN cb c ON s.sub = c.sub) WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.code_id,
+       |    CAST(floor(${dot("s.sv", "c.c_emb")} * 10000.0) AS BIGINT) AS du
+       |  FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 5),
+       |adc AS (
+       |  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.du) AS BIGINT) AS su
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code_id = l.code_id
+       |  WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, su,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY su DESC, neighbor_id ASC) AS rank
+       |      FROM adc)
+       |SELECT query_id, rank, neighbor_id, CAST(su AS DOUBLE) / 10000.0 AS approx_dot
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -2939,6 +2980,8 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, rank, neighbor_id, q_dot FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_topk" -> pqOracleSql,
 
     // Mirror of Spectral.gramMatrix: GLOBAL fixed-point codes (⌊x·4096⌋ —
     // one scale for the whole corpus, unlike the per-vector int8 scheme),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.plans.VectorExpressions.ivecDot
+import graft.plans.VectorExpressions.{fvecDot, ivecDot}
 
 /** Scalar int8 quantization of embedding vectors — the standard 4× memory /
   * bandwidth cut before large-scale similarity search (float32 → int8 with
@@ -89,6 +89,82 @@ object Quantize {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p.id").as("neighbor_id"), col("p.score").cast("long").as("q_dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Product quantization (PQ) top-k — the other half of the FAISS-style
+    * compression toolbox beside [[quantizedTopK]]'s scalar SQ8 (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): split each vector into `m` subspaces, learn a tiny
+    * per-subspace codebook, store each vector as `m` small code ids, and
+    * answer queries by Asymmetric Distance Computation — per query, a
+    * lookup table of (subspace, codeword)→score built once against the
+    * FULL-precision codewords, then each corpus vector scores as the sum
+    * of `m` table entries without ever touching its floats again.
+    *
+    * This engine's deterministic rendition (inner-product flavor, matching
+    * the IVF family's argmax-dot assignment): codebooks are the min-vec_id
+    * subvector per md5₄₈ hash bucket (the [[Similarity.seedCentroids]]
+    * doctrine, tagged per subspace); encoding picks the max-dot codeword
+    * with ties to the lowest code id (an aggregation, not a window); LUT
+    * entries are floored to exact 1e-4-unit longs so the ADC sum is
+    * order-independent integer arithmetic — bit-identical in any engine,
+    * which is what lets a SQL oracle state the whole pipeline.
+    *
+    * Scale shape: codebooks and LUTs are m·codebookSize rows — broadcast.
+    * Encoding is one broadcast join + one map-side-combinable agg over
+    * m rows/vector, paid once at index-build time (at 100 TB it lands
+    * next to the corpus like [[Similarity.writeCellPartitioned]], and the
+    * 512-bit-per-vector code table is what the ADC scan reads — a ~32×
+    * scan-volume cut at dim 64 float32). The ADC scan itself is a
+    * broadcast LUT join + integer-sum agg + the bounded
+    * [[graft.plans.TopKAggregate]] heap — no ranking window, no sort, no
+    * full-precision reads. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             m: Int = 4, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    val subLen = dim / m
+    def subVecs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+        .select(col(idAs), col("sub"),
+          slice(col("embedding"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
+
+    val codebook = broadcast(
+      subVecs(corpus, "vec_id")
+        .groupBy(col("sub"),
+          (Dedup.PortableHash(concat(lit("pq"), col("sub").cast("string"), lit(":"),
+            col("vec_id").cast("string"))) % codebookSize).as("bucket"))
+        .agg(min(col("vec_id")).as("code_id"), min_by(col("sv"), col("vec_id")).as("c_emb"))
+        .select(col("sub"), col("code_id"), col("c_emb")))
+
+    val enc = subVecs(corpus, "vec_id")
+      .join(codebook, Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(fvecDot(col("sv"), col("c_emb")).as("dot"),
+          (-col("code_id")).as("neg"), col("code_id").as("code_id")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code_id").as("code_id"))
+
+    val lut = broadcast(
+      subVecs(queries, "query_id")
+        .join(codebook, Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code_id"),
+          floor(fvecDot(col("sv"), col("c_emb")) * 10000.0).cast("long").as("du")))
+
+    val adc = enc.join(lut, Seq("sub", "code_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("du")).as("su"))
+    // su is bounded by m·|max subspace dot|·1e4 ≪ 2^53, so the
+    // long→double→long round-trip through the heap is exact
+    adc.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.topk(
+        struct(col("su").cast("double"), col("vec_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"),
+        (col("p.score").cast("long").cast("double") / 10000.0).as("approx_dot"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -96,4 +96,46 @@ class QuantizeSpec extends SparkSpec {
     assert(overlap / total > 0.6,
       s"int8 candidates lost too much recall: $overlap/$total")
   }
+
+  test("PQ top-k: aggregation pipeline equals a window-based re-derivation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.VectorExpressions.fvecDot
+    val emb = Tables.embeddings(spark, sf)
+    val got = Quantize.pqTopK(emb, emb.where(col("vec_id") < 5), 5)
+
+    // independent plan: same PQ definition but every argmax/topk stated as
+    // a row_number window (the oracle's shape) — pins the struct-max
+    // encoding and heap top-k against ranking-window semantics
+    val subLen = 16
+    val sv = emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(3))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
+    val cb = sv.groupBy(col("sub"),
+        (graft.operators.Dedup.PortableHash(concat(lit("pq"), col("sub").cast("string"),
+          lit(":"), col("vec_id").cast("string"))) % 16).as("bucket"))
+      .agg(min(col("vec_id")).as("code_id"), min_by(col("sv"), col("vec_id")).as("c_emb"))
+      .select(col("sub"), col("code_id"), col("c_emb"))
+    val encW = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d").desc, col("code_id").asc)
+    val enc = sv.join(cb, Seq("sub"))
+      .withColumn("d", fvecDot(col("sv"), col("c_emb")))
+      .withColumn("rn", row_number().over(encW)).where(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code_id"))
+    val lut = sv.where(col("vec_id") < 5).join(cb, Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code_id"),
+        floor(fvecDot(col("sv"), col("c_emb")) * 10000.0).cast("long").as("du"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("su").desc, col("neighbor_id").asc)
+    val expect = enc.join(lut, Seq("sub", "code_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("du")).as("su"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("su").cast("double") / 10000.0).as("approx_dot"))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0,
+      "PQ aggregation pipeline diverged from the window-based derivation")
+  }
 }
