@@ -408,6 +408,8 @@ object SparkEntry {
     //     memory sink; emits exactly the watermark-closed windows)
     "q_streaming_hourly" -> ((s, d) =>
       graft.streaming.StreamingHourly.closedHourlyMetrics(s, d)),
+    "q_streaming_join_hourly" -> ((s, d) => // chained join→window-agg stateful ops
+      graft.streaming.StreamingJoin.purchaseViewPairsHourly(s, d)),
     "q_streaming_sliding" -> ((s, d) => // overlapping 1h/30min sliding windows
       graft.streaming.StreamingHourly.slidingHourCounts(s, d)),
     "q_streaming_interval_join" -> ((s, d) => // stream-stream interval join
@@ -2288,6 +2290,31 @@ object SparkEntry {
                    "count(*) FILTER (WHERE event_type = 'view')")} AS conversion_rate
          |  FROM events GROUP BY 1)
          |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
+         |ORDER BY hour_sec""".stripMargin,
+
+    // Chained stateful mirror: the batch interval join aggregated per
+    // purchase hour; a window emits iff its end clears the join's OUTPUT
+    // watermark = global watermark − the join's 1 h max event-time range
+    // (global watermark = min(max p, max v) − 600, as in the pair joins).
+    "q_streaming_join_hourly" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events),
+         |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec
+         |      FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, event_id AS view_id, ts_sec AS v_sec
+         |      FROM e WHERE event_type = 'view'),
+         |wm AS (SELECT least((SELECT max(p_sec) FROM p), (SELECT max(v_sec) FROM v)) - 600 AS gw),
+         |pairs AS (
+         |  SELECT p.purchase_id, (p.p_sec - p.p_sec % 3600) AS hour_sec,
+         |    p.p_sec - v.v_sec AS lag_sec
+         |  FROM p JOIN v ON v.user_id = p.user_id
+         |    AND v.v_sec >= p.p_sec - 3600 AND v.v_sec <= p.p_sec),
+         |g AS (
+         |  SELECT hour_sec, count(*) AS pairs, CAST(sum(lag_sec) AS BIGINT) AS lag_sec_sum
+         |  FROM pairs GROUP BY 1)
+         |SELECT g.* FROM g, wm WHERE hour_sec + 3600 <= gw - 3600
          |ORDER BY hour_sec""".stripMargin,
 
     // Sliding-window mirror: Spark aligns 1h/30min windows to the epoch

@@ -45,7 +45,40 @@ object StreamingJoin {
   def purchaseViewPairsFull(spark: SparkSession, dir: String): DataFrame =
     runJoin(spark, dir, "full_outer")
 
+  /** Chained stateful operators (Spark 3.4+ multi-stateful support): the
+    * INNER interval join feeds a tumbling purchase-hour aggregation in the
+    * SAME streaming query — two state stores, one plan, no intermediate
+    * landing. Emission boundary determined empirically (see the oracle):
+    * the join's output watermark is the global watermark minus the join's
+    * max event-time range (1 h), so an hour window [w, w+3600) emits iff
+    * w + 3600 ≤ min(max p, max v) − 600 − 3600. */
+  def purchaseViewPairsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val joined = joinedPairs(spark, dir, "inner")
+    val agg = joined
+      .groupBy(window(col("p_time"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("p_sec") - col("v_sec")).as("lag_sec_sum"))
+      .select(unix_timestamp(col("w.start")).as("hour_sec"),
+        col("pairs"), col("lag_sec_sum"))
+    MemorySinkRunner.run(spark, agg, "graft_stream_join_hourly", shufflePartitions = 4)
+      .orderBy(col("hour_sec"))
+  }
+
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
+    val joined = joinedPairs(spark, dir, joinType)
+    // join output is a few hundred rows; state-store open/commit per
+    // partition per side per micro-batch dominates, so keep partitions low.
+    // Inner joins emit each pair as soon as both rows arrive, so the
+    // watermark-advancing no-data batch adds nothing; LEFT OUTER emits its
+    // null rows only on that batch and must keep it.
+    // nulls-last on both keys: full-outer emits null purchase_id rows, and
+    // the oracle engine's default ASC ordering puts nulls last
+    MemorySinkRunner.run(spark, joined.drop("p_time"), "graft_stream_join",
+        shufflePartitions = 4, needNoDataBatch = joinType != "inner")
+      .orderBy(col("purchase_id").asc_nulls_last, col("view_id").asc_nulls_last)
+  }
+
+  private def joinedPairs(spark: SparkSession, dir: String, joinType: String): DataFrame = {
     // per-side staged slices (materialized predicate pushdown): each side
     // scans only its own event type instead of both sides decoding the
     // whole table — identical results, 40% of the scan volume. The
@@ -67,23 +100,13 @@ object StreamingJoin {
         col("ts_sec").as("v_sec"), col("event_time").as("v_time"))
       .withWatermark("v_time", "600 seconds")
 
-    val joined = purchases.join(views,
+    purchases.join(views,
         expr(s"""v_user = p_user
                 |AND v_time >= p_time - INTERVAL $IntervalSeconds SECONDS
                 |AND v_time <= p_time""".stripMargin),
         joinType)
       .select(coalesce(col("p_user"), col("v_user")).as("user_id"),
-        col("purchase_id"), col("view_id"), col("p_sec"), col("v_sec"))
-
-    // join output is a few hundred rows; state-store open/commit per
-    // partition per side per micro-batch dominates, so keep partitions low.
-    // Inner joins emit each pair as soon as both rows arrive, so the
-    // watermark-advancing no-data batch adds nothing; LEFT OUTER emits its
-    // null rows only on that batch and must keep it.
-    // nulls-last on both keys: full-outer emits null purchase_id rows, and
-    // the oracle engine's default ASC ordering puts nulls last
-    MemorySinkRunner.run(spark, joined, "graft_stream_join", shufflePartitions = 4,
-        needNoDataBatch = joinType != "inner")
-      .orderBy(col("purchase_id").asc_nulls_last, col("view_id").asc_nulls_last)
+        col("purchase_id"), col("view_id"), col("p_sec"), col("v_sec"),
+        col("p_time"))
   }
 }

@@ -32,6 +32,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained join→agg: window emits only when the join-delayed watermark clears it") {
+    // pins q_streaming_join_hourly's oracle boundary: after a stream-stream
+    // interval join with a 1 h event-time range, the downstream window
+    // aggregation sees an input watermark of global watermark − 3600, so a
+    // purchase-hour window [w, w+3600) emits iff w + 3600 ≤ gw − 3600
+    implicit val sq = spark.sqlContext
+    val pm = MemoryStream[(Long, Long)] // (user, p_sec)
+    val vm = MemoryStream[(Long, Long)] // (user, v_sec)
+    val p = pm.toDF().toDF("p_user", "p_sec")
+      .withColumn("p_time", timestamp_seconds(col("p_sec")))
+      .withWatermark("p_time", "600 seconds")
+    val v = vm.toDF().toDF("v_user", "v_sec")
+      .withColumn("v_time", timestamp_seconds(col("v_sec")))
+      .withWatermark("v_time", "600 seconds")
+    val agg = p.join(v, expr(
+        "v_user = p_user AND v_time >= p_time - INTERVAL 3600 SECONDS AND v_time <= p_time"))
+      .groupBy(window(col("p_time"), "1 hour"))
+      .agg(count(lit(1)).as("pairs"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("pairs"))
+    val q = agg.writeStream.format("memory").queryName("chain_probe")
+      .outputMode("append").start()
+    try {
+      pm.addData((1L, 5000L)); vm.addData((1L, 4900L)) // pair in [3600, 7200)
+      q.processAllAvailable()
+      assert(spark.table("chain_probe").count() == 0)
+      // gw = 10700-600 = 10100 ≥ window end 7200, but the join's output
+      // watermark is 10100-3600 = 6500 < 7200: must NOT emit yet (this is
+      // the assertion that separates the −3600 rule from the naive one)
+      pm.addData((2L, 10700L)); vm.addData((3L, 10700L))
+      q.processAllAvailable()
+      assert(spark.table("chain_probe").count() == 0,
+        "window emitted before the join-delayed watermark cleared it")
+      // gw = 11500-600 = 10900; 10900-3600 = 7300 ≥ 7200: emits now
+      pm.addData((4L, 11500L)); vm.addData((5L, 11500L))
+      q.processAllAvailable()
+      val rows = spark.table("chain_probe").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == Set((3600L, 1L)))
+    } finally q.stop()
+  }
+
   test("late event beyond the watermark does not change a closed window") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
