@@ -174,6 +174,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
     "q_vocab_coverage" -> ((s, d) => // top-k vocabulary coverage / OOV rate
       TextAnalysis.vocabCoverage(Tables.documents(s, d), 1000)),
+    "q_bigram_lm" -> ((s, d) => // corpus bigram-LM document scoring (CCNet shape)
+      TextAnalysis.bigramLmScores(Tables.documents(s, d))),
     "q_length_histogram" -> ((s, d) => // sequence-length decade census
       TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_quality_percentiles" -> ((s, d) => // per-source percentile-rank normalization
@@ -2056,6 +2058,31 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[0-9]+')) AS number_tokens,
         |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirror of TextAnalysis.bigramLmScores: consecutive-token bigrams
+    // (docs with ≥2 tokens), MLE p(w₂|w₁) floored to 1e-4-unit longs at
+    // the model (the only IEEE ops — one multiply, one divide on exact
+    // counts), pure integer sums per document.
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t),
+        |bc AS (SELECT w1, bigram, count(*) AS c2 FROM g GROUP BY 1, 2),
+        |hc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |model AS (
+        |  SELECT bigram,
+        |    CAST(floor(CAST(c2 AS DOUBLE) * 10000.0 / CAST(c1 AS DOUBLE)) AS BIGINT) AS units
+        |  FROM bc JOIN hc USING (w1)),
+        |db AS (SELECT doc_id, bigram, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(n * units) AS BIGINT) AS score_units
+        |FROM db JOIN model USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH t AS (

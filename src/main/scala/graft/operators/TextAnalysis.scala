@@ -365,6 +365,55 @@ object TextAnalysis {
           .otherwise(greatest(col("chunk_tokens") - (w - s), lit(0L)))).as("corpus_tokens"),
         Cols.avg4(sum(col("chunk_tokens")).cast("double"), count(lit(1))).as("avg_chunk_tokens"))
       .orderBy(col("source"))
+
+  /** Bigram language-model scoring — the CCNet-style "score every document
+    * against corpus n-gram statistics" curation signal (Wenzek et al. 2020
+    * use a KenLM 5-gram; the 2-gram MLE here is the same pipeline shape
+    * with exactly portable arithmetic). The model is the corpus itself:
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·), estimated once, then every document is
+    * scored by its bigram occurrences under that model.
+    *
+    * Determinism doctrine: probabilities are floored to 1e-4-unit integer
+    * longs at the model (one double multiply + divide on exact counts —
+    * the [[graft.functions.Cols.q4]] op sequence), and document scores are
+    * pure integer sums of those units — order-independent, bit-equal in
+    * any engine. No logs anywhere: log-prob sums would hash-diverge on
+    * libm ulp differences, so the score is the (unit-quantized) sum of
+    * conditional probabilities — rank-equivalent for the quality-gate use.
+    *
+    * Scale shape: the bigram explode is linear in tokens; model counts are
+    * two map-side-combinable hash aggs; the scoring join runs on per-doc
+    * COLLAPSED bigram counts (a hot bigram contributes ≤|docs| join rows,
+    * not |occurrences| — the [[CorpusFilters]] collapse-first skew rule),
+    * and the model side is |distinct bigrams|, broadcastable when the
+    * vocabulary is bounded. Docs with fewer than two tokens have no
+    * bigrams and are excluded by construction (stated in the oracle). */
+  def bigramLmScores(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              concat_ws(" ", slice(col("toks"), i, lit(2))).as("bigram")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.bigram").as("bigram"))
+
+    val bigramCounts = grams.groupBy(col("w1"), col("bigram"))
+      .agg(count(lit(1)).as("c2"))
+    val headCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = bigramCounts.join(headCounts, Seq("w1"))
+      .select(col("bigram"),
+        floor(col("c2").cast("double") * 10000.0 / col("c1").cast("double"))
+          .cast("long").as("units"))
+
+    val docBigrams = grams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    docBigrams.join(model, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("units")).as("score_units"))
+      .orderBy(col("doc_id"))
+  }
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).
@@ -374,4 +423,5 @@ object Stopwords {
   val es = Seq("el", "la", "de", "y", "que", "en", "un", "es")
   val de = Seq("der", "die", "das", "und", "zu", "in", "ist", "ein")
   val fr = Seq("le", "la", "de", "et", "que", "en", "un", "est")
+
 }

@@ -125,6 +125,25 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: crafted-corpus probabilities exact; bigram mass conserved") {
+    // corpus: "a b" ×2 and "a c" ×1 ⇒ p(b|a)=2/3, p(c|a)=1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // floor(1e4·2/3)=6666, floor(1e4·1/3)=3333; doc 4 has no bigram
+    assert(got == Map(1L -> ((1L, 6666L)), 2L -> ((1L, 6666L)), 3L -> ((1L, 3333L))))
+
+    // real corpus: per-doc bigram counts conserve the corpus bigram mass,
+    // and every doc with ≥2 tokens appears exactly once
+    val corpus = Tables.documents(spark, sf)
+    val scores = TextAnalysis.bigramLmScores(corpus)
+    val nDocs = corpus.where(size(split(col("text"), " ")) >= 2).count()
+    val mass = corpus.select((size(split(col("text"), " ")) - 1).cast("long").as("m"))
+      .where(col("m") > 0).agg(sum(col("m"))).head().getLong(0)
+    assert(scores.count() == nDocs)
+    assert(scores.agg(sum(col("n_bigrams"))).head().getLong(0) == mass)
+  }
+
   test("hybrid search: rrf arithmetic, monotone order, rank bounds") {
     val out = graft.operators.Retrieval.hybridTopDocs(
       Tables.documents(spark, sf), Tables.embeddings(spark, sf),
