@@ -203,6 +203,8 @@ object SparkEntry {
       Snapshot.snapshotDiffProfile(Tables.documents(s, d))),
     "q_merge_upsert" -> ((s, d) => // batch CDC MERGE: latest-wins upsert+delete
       Snapshot.mergeUpsertProfile(Tables.orders(s, d))),
+    "q_incremental_refresh" -> ((s, d) => // MV delta maintenance == recompute
+      Snapshot.incrementalRefresh(Tables.orders(s, d))),
 
     // --- deduplication
     "q_exact_dedup_counts" -> ((s, d) =>
@@ -2051,6 +2053,14 @@ object SparkEntry {
          |SELECT st AS o_orderstatus, count(*) AS orders,
          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
          |FROM m GROUP BY st ORDER BY st""".stripMargin,
+
+    // Oracle of Snapshot.incrementalRefresh is deliberately the ONE-SHOT
+    // recompute: the engine's base+delta merge must reproduce it exactly —
+    // that identity IS the materialized-view maintenance correctness claim.
+    "q_incremental_refresh" ->
+      """SELECT o_orderpriority, count(*) AS orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_classes" ->
       """SELECT doc_id,

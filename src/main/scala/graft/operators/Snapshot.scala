@@ -98,6 +98,38 @@ object Snapshot {
       .select(col("st").as("o_orderstatus"), col("orders"), col("revenue"))
   }
 
+  /** Incremental aggregate refresh (materialized-view delta maintenance):
+    * given a stored aggregate of the already-ingested corpus and a NEW
+    * batch, the refreshed aggregate is a key-space-sized merge — one
+    * full-outer join summing count/cents lanes — never a recompute over
+    * the base rows. At 100 TB this is the difference between a refresh
+    * that costs O(|delta| + |keys|) and one that rescans the corpus; the
+    * lanes here (count, exact integer cents) are the self-maintainable
+    * aggregate class (sums/counts; min/max would need deletion logs).
+    *
+    * Oracle-facing fixture: the batch split is a pure function of
+    * md5₄₈('inc:'‖key) (~25% of orders form the "new ingest"), the base
+    * aggregate is derived in-plan, and the ORACLE is the full one-shot
+    * GROUP BY over all orders — the merge must reproduce the recompute
+    * bit-for-bit, which is exactly the MV-maintenance correctness claim. */
+  def incrementalRefresh(orders: DataFrame): DataFrame = {
+    import graft.functions.Cols
+    def agg(df: DataFrame, pfx: String) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(s"${pfx}_orders"),
+          sum(Cols.cents(col("o_totalprice"))).as(s"${pfx}_cents"))
+    val isDelta = Dedup.PortableHash(
+      concat(lit("inc:"), col("o_orderkey").cast("string"))) % 4 === 3
+    agg(orders.where(!isDelta), "base")
+      .join(agg(orders.where(isDelta), "delta"), Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("base_orders"), lit(0L))
+          + coalesce(col("delta_orders"), lit(0L))).as("orders"),
+        ((coalesce(col("base_cents"), lit(0L))
+          + coalesce(col("delta_cents"), lit(0L))).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Oracle-facing fixture over one documents table: derives two
     * deterministic snapshot states (membership and mutation are pure
     * functions of md5₄₈(doc_id), mirrored verbatim in SQL — the same
