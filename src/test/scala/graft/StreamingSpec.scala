@@ -306,6 +306,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState on the full scenario") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StatefulSessionizer.{ClosedSession, Event}
+    def typed(mem: MemoryStream[(String, String, Long, Double)]) =
+      mem.toDF().toDF("user_id", "event_type", "ts_sec", "purchase_amount")
+        .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+        .as[Event]
+    val m1 = MemoryStream[(String, String, Long, Double)]
+    val m2 = MemoryStream[(String, String, Long, Double)]
+    val v1 = StatefulSessionizer.sessionize(typed(m1), 600, 3000)
+    val v2 = TwsSessionizer.sessionize(typed(m2), 600, 3000)
+    val q1 = v1.writeStream.format("memory").queryName("sess_v1").outputMode("append").start()
+    // transformWithState requires the RocksDB provider; scope it to this start
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q2 =
+      try v2.writeStream.format("memory").queryName("sess_v2").outputMode("append").start()
+      finally prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    try {
+      def step(batch: (String, String, Long, Double)*): Unit = {
+        m1.addData(batch: _*); m2.addData(batch: _*)
+        q1.processAllAvailable(); q2.processAllAvailable()
+      }
+      // gap close, duration-cap close, far-backward late, widen, timeout —
+      // the union of both v1 scenario tests, replayed identically into both
+      step(("u1", "view", 1000L, 0.0), ("u1", "purchase", 1100L, 9.99))
+      step(("u1", "view", 2000L, 0.0), ("u1", "view", 2100L, 0.0))
+      step((1000L to 4100L by 500L).map(t => ("u2", "view", t, 0.0)): _*)
+      step(("u2", "view", 4200L, 0.0))
+      step(("u5", "view", 10000L, 0.0), ("u5", "view", 10100L, 0.0))
+      step(("u5", "purchase", 7000L, 5.0), ("u5", "view", 9800L, 0.0))
+      step(("u3", "view", 100000L, 0.0))
+      step(("u4", "view", 300000L, 0.0))
+      step(("u4", "view", 300001L, 0.0))
+      val s1 = spark.table("sess_v1").as[ClosedSession].collect().toSet
+      val s2 = spark.table("sess_v2").as[ClosedSession].collect().toSet
+      assert(s1 == s2, s"APIs diverged:\n  v1 only: ${s1 -- s2}\n  v2 only: ${s2 -- s1}")
+      assert(s1.map(_.close_reason).intersect(Set("gap", "max_duration", "late", "timeout"))
+        == Set("gap", "max_duration", "late", "timeout"),
+        "scenario must exercise every close reason")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("stateful sessionizer: in-watermark out-of-order events widen, detach, and cap correctly") {
     implicit val sq = spark.sqlContext
     import graft.streaming.StatefulSessionizer._
