@@ -176,6 +176,8 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(Tables.documents(s, d), 1000)),
     "q_bigram_lm" -> ((s, d) => // corpus bigram-LM document scoring (CCNet shape)
       TextAnalysis.bigramLmScores(Tables.documents(s, d))),
+    "q_bpe_pairs" -> ((s, d) => // BPE merge-pair candidates (tokenizer training step 1)
+      TextAnalysis.bpePairs(Tables.documents(s, d), 20)),
     "q_length_histogram" -> ((s, d) => // sequence-length decade census
       TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_quality_percentiles" -> ((s, d) => // per-source percentile-rank normalization
@@ -2093,6 +2095,22 @@ object SparkEntry {
         |  CAST(sum(n * units) AS BIGINT) AS score_units
         |FROM db JOIN model USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirror of TextAnalysis.bpePairs: word frequencies once over the
+    // corpus, then vocabulary-sized adjacent character-pair counts weighted
+    // by frequency; top-20 by (count desc, pair asc).
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair,
+        |    freq
+        |  FROM w)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH t AS (

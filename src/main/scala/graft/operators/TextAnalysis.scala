@@ -388,6 +388,33 @@ object TextAnalysis {
     * and the model side is |distinct bigrams|, broadcastable when the
     * vocabulary is bounded. Docs with fewer than two tokens have no
     * bigrams and are excluded by construction (stated in the oracle). */
+  /** BPE merge-pair counting — the first iteration of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count adjacent character
+    * pairs across the corpus, weighted by word frequency; the top pair is
+    * the first merge a BPE trainer would perform, and the ranked list is
+    * the tokenizer-fit diagnostic (which merges this corpus wants vs the
+    * vocabulary you ship).
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: pair
+    * counting runs on the VOCABULARY (distinct words × their frequency),
+    * not the corpus. One corpus-sized hash agg builds word counts; every
+    * later step — the character-pair explode, the weighted pair agg, the
+    * bounded top-k heap (TakeOrderedAndProject, never a global sort) — is
+    * vocabulary-sized. All counts are exact integers. */
+  def bpePairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(filter(tokens(col("text")), t => length(t) >= 2)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(k)
+  }
+
   def bigramLmScores(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))

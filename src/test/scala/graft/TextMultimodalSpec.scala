@@ -144,6 +144,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(scores.agg(sum(col("n_bigrams"))).head().getLong(0) == mass)
   }
 
+  test("BPE pairs: crafted-corpus counts exact, frequency-weighted") {
+    // "abab" ×2 and "ab cd" ×1 ⇒ word freqs: abab→2, ab→1, cd→1
+    // pairs: ab: 2·2 + 1 = 5, ba: 2·1 = 2, cd: 1
+    val docs = Seq((1L, "abab ab cd"), (2L, "abab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairs(docs, 10)
+      .as[(String, Long)].collect().toList
+    assert(got == List(("ab", 5L), ("ba", 2L), ("cd", 1L)))
+  }
+
   test("hybrid search: rrf arithmetic, monotone order, rank bounds") {
     val out = graft.operators.Retrieval.hybridTopDocs(
       Tables.documents(spark, sf), Tables.embeddings(spark, sf),
