@@ -87,6 +87,12 @@ object SparkEntry {
       EventAnalytics.dailyRetention(Tables.events(s, d))),
     "q_session_funnel" -> ((s, d) => // ordered view->click->purchase funnel
       EventAnalytics.sessionFunnel(Tables.events(s, d))),
+    "q_cohort_retention" -> ((s, d) => // weekly cohort x offset retention matrix
+      EventAnalytics.cohortRetention(Tables.events(s, d))),
+    "q_timed_funnel" -> ((s, d) => // each funnel step within 1h of the previous
+      EventAnalytics.timedFunnel(Tables.events(s, d))),
+    "q_session_paths" -> ((s, d) => // top-20 session event-type trigram paths
+      EventAnalytics.sessionPaths(Tables.events(s, d), 20)),
     "q_bm25_top_docs" -> ((s, d) => // BM25 ranking, fixed query-term set
       TextAnalysis.bm25TopDocs(Tables.documents(s, d), Seq("join", "filter", "stream"), 10)),
     "q_hybrid_search" -> ((s, d) => // sparse+dense retrieval fused with RRF
@@ -1301,6 +1307,64 @@ object SparkEntry {
           |  count(t_click) AS reached_click,
           |  count(t_purchase) AS reached_purchase
           |FROM per""".stripMargin),
+
+    // Mirror of EventAnalytics.cohortRetention: distinct (user, week),
+    // per-user min week as the cohort, matrix join + bounded census.
+    "q_cohort_retention" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS week
+         |  FROM events),
+         |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1),
+         |sz AS (SELECT cohort_week, count(*) AS cohort_users FROM c GROUP BY 1),
+         |m AS (
+         |  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         |    count(*) AS active_users
+         |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+         |SELECT cohort_week, week_offset, active_users, cohort_users,
+         |  ${pct("active_users", "cohort_users")} AS retention_pct
+         |FROM m JOIN sz USING (cohort_week)
+         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Mirror of EventAnalytics.timedFunnel: per-USER stacked window minima
+    // with each stage bounded to 3600 s after the previous stage's time.
+    "q_timed_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |    OVER (PARTITION BY user_id) AS t_view FROM e),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec >= t_view
+        |                      AND ts_sec <= t_view + 3600 THEN ts_sec END)
+        |    OVER (PARTITION BY user_id) AS t_click FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec >= t_click
+        |                      AND ts_sec <= t_click + 3600 THEN ts_sec END)
+        |    OVER (PARTITION BY user_id) AS t_purchase FROM s2),
+        |per AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3)
+        |SELECT count(*) AS users,
+        |  count(t_view) AS reached_view,
+        |  count(t_click) AS reached_click,
+        |  count(t_purchase) AS reached_purchase,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN t_purchase - t_view
+        |           ELSE 0 END) AS BIGINT) AS conversion_lag_sum
+        |FROM per""".stripMargin,
+
+    // Mirror of EventAnalytics.sessionPaths over the shared session prefix:
+    // two lags along the session's event_id order, trigram census, top-20.
+    "q_session_paths" ->
+      (sessPrefix +
+        """, p AS (
+          |  SELECT lag(event_type, 2) OVER w AS t3,
+          |         lag(event_type, 1) OVER w AS t2,
+          |         event_type
+          |  FROM sess WINDOW w AS (PARTITION BY user_id, session_id ORDER BY event_id))
+          |SELECT t3 || '>' || t2 || '>' || event_type AS path, count(*) AS occurrences
+          |FROM p WHERE t3 IS NOT NULL
+          |GROUP BY 1 ORDER BY occurrences DESC, path ASC LIMIT 20""".stripMargin),
 
     // The MG sketch is invisible in the result (candidate superset + exact
     // recount): the oracle is the plain GROUP BY ... HAVING census.

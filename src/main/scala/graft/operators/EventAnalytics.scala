@@ -442,6 +442,83 @@ object EventAnalytics {
       Cols.countWhen(col("t_purchase").isNotNull).as("reached_purchase"))
   }
 
+  /** Weekly cohort retention matrix — the classic product-analytics
+    * triangle: users grouped by first-seen week, each later week's
+    * still-active count as an offset column. Extends [[dailyRetention]]'s
+    * day-over-day pair to the full cohort × offset grid.
+    *
+    * Scale shape: activity collapses to distinct (user, week) first (one
+    * hash agg, bounded by users × weeks), cohorts are a per-user min (one
+    * agg), and the matrix is one join back + one bounded aggregation —
+    * output is |weeks|² rows at any event volume. All integer arithmetic;
+    * the retention percentage is the shared pct4 IEEE sequence. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), expr("ts_sec DIV 604800").as("week"))
+      .distinct()
+      .localCheckpoint() // three consumers: cohorts, sizes, the matrix join
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    active.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users")) // (user, week) already distinct
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_users"),
+        Cols.pct4(col("active_users"), col("cohort_users")).as("retention_pct"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Time-constrained conversion funnel: first view → first click within
+    * `stepSeconds` of it → first purchase within `stepSeconds` of THAT —
+    * the marketing-attribution variant of [[sessionFunnel]] where each step
+    * must happen inside a bounded window of the previous one (an eventual
+    * click hours later is not funnel progress). Same single-exchange
+    * stacked-window-minima shape, partitioned per user; the exact
+    * view→purchase latency mass rides along as an integer sum. */
+  def timedFunnel(events: DataFrame, stepSeconds: Long = 3600): DataFrame = {
+    val uw = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_sec"))).over(uw))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click"
+          && col("ts_sec") >= col("t_view")
+          && col("ts_sec") <= col("t_view") + stepSeconds, col("ts_sec"))).over(uw))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase"
+          && col("ts_sec") >= col("t_click")
+          && col("ts_sec") <= col("t_click") + stepSeconds, col("ts_sec"))).over(uw))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .distinct()
+    staged.agg(
+      count(lit(1)).as("users"),
+      Cols.countWhen(col("t_view").isNotNull).as("reached_view"),
+      Cols.countWhen(col("t_click").isNotNull).as("reached_click"),
+      Cols.countWhen(col("t_purchase").isNotNull).as("reached_purchase"),
+      sum(when(col("t_purchase").isNotNull, col("t_purchase") - col("t_view"))
+        .otherwise(0L)).as("conversion_lag_sum"))
+  }
+
+  /** Frequent session paths: the top-k event-type TRIGRAMS along each
+    * gap-rule session's event order — the order-3 sibling of
+    * [[typeTransitions]]' bigram matrix, scoped to sessions so a path
+    * never spans a session boundary. Two lags on the session exchange
+    * (no extra shuffle beyond the sessionization window), one
+    * map-side-combinable count, bounded top-k heap. */
+  def sessionPaths(events: DataFrame, k: Int = 20,
+                   gapSeconds: Long = Sessionize.DefaultGapSeconds): DataFrame = {
+    val sw = Window.partitionBy(col("user_id"), col("session_id")).orderBy(col("event_id"))
+    Sessionize.withSessionId(events, gapSeconds)
+      .withColumn("t2", lag(col("event_type"), 1).over(sw))
+      .withColumn("t3", lag(col("event_type"), 2).over(sw))
+      .where(col("t3").isNotNull)
+      .select(concat_ws(">", col("t3"), col("t2"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** First/last event per user (reference A8 `first(col)` intent,
     * streaming_processor.py:382-383, made deterministic: min_by/max_by on
     * the monotone event_id instead of order-dependent first()). */

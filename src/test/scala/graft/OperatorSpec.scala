@@ -159,6 +159,32 @@ class OperatorSpec extends SparkSpec {
       "carry must reach non-purchase events")
   }
 
+  test("cohort retention: offset-0 row is the full cohort; matrix bounded by cohort size") {
+    val m = EventAnalytics.cohortRetention(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(m.nonEmpty)
+    m.filter(_._2 == 0L).foreach { case (cw, _, active, size, pct) =>
+      assert(active == size && pct == 100.0, s"cohort $cw offset 0 must be complete")
+    }
+    m.foreach { case (cw, off, active, size, _) =>
+      assert(off >= 0 && active <= size, s"cohort $cw offset $off exceeds its cohort")
+    }
+    // cohort sizes partition the user universe
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(m.filter(_._2 == 0L).map(_._4).sum == users)
+  }
+
+  test("timed funnel: stages monotone; tighter window never beats a looser one") {
+    val ev = Tables.events(spark, sf)
+    def row(step: Long) = EventAnalytics.timedFunnel(ev, step)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (users, v1, c1, p1, lag1) = row(3600)
+    assert(users >= v1 && v1 >= c1 && c1 >= p1 && (p1 == 0 || lag1 > 0))
+    val (_, v2, c2, p2, _) = row(600)
+    assert(v2 == v1, "first-view stage ignores the step bound")
+    assert(c2 <= c1 && p2 <= p1, "a tighter step window cannot increase funnel depth")
+  }
+
   test("CDC merge: latest change wins, deletes drop, inserts add, untouched keys pass") {
     val base = Seq((1L, "O", 100L), (2L, "O", 200L), (3L, "O", 300L), (4L, "O", 400L))
       .toDF("k", "base_st", "base_cents")
