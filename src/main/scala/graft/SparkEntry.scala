@@ -160,6 +160,7 @@ object SparkEntry {
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
     "q_order_rollup" -> ((s, d) => Relational.orderRollup(s, d)), // grouping sets
     "q_order_cube" -> ((s, d) => Relational.orderCube(s, d)), // all grouping-set combos
+    "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(s, d)), // marginals only
     "q_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)), // wide pivot
     "q_daily_cumulative" -> ((s, d) => Relational.dailyCumulativeRevenue(s, d)),
     "q_daily_delta" -> ((s, d) => Relational.dailyRevenueDelta(s, d)), // lag/lead
@@ -367,6 +368,8 @@ object SparkEntry {
       AsOfJoin.purchaseAttribution(Tables.events(s, d))),
     "q_asof_native" -> ((s, d) => // custom LogicalPlan+Strategy+Exec route
       AsOfJoin.purchaseAttributionNative(Tables.events(s, d))),
+    "q_nearest_event" -> ((s, d) => // bidirectional 1-NN-in-time view per purchase
+      AsOfJoin.nearestViewPerPurchase(Tables.events(s, d))),
     "q_purchase_context" -> ((s, d) => // constant-bound range join as window
       EventAnalytics.purchaseContext(Tables.events(s, d))),
     "q_value_fill" -> ((s, d) => // forward-fill / last-known-value census
@@ -2019,6 +2022,19 @@ object SparkEntry {
          |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
          |ORDER BY priority, status""".stripMargin,
 
+    // Mirror of Relational.orderGroupingSets: the same explicit marginal
+    // sets; GROUPING() marks the "all" slots on both engines.
+    "q_grouping_sets" ->
+      s"""SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+         |            ELSE o_orderpriority END AS priority,
+         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+         |       ELSE o_orderstatus END AS status,
+         |  count(*) AS orders,
+         |  ${sumMoney("o_totalprice")} AS total_value
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+         |ORDER BY priority, status""".stripMargin,
+
     "q_token_stats" ->
       (docTokensCte +
         """SELECT doc_id,
@@ -2785,6 +2801,27 @@ object SparkEntry {
     // keep nulls).
     "q_asof_attribution" -> asofOracleSql,
     "q_asof_native" -> asofOracleSql,
+
+    // Mirror of AsOfJoin.nearestViewPerPurchase: candidates |Δ| ≤ 3600 on
+    // the same user, 1-NN by (|Δ| asc, v_sec asc, view_id asc).
+    "q_nearest_event" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, ts_sec AS v_sec
+        |      FROM e WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT p.user_id, p.purchase_id, p.p_sec, v.view_id,
+        |    abs(p.p_sec - v.v_sec) AS abs_lag, v.v_sec,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY abs(p.p_sec - v.v_sec), v.v_sec, v.view_id) AS rn
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND abs(p.p_sec - v.v_sec) <= 3600)
+        |SELECT user_id, purchase_id, p_sec, view_id AS nearest_view_id, abs_lag
+        |FROM cand WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "q_purchase_context" ->
       """WITH e AS (

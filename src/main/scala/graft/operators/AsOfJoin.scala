@@ -159,4 +159,41 @@ object AsOfJoin {
   /** [[purchaseAttribution]] through the native physical operator. */
   def purchaseAttributionNative(events: DataFrame): DataFrame =
     attribution(events, asOfBackwardNative)
+
+  /** NEAREST-event join — the bidirectional sibling of as-of: attach to
+    * each purchase the user's view CLOSEST in time within ±`windowSeconds`,
+    * whichever side of the purchase it falls on (as-of only looks
+    * backward; "nearest" is the temporal analogue of a 1-NN lookup and the
+    * right attribution rule when pre- and post-purchase views are both
+    * meaningful). Ties on |Δ| break to the earlier view, then lowest id —
+    * a total order both engines state identically.
+    *
+    * Scale shape — no window over candidates, no cartesian: views explode
+    * to the ≤ ⌈2·win/w⌉+1 grid cells their admissible band covers (the
+    * [[RangeJoin]] doctrine with the user in the key), purchases land in
+    * their one cell, the candidate join is a pure (user, cell) equi-join,
+    * and the 1-NN reduction is a map-side-combinable `min(struct(|Δ|,
+    * v_sec, view_id))` aggregation keyed by the purchase. */
+  def nearestViewPerPurchase(events: DataFrame,
+                             windowSeconds: Long = 3600,
+                             bucketWidth: Long = 3600): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_sec").as("p_sec"),
+        expr(s"ts_sec div ${bucketWidth}L").as("__bkt"))
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_sec").as("v_sec"),
+        explode(expr(s"sequence((ts_sec - ${windowSeconds}L) div ${bucketWidth}L," +
+          s" (ts_sec + ${windowSeconds}L) div ${bucketWidth}L)")).as("__bkt"))
+    p.join(v, Seq("user_id", "__bkt"))
+      .where(abs(col("p_sec") - col("v_sec")) <= windowSeconds)
+      .groupBy(col("purchase_id"))
+      .agg(first(col("user_id")).as("user_id"), first(col("p_sec")).as("p_sec"),
+        min(struct(abs(col("p_sec") - col("v_sec")).as("abs_lag"),
+          col("v_sec").as("v_sec"), col("view_id").as("view_id"))).as("nn"))
+      .select(col("user_id"), col("purchase_id"), col("p_sec"),
+        col("nn.view_id").as("nearest_view_id"), col("nn.abs_lag").as("abs_lag"))
+      .orderBy(col("purchase_id"))
+  }
 }

@@ -299,6 +299,28 @@ object Relational {
         col("orders"), col("total_value"))
       .orderBy(col("priority"), col("status"))
 
+  /** Explicit GROUPING SETS (completes the multi-dimensional family beyond
+    * [[orderRollup]]'s hierarchy and [[orderCube]]'s power set): exactly
+    * the marginals — per-priority, per-status, and the grand total — in
+    * one pass, skipping the (priority, status) cross CUBE would also pay.
+    * Spark's `groupingSets` expands only the requested sets map-side
+    * through a single shuffle; `grouping()` disambiguates a real NULL key
+    * from a set's "all" slot, which coalesce alone cannot. */
+  def orderGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("orders"), Cols.sumDec2(col("o_totalprice")).as("total_value"),
+        // grouping() is only resolvable inside the grouping-sets aggregate
+        grouping(col("o_orderpriority")).as("__gp"),
+        grouping(col("o_orderstatus")).as("__gs"))
+      .select(
+        when(col("__gp") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        when(col("__gs") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        col("orders"), col("total_value"))
+      .orderBy(col("priority"), col("status"))
+
   /** Pivot (§2.4 wide layout): order counts by priority, one column per
     * order status. The status domain is closed and passed explicitly —
     * an unpinned pivot would first run a distinct scan to discover it. */

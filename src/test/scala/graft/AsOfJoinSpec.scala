@@ -144,4 +144,27 @@ class AsOfJoinSpec extends SparkSpec {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall") // nprobe=4/16 cells; sanity floor
   }
+
+  test("nearest-event join equals the naive window 1-NN; bucket width invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, sf)
+    val got = AsOfJoin.nearestViewPerPurchase(events)
+    // naive: full same-user pair join + ranking window
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_sec").as("p_sec"))
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_sec").as("v_sec"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(abs(col("p_sec") - col("v_sec")), col("v_sec"), col("view_id"))
+    val naive = p.join(v, Seq("user_id"))
+      .where(abs(col("p_sec") - col("v_sec")) <= 3600)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("purchase_id"), col("p_sec"),
+        col("view_id").as("nearest_view_id"),
+        abs(col("p_sec") - col("v_sec")).as("abs_lag"))
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+    // grid width must be invisible in the result
+    val alt = AsOfJoin.nearestViewPerPurchase(events, bucketWidth = 700)
+    assert(alt.exceptAll(got).count() == 0 && got.exceptAll(alt).count() == 0)
+  }
 }
