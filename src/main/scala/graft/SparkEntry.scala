@@ -388,6 +388,8 @@ object SparkEntry {
       EventAnalytics.typeTransitions(Tables.events(s, d))),
     "q_curation_funnel" -> ((s, d) => // end-to-end pipeline drop census
       CorpusFilters.curationFunnel(Tables.documents(s, d))),
+    "q_revenue_ewma" -> ((s, d) => // integer-halving EWMA of daily revenue
+      Stats.dailyRevenueEwma(Tables.orders(s, d))),
     "q_revenue_trend" -> ((s, d) => // least-squares slope from exact sums
       Stats.dailyRevenueTrend(Tables.orders(s, d))),
     "q_ab_lift" -> ((s, d) => // hash-armed A/B with Wilson 95% interval
@@ -2899,6 +2901,22 @@ object SparkEntry {
          |       THEN ${q4("(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")}
          |       ELSE 0.0 END AS slope_cents_per_day
          |FROM s ORDER BY priority""".stripMargin,
+
+    // Mirror of Stats.dailyRevenueEwma: the same integer halving fold;
+    // DuckDB list_reduce seeds with the first element — identical shape.
+    "q_revenue_ewma" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT priority, count(*) AS n_days, max(day) AS last_day,
+        |    list(y ORDER BY day) AS ys
+        |  FROM daily GROUP BY 1)
+        |SELECT priority, n_days, last_day,
+        |  CAST(list_reduce(ys, (acc, v) -> (acc + v) // 2) AS DOUBLE) / 100.0 AS ewma_revenue
+        |FROM g ORDER BY priority""".stripMargin,
 
     // Mirror of Stats.abConversionLift (z = 1.96): identical IEEE op tree —
     // z² written as (1.96 * 1.96) so both engines round the same product.

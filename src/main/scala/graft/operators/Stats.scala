@@ -52,6 +52,38 @@ object Stats {
       .orderBy(col("priority"))
   }
 
+  /** Integer EWMA of daily revenue per priority — trailing-average
+    * smoothing with α = 1/2, the forecasting companion to
+    * [[dailyRevenueTrend]]'s slope. The halving recurrence
+    * `s_d = (s_{d−1} + y_d) div 2` is PURE INTEGER arithmetic: unlike a
+    * float smoothing constant it cannot drift across engines or
+    * accumulation orders, so the smoothed value is oracle-exact (DuckDB's
+    * `list_reduce` seeds with the first element and folds left — the same
+    * shape as Spark's `aggregate(slice(ys, 2, …), ys[0], …)`).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combinable daily
+    * aggregation; the ordered collect + fold runs on the bounded
+    * (priority × days) frame — |days| per group, never per-order data. A
+    * sequential recurrence cannot be a window function; a bounded-group
+    * fold is its distributed form. */
+  def dailyRevenueEwma(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(col("o_orderpriority").as("priority"),
+        Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy(col("priority"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+    daily
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        expr("transform(array_sort(collect_list(struct(day, y))), p -> p.y)").as("ys"))
+      .select(col("priority"), col("n_days"), col("last_day"),
+        (expr("aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)), ys[0]," +
+          " (acc, v) -> (acc + v) div 2)").cast("double") / 100.0).as("ewma_revenue"))
+      .orderBy(col("priority"))
+  }
+
   /** Deterministic A/B readout: users hash-split into two arms
     * (md5₄₈("ab:" + user_id) % 2 — the [[Sampling]] membership doctrine, so
     * the assignment is reproducible anywhere), outcome = the user made ≥1

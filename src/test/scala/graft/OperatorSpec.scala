@@ -159,6 +159,21 @@ class OperatorSpec extends SparkSpec {
       "carry must reach non-purchase events")
   }
 
+  test("revenue EWMA: crafted series folds exactly; single day passes through") {
+    import java.sql.Timestamp
+    def day(d: Long) = new Timestamp(d * 86400L * 1000L)
+    // priority A, days 0..2, revenues 1.00, 3.00, 5.00 (100, 300, 500 cents):
+    // s0=100, s1=(100+300)/2=200, s2=(200+500)/2=350 -> 3.50
+    // priority B, single day 10.01 -> passes through unchanged
+    val orders = Seq(
+      (1L, "A", 1.00, day(0)), (2L, "A", 3.00, day(1)), (3L, "A", 5.00, day(2)),
+      (4L, "B", 10.01, day(5)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val got = Stats.dailyRevenueEwma(orders)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got == List(("A", 3L, 2L, 3.50), ("B", 1L, 5L, 10.01)))
+  }
+
   test("cohort retention: offset-0 row is the full cohort; matrix bounded by cohort size") {
     val m = EventAnalytics.cohortRetention(Tables.events(spark, sf))
       .as[(Long, Long, Long, Long, Double)].collect()
