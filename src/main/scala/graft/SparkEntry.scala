@@ -210,6 +210,10 @@ object SparkEntry {
 
     "q_snapshot_diff" -> ((s, d) => // re-crawl added/removed/changed census
       Snapshot.snapshotDiffProfile(Tables.documents(s, d))),
+    "q_json_source" -> ((s, d) => // JSON-lines ingest path, fidelity-checksummed
+      graft.sources.Formats.jsonSourceCensus(s, d)),
+    "q_csv_source" -> ((s, d) => // CSV ingest path, fidelity-checksummed
+      graft.sources.Formats.csvSourceCensus(s, d)),
     "q_merge_upsert" -> ((s, d) => // batch CDC MERGE: latest-wins upsert+delete
       Snapshot.mergeUpsertProfile(Tables.orders(s, d))),
     "q_incremental_refresh" -> ((s, d) => // MV delta maintenance == recompute
@@ -1078,6 +1082,15 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, CAST(su AS DOUBLE) / 10000.0 AS approx_dot
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared parquet-side census for the JSON/CSV format round-trip queries
+    * (mirror of Formats.census, checksum lane included). */
+  private lazy val formatCensusOracleSql: String =
+    s"""SELECT source, count(*) AS docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  CAST(sum(${md5h48("text")}) AS BIGINT) AS text_checksum
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Floor-quantized percentage (mirror of Cols.pct4 — see Cols.q4 on why
     * floor, not round). */
@@ -2101,6 +2114,12 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
          |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Oracle for BOTH format round-trip queries is the parquet-side census:
+    // equality (incl. the md5₄₈ text checksum lane) proves the JSON/CSV
+    // staging+read path is lossless, not just row-count-preserving.
+    "q_json_source" -> formatCensusOracleSql,
+    "q_csv_source" -> formatCensusOracleSql,
 
     // Mirror of Snapshot.mergeUpsertProfile: the same md5₄₈-derived
     // changelog (two update generations, deletes at seq 3, inserts under a

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Alternate at-rest formats (§2.1 widened): the documents table staged once
+  * as JSON-lines and as CSV, then read back through `spark.read.json/csv`
+  * with an EXPLICIT schema (no inference pass — schema-on-read is declared,
+  * exactly like the parquet footers and the streaming `from_json` contract).
+  *
+  * The oracle-facing queries aggregate a per-source census INCLUDING a
+  * text-fidelity lane (sum of md5₄₈(text) per source): any mangling the
+  * format round-trip could introduce — CSV quoting/escaping of embedded
+  * delimiters, JSON unicode escapes — would shift the checksum, so equality
+  * with the parquet-side oracle proves the format path is lossless, not
+  * just row-count-preserving.
+  *
+  * Scale shape: staging is a one-time write (stamped by the source file's
+  * (size, mtime), same doctrine as the streaming staging); reads are plain
+  * declarative scans. JSON/CSV scans cannot push down column pruning the
+  * way parquet does — which is precisely why this engine treats them as
+  * ingest formats that land INTO parquet, never as the at-rest format; the
+  * scaladoc here is the documented trade.
+  */
+object Formats {
+
+  /** Explicit documents schema (matches the driver's parquet columns). */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("n_chars", LongType),
+    StructField("text", StringType)))
+
+  private def stagedDir(spark: SparkSession, dir: String, fmt: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      val src = Paths.get(s"$dir/documents.parquet")
+      val d = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_fmt_${Integer.toHexString(dir.hashCode)}_$fmt")
+      val marker = d.resolve("_staged")
+      val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val valid = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == stamp
+      if (!valid) {
+        val docs = spark.read.parquet(src.toString)
+          .select(docSchema.fieldNames.map(col): _*)
+        val w = docs.repartition(4).write.mode("overwrite")
+        fmt match {
+          case "json" => w.json(d.toString)
+          case "csv"  => w.option("header", "true").option("quoteAll", "true").csv(d.toString)
+        }
+        Files.write(marker, stamp.getBytes("UTF-8"))
+      }
+      d.toString
+    }
+
+  private def census(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"),
+        sum(graft.operators.Dedup.PortableHash(col("text"))).as("text_checksum"))
+      .orderBy(col("source"))
+
+  /** Census over the JSON-lines staging of documents. */
+  def jsonSourceCensus(spark: SparkSession, dir: String): DataFrame =
+    census(spark.read.schema(docSchema).json(stagedDir(spark, dir, "json")))
+
+  /** Census over the CSV staging of documents. `multiLine` handles quoted
+    * embedded newlines; the writer quotes every field so embedded commas
+    * and quotes round-trip by construction. */
+  def csvSourceCensus(spark: SparkSession, dir: String): DataFrame =
+    census(spark.read.schema(docSchema)
+      .option("header", "true").option("multiLine", "true")
+      .csv(stagedDir(spark, dir, "csv")))
+}
