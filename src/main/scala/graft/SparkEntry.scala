@@ -394,6 +394,8 @@ object SparkEntry {
       CorpusFilters.curationFunnel(Tables.documents(s, d))),
     "q_revenue_ewma" -> ((s, d) => // integer-halving EWMA of daily revenue
       Stats.dailyRevenueEwma(Tables.orders(s, d))),
+    "q_hourly_autocorr" -> ((s, d) => // periodicity: volume autocorrelation lags 1..24
+      Stats.hourlyAutocorrelation(Tables.events(s, d))),
     "q_revenue_trend" -> ((s, d) => // least-squares slope from exact sums
       Stats.dailyRevenueTrend(Tables.orders(s, d))),
     "q_ab_lift" -> ((s, d) => // hash-armed A/B with Wilson 95% interval
@@ -2936,6 +2938,35 @@ object SparkEntry {
         |SELECT priority, n_days, last_day,
         |  CAST(list_reduce(ys, (acc, v) -> (acc + v) // 2) AS DOUBLE) / 100.0 AS ewma_revenue
         |FROM g ORDER BY priority""".stripMargin,
+
+    // Mirror of Stats.hourlyAutocorrelation: same exact HUGEINT moments on
+    // the bounded hourly frame, one divide/√/floor sequence per lag.
+    "q_hourly_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT unnest(range(1, 25)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.y AS ya, b.y AS yb
+        |  FROM hourly a, l JOIN hourly b ON b.h = a.h + l.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+        |    sum(CAST(ya AS HUGEINT) * yb) AS sab,
+        |    sum(CAST(ya AS HUGEINT) * ya) AS saa,
+        |    sum(CAST(yb AS HUGEINT) * yb) AS sbb
+        |  FROM pairs GROUP BY 1)
+        |SELECT lag, n,
+        |  CASE WHEN (CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa) > 0
+        |        AND (CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb) > 0
+        |  THEN CAST(floor(
+        |    CAST(CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+        |         * CAST(CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE))
+        |    * 10000.0) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS autocorr_u
+        |FROM m ORDER BY lag""".stripMargin,
 
     // Mirror of Stats.abConversionLift (z = 1.96): identical IEEE op tree —
     // z² written as (1.96 * 1.96) so both engines round the same product.

@@ -84,6 +84,44 @@ object Stats {
       .orderBy(col("priority"))
   }
 
+  /** Hourly-volume autocorrelation r_k for lags 1..`maxLag` — the
+    * periodicity detector (a daily cycle shows as a peak at lag 24). All
+    * moments are exact integer sums over the BOUNDED hourly frame: one
+    * corpus-sized hash agg builds (hour, count), and the lag join, the
+    * Σy/Σy²/Σy·y₊ₖ sums, and the |lags|-row output never touch per-event
+    * data again. Squared-count lanes run in DECIMAL(38,0)/HUGEINT (counts
+    * near 2³¹/hour would overflow long products at 100 TB — the
+    * [[Spectral.dimCorrelations]] guard); the only IEEE math is the single
+    * divide/√/floor-quantize sequence per lag, stated op-for-op in the
+    * oracle. Zero-variance windows report 0. */
+  def hourlyAutocorrelation(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(expr("ts_sec div 3600").as("h"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // both sides of every lag join
+    val lags = hourly.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    hourly.select(col("h"), col("y").as("ya"))
+      .crossJoin(broadcast(lags))
+      .join(hourly.select(col("h").as("hb"), col("y").as("yb")),
+        col("hb") === col("h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+        sum(col("ya").cast("decimal(38,0)") * col("yb")).as("sab"),
+        sum(col("ya").cast("decimal(38,0)") * col("ya")).as("saa"),
+        sum(col("yb").cast("decimal(38,0)") * col("yb")).as("sbb"))
+      .select(col("lag"), col("n"), expr(
+        """CASE WHEN (CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa) > 0
+          |       AND (CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb) > 0
+          |  THEN CAST(floor(
+          |    CAST(CAST(n AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+          |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)
+          |         * CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE))
+          |    * 10000.0) AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT) END""".stripMargin).as("autocorr_u"))
+      .orderBy(col("lag"))
+  }
+
   /** Deterministic A/B readout: users hash-split into two arms
     * (md5₄₈("ab:" + user_id) % 2 — the [[Sampling]] membership doctrine, so
     * the assignment is reproducible anywhere), outcome = the user made ≥1

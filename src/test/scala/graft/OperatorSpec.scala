@@ -159,6 +159,19 @@ class OperatorSpec extends SparkSpec {
       "carry must reach non-purchase events")
   }
 
+  test("hourly autocorrelation: alternating series gives exact ±1 at lags 1 and 2") {
+    // hours 0..10 with counts 1,3,1,3,… — lag-1 pairs are perfectly
+    // anticorrelated (r = −1 → −10000 units), lag-2 perfectly correlated
+    val rows = for {
+      h <- 0 to 10
+      i <- 0 until (if (h % 2 == 0) 1 else 3)
+    } yield h * 3600L + i
+    val events = rows.toDF("ts_sec")
+    val r = Stats.hourlyAutocorrelation(events, maxLag = 3)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    assert(r(1L) == -10000L && r(2L) == 10000L)
+  }
+
   test("revenue EWMA: crafted series folds exactly; single day passes through") {
     import java.sql.Timestamp
     def day(d: Long) = new Timestamp(d * 86400L * 1000L)
