@@ -109,6 +109,8 @@ object SparkEntry {
     "q_bloom_semi_join" -> ((s, d) => // runtime-filter semi join (bloom prefilter)
       BloomJoin.highValueLineitemRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_window_topn" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
+    "q_window_topn_agg" -> ((s, d) => // heap-aggregate scale sibling, shared oracle
+      Relational.topPartsPerBrandAgg(s, d)),
     "q_order_priority_dist" -> ((s, d) => Relational.orderPriorityDistribution(s, d)),
     "q_table_counts" -> ((s, d) => Relational.tableCounts(s, d)),
     "q_price_buckets" -> ((s, d) => Relational.ordersByPriceBucket(s, d)),
@@ -1085,6 +1087,21 @@ object SparkEntry {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared oracle for the per-brand top-n pair: the ranking-window anchor
+    * and its heap-aggregate scale sibling must both reproduce it. */
+  private lazy val windowTopnOracleSql: String =
+    """WITH pp AS (
+      |  SELECT p_brand, p_partkey,
+      |    (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rank_in_brand
+      |  FROM pp)
+      |SELECT p_brand, p_partkey, revenue, rank_in_brand
+      |FROM r WHERE rank_in_brand <= 3
+      |ORDER BY p_brand, rank_in_brand""".stripMargin
+
   /** Shared parquet-side census for the JSON/CSV format round-trip queries
     * (mirror of Formats.census, checksum lane included). */
   private lazy val formatCensusOracleSql: String =
@@ -1473,18 +1490,9 @@ object SparkEntry {
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "q_window_topn" ->
-      """WITH pp AS (
-        |  SELECT p_brand, p_partkey,
-        |    (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  GROUP BY p_brand, p_partkey),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rank_in_brand
-        |  FROM pp)
-        |SELECT p_brand, p_partkey, revenue, rank_in_brand
-        |FROM r WHERE rank_in_brand <= 3
-        |ORDER BY p_brand, rank_in_brand""".stripMargin,
+    "q_window_topn" -> windowTopnOracleSql,
+    // the heap-aggregate sibling must reproduce the ranking window exactly
+    "q_window_topn_agg" -> windowTopnOracleSql,
 
     "q_order_priority_dist" ->
       s"""WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1)

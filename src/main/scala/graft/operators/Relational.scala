@@ -143,6 +143,30 @@ object Relational {
       .orderBy(col("p_brand"), col("rank_in_brand"))
   }
 
+  /** Scale sibling of [[topPartsPerBrand]] (exact-anchor pairing doctrine):
+    * the SAME per-brand top-n through the engine's bounded heap aggregate
+    * ([[graft.plans.TopKAggregate]]) instead of a ranking window — each
+    * partition keeps an O(n) heap per brand and ships n rows, no per-brand
+    * sort of the part universe. Ranking runs on exact integer cents (the
+    * long→double→long heap round-trip is exact below 2⁵³), ties to the
+    * lower part key — the identical total order the window states, so both
+    * queries share one oracle. */
+  def topPartsPerBrandAgg(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pa = Tables.part(spark, dir)
+    val perPart = li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(Cols.cents(col("l_extendedprice"))).as("rev_cents"))
+    perPart.groupBy(col("p_brand"))
+      .agg(graft.plans.TopKAggregate.topk(
+        struct(col("rev_cents").cast("double"), col("p_partkey")), n).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("p_brand"), col("p.id").as("p_partkey"),
+        (col("p.score").cast("long").cast("double") / 100.0).as("revenue"),
+        (col("pos") + 1).cast("long").as("rank_in_brand"))
+      .orderBy(col("p_brand"), col("rank_in_brand"))
+  }
+
   /** Order-priority distribution with ratio-to-total (A11 over star data). */
   def orderPriorityDistribution(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.orders(spark, dir)
