@@ -329,6 +329,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Quantize.pqTopK(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_ann_multiprobe" -> ((s, d) => { // 1-bit-flip multi-probe LSH top-k
+      val emb = Tables.embeddings(s, d)
+      Similarity.annMultiProbe(emb, emb.where(col("vec_id") < 5), 5)
+    }),
     "q_embedding_gram" -> ((s, d) => // distributed PCA stage 1: exact integer scatter matrix
       Spectral.gramMatrix(Tables.embeddings(s, d), 64)),
     "q_embedding_dim_stats" -> ((s, d) => // per-dimension dead/saturated/drift check
@@ -846,6 +850,41 @@ object SparkEntry {
        |    (floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) / 10000.0) AS cosine
        |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Mirror of Similarity.annMultiProbe (8 planes, 1-bit-flip probing):
+    * identical plane constants, probe set = own bucket ∪ 8 flips, exact
+    * cosine, rank (cos desc, neighbor asc) top-5. */
+  private lazy val annMultiProbeOracleSql: String = {
+    def dotPlane(p: Seq[Double]) = {
+      val arr = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_reduce(list_transform(list_zip(embedding, $arr), s -> CAST(s[1] AS DOUBLE) * s[2]), (x, y) -> x + y)"
+    }
+    val bucket = graft.operators.Similarity.planes.take(8).zipWithIndex
+      .map { case (p, i) => s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString(" + ")
+    val flips = (0 until 8).map(i => s"xor(qb, ${1 << i})").mkString(", ")
+    val pairDot = "list_reduce(list_transform(list_zip(p.q_emb, c.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    val norm = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, $norm AS nrm, $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+       |        bucket AS qb FROM coded WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, q_emb, q_nrm,
+       |    unnest(list_value(qb, $flips)) AS bucket
+       |  FROM q),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    $pairDot / (p.q_nrm * c.nrm) AS cos
+       |  FROM probes p JOIN coded c ON c.bucket = p.bucket
+       |    AND c.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |      FROM cand)
+       |SELECT query_id, rank, neighbor_id, (floor(cos * 10000.0) / 10000.0) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Mirror of Similarity.nearDupCosineLsh (4 tables × 4 planes): per-table
@@ -2821,6 +2860,7 @@ object SparkEntry {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_ann_lsh" -> annLshOracleSql,
+    "q_ann_multiprobe" -> annMultiProbeOracleSql,
 
     "q_ivf_topk" -> ivfOracleSql,
 

@@ -144,6 +144,45 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB 2007 — the
+    * probing-sequence idea specialized to hyperplane signs): each query
+    * examines its own bucket PLUS every 1-bit-flip neighbor, so one table
+    * at `numPlanes` planes reaches the recall that would otherwise need
+    * many tables — probing is query-side replication (numPlanes+1 rows per
+    * query), not another corpus-wide index.
+    *
+    * Scale shape: the corpus is coded once (scan-side projection); probes
+    * are a tiny exploded frame that BROADCASTS onto the corpus bucket
+    * equi-join; ranking is the bounded [[graft.plans.TopKAggregate]] heap
+    * on the raw cosine (ties to the lower id — the exact order the
+    * oracle's ranking window states). A corpus vector owns one bucket and
+    * the probe set per query is distinct, so no pair can duplicate — no
+    * distinct pass. */
+  def annMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    numPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      bucketCode(col("embedding"), numPlanes).as("bucket"))
+    val probes = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_nrm"),
+          bucketCode(col("embedding"), numPlanes).as("qb"))
+        .select(col("query_id"), col("q_emb"), col("q_nrm"),
+          explode(array((col("qb") +:
+            (0 until numPlanes).map(i => col("qb").bitwiseXOR(lit(1 << i)))): _*))
+            .as("bucket")))
+    c.join(probes, Seq("bucket"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (fvecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.topk(struct(col("cos"), col("corpus_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"), Cols.asDec4(col("p.score")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, the scale path: multi-table
     * hyperplane LSH (each table = a disjoint slice of [[planes]]) generates
     * candidates, exact cosine verifies them, and a set-distinct merges the

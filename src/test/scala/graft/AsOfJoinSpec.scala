@@ -145,6 +145,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall") // nprobe=4/16 cells; sanity floor
   }
 
+  test("multi-probe LSH: probing 1-bit flips never hurts recall vs the exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.topKCosine(emb, queries, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val multi = Similarity.annMultiProbe(emb, queries, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // at sf0.001 the probe set covers ~9/256 buckets of a ~600-vector
+    // corpus, so absolute recall is structurally small; the floor only
+    // guards against a broken bucket/flip computation (recall ≈ 0)
+    val total = exact.count().toDouble
+    val recall = multi.intersect(exact).count() / total
+    assert(recall >= 0.08, s"multi-probe recall $recall below floor")
+    // candidate-superset property: every own-bucket candidate is probed,
+    // so the single-bucket ANN's result pairs must appear in the probe set
+    val single = emb.select(col("vec_id"),
+        Similarity.bucketCode(col("embedding"), 8).as("b"))
+    val qb = single.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("b").as("qb"))
+    val ownBucketPairs = single.join(qb, col("b") === col("qb")
+        && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val multiAll = Similarity.annMultiProbe(emb, queries, 1000000)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(ownBucketPairs.exceptAll(multiAll).count() == 0,
+      "own-bucket candidates must survive into the probe set")
+  }
+
   test("nearest-event join equals the naive window 1-NN; bucket width invariant") {
     import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, sf)
