@@ -83,6 +83,8 @@ object SparkEntry {
       EventAnalytics.lastWindowCounts(Tables.events(s, d), 86400).orderBy(col("event_type"))),
     "q_heavy_hitters" -> ((s, d) => // Misra-Gries sketch -> exact verify
       HeavyHitters.heavyEntities(Tables.events(s, d), 127)),
+    "q_countmin_freq" -> ((s, d) => // portable CMS estimates vs exact counts
+      HeavyHitters.countMinFrequencies(Tables.events(s, d))),
     "q_daily_retention" -> ((s, d) => // day-over-day cohort retention
       EventAnalytics.dailyRetention(Tables.events(s, d))),
     "q_session_funnel" -> ((s, d) => // ordered view->click->purchase funnel
@@ -1383,6 +1385,32 @@ object SparkEntry {
           |  count(t_click) AS reached_click,
           |  count(t_purchase) AS reached_purchase
           |FROM per""".stripMargin),
+
+    // Mirror of HeavyHitters.countMinFrequencies: the same portable md5₄₈
+    // row hashes build the identical depth×width grid, so the sketch's own
+    // estimates — not just the exact counts — are oracle-checked.
+    "q_countmin_freq" ->
+      s"""WITH k AS (
+         |  SELECT TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS entity
+         |  FROM events),
+         |kk AS (SELECT entity FROM k WHERE entity IS NOT NULL),
+         |grid AS (
+         |  SELECT r.i AS row,
+         |    ${md5h48("'cms' || CAST(r.i AS VARCHAR) || ':' || CAST(entity AS VARCHAR)")} % 64 AS slot,
+         |    count(*) AS c
+         |  FROM kk, range(4) r(i) GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT entity, count(*) AS exact_n FROM kk GROUP BY 1
+         |  ORDER BY exact_n DESC, entity ASC LIMIT 10),
+         |est AS (
+         |  SELECT p.entity, p.exact_n, min(g.c) AS cms_estimate
+         |  FROM probes p, range(4) r(i)
+         |  JOIN grid g ON g.row = r.i
+         |    AND g.slot = ${md5h48("'cms' || CAST(r.i AS VARCHAR) || ':' || CAST(p.entity AS VARCHAR)")} % 64
+         |  GROUP BY 1, 2)
+         |SELECT entity, exact_n, cms_estimate,
+         |  CAST(cms_estimate - exact_n AS BIGINT) AS overcount
+         |FROM est ORDER BY exact_n DESC, entity ASC""".stripMargin,
 
     // Mirror of EventAnalytics.cohortRetention: distinct (user, week),
     // per-user min week as the cohort, matrix join + bounded census.

@@ -41,4 +41,44 @@ object HeavyHitters {
       .select(col("entity"), col("n_events"))
       .orderBy(col("n_events").desc, col("entity").asc)
   }
+
+  /** Count-Min sketch point-frequency estimation (Cormode & Muthukrishnan
+    * 2005) with PORTABLE hashing: row hashes are md5₄₈("cms<i>:"‖key) mod
+    * `width`, so the whole sketch — and therefore every estimate — is
+    * reproducible in plain SQL, which is what lets the oracle check not
+    * just the exact counts but the SKETCH'S OWN answers and the one-sided
+    * error guarantee (estimate ≥ true count, always).
+    *
+    * Scale shape: the sketch is a depth×width counter grid built by one
+    * map-side-combinable aggregation over depth rows per event (shuffle
+    * carries ≤ depth·width rows regardless of key cardinality — the point
+    * of CMS); probes (here the exact top-`k` entities) broadcast onto the
+    * grid, and the estimate is the min over `depth` counters. Output rows
+    * carry estimate AND exact count so the overcount is auditable. */
+  def countMinFrequencies(events: DataFrame, depth: Int = 4, width: Int = 64,
+                          k: Int = 10): DataFrame = {
+    val keyed = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("entity"))
+      .where(col("entity").isNotNull)
+    val grid = keyed
+      .select(col("entity"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .groupBy(col("row"),
+        (Dedup.PortableHash(concat(lit("cms"), col("row").cast("string"), lit(":"),
+          col("entity").cast("string"))) % width).as("slot"))
+      .agg(count(lit(1)).as("c"))
+    val probes = keyed.groupBy(col("entity")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("entity").asc).limit(k)
+    probes
+      .select(col("entity"), col("exact_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("slot",
+        Dedup.PortableHash(concat(lit("cms"), col("row").cast("string"), lit(":"),
+          col("entity").cast("string"))) % width)
+      .join(broadcast(grid), Seq("row", "slot"))
+      .groupBy(col("entity"), col("exact_n"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .select(col("entity"), col("exact_n"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("entity").asc)
+  }
 }

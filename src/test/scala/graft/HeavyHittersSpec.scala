@@ -61,4 +61,13 @@ class HeavyHittersSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       "sketch must reduce via partial aggregation, not a per-key shuffle:\n" + plan)
   }
+
+  test("count-min: estimates are one-sided (never undercount)") {
+    import spark.implicits._
+    val rows = HeavyHitters.countMinFrequencies(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (_, exact, est, over) =>
+      est >= exact && over == est - exact
+    }, "CMS one-sided error violated")
+  }
 }
