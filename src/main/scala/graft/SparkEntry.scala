@@ -390,6 +390,8 @@ object SparkEntry {
       cooccurrenceShared(s, d).orderBy(col("item_a"), col("item_b"))),
     "q_entity_pagerank" -> ((s, d) => // fixed-point weighted PageRank, 10 rounds
       GraphRank.weightedPageRank(cooccurrenceShared(s, d))),
+    "q_personalized_pagerank" -> ((s, d) => // teleport only to the 3 seed entities
+      GraphRank.personalizedPageRank(cooccurrenceShared(s, d))),
     "q_zorder_layout" -> ((s, d) => // Morton-layout audit: per-cell rectangles
       ZOrder.zOrderProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_triangle_census" -> ((s, d) => // degree-oriented wedge-join triangles
@@ -568,6 +570,41 @@ object SparkEntry {
          |  SELECT b.node,
          |    ((15 * ($S // b.n)) // 100) + (85 * coalesce(c.im, 0)) // 100 AS rank
          |  FROM (SELECT st.src AS node, nn.n AS n FROM st, nn) b
+         |  LEFT JOIN (
+         |    SELECT d.dst AS node, CAST(sum((r.rank * d.w) // st2.s) AS BIGINT) AS im
+         |    FROM dir d JOIN st st2 ON d.src = st2.src
+         |    JOIN r${i - 1} r ON r.node = d.src
+         |    GROUP BY 1) c ON b.node = c.node)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      "SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 50"
+  }
+
+  /** Mirror of GraphRank.personalizedPageRank(seeds=3): same unrolled
+    * rounds as the uniform oracle, with teleport/initial mass gated on the
+    * 3-strongest-seed membership (the BFS seed rule). */
+  private lazy val personalizedPageRankOracleSql: String = {
+    val S = "1000000000000"
+    val head = cooccurrenceGraphCte +
+      s""", dir AS (
+         |  SELECT item_a AS src, item_b AS dst, pairs AS w FROM g
+         |  UNION ALL
+         |  SELECT item_b, item_a, pairs FROM g WHERE item_a <> item_b),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM dir GROUP BY 1),
+         |sd AS (SELECT src AS node FROM st ORDER BY s DESC, src LIMIT 3),
+         |r0 AS (
+         |  SELECT st.src AS node,
+         |    CASE WHEN sd.node IS NOT NULL THEN ($S // 3) ELSE 0 END AS rank
+         |  FROM st LEFT JOIN sd ON sd.node = st.src)
+         |""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      s""", r$i AS (
+         |  SELECT b.node,
+         |    (CASE WHEN b.is_seed THEN ((15 * ($S // 3)) // 100) ELSE 0 END)
+         |      + (85 * coalesce(c.im, 0)) // 100 AS rank
+         |  FROM (SELECT st.src AS node, sd.node IS NOT NULL AS is_seed
+         |        FROM st LEFT JOIN sd ON sd.node = st.src) b
          |  LEFT JOIN (
          |    SELECT d.dst AS node, CAST(sum((r.rank * d.w) // st2.s) AS BIGINT) AS im
          |    FROM dir d JOIN st st2 ON d.src = st2.src
@@ -2970,6 +3007,7 @@ object SparkEntry {
     // Mirror of GraphRank.weightedPageRank over the same graph: 10 unrolled
     // fixed-point rounds — every operation integer, so ranks are bit-equal.
     "q_entity_pagerank" -> pageRankOracleSql,
+    "q_personalized_pagerank" -> personalizedPageRankOracleSql,
     "q_entity_reachability" -> bfsOracleSql,
 
     // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer

@@ -94,6 +94,15 @@ object GraphRank {
     // (~fixed driver latency at bounded |V|), and a 2-round plan over
     // checkpointed inputs is still shallow — same trick as the clustering
     // fixpoint's stride-3 (`Dedup.scala`)
+    iterateRanks(outEdges, baseCk, rank, iterations)
+  }
+
+  /** The shared fixed-point loop: one broadcast join + one agg per round
+    * over a (node, teleport) base frame — the teleport column is what
+    * distinguishes uniform PageRank from the personalized variant. */
+  private def iterateRanks(outEdges: DataFrame, baseCk: DataFrame,
+                           rank0: DataFrame, iterations: Int): DataFrame = {
+    var rank = rank0
     for (i <- 1 to iterations) {
       val contribs = outEdges
         .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
@@ -106,6 +115,43 @@ object GraphRank {
       rank = if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
     }
     rank
+  }
+
+  /** Personalized PageRank: teleport mass flows ONLY to a seed set (here
+    * the `seeds` strongest entities, the [[bfsDistances]] seed rule), so
+    * ranks measure centrality RELATIVE to the seeds — the
+    * "related entities" / local-recommendation primitive, vs the global
+    * importance [[weightedPageRank]] reports. Identical fixed-point
+    * integer doctrine and per-round plan shape; only the base frame
+    * changes (seed rows carry `scale div seeds` initial mass and the full
+    * 15% teleport share, everything else zero), so the oracle unrolls the
+    * same rounds with a seed CASE. */
+  def personalizedPageRank(edges: DataFrame, seeds: Int = 3, iterations: Int = 10,
+                           k: Int = 50, scale: Long = 1000000000000L): DataFrame = {
+    require(seeds >= 1 && iterations >= 1 && scale >= 1)
+    val dir = edges.select(col("item_a").cast("long").as("src"),
+        col("item_b").cast("long").as("dst"), col("pairs").cast("long").as("w"))
+      .union(edges.where(col("item_a") =!= col("item_b"))
+        .select(col("item_b").cast("long").as("src"),
+          col("item_a").cast("long").as("dst"), col("pairs").cast("long").as("w")))
+    val strength = dir.groupBy(col("src")).agg(sum(col("w")).as("s"))
+    val seedDF = strength.orderBy(col("s").desc, col("src").asc).limit(seeds)
+      .select(col("src").as("node"), lit(1L).as("is_seed"))
+    val seedShare    = scale / seeds
+    val teleportSeed = (15L * seedShare) / 100L
+    val base = strength.select(col("src").as("node"))
+      .join(broadcast(seedDF), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(teleportSeed)).otherwise(lit(0L)).as("teleport"),
+        when(col("is_seed").isNotNull, lit(seedShare)).otherwise(lit(0L)).as("rank0"))
+    val outEdges = dir.join(strength, "src").coalesce(8).localCheckpoint()
+    val maxW = outEdges.agg(max(col("w"))).head().getLong(0)
+    require(maxW <= 0L || maxW <= Long.MaxValue / scale,
+      s"personalizedPageRank: scale=$scale x max edge weight=$maxW can overflow Long")
+    val baseCk = base.coalesce(1).localCheckpoint()
+    val rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
+    iterateRanks(outEdges, baseCk, rank, iterations)
+      .orderBy(col("rank").desc, col("node").asc).limit(k)
   }
 
   /** Multi-source BFS distance census over the same undirected weighted

@@ -341,6 +341,17 @@ class OperatorSpec extends SparkSpec {
     assert(meanSel >= meanAll, f"weighting must favor heavy docs ($meanSel%.0f < $meanAll%.0f)")
   }
 
+  test("personalized pagerank: mass never reaches a component without a seed") {
+    // component A {1,2,3} is strongest → owns all 3 seeds; component B {4,5}
+    // is disconnected, and with seed-only teleport must stay at rank 0
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 8L), (1L, 3L, 5L), (4L, 5L, 1L))
+      .toDF("item_a", "item_b", "pairs")
+    val ranks = GraphRank.personalizedPageRank(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(n => ranks(n) > 0), s"seed component lost mass: $ranks")
+    assert(Seq(4L, 5L).forall(n => ranks(n) == 0), s"seedless component gained mass: $ranks")
+  }
+
   test("weighted pagerank equals the naive fixed-point iteration, mass near-conserved") {
     val edges = EventAnalytics.cooccurrenceCounts(Tables.events(spark, sf), 2)
     val scale = 1000000000000L
