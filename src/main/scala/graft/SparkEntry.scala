@@ -110,6 +110,8 @@ object SparkEntry {
     "q_outer_join_audit" -> ((s, d) => Relational.outerJoinAudit(s, d)),
     "q_bloom_semi_join" -> ((s, d) => // runtime-filter semi join (bloom prefilter)
       BloomJoin.highValueLineitemRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q6_forecast_revenue" -> ((s, d) => // Q6-shaped pushdown scan aggregate
+      Relational.forecastRevenue(s, d)),
     "q_window_topn" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
     "q_window_topn_agg" -> ((s, d) => // heap-aggregate scale sibling, shared oracle
       Relational.topPartsPerBrandAgg(s, d)),
@@ -1593,6 +1595,19 @@ object SparkEntry {
          |FROM lineitem
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mirror of Relational.forecastRevenue: identical predicates (the
+    // discount bounds parse to the same doubles) and the exact 1e-4-unit
+    // product sum.
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS lines,
+        |  (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_window_topn" -> windowTopnOracleSql,
     // the heap-aggregate sibling must reproduce the ranking window exactly

@@ -143,6 +143,24 @@ object Relational {
       .orderBy(col("p_brand"), col("rank_in_brand"))
   }
 
+  /** TPC-H Q6-shaped selective scan aggregate: the "how much revenue would
+    * a discount policy change move" forecast — three scan-side predicates
+    * (ship-date year, discount band, quantity cap) and one exact product
+    * sum, NO join, NO group. The point at 100 TB: every predicate is a
+    * plain column comparison, so all three reach the parquet reader as
+    * PushedFilters (PlanSpec asserts it) and row-group statistics prune
+    * before a single page decodes; revenue is the exact 1e-4-unit integer
+    * sum of the 2-decimal × 2-decimal product. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("lines"),
+        Cols.sumDec4(Cols.dec2(col("l_extendedprice")) * Cols.dec2(col("l_discount")))
+          .as("revenue"))
+
   /** Scale sibling of [[topPartsPerBrand]] (exact-anchor pairing doctrine):
     * the SAME per-brand top-n through the engine's bounded heap aggregate
     * ([[graft.plans.TopKAggregate]]) instead of a ranking window — each

@@ -27,6 +27,14 @@ class PlanSpec extends SparkSpec {
     assert(planOf(Relational.customersWithoutBigOrders(spark, sf)).contains("LeftAnti"))
   }
 
+  test("Q6 forecast pushes all three predicates into the parquet scan") {
+    val p = planOf(Relational.forecastRevenue(spark, sf))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"missing pushed filter $f in:\n$p")
+  }
+
   test("pricing summary pushes the shipdate filter into the parquet scan") {
     val p = planOf(Relational.pricingSummary(Tables.lineitem(spark, sf)))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
