@@ -112,6 +112,8 @@ object SparkEntry {
       BloomJoin.highValueLineitemRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q6_forecast_revenue" -> ((s, d) => // Q6-shaped pushdown scan aggregate
       Relational.forecastRevenue(s, d)),
+    "q_top_supplier" -> ((s, d) => // per-nation argmax supplier, star join
+      Relational.topSupplierByNation(s, d)),
     "q_window_topn" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
     "q_window_topn_agg" -> ((s, d) => // heap-aggregate scale sibling, shared oracle
       Relational.topPartsPerBrandAgg(s, d)),
@@ -406,6 +408,10 @@ object SparkEntry {
       CorpusFilters.curationFunnel(Tables.documents(s, d))),
     "q_revenue_ewma" -> ((s, d) => // integer-halving EWMA of daily revenue
       Stats.dailyRevenueEwma(Tables.orders(s, d))),
+    "q_rfm_segments" -> ((s, d) => // quartile-scored RFM segment census
+      Stats.rfmSegments(Tables.orders(s, d))),
+    "q_lateness_census" -> ((s, d) => // out-of-orderness vs the watermark
+      EventAnalytics.latenessCensus(Tables.events(s, d))),
     "q_hourly_autocorr" -> ((s, d) => // periodicity: volume autocorrelation lags 1..24
       Stats.hourlyAutocorrelation(Tables.events(s, d))),
     "q_revenue_trend" -> ((s, d) => // least-squares slope from exact sums
@@ -1608,6 +1614,23 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    // Mirror of Relational.topSupplierByNation: per-supplier exact cents,
+    // per-nation winner by (cents desc, suppkey asc) — stated as a window.
+    "q_top_supplier" ->
+      """WITH ps AS (
+        |  SELECT s_nationkey, s_suppkey, s_name,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY s_nationkey
+        |    ORDER BY cents DESC, s_suppkey ASC) AS rn
+        |  FROM ps)
+        |SELECT n_name AS nation, s_suppkey, s_name,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue
+        |FROM w JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY nation""".stripMargin,
 
     "q_window_topn" -> windowTopnOracleSql,
     // the heap-aggregate sibling must reproduce the ranking window exactly
@@ -3096,6 +3119,64 @@ object SparkEntry {
         |    * 10000.0) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END AS autocorr_u
         |FROM m ORDER BY lag""".stripMargin,
+
+    // Mirror of Stats.rfmSegments: identical per-customer metrics, the
+    // same interpolated quartile thresholds (quantile_cont ≡ percentile),
+    // the same CASE ladder, bounded segment census.
+    "q_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |per AS (
+        |  SELECT o_custkey, max(day) AS last_day, count(*) AS freq,
+        |    CAST(sum(cents) AS BIGINT) AS mon
+        |  FROM base GROUP BY 1),
+        |a AS (SELECT max(last_day) AS day0 FROM per),
+        |sc AS (SELECT per.*, a.day0 - last_day AS recency FROM per, a),
+        |th AS (
+        |  SELECT quantile_cont(CAST(recency AS DOUBLE), 0.25) AS r1,
+        |    quantile_cont(CAST(recency AS DOUBLE), 0.5) AS r2,
+        |    quantile_cont(CAST(recency AS DOUBLE), 0.75) AS r3,
+        |    quantile_cont(CAST(freq AS DOUBLE), 0.25) AS f1,
+        |    quantile_cont(CAST(freq AS DOUBLE), 0.5) AS f2,
+        |    quantile_cont(CAST(freq AS DOUBLE), 0.75) AS f3,
+        |    quantile_cont(CAST(mon AS DOUBLE), 0.25) AS m1,
+        |    quantile_cont(CAST(mon AS DOUBLE), 0.5) AS m2,
+        |    quantile_cont(CAST(mon AS DOUBLE), 0.75) AS m3
+        |  FROM sc),
+        |seg AS (
+        |  SELECT
+        |    5 - (CASE WHEN recency <= r1 THEN 1 WHEN recency <= r2 THEN 2
+        |              WHEN recency <= r3 THEN 3 ELSE 4 END) AS r_score,
+        |    CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2
+        |         WHEN freq <= f3 THEN 3 ELSE 4 END AS f_score,
+        |    CASE WHEN mon <= m1 THEN 1 WHEN mon <= m2 THEN 2
+        |         WHEN mon <= m3 THEN 3 ELSE 4 END AS m_score,
+        |    mon
+        |  FROM sc, th)
+        |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score, count(*) AS customers,
+        |  CAST(sum(mon) AS DOUBLE) / 100.0 AS monetary_total
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    // Mirror of EventAnalytics.latenessCensus: per-user running max along
+    // the event_id arrival order, ⌊log₂⌋ lateness buckets, 600 s drop count.
+    "q_lateness_census" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |l AS (
+        |  SELECT greatest(max(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id
+        |           ROWS UNBOUNDED PRECEDING) - ts_sec, 0) AS late
+        |  FROM e)
+        |SELECT CASE WHEN late = 0 THEN 0
+        |            ELSE CAST(length(bin(late)) AS BIGINT) END AS log2_bucket,
+        |  count(*) AS n_events, max(late) AS max_lateness,
+        |  CAST(sum(CASE WHEN late > 600 THEN 1 ELSE 0 END) AS BIGINT) AS beyond_watermark
+        |FROM l GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
 
     // Mirror of Stats.abConversionLift (z = 1.96): identical IEEE op tree —
     // z² written as (1.96 * 1.96) so both engines round the same product.

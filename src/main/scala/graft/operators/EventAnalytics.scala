@@ -442,6 +442,29 @@ object EventAnalytics {
       Cols.countWhen(col("t_purchase").isNotNull).as("reached_purchase"))
   }
 
+  /** Out-of-orderness / lateness census — the streaming-observability
+    * number behind every watermark choice: for each event, how far behind
+    * the furthest event time ALREADY SEEN on its key's arrival order
+    * (monotone event_id = the generator's emit order) did it arrive?
+    * Reported as a bounded ⌊log₂⌋ histogram of lateness seconds plus the
+    * count a `watermarkSeconds` watermark would have dropped — the audit
+    * that justifies (or indicts) the engine's 600 s setting.
+    *
+    * Per-key running max on the session exchange (the SCD2 single-exchange
+    * shape — no global window); the census is ≤ 64 rows at any volume. */
+  def latenessCensus(events: DataFrame, watermarkSeconds: Long = 600): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("late", greatest(max(col("ts_sec")).over(w) - col("ts_sec"), lit(0L)))
+      .select(when(col("late") === 0, lit(0L))
+        .otherwise(length(bin(col("late"))).cast("long")).as("log2_bucket"), col("late"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late")).as("max_lateness"),
+        Cols.countWhen(col("late") > watermarkSeconds).as("beyond_watermark"))
+      .orderBy(col("log2_bucket"))
+  }
+
   /** Weekly cohort retention matrix — the classic product-analytics
     * triangle: users grouped by first-seen week, each later week's
     * still-active count as an offset column. Extends [[dailyRetention]]'s

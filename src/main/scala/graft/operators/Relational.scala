@@ -143,6 +143,31 @@ object Relational {
       .orderBy(col("p_brand"), col("rank_in_brand"))
   }
 
+  /** Market-leader query: each nation's top supplier by lineitem revenue —
+    * a three-table star join (fact ⋈ supplier ⋈ nation, both dimensions
+    * broadcast) whose per-nation winner is an ARGMAX AGGREGATION
+    * (`max(struct(cents, −s_suppkey, …))` — map-side combinable, one row
+    * per nation ships), never a ranking window over the supplier universe.
+    * Ties break to the lower supplier key via the negated key inside the
+    * struct; revenue stays exact cents until the final render. */
+  def topSupplierByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val su = Tables.supplier(spark, dir)
+    val na = Tables.nation(spark, dir)
+    val perSupplier = li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+      .agg(sum(Cols.cents(col("l_extendedprice"))).as("cents"))
+    perSupplier
+      .groupBy(col("s_nationkey"))
+      .agg(max(struct(col("cents"), (-col("s_suppkey")).as("neg"),
+        col("s_suppkey").as("s_suppkey"), col("s_name").as("s_name"))).as("w"))
+      .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("w.s_suppkey").as("s_suppkey"),
+        col("w.s_name").as("s_name"),
+        (col("w.cents").cast("double") / 100.0).as("revenue"))
+      .orderBy(col("nation"))
+  }
+
   /** TPC-H Q6-shaped selective scan aggregate: the "how much revenue would
     * a discount policy change move" forecast — three scan-side predicates
     * (ship-date year, discount band, quantity cap) and one exact product

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
@@ -120,6 +120,54 @@ object Stats {
           |    * 10000.0) AS BIGINT)
           |  ELSE CAST(0 AS BIGINT) END""".stripMargin).as("autocorr_u"))
       .orderBy(col("lag"))
+  }
+
+  /** RFM customer segmentation — the classic marketing cut: per customer
+    * Recency (days since last order), Frequency (order count), Monetary
+    * (exact cents spend), each scored into quartiles against the GLOBAL
+    * customer distribution, and the 4×4×4 segment census reported.
+    *
+    * Quartile thresholds are three interpolated percentiles per metric —
+    * a 1-row broadcast frame; scoring is then a pure projection, and the
+    * census a bounded (≤64-row) aggregate. Spark's `percentile` and the
+    * oracle's `quantile_cont` interpolate identically (the
+    * [[Relational.priceQuantiles]] parity precedent); every comparison is
+    * long-vs-double with exact widening. R scores 4 = most recent
+    * (≤ p25 of days-since), F/M score 4 = top quartile. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_custkey"),
+        Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+    val per = base.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon"))
+    val anchor = per.agg(max(col("last_day")).as("day0"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("recency", col("day0") - col("last_day"))
+    val th = scored.agg(
+      percentile(col("recency"), lit(0.25)).as("r1"),
+      percentile(col("recency"), lit(0.5)).as("r2"),
+      percentile(col("recency"), lit(0.75)).as("r3"),
+      percentile(col("freq"), lit(0.25)).as("f1"),
+      percentile(col("freq"), lit(0.5)).as("f2"),
+      percentile(col("freq"), lit(0.75)).as("f3"),
+      percentile(col("mon"), lit(0.25)).as("m1"),
+      percentile(col("mon"), lit(0.5)).as("m2"),
+      percentile(col("mon"), lit(0.75)).as("m3"))
+    def asc(v: Column, q1: Column, q2: Column, q3: Column): Column =
+      when(v <= q1, 1L).when(v <= q2, 2L).when(v <= q3, 3L).otherwise(4L)
+    scored.crossJoin(broadcast(th))
+      .select(
+        // recent = small days-since = HIGH score: 5 − ascending quartile
+        (lit(5L) - asc(col("recency"), col("r1"), col("r2"), col("r3"))).as("r_score"),
+        asc(col("freq"), col("f1"), col("f2"), col("f3")).as("f_score"),
+        asc(col("mon"), col("m1"), col("m2"), col("m3")).as("m_score"),
+        col("mon"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("customers"),
+        (sum(col("mon")).cast("double") / 100.0).as("monetary_total"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
   /** Deterministic A/B readout: users hash-split into two arms
