@@ -235,6 +235,8 @@ object SparkEntry {
         .orderBy(col("source"))),
     "q_exact_dedup_keep" -> ((s, d) => // survivor profile after exact dedup
       Dedup.survivorsBySource(Tables.documents(s, d))),
+    "q_dedup_shift" -> ((s, d) => // did dedup change the source mix?
+      Dedup.dedupShiftProfile(Tables.documents(s, d))),
     "q_norm_dedup" -> ((s, d) => // normalization-robust exact dedup census
       Dedup.normalizedDedupProfile(Tables.documents(s, d))),
     // portable-hash variants: every sketch value is reproducible in the SQL
@@ -338,6 +340,10 @@ object SparkEntry {
     "q_ann_multiprobe" -> ((s, d) => { // 1-bit-flip multi-probe LSH top-k
       val emb = Tables.embeddings(s, d)
       Similarity.annMultiProbe(emb, emb.where(col("vec_id") < 5), 5)
+    }),
+    "q_matryoshka_overlap" -> ((s, d) => { // prefix-dim truncation quality audit
+      val emb = Tables.embeddings(s, d)
+      Similarity.matryoshkaOverlap(emb, emb.where(col("vec_id") < 5), 5)
     }),
     "q_embedding_gram" -> ((s, d) => // distributed PCA stage 1: exact integer scatter matrix
       Spectral.gramMatrix(Tables.embeddings(s, d), 64)),
@@ -897,6 +903,42 @@ object SparkEntry {
        |    (floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) / 10000.0) AS cosine
        |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Mirror of Similarity.matryoshkaOverlap(k=5, prefixDim=16): two brute
+    * top-5 rankings (full dims; 16-dim prefix) and per-query overlap. */
+  private lazy val matryoshkaOracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    def nrm(e: String) =
+      s"sqrt(list_reduce(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    s"""WITH fe AS (SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM embeddings),
+       |fq AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |       FROM fe WHERE vec_id < 5),
+       |pe AS (SELECT vec_id, list_slice(embedding, 1, 16) AS embedding,
+       |         ${nrm("list_slice(embedding, 1, 16)")} AS nrm FROM embeddings),
+       |pq AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |       FROM pe WHERE vec_id < 5),
+       |f AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) DESC,
+       |                 e.vec_id ASC) AS rank
+       |    FROM fq q JOIN fe e ON e.vec_id <> q.query_id)
+       |  WHERE rank <= 5),
+       |p AS (
+       |  SELECT query_id AS q2, neighbor_id AS n2 FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) DESC,
+       |                 e.vec_id ASC) AS rank
+       |    FROM pq q JOIN pe e ON e.vec_id <> q.query_id)
+       |  WHERE rank <= 5)
+       |SELECT f.query_id, count(*) AS full_topk,
+       |  CAST(sum(CASE WHEN p.n2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_topk
+       |FROM f LEFT JOIN p ON p.q2 = f.query_id AND p.n2 = f.neighbor_id
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
   }
 
   /** Mirror of Similarity.annMultiProbe (8 planes, 1-bit-flip probing):
@@ -2223,6 +2265,26 @@ object SparkEntry {
         |FROM documents JOIN k USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // Mirror of Dedup.dedupShiftProfile: before/after per-source censuses,
+    // pct4 shares of each side's total, delta = one further subtraction of
+    // the two quantized doubles.
+    "q_dedup_shift" ->
+      s"""WITH b AS (SELECT source, count(*) AS docs_before FROM documents GROUP BY 1),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+         |a AS (
+         |  SELECT source, count(*) AS docs_after
+         |  FROM documents JOIN k USING (doc_id) GROUP BY 1),
+         |tb AS (SELECT CAST(sum(docs_before) AS BIGINT) AS tb FROM b),
+         |ta AS (SELECT CAST(sum(docs_after) AS BIGINT) AS ta FROM a),
+         |s AS (
+         |  SELECT source, docs_before, docs_after,
+         |    ${pct("docs_before", "tb")} AS share_before,
+         |    ${pct("docs_after", "ta")} AS share_after
+         |  FROM b JOIN a USING (source), tb, ta)
+         |SELECT source, docs_before, docs_after, share_before, share_after,
+         |  share_after - share_before AS share_delta
+         |FROM s ORDER BY source""".stripMargin,
+
     // Mirror of Dedup.normalizedDedupProfile: identical normalization chain
     // (casefold → non-alphanumerics to spaces → collapse runs → trim; note
     // DuckDB regexp_replace needs the 'g' flag where Spark replaces all
@@ -2964,6 +3026,7 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_multiprobe" -> annMultiProbeOracleSql,
+    "q_matryoshka_overlap" -> matryoshkaOracleSql,
 
     "q_ivf_topk" -> ivfOracleSql,
 

@@ -68,6 +68,32 @@ object Dedup {
       .agg(count(lit(1)).as("surviving_docs"), sum(col("n_chars")).as("surviving_chars"))
       .orderBy(col("source"))
 
+  /** Distribution-shift audit of exact dedup — the data-centric question a
+    * curation pipeline must answer before training on the deduped corpus:
+    * did removing duplicates CHANGE THE SOURCE MIX? Template-heavy sources
+    * lose share; if the loss is large the mixture weights need re-tuning
+    * (see [[CorpusFilters.mixtureWeights]]). Reports per source: docs
+    * before/after, each side's share of its corpus, and the share delta —
+    * shares via the fixed pct4 IEEE sequence, the delta one further
+    * subtraction of those two quantized doubles (deterministic).
+    *
+    * Shape: the before census is one hash agg; the after side reuses
+    * [[exactDeduped]] (fingerprint groupBy); totals broadcast back. */
+  def dedupShiftProfile(docs: DataFrame): DataFrame = {
+    import graft.functions.Cols
+    val before = docs.groupBy(col("source")).agg(count(lit(1)).as("docs_before"))
+    val after = exactDeduped(docs).groupBy(col("source")).agg(count(lit(1)).as("docs_after"))
+    val tot = before.agg(sum(col("docs_before")).as("tb"))
+    val tda = after.agg(sum(col("docs_after")).as("ta"))
+    before.join(after, Seq("source"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(tda))
+      .select(col("source"), col("docs_before"), col("docs_after"),
+        Cols.pct4(col("docs_before"), col("tb")).as("share_before"),
+        Cols.pct4(col("docs_after"), col("ta")).as("share_after"))
+      .withColumn("share_delta", col("share_after") - col("share_before"))
+      .orderBy(col("source"))
+  }
+
   /** Normalization-robust content fingerprint: casefold, non-alphanumerics
     * to spaces, runs of whitespace collapsed, edges trimmed — then md5. The
     * tier between byte-exact dedup (misses trivial reformattings) and

@@ -183,6 +183,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, MRL): how much of
+    * the full-dimension top-k survives when vectors are truncated to a
+    * prefix of `prefixDim` dims? The question every storage/latency
+    * truncation decision hangs on, answered as per-query overlap counts —
+    * exact integers, so the audit is oracle-checkable bit-for-bit.
+    *
+    * Scale shape: two brute-force broadcast top-k passes (queries are tiny;
+    * the corpus streams — the recall-oracle shape, like [[topKCosine]]),
+    * then a |queries|·k-row join. Production would pair the truncated
+    * scan with a full-dim rescore; this query measures whether that works
+    * on THIS corpus. */
+  def matryoshkaOverlap(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                        prefixDim: Int = 16): DataFrame = {
+    def trunc(df: DataFrame) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, prefixDim).as("embedding"))
+    val full = topKCosine(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pre = topKCosine(trunc(corpus), trunc(queries), k)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    full.join(pre, col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("full_topk"),
+        graft.functions.Cols.countWhen(col("n2").isNotNull).as("kept_topk"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, the scale path: multi-table
     * hyperplane LSH (each table = a disjoint slice of [[planes]]) generates
     * candidates, exact cosine verifies them, and a set-distinct merges the
