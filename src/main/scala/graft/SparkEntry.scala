@@ -193,6 +193,10 @@ object SparkEntry {
       TextAnalysis.bigramLmScores(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => // BPE merge-pair candidates (tokenizer training step 1)
       TextAnalysis.bpePairs(Tables.documents(s, d), 20)),
+    "q_vocab_growth" -> ((s, d) => // Heaps-law saturation audit
+      TextAnalysis.vocabGrowth(Tables.documents(s, d))),
+    "q_fulfillment_latency" -> ((s, d) => // fact-to-fact join, bounded census
+      Relational.fulfillmentLatency(s, d)),
     "q_length_histogram" -> ((s, d) => // sequence-length decade census
       TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_quality_percentiles" -> ((s, d) => // per-source percentile-rank normalization
@@ -2426,6 +2430,34 @@ object SparkEntry {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // Mirror of TextAnalysis.vocabGrowth: first-seen doc per token, the
+    // same power-of-2 ∪ {max} threshold grid, vocab-sized membership join.
+    "q_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |t2 AS (
+        |  SELECT token, min(doc_id) AS first_doc FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1),
+        |mm AS (SELECT max(first_doc) AS m FROM t2),
+        |g AS (
+        |  SELECT unnest(list_transform(range(0, CAST(length(bin(m)) AS BIGINT)),
+        |    j -> (CAST(1 AS BIGINT) << j))) AS threshold FROM mm
+        |  UNION
+        |  SELECT m FROM mm)
+        |SELECT threshold, count(*) AS vocab
+        |FROM g JOIN t2 ON t2.first_doc <= g.threshold
+        |GROUP BY 1 ORDER BY threshold""".stripMargin,
+
+    // Mirror of Relational.fulfillmentLatency: the lineitem ⋈ orders
+    // fact-to-fact join, integer day difference, bounded census.
+    "q_fulfillment_latency" ->
+      """SELECT (CAST(epoch(date_trunc('second', l_shipdate)) AS BIGINT)
+        |        - CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT)) // 86400 AS latency_days,
+        |  count(*) AS lines,
+        |  (CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY latency_days""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH t AS (

@@ -143,6 +143,27 @@ object Relational {
       .orderBy(col("p_brand"), col("rank_in_brand"))
   }
 
+  /** Fulfillment-latency census: days from order placement to each line's
+    * ship date — the one FACT-TO-FACT join in the relational family
+    * (lineitem ⋈ orders; neither side broadcasts at scale, so this is the
+    * plan that exercises the co-partitioned big-big shuffle join — with
+    * both tables bucketed by orderkey at rest it degrades to a zero-shuffle
+    * sort-merge, the [[graft.sources.Bucketing]] doctrine). The census is
+    * bounded by the latency domain (≤ ~125 day values), integer-exact. */
+  def fulfillmentLatency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), Cols.tsSec(col("l_shipdate")).as("ship_sec"),
+        Cols.cents(col("l_extendedprice")).as("cents"))
+    val or = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Cols.tsSec(col("o_orderdate")).as("order_sec"))
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .select(expr("(ship_sec - order_sec) div 86400").as("latency_days"), col("cents"))
+      .groupBy(col("latency_days"))
+      .agg(count(lit(1)).as("lines"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("latency_days"))
+  }
+
   /** Market-leader query: each nation's top supplier by lineitem revenue —
     * a three-table star join (fact ⋈ supplier ⋈ nation, both dimensions
     * broadcast) whose per-nation winner is an ARGMAX AGGREGATION

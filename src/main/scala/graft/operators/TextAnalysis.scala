@@ -366,6 +366,34 @@ object TextAnalysis {
         Cols.avg4(sum(col("chunk_tokens")).cast("double"), count(lit(1))).as("avg_chunk_tokens"))
       .orderBy(col("source"))
 
+  /** Heaps-law vocabulary growth: distinct-token count within each id
+    * prefix of the corpus (thresholds on the power-of-2 grid plus the full
+    * corpus) — the "is the vocabulary saturating?" audit behind tokenizer
+    * sizing and dedup-effectiveness checks (a corpus whose vocab keeps
+    * growing linearly is template- or noise-heavy).
+    *
+    * Scale shape: one corpus pass computes each token's FIRST-SEEN doc id
+    * (map-side-combinable min); everything after — the ~⌈log₂ corpus⌉-row
+    * threshold grid, the vocab-sized membership join, the census — is
+    * vocabulary-sized. All integers. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val first = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val m = first.agg(max(col("first_doc")).as("m"))
+    val grid = m.select(explode(expr(
+        "transform(sequence(0, CAST(length(bin(m)) AS INT) - 1)," +
+          " j -> shiftleft(CAST(1 AS BIGINT), j))")).as("threshold"))
+      .union(m.select(col("m").as("threshold")))
+      .distinct()
+    first.crossJoin(broadcast(grid))
+      .where(col("first_doc") <= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy(col("threshold"))
+  }
+
   /** Bigram language-model scoring — the CCNet-style "score every document
     * against corpus n-gram statistics" curation signal (Wenzek et al. 2020
     * use a KenLM 5-gram; the 2-gram MLE here is the same pipeline shape
