@@ -381,6 +381,8 @@ object SparkEntry {
       Similarity.nearestCentroidProfile(Tables.embeddings(s, d))),
 
     // --- data-quality validation (reference PROJECT_SUMMARY declared intent)
+    "q_fk_integrity" -> ((s, d) => // star-schema orphan audit, plan-pure
+      DataQuality.fkIntegrity(s, d)),
     "q_dq_events" -> ((s, d) => DataQuality.eventsReport(Tables.events(s, d))),
     "q_dq_documents" -> ((s, d) => DataQuality.documentsReport(Tables.documents(s, d))),
 
@@ -2581,6 +2583,36 @@ object SparkEntry {
     "q_doc_fingerprints" ->
       """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirror of DataQuality.fkIntegrity: per relationship, child count and
+    // missing-parent orphan count (parent key sets are PKs on this data).
+    "q_fk_integrity" ->
+      """SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+        |  count(*) AS child_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey -> part', count(*),
+        |  CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |  ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey -> supplier', count(*),
+        |  CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        |  ON l_suppkey = s_suppkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey -> customer', count(*),
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey -> nation', count(*),
+        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |  ON s_nationkey = n_nationkey
+        |ORDER BY relationship""".stripMargin,
 
     "q_dq_events" ->
       s"""WITH w AS (SELECT

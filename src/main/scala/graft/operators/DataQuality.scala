@@ -88,4 +88,37 @@ object DataQuality {
         col("total"), Cols.pct4(col("violations"), col("total")).as("violation_pct"))
       .orderBy(col("check_name"))
   }
+
+  /** Referential-integrity audit across the star schema: for each foreign
+    * key, the child row count and how many child rows reference a missing
+    * parent. Orphans come from LEFT ANTI joins — at scale each is one
+    * shuffle (or a broadcast when the parent is a dimension), never a
+    * full outer materialization — and the report is one bounded row per
+    * relationship. The healthy-corpus expectation is all zeros; the query
+    * exists so a pipeline can ASSERT that instead of assuming it. */
+  def fkIntegrity(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def check(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+      // pure plan, no driver action: left join onto the DISTINCT parent key
+      // set (a PK, so distinct is a no-op guard against multiplication),
+      // count misses in the same aggregation as the total
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey), lit(1L).as("__hit")).distinct(),
+          Seq(childKey), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          Cols.countWhen(col("__hit").isNull).as("orphans"))
+        .select(lit(name).as("relationship"), col("child_rows"), col("orphans"))
+    check("lineitem.l_orderkey -> orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionAll(check("lineitem.l_partkey -> part", Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(check("lineitem.l_suppkey -> supplier", Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(check("orders.o_custkey -> customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionAll(check("supplier.s_nationkey -> nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .orderBy(col("relationship"))
+  }
 }
