@@ -159,6 +159,17 @@ class OperatorSpec extends SparkSpec {
       "carry must reach non-purchase events")
   }
 
+  test("session paths: trigram mass equals sum of per-session max(len-2, 0)") {
+    val events = Tables.events(spark, sf)
+    val paths = EventAnalytics.sessionPaths(events, k = 1000000)
+    val mass = paths.agg(sum(col("occurrences"))).head().getLong(0)
+    val expected = Sessionize.withSessionId(events)
+      .groupBy(col("user_id"), col("session_id")).count()
+      .select(greatest(col("count") - 2, lit(0L)).as("t"))
+      .agg(sum(col("t"))).head().getLong(0)
+    assert(mass == expected, s"trigram mass $mass != $expected")
+  }
+
   test("hourly autocorrelation: alternating series gives exact ±1 at lags 1 and 2") {
     // hours 0..10 with counts 1,3,1,3,… — lag-1 pairs are perfectly
     // anticorrelated (r = −1 → −10000 units), lag-2 perfectly correlated
