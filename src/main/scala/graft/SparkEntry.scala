@@ -345,6 +345,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.annMultiProbe(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_lsh_recall_audit" -> ((s, d) => // quantified recall of the near-dup scale path
+      Similarity.lshRecallAudit(Tables.embeddings(s, d))),
     "q_matryoshka_overlap" -> ((s, d) => { // prefix-dim truncation quality audit
       val emb = Tables.embeddings(s, d)
       Similarity.matryoshkaOverlap(emb, emb.where(col("vec_id") < 5), 5)
@@ -1015,6 +1017,31 @@ object SparkEntry {
     nearDupCosineLshCte +
       """SELECT DISTINCT vec_a, vec_b, cosine FROM cand
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Mirror of Similarity.lshRecallAudit: the exact O(n²) pair set at the
+    * same quantized-cosine threshold LEFT JOINed with the LSH pipeline's
+    * distinct pairs (the CTE above), reduced to audit counts. */
+  private lazy val lshRecallAuditOracleSql: String = {
+    val pairDot = "list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    def nrm(p: String) =
+      s"sqrt(list_reduce(list_transform($p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    nearDupCosineLshCte +
+      s""", lsh AS (SELECT DISTINCT vec_a AS la, vec_b AS lb FROM cand WHERE cosine >= 0.4),
+         |exact AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |      (floor(($pairDot / (${nrm("a")} * ${nrm("b")})) * 10000.0) / 10000.0) AS cosine
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |  WHERE cosine >= 0.4),
+         |j AS (
+         |  SELECT count(*) AS exact_pairs,
+         |    CAST(sum(CASE WHEN l.la IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found_pairs
+         |  FROM exact e LEFT JOIN lsh l ON l.la = e.vec_a AND l.lb = e.vec_b)
+         |SELECT exact_pairs, found_pairs,
+         |  CAST(exact_pairs - found_pairs AS BIGINT) AS missed_pairs,
+         |  ${pct("found_pairs", "exact_pairs")} AS recall_pct
+         |FROM j""".stripMargin
+  }
 
   /** Unrolled synchronous min-label rounds over a `pairs(doc_a, doc_b)` CTE
     * already defined upstream — shared by every clustering oracle. The
@@ -3605,6 +3632,7 @@ object SparkEntry {
     "q_pca_scores" -> pcaScoresOracleSql,
 
     "q_near_dup_cosine" -> nearDupCosineLshOracleSql,
+    "q_lsh_recall_audit" -> lshRecallAuditOracleSql,
 
     // Mirror of Similarity.knnGraph (k=3, minCosine=0.3): the multi-table
     // LSH CTE, distinct verified pairs, symmetrize, per-vector rank on the

@@ -183,6 +183,28 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LSH recall audit — the number that justifies shipping
+    * [[nearDupCosineLsh]] as the registered near-dup scale path: how many
+    * of the EXACT near-dup pairs does the bucketed pipeline find at the
+    * same threshold? Verification is exact on both sides (identical
+    * quantized cosine), so LSH ⊆ exact by construction and the audit
+    * reduces to counts: exact pairs, found, missed, recall %. The exact
+    * side is the O(n²) anchor — this query is the audit that runs on a
+    * SAMPLE at 100 TB (the COVERAGE pairing doctrine), pinned here on the
+    * full test corpus. */
+  def lshRecallAudit(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    val exact = nearDupCosineExact(embeddings, minCosine)
+      .select(col("vec_a"), col("vec_b"))
+    val lsh = nearDupCosineLshPairs(embeddings, minCosine)
+      .select(col("vec_a").as("la"), col("vec_b").as("lb"), lit(1L).as("hit"))
+    exact.join(lsh, col("vec_a") === col("la") && col("vec_b") === col("lb"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+        Cols.countWhen(col("hit").isNotNull).as("found_pairs"))
+      .select(col("exact_pairs"), col("found_pairs"),
+        (col("exact_pairs") - col("found_pairs")).as("missed_pairs"),
+        Cols.pct4(col("found_pairs"), col("exact_pairs")).as("recall_pct"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022, MRL): how much of
     * the full-dimension top-k survives when vectors are truncated to a
     * prefix of `prefixDim` dims? The question every storage/latency
