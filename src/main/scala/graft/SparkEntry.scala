@@ -988,7 +988,11 @@ object SparkEntry {
     * bucket equi-joins, exact-cosine verification, set-distinct merge. The
     * plane constants are embedded verbatim (Double.toString round-trips),
     * so both engines code identical buckets. */
-  private val nearDupCosineLshCte: String = {
+  private val nearDupCosineLshCte: String = nearDupCosineLshCteFrom("embeddings")
+
+  /** `prelude` lets callers define CTEs (e.g. a hash-sampled slice) ahead of
+    * `coded`; `src` is the relation the bucket codes are computed over. */
+  private def nearDupCosineLshCteFrom(src: String, prelude: String = ""): String = {
     def dotPlane(p: Seq[Double]) = {
       val arr = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"list_reduce(list_transform(list_zip(embedding, $arr), s -> CAST(s[1] AS DOUBLE) * s[2]), (x, y) -> x + y)"
@@ -1004,10 +1008,10 @@ object SparkEntry {
          |    (floor(($pairDot / (a.nrm * b.nrm)) * 10000.0) / 10000.0) AS cosine
          |  FROM coded a JOIN coded b ON a.b$t = b.b$t AND a.vec_id < b.vec_id""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH coded AS (
+    s"""WITH ${prelude}coded AS (
        |  SELECT vec_id, embedding, $norm AS nrm,
        |    ${(0 until 4).map(t => s"${bucket(t)} AS b$t").mkString(",\n    ")}
-       |  FROM embeddings),
+       |  FROM $src),
        |cand AS (
        |$perTable)
        |""".stripMargin
@@ -1018,20 +1022,25 @@ object SparkEntry {
       """SELECT DISTINCT vec_a, vec_b, cosine FROM cand
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Mirror of Similarity.lshRecallAudit: the exact O(n²) pair set at the
-    * same quantized-cosine threshold LEFT JOINed with the LSH pipeline's
-    * distinct pairs (the CTE above), reduced to audit counts. */
+  /** Mirror of Similarity.lshRecallAudit: on the SAME deterministic 1/4
+    * hash slice of vec_ids the engine audits (md5₄₈("recall:"+id) % 4 < 1),
+    * the exact pair set at the quantized-cosine threshold LEFT JOINed with
+    * the LSH pipeline's distinct pairs, reduced to audit counts. The
+    * oracle's exact side is a plain triangular self-join — the engine's
+    * triangle-blocked equi-join computes the identical pair set. */
   private lazy val lshRecallAuditOracleSql: String = {
     val pairDot = "list_reduce(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
     def nrm(p: String) =
       s"sqrt(list_reduce(list_transform($p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
-    nearDupCosineLshCte +
+    val samplePred = s"${md5h48("'recall:' || CAST(vec_id AS VARCHAR)")} % 4 < 1"
+    nearDupCosineLshCteFrom("sampled",
+      s"sampled AS (SELECT * FROM embeddings WHERE $samplePred),\n") +
       s""", lsh AS (SELECT DISTINCT vec_a AS la, vec_b AS lb FROM cand WHERE cosine >= 0.4),
          |exact AS (
          |  SELECT vec_a, vec_b FROM (
          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |      (floor(($pairDot / (${nrm("a")} * ${nrm("b")})) * 10000.0) / 10000.0) AS cosine
-         |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |    FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id)
          |  WHERE cosine >= 0.4),
          |j AS (
          |  SELECT count(*) AS exact_pairs,

@@ -183,19 +183,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact all-pairs cosine via triangle block-partitioning (the 1-Bucket
+    * blocking of Okcan & Riedewald 2011's MapReduce theta-join): each
+    * vector hashes to one of `numBlocks` blocks; every unordered block
+    * pair (i ≤ j) becomes ONE equi-join key, the left input carrying
+    * block-i rows (each row replicated to keys (blk..B-1)) and the right
+    * carrying block-j rows (keys (0..blk)). A pair (x, y) with blocks
+    * p ≤ q lands under exactly key (p, q) — once for p < q, twice on the
+    * diagonal where `vec_a < vec_b` keeps one.
+    *
+    * Same O(n²) comparison count as a cartesian — that is what EXACT
+    * all-pairs costs — but expressed as a shuffled equi-join: the work
+    * spreads evenly over B(B+1)/2 keys instead of serializing through a
+    * CartesianProduct/nested-loop operator, every partition is
+    * (n/B)²-bounded, and AQE sizes the shuffle like any other join.
+    * Replication factor is ≤ B+1 rows per input row. */
+  def exactPairsBlocked(embeddings: DataFrame, minCosine: Double = 0.4,
+                        numBlocks: Int = 8): DataFrame = {
+    require(numBlocks >= 1, "numBlocks must be positive")
+    val coded = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      (Dedup.PortableHash(concat(lit("blk:"), col("vec_id").cast("string")))
+        % numBlocks).as("blk"))
+    val l = coded.withColumn("bj", explode(sequence(col("blk"), lit(numBlocks - 1))))
+      .select(col("blk").as("bi"), col("bj"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = coded.withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi").as("ri"), col("blk").as("rj"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    l.join(r, col("bi") === col("ri") && col("bj") === col("rj"))
+      .where(col("bi") =!= col("bj") || col("vec_a") < col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        Cols.asDec4(fvecDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** LSH recall audit — the number that justifies shipping
     * [[nearDupCosineLsh]] as the registered near-dup scale path: how many
     * of the EXACT near-dup pairs does the bucketed pipeline find at the
     * same threshold? Verification is exact on both sides (identical
     * quantized cosine), so LSH ⊆ exact by construction and the audit
-    * reduces to counts: exact pairs, found, missed, recall %. The exact
-    * side is the O(n²) anchor — this query is the audit that runs on a
-    * SAMPLE at 100 TB (the COVERAGE pairing doctrine), pinned here on the
-    * full test corpus. */
-  def lshRecallAudit(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
-    val exact = nearDupCosineExact(embeddings, minCosine)
+    * reduces to counts: exact pairs, found, missed, recall %.
+    *
+    * The audit runs on a deterministic `sampleNum/sampleDen` hash slice of
+    * vec_ids (the COVERAGE pairing doctrine: exact anchors are sampled at
+    * scale), and the exact side within the slice is [[exactPairsBlocked]]
+    * — an evenly-spread equi-join, NOT a cartesian. Restricting the LSH
+    * side to the same slice loses nothing: a pair's bucket collision
+    * depends only on its own two codes, so LSH-on-slice ≡ (LSH-on-corpus
+    * restricted to slice-internal pairs). Recall estimated on the slice is
+    * unbiased for pair-level recall. */
+  def lshRecallAudit(embeddings: DataFrame, minCosine: Double = 0.4,
+                     sampleNum: Int = 1, sampleDen: Int = 4): DataFrame = {
+    val slice = Sampling.hashSample(embeddings, col("vec_id"), sampleNum, sampleDen,
+      tag = "recall")
+    val exact = exactPairsBlocked(slice, minCosine)
       .select(col("vec_a"), col("vec_b"))
-    val lsh = nearDupCosineLshPairs(embeddings, minCosine)
+    val lsh = nearDupCosineLshPairs(slice, minCosine)
       .select(col("vec_a").as("la"), col("vec_b").as("lb"), lit(1L).as("hit"))
     exact.join(lsh, col("vec_a") === col("la") && col("vec_b") === col("lb"), "left")
       .agg(count(lit(1)).as("exact_pairs"),

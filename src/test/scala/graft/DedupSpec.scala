@@ -294,6 +294,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.sum == 6L, "every vector assigned exactly once")
   }
 
+  test("triangle-blocked exact pairs equal the crossJoin reference at several block counts") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val ref = Similarity.nearDupCosineExact(emb, 0.3)
+      .select("vec_a", "vec_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ref.nonEmpty, "reference pair set must be non-trivial")
+    for (b <- Seq(1, 3, 8)) {
+      val blocked = Similarity.exactPairsBlocked(emb, 0.3, numBlocks = b)
+        .select("vec_a", "vec_b", "cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(blocked.length == blocked.toSet.size, s"B=$b emitted duplicate pairs")
+      assert(blocked.toSet == ref, s"B=$b pair set diverges from crossJoin reference")
+    }
+  }
+
   test("multi-table LSH near-dup: sound vs exact, recall amplified over one table") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val exact = Similarity.nearDupCosineExact(emb, 0.4)

@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("LSH recall audit is cartesian-free: blocked equi-join, no crossJoin") {
+    // the registered audit samples the corpus and computes exact pairs via
+    // the triangle-blocked equi-join — the suite must contain NO
+    // corpus×corpus cartesian anywhere
+    val p = planOf(Similarity.lshRecallAudit(Tables.embeddings(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"recall audit must not plan a cartesian:\n$p")
+  }
+
   test("aggregations are whole-stage codegen'd") {
     // codegen stages exist only in the AQE-finalized plan → execute first
     val df = EventAnalytics.hourlyMetrics(Tables.events(spark, sf))
