@@ -2319,10 +2319,11 @@ object SparkEntry {
          |tb AS (SELECT CAST(sum(docs_before) AS BIGINT) AS tb FROM b),
          |ta AS (SELECT CAST(sum(docs_after) AS BIGINT) AS ta FROM a),
          |s AS (
-         |  SELECT source, docs_before, docs_after,
+         |  SELECT source, docs_before,
+         |    coalesce(docs_after, CAST(0 AS BIGINT)) AS docs_after,
          |    ${pct("docs_before", "tb")} AS share_before,
-         |    ${pct("docs_after", "ta")} AS share_after
-         |  FROM b JOIN a USING (source), tb, ta)
+         |    ${pct("coalesce(docs_after, CAST(0 AS BIGINT))", "ta")} AS share_after
+         |  FROM b LEFT JOIN a USING (source), tb, ta)
          |SELECT source, docs_before, docs_after, share_before, share_after,
          |  share_after - share_before AS share_delta
          |FROM s ORDER BY source""".stripMargin,
@@ -2397,12 +2398,15 @@ object SparkEntry {
          |  SELECT k, 3, 'D', NULL, NULL
          |  FROM base WHERE ${md5h48("'del:' || CAST(k AS VARCHAR)")} % 7 < 1
          |  UNION ALL
-         |  SELECT k + 100000000, 1, 'I', 'N', (k % 1000) * 100 + 50
+         |  SELECT k + (SELECT max(k) FROM base), 1, 'I', 'N', (k % 1000) * 100 + 50
          |  FROM base WHERE ${md5h48("'ins:' || CAST(k AS VARCHAR)")} % 9 < 1),
          |w AS (
          |  SELECT k, op, st, cents FROM (
          |    SELECT k, op, st, cents,
-         |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         |      -- seq alone decides on this fixture (insert keys are disjoint by
+      -- construction); op/st/cents make the tie-break deterministic for
+      -- any caller-supplied changelog, mirroring the engine's max(struct)
+      row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC, st DESC NULLS LAST, cents DESC NULLS LAST) AS rn
          |    FROM chg) WHERE rn = 1),
          |m AS (
          |  SELECT CASE WHEN w.op IS NULL THEN b.st ELSE w.st END AS st,
@@ -2621,31 +2625,32 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Mirror of DataQuality.fkIntegrity: per relationship, child count and
-    // missing-parent orphan count (parent key sets are PKs on this data).
+    // missing-parent orphan count (parent key sets are PKs on this data;
+    // NULL child keys are MATCH SIMPLE-exempt, mirroring the engine).
     "q_fk_integrity" ->
       """SELECT 'lineitem.l_orderkey -> orders' AS relationship,
         |  count(*) AS child_rows,
-        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+        |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
         |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
         |  ON l_orderkey = o_orderkey
         |UNION ALL
         |SELECT 'lineitem.l_partkey -> part', count(*),
-        |  CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
         |  ON l_partkey = p_partkey
         |UNION ALL
         |SELECT 'lineitem.l_suppkey -> supplier', count(*),
-        |  CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
         |  ON l_suppkey = s_suppkey
         |UNION ALL
         |SELECT 'orders.o_custkey -> customer', count(*),
-        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
         |  ON o_custkey = c_custkey
         |UNION ALL
         |SELECT 'supplier.s_nationkey -> nation', count(*),
-        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
         |  ON s_nationkey = n_nationkey
         |ORDER BY relationship""".stripMargin,

@@ -177,15 +177,19 @@ object AsOfJoin {
   def nearestViewPerPurchase(events: DataFrame,
                              windowSeconds: Long = 3600,
                              bucketWidth: Long = 3600): DataFrame = {
+    // floor division, not `div` (which truncates toward zero): for negative
+    // epoch seconds truncation would round the view's lowest cell UP past
+    // the purchase's cell and silently drop admissible pairs near t=0
+    def floorDiv(x: String, w: Long) = s"(($x) - pmod($x, ${w}L)) div ${w}L"
     val p = events.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_sec").as("p_sec"),
-        expr(s"ts_sec div ${bucketWidth}L").as("__bkt"))
+        expr(floorDiv("ts_sec", bucketWidth)).as("__bkt"))
     val v = events.where(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts_sec").as("v_sec"),
-        explode(expr(s"sequence((ts_sec - ${windowSeconds}L) div ${bucketWidth}L," +
-          s" (ts_sec + ${windowSeconds}L) div ${bucketWidth}L)")).as("__bkt"))
+        explode(expr(s"sequence(${floorDiv(s"ts_sec - ${windowSeconds}L", bucketWidth)}," +
+          s" ${floorDiv(s"ts_sec + ${windowSeconds}L", bucketWidth)})")).as("__bkt"))
     p.join(v, Seq("user_id", "__bkt"))
       .where(abs(col("p_sec") - col("v_sec")) <= windowSeconds)
       .groupBy(col("purchase_id"))

@@ -102,12 +102,14 @@ object DataQuality {
               parent: DataFrame, parentKey: String): DataFrame =
       // pure plan, no driver action: left join onto the DISTINCT parent key
       // set (a PK, so distinct is a no-op guard against multiplication),
-      // count misses in the same aggregation as the total
+      // count misses in the same aggregation as the total. A NULL foreign
+      // key is standard-SQL exempt (MATCH SIMPLE): it references nothing,
+      // so it is not an orphan — only non-null keys missing a parent count
       child.select(col(childKey))
         .join(parent.select(col(parentKey).as(childKey), lit(1L).as("__hit")).distinct(),
           Seq(childKey), "left")
         .agg(count(lit(1)).as("child_rows"),
-          Cols.countWhen(col("__hit").isNull).as("orphans"))
+          Cols.countWhen(col(childKey).isNotNull && col("__hit").isNull).as("orphans"))
         .select(lit(name).as("relationship"), col("child_rows"), col("orphans"))
     check("lineitem.l_orderkey -> orders", Tables.lineitem(spark, dir), "l_orderkey",
         Tables.orders(spark, dir), "o_orderkey")

@@ -85,7 +85,11 @@ object Dedup {
     val after = exactDeduped(docs).groupBy(col("source")).agg(count(lit(1)).as("docs_after"))
     val tot = before.agg(sum(col("docs_before")).as("tb"))
     val tda = after.agg(sum(col("docs_after")).as("ta"))
-    before.join(after, Seq("source"))
+    // left join from `before`: a source whose docs are ALL eliminated by
+    // cross-source duplicates must still appear (share_after = 0) — the
+    // most extreme shift is exactly the one the audit exists to show
+    before.join(after, Seq("source"), "left")
+      .withColumn("docs_after", coalesce(col("docs_after"), lit(0L)))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(tda))
       .select(col("source"), col("docs_before"), col("docs_after"),
         Cols.pct4(col("docs_before"), col("tb")).as("share_before"),

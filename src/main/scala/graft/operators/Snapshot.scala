@@ -86,8 +86,15 @@ object Snapshot {
     val del = base.where(h("del:") % 7 < 1)
       .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
         lit(null).cast("string").as("st"), lit(null).cast("long").as("cents"))
+    // insert keys offset by max(o_orderkey): base ∈ [1, maxk] and inserts
+    // ∈ (maxk, 2·maxk] are disjoint AT ANY SCALE FACTOR — a fixed 1e8
+    // offset would collide once orderkeys pass it, producing duplicate
+    // (k, seq=1) changelog rows whose tie the two engines may break
+    // differently. The offset is one broadcast scalar, not a driver action.
+    val offset = broadcast(base.agg(max(col("k")).as("__maxk")))
     val ins = base.where(h("ins:") % 9 < 1)
-      .select((col("k") + 100000000L).as("k"), lit(1L).as("seq"), lit("I").as("op"),
+      .crossJoin(offset)
+      .select((col("k") + col("__maxk")).as("k"), lit(1L).as("seq"), lit("I").as("op"),
         lit("N").as("st"), ((col("k") % 1000L) * 100L + 50L).as("cents"))
     val changes = u1.unionAll(u2).unionAll(del).unionAll(ins)
     mergeChanges(base.withColumnRenamed("cents", "base_cents"), changes)

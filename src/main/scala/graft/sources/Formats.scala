@@ -33,23 +33,37 @@ object Formats {
 
   private def stagedDir(spark: SparkSession, dir: String, fmt: String): String =
     synchronized {
-      import java.nio.file.{Files, Paths}
+      import java.nio.file.{Files, Paths, StandardCopyOption}
       val src = Paths.get(s"$dir/documents.parquet")
-      val d = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_fmt_${Integer.toHexString(dir.hashCode)}_$fmt")
-      val marker = d.resolve("_staged")
       val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
-      val valid = Files.exists(marker) &&
-        new String(Files.readAllBytes(marker), "UTF-8") == stamp
-      if (!valid) {
+      // The source stamp is part of the directory NAME, and a staging is
+      // written to a process-unique tmp dir then atomically renamed into
+      // place — so a published staging is immutable and complete by
+      // construction. Concurrent JVMs (bench + verify sweep share
+      // java.io.tmpdir) either see the finished directory or stage their
+      // own copy and lose the rename race; none can observe a partial
+      // rewrite. A regenerated source lands under a NEW name; stale
+      // stagings just become unreferenced.
+      val d = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_fmt_${Integer.toHexString((dir + "@" + stamp).hashCode)}_$fmt")
+      if (!Files.exists(d)) {
+        val tmp = Paths.get(
+          s"$d.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
         val docs = spark.read.parquet(src.toString)
           .select(docSchema.fieldNames.map(col): _*)
         val w = docs.repartition(4).write.mode("overwrite")
         fmt match {
-          case "json" => w.json(d.toString)
-          case "csv"  => w.option("header", "true").option("quoteAll", "true").csv(d.toString)
+          case "json" => w.json(tmp.toString)
+          case "csv"  => w.option("header", "true").option("quoteAll", "true").csv(tmp.toString)
         }
-        Files.write(marker, stamp.getBytes("UTF-8"))
+        try Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            // another JVM published the same stamp first; its directory is
+            // complete (rename-after-write), so discard our copy
+            Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+        }
       }
       d.toString
     }

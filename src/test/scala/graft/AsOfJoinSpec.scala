@@ -195,4 +195,20 @@ class AsOfJoinSpec extends SparkSpec {
     val alt = AsOfJoin.nearestViewPerPurchase(events, bucketWidth = 700)
     assert(alt.exceptAll(got).count() == 0 && got.exceptAll(alt).count() == 0)
   }
+
+  test("nearest-event grid uses floor division: pairs straddling t=0 survive") {
+    // purchase at -10s, view at +20s: lag 30 ≤ window. Truncate-toward-zero
+    // division would place the view's lowest probe cell at cell 0 while the
+    // purchase sits in cell -1, dropping the pair; floor division keeps it.
+    val events = Seq(
+      (1L, 100L, "purchase", -10L),
+      (1L, 101L, "view", 20L),
+      (2L, 200L, "purchase", -7300L), // isolated: no view within ±3600
+      (2L, 201L, "view", 0L)
+    ).toDF("user_id", "event_id", "event_type", "ts_sec")
+    val got = AsOfJoin.nearestViewPerPurchase(events)
+      .select("purchase_id", "nearest_view_id", "abs_lag")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L, 30L)), s"got $got")
+  }
 }

@@ -32,6 +32,20 @@ class DedupSpec extends SparkSpec {
     assert(m("s2") == ((2L, 1L, 1L, 1L)), s"got ${m("s2")}") // doc 3 dups, doc 4 unique keeps
   }
 
+  test("dedup shift profile shows a source whose docs are ALL cross-source dups") {
+    // s2's only doc is an exact dup of s1's (keeper = lowest doc_id, in s1):
+    // the most extreme distribution shift must appear, not vanish
+    val docs = Seq(
+      (1L, "s1", "same text"),
+      (2L, "s2", "same text"),
+      (3L, "s1", "unique text")
+    ).toDF("doc_id", "source", "text")
+    val m = Dedup.dedupShiftProfile(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("s2") == ((1L, 0L)), s"eliminated source must report docs_after=0: $m")
+    assert(m("s1") == ((2L, 2L)), s"got $m")
+  }
+
   test("minhash LSH finds heavily overlapping docs and not disjoint ones") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
