@@ -176,6 +176,79 @@ class StreamingSpec extends SparkSpec {
     assert(loSessions.nonEmpty)
   }
 
+  test("land-once crash recovery: kill mid-stream, landing stays exactly-once, derived sinks converge") {
+    // The land-once exactly-once claim spans TWO hops: upstream → parquet
+    // landing (file-sink commit log) and landing → derived readers
+    // (file-stream over _spark_metadata). Crash between the hops — the
+    // landing commits files the derived cursors have never seen — then
+    // restart everything from the same checkpoints and require (a) every
+    // upstream event lands exactly once and (b) the derived session state
+    // converges to what an uninterrupted run produces.
+    val clock = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val wire = new EventGenerator(seed = 11).asWire(spark, 400)
+      .withColumn("timestamp", lit(clock)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[java.sql.Timestamp](2)))
+    val (w1, w2) = wire.splitAt(250)
+
+    def runScenario(interrupted: Boolean): (Long, Long, Map[String, (Long, Long, String)]) = {
+      val upstream = Files.createTempDirectory("graft_lo_up").toString
+      val ckpt = Files.createTempDirectory("graft_lo_ck").toString
+      def push(rows: Seq[(String, String, java.sql.Timestamp)]): Unit =
+        rows.toDF("key", "value", "timestamp").write.mode("append").parquet(upstream)
+      def kafkaShaped = spark.readStream
+        .schema("key STRING, value STRING, timestamp TIMESTAMP").parquet(upstream)
+      val sessionsFinal = scala.collection.concurrent.TrieMap[String, (Long, Long, String)]()
+      val sinks = ClickstreamPipeline.SinkSet(
+        (df, _) => { df.count(); () },
+        (df, _) => df.select("session_id", "total_events", "purchases",
+            "total_purchase_amount").collect().foreach(r =>
+            sessionsFinal(r.getString(0)) =
+              (r.getLong(1), r.getLong(2), String.valueOf(r.getDecimal(3)))),
+        (df, _) => { df.count(); () },
+        (df, _) => { df.count(); () })
+      val cfg = ClickstreamPipeline.Config(ckpt,
+        rawTrigger = Trigger.ProcessingTime(0), sessionTrigger = Trigger.ProcessingTime(0),
+        hourlyTrigger = Trigger.ProcessingTime(0), dashboardTrigger = Trigger.ProcessingTime(0),
+        fixedClock = Some(clock), landOnce = true)
+
+      if (interrupted) {
+        push(w1)
+        val qs1 = ClickstreamPipeline.start(kafkaShaped, sinks, cfg)
+        try {
+          (1 to 2).foreach(_ => qs1.foreach(_.processAllAvailable()))
+          // crash the derived hop, then let the landing run ahead: these
+          // files are committed to _spark_metadata but unseen downstream
+          qs1.tail.foreach(_.stop())
+          push(w2)
+          qs1.head.processAllAvailable()
+        } finally qs1.foreach(_.stop())
+        // full restart from the same checkpoints
+        val qs2 = ClickstreamPipeline.start(kafkaShaped, sinks, cfg)
+        try (1 to 2).foreach(_ => qs2.foreach(_.processAllAvailable()))
+        finally qs2.foreach(_.stop())
+      } else {
+        push(w1 ++ w2)
+        val qs = ClickstreamPipeline.start(kafkaShaped, sinks, cfg)
+        try (1 to 2).foreach(_ => qs.foreach(_.processAllAvailable()))
+        finally qs.foreach(_.stop())
+      }
+      val landed = spark.read.parquet(s"$ckpt/landed")
+      (landed.count(), landed.select("event_id").distinct().count(), sessionsFinal.toMap)
+    }
+
+    val (refCount, refDistinct, refSessions) = runScenario(interrupted = false)
+    val (count, distinct, sessions) = runScenario(interrupted = true)
+    // parse drops the generator's deliberately-malformed events, so the
+    // bar is the uninterrupted run, not the raw wire count
+    assert(refCount > 300 && refDistinct == refCount)
+    assert(count == refCount,
+      s"landing must audit every event exactly once, got $count vs $refCount")
+    assert(distinct == count, "landing re-emitted an event after restart")
+    assert(sessions == refSessions,
+      "derived session state must converge to the uninterrupted run's")
+    assert(sessions.nonEmpty)
+  }
+
   test("streaming dedup within watermark drops redelivered events, keeps state bounded") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
