@@ -341,6 +341,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Quantize.pqTopK(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_pq_kmeans_topk" -> ((s, d) => { // Lloyd-refined PQ codebooks, same ADC plan
+      val emb = Tables.embeddings(s, d)
+      Quantize.pqKmeansTopK(emb, emb.where(col("vec_id") < 5), 5)
+    }),
     "q_ann_multiprobe" -> ((s, d) => { // 1-bit-flip multi-probe LSH top-k
       val emb = Tables.embeddings(s, d)
       Similarity.annMultiProbe(emb, emb.where(col("vec_id") < 5), 5)
@@ -1246,6 +1250,54 @@ object SparkEntry {
        |  SELECT s.vec_id AS query_id, s.sub, c.code_id,
        |    CAST(floor(${dot("s.sv", "c.c_emb")} * 10000.0) AS BIGINT) AS du
        |  FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 5),
+       |adc AS (
+       |  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.du) AS BIGINT) AS su
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code_id = l.code_id
+       |  WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, su,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY su DESC, neighbor_id ASC) AS rank
+       |      FROM adc)
+       |SELECT query_id, rank, neighbor_id, CAST(su AS DOUBLE) / 10000.0 AS approx_dot
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of Quantize.pqKmeansTopK: the pq seed codebooks refined by two
+    * unrolled Lloyd rounds (assign = max-dot / lowest-code-id tie; update =
+    * exact 1e-4-unit quantized component means, the ivfKmeans doctrine per
+    * (sub, code_id)), then the identical ADC stage as q_pq_topk. */
+  private lazy val pqKmeansOracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    def assign(cbn: String) =
+      s"""SELECT vec_id, sub, code_id FROM (
+         |    SELECT s.vec_id, s.sub, c.code_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${dot("s.sv", "c.c_emb")} DESC, c.code_id ASC) AS rn
+         |    FROM sv s JOIN $cbn c ON s.sub = c.sub) WHERE rn = 1""".stripMargin
+    def update(en: String) =
+      s"""SELECT sub, code_id, list(c ORDER BY pos) AS c_emb FROM (
+         |    SELECT a.sub, a.code_id, r.i AS pos,
+         |      (CAST(sum(CAST(floor(CAST(s.sv[r.i + 1] AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) AS c
+         |    FROM $en a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub, range(16) r(i)
+         |    GROUP BY a.sub, a.code_id, r.i)
+         |  GROUP BY sub, code_id""".stripMargin
+    s"""WITH sv AS (
+       |  SELECT vec_id, r.i AS sub,
+       |    list_slice(embedding, r.i * 16 + 1, r.i * 16 + 16) AS sv
+       |  FROM embeddings, range(4) r(i)),
+       |cb0 AS (
+       |  SELECT sub, min(vec_id) AS code_id, arg_min(sv, vec_id) AS c_emb
+       |  FROM sv
+       |  GROUP BY sub, ${md5h48("'pq' || CAST(sub AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")} % 16),
+       |e1 AS (${assign("cb0")}),
+       |cb1 AS (${update("e1")}),
+       |e2 AS (${assign("cb1")}),
+       |cb2 AS (${update("e2")}),
+       |enc AS (${assign("cb2")}),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.code_id,
+       |    CAST(floor(${dot("s.sv", "c.c_emb")} * 10000.0) AS BIGINT) AS du
+       |  FROM sv s JOIN cb2 c ON s.sub = c.sub WHERE s.vec_id < 5),
        |adc AS (
        |  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.du) AS BIGINT) AS su
        |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code_id = l.code_id
@@ -3611,6 +3663,7 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_pq_topk" -> pqOracleSql,
+    "q_pq_kmeans_topk" -> pqKmeansOracleSql,
 
     // Mirror of Spectral.gramMatrix: GLOBAL fixed-point codes (⌊x·4096⌋ —
     // one scale for the whole corpus, unlike the per-vector int8 scheme),

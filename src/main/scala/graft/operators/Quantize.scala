@@ -121,23 +121,78 @@ object Quantize {
     * [[graft.plans.TopKAggregate]] heap — no ranking window, no sort, no
     * full-precision reads. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-             m: Int = 4, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+             m: Int = 4, codebookSize: Int = 16, dim: Int = 64): DataFrame =
+    pqAdcTopK(corpus, queries,
+      pqSeedCodebook(corpus, m, codebookSize, dim / m), k, m, dim / m)
+
+  /** PQ top-k over Lloyd-refined codebooks — same ADC query plan as
+    * [[pqTopK]], better codebooks. `iters` rounds of assign → quantized-
+    * mean recompute per subspace (the [[Similarity.kmeansCentroids]]
+    * doctrine applied per (sub, code_id): component means go through exact
+    * 1e-4-unit long sums, so every round is bit-deterministic across
+    * partitionings and engines, and the SQL oracle unrolls the same
+    * rounds). Each round is one broadcast-join pass over the m·n subvector
+    * rows plus a codebook-sized aggregation; the m·codebookSize refined
+    * codebook is collected per round (the standard distributed-Lloyd
+    * materialization — k·dim scalars, never corpus-sized). */
+  def pqKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                   m: Int = 4, codebookSize: Int = 16, dim: Int = 64,
+                   iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val subLen = dim / m
-    def subVecs(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
-          explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
-        .select(col(idAs), col("sub"),
-          slice(col("embedding"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
+    val sv = pqSubVecs(corpus, "vec_id", m, subLen)
+    var cb = pqSeedCodebook(corpus, m, codebookSize, subLen)
+    for (_ <- 1 to iters) {
+      val assigned = sv.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"),
+          struct(fvecDot(col("sv"), col("c_emb")).as("dot"),
+            (-col("code_id")).as("neg"), col("code_id").as("code_id")).as("sc"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(max(col("sc")).as("best"), first(col("sv")).as("sv"))
+        .select(col("sub"), col("best.code_id").as("code_id"), col("sv"))
+      val updated = assigned
+        .select(col("sub"), col("code_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code_id"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * 10000.0)).as("s_u"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code_id"), col("pos"),
+          (col("s_u").cast("double") / 10000.0 / col("n").cast("double")).as("c"))
+        .groupBy(col("sub"), col("code_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+        .select(col("sub"), col("code_id"),
+          transform(col("pairs"), p => p.getField("c")).as("c_emb"))
+      cb = updated.as[(Int, Long, Seq[Double])].collect()
+        .sortBy(t => (t._1, t._2)).toSeq.toDF("sub", "code_id", "c_emb")
+    }
+    pqAdcTopK(corpus, queries, cb, k, m, subLen)
+  }
 
-    val codebook = broadcast(
-      subVecs(corpus, "vec_id")
-        .groupBy(col("sub"),
-          (Dedup.PortableHash(concat(lit("pq"), col("sub").cast("string"), lit(":"),
-            col("vec_id").cast("string"))) % codebookSize).as("bucket"))
-        .agg(min(col("vec_id")).as("code_id"), min_by(col("sv"), col("vec_id")).as("c_emb"))
-        .select(col("sub"), col("code_id"), col("c_emb")))
+  /** One row per (vector, subspace): the subLen-element slice. */
+  private def pqSubVecs(df: DataFrame, idAs: String, m: Int, subLen: Int): DataFrame =
+    df.select(col("vec_id").as(idAs),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col(idAs), col("sub"),
+        slice(col("embedding"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
 
-    val enc = subVecs(corpus, "vec_id")
+  /** Seed codebooks: min-vec_id subvector per md5₄₈ hash bucket, tagged per
+    * subspace (the [[Similarity.seedCentroids]] doctrine). */
+  private def pqSeedCodebook(corpus: DataFrame, m: Int, codebookSize: Int,
+                             subLen: Int): DataFrame =
+    pqSubVecs(corpus, "vec_id", m, subLen)
+      .groupBy(col("sub"),
+        (Dedup.PortableHash(concat(lit("pq"), col("sub").cast("string"), lit(":"),
+          col("vec_id").cast("string"))) % codebookSize).as("bucket"))
+      .agg(min(col("vec_id")).as("code_id"), min_by(col("sv"), col("vec_id")).as("c_emb"))
+      .select(col("sub"), col("code_id"), col("c_emb"))
+
+  /** The shared ADC stage: encode the corpus against `cb`, build the
+    * per-query integer LUT, sum table entries, heap top-k. */
+  private def pqAdcTopK(corpus: DataFrame, queries: DataFrame, cb: DataFrame,
+                        k: Int, m: Int, subLen: Int): DataFrame = {
+    val codebook = broadcast(cb)
+
+    val enc = pqSubVecs(corpus, "vec_id", m, subLen)
       .join(codebook, Seq("sub"))
       .select(col("vec_id"), col("sub"),
         struct(fvecDot(col("sv"), col("c_emb")).as("dot"),
@@ -147,7 +202,7 @@ object Quantize {
       .select(col("vec_id"), col("sub"), col("best.code_id").as("code_id"))
 
     val lut = broadcast(
-      subVecs(queries, "query_id")
+      pqSubVecs(queries, "query_id", m, subLen)
         .join(codebook, Seq("sub"))
         .select(col("query_id"), col("sub"), col("code_id"),
           floor(fvecDot(col("sv"), col("c_emb")) * 10000.0).cast("long").as("du")))

@@ -97,6 +97,27 @@ class QuantizeSpec extends SparkSpec {
       s"int8 candidates lost too much recall: $overlap/$total")
   }
 
+  test("Lloyd-refined PQ approximates true dots better than seed codebooks") {
+    import graft.plans.VectorExpressions.fvecDot
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    // mean |approx_dot - true dot| over each pipeline's returned top-k
+    // pairs: the ADC quality the Lloyd rounds exist to improve
+    def meanErr(df: org.apache.spark.sql.DataFrame): Double = {
+      val l = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val r = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      df.join(l, Seq("query_id")).join(r, Seq("neighbor_id"))
+        .select(avg(abs(col("approx_dot") - fvecDot(col("qe"), col("ne")))).as("e"))
+        .head().getDouble(0)
+    }
+    val seedErr = meanErr(Quantize.pqTopK(emb, queries, 5))
+    val refinedErr = meanErr(Quantize.pqKmeansTopK(emb, queries, 5))
+    info(s"mean ADC |error|: seed=$seedErr refined=$refinedErr")
+    // deterministic corpus + seeds: these are constants, not flake
+    assert(refinedErr < seedErr,
+      s"Lloyd refinement must tighten ADC reconstruction: $refinedErr !< $seedErr")
+  }
+
   test("PQ top-k: aggregation pipeline equals a window-based re-derivation") {
     import org.apache.spark.sql.expressions.Window
     import graft.plans.VectorExpressions.fvecDot
