@@ -135,7 +135,8 @@ private[streaming] object MemorySinkRunner {
         spark.conf.set(openKey, prevOpen)
       }
       if (debug) q.recentProgress.foreach(p =>
-        System.err.println(s"[msr] $name batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}"))
+        System.err.println(s"[msr] $name batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}" +
+          (if (sys.env.get("GRAFT_STREAM_DEBUG_FULL").contains("1")) s"\n${p.json}" else "")))
       val sunk = spark.table(name)
       // parallelize, not a driver LocalRelation: a local relation converts
       // every external Row to InternalRow on ONE thread per action — ~1 s

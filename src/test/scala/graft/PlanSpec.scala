@@ -52,6 +52,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("Lloyd-refined PQ keeps the heap-aggregate ADC plan: no ranking window") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = planOf(Quantize.pqKmeansTopK(emb, emb.where(
+      org.apache.spark.sql.functions.col("vec_id") < 5), 5))
+    // refinement must only change codebook VALUES, not the query plan
+    // shape: ADC ranks through the bounded TopKAggregate heap, and both
+    // the codebook and LUT arrive broadcast
+    assert(!p.contains("Window"), s"ADC stage must not rank via window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LUT/codebook joins must broadcast:\n$p")
+  }
+
   test("LSH recall audit is cartesian-free: blocked equi-join, no crossJoin") {
     // the registered audit samples the corpus and computes exact pairs via
     // the triangle-blocked equi-join — the suite must contain NO
