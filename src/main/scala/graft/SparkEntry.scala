@@ -209,6 +209,8 @@ object SparkEntry {
       CorpusFilters.contaminationProfile(Tables.documents(s, d), 20, 5)),
     "q_decontaminated" -> ((s, d) => // the census's ACTION step: drop overlapping docs
       CorpusFilters.decontaminatedProfile(Tables.documents(s, d), 20, 5)),
+    "q_fuzzy_decontamination" -> ((s, d) => // near-dup benchmark leak check (bipartite LSH)
+      CorpusFilters.fuzzyDecontaminationProfile(Tables.documents(s, d), 20, 0.5)),
     "q_stratified_sample" -> ((s, d) => // per-source quota hash-sampling
       CorpusFilters.stratifiedSampleProfile(Tables.documents(s, d), 10)),
     "q_quality_gate" -> ((s, d) => // composite keep/drop with reasons
@@ -3065,6 +3067,34 @@ object SparkEntry {
          |FROM documents d LEFT JOIN shared sc ON d.doc_id = sc.doc_id
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Mirror of CorpusFilters.fuzzyDecontaminationProfile: the minhash CTE's
+    // signature/band tables split bipartite on the SAME bench membership
+    // rule, band-bucket candidates verified with the exact shingle-set
+    // Jaccard, flag = any bench pair at >= 0.5, per-source census.
+    "q_fuzzy_decontamination" ->
+      (minhashCte +
+        s""", bench AS (SELECT doc_id FROM documents
+           |  WHERE ${md5h48("'bench:' || CAST(doc_id AS VARCHAR)")} % 20 < 1),
+           |bp AS (
+           |  SELECT DISTINCT c.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded c JOIN banded b ON c.band = b.band AND c.bkey = b.bkey
+           |  WHERE b.doc_id IN (SELECT doc_id FROM bench)
+           |    AND c.doc_id NOT IN (SELECT doc_id FROM bench)),
+           |sets AS (
+           |  SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id),
+           |flg AS (
+           |  SELECT DISTINCT p.doc_a AS doc_id FROM bp p
+           |  JOIN sets a ON a.doc_id = p.doc_a
+           |  JOIN sets b ON b.doc_id = p.doc_b
+           |  WHERE ${q4("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.s, b.s))) AS DOUBLE)")} >= 0.5)
+           |SELECT d.source, count(*) AS docs_checked,
+           |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+           |  CAST(sum(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           |  ${pct("CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)", "count(*)")} AS flagged_pct
+           |FROM documents d LEFT JOIN flg f ON d.doc_id = f.doc_id
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     // Membership and per-stratum rate are pure functions of md5₄₈ —
     // identical sample under any engine or partitioning.

@@ -303,6 +303,57 @@ object CorpusFilters {
       .drop("sg")
   }
 
+  /** Fuzzy (near-duplicate) benchmark decontamination — the companion of
+    * [[contaminationProfile]]'s exact shared-n-gram rule, for the
+    * paraphrase/formatting-drift leaks exact n-gram matching misses (the
+    * fuzzy step of published LM curation recipes: Brown et al. 2020
+    * appendix C's overlap filtering; Lee et al. 2022's near-dup doctrine).
+    *
+    * Same deterministic benchmark split as the exact check
+    * (md5₄₈("bench:"‖doc_id) % den < 1). Candidates come from a BIPARTITE
+    * banded-MinHash equi-join — benchmark band keys against candidate band
+    * keys, never a self-join over the union, so the join output is bounded
+    * by the benchmark's bucket occupancy. Every candidate pair is verified
+    * with the exact shingle-set Jaccard, and a training doc is flagged iff
+    * ANY benchmark doc reaches `threshold`. One shingle pass feeds both
+    * signatures and verification (the [[Dedup.nearDupVerifiedPairs]]
+    * staging doctrine).
+    *
+    * At 100 TB: real benchmark sets are small and fixed — their banded
+    * keys broadcast, making candidate generation a map-side probe of the
+    * corpus band stream; verification stays candidate-only; the census is
+    * one aggregation with a distinct-collapsed flag join. */
+  def fuzzyDecontaminationProfile(docs: DataFrame, den: Int = 20,
+                                  threshold: Double = 0.5): DataFrame = {
+    val isBench = Dedup.PortableHash(concat(lit("bench:"),
+      col("doc_id").cast("string"))) % den < 1
+    val sh = Dedup.shingleRows(docs).localCheckpoint()
+    val sigs = Dedup.signaturesOnShingles(sh, Dedup.PortableHash)
+    val benchIds = docs.where(isBench).select(col("doc_id"))
+    val banded = Dedup.bandRows(sigs).localCheckpoint()
+    val benchBands = banded.join(benchIds, Seq("doc_id"))
+      .select(col("band"), col("band_hash"), col("doc_id").as("bench_id"))
+    val candBands = banded.join(benchIds, Seq("doc_id"), "left_anti")
+      .select(col("band"), col("band_hash"), col("doc_id").as("cand_id"))
+    val pairs = candBands.join(benchBands, Seq("band", "band_hash"))
+      .select(col("cand_id").as("doc_a"), col("bench_id").as("doc_b"))
+      .distinct()
+    val flagged = Dedup.verifyJaccardOnShingles(sh, pairs)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("__flag", lit(1L))
+    docs.where(!isBench)
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_checked"),
+        Cols.countWhen(col("__flag").isNotNull).as("flagged_docs"),
+        Cols.countWhen(col("__flag").isNull).as("kept_docs"))
+      .select(col("source"), col("docs_checked"), col("flagged_docs"),
+        col("kept_docs"),
+        Cols.pct4(col("flagged_docs"), col("docs_checked")).as("flagged_pct"))
+      .orderBy(col("source"))
+  }
+
   /** The contamination census's ACTION step: the corpus that survives
     * decontamination — benchmark docs held out, candidate docs with
     * ≥ `minShared` benchmark-shared 3-grams dropped. Per-source profile of

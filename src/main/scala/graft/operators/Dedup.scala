@@ -249,7 +249,7 @@ object Dedup {
     * packs the two 31-bit row values into one collision-free 62-bit long
     * (m₀·2³¹ + m₁) — as compact as hashing the slice but exact, and
     * reproducible in plain SQL. */
-  private def bandRows(withSig: DataFrame): DataFrame = {
+  private[operators] def bandRows(withSig: DataFrame): DataFrame = {
     val bands = NumHashes / BandRows
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),

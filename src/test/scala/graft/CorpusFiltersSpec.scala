@@ -116,6 +116,38 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy decontamination flags the near-dup of a benchmark doc, nothing else") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // bench membership is a pure hash rule — derive it first, then plant
+    // one near-duplicate of a benchmark doc among the candidates
+    val ids = (1L to 60L).toDF("doc_id")
+    val isBench = (Dedup.PortableHash(concat(lit("bench:"),
+      col("doc_id").cast("string"))) % 20) < 1
+    val bench = ids.where(isBench).as[Long].collect().sorted
+    val cands = ids.where(!isBench).as[Long].collect().sorted
+    assert(bench.nonEmpty && cands.length >= 2, s"fixture: bench=${bench.length}")
+    val bid = bench.head
+    val nearId = cands(0)
+    val benchText = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 37 shared tokens + 3 fresh: shingle-Jaccard 35/41 ≈ 0.85 ≥ 0.5
+    val nearText = (1 to 37).map(i => s"w$i").mkString(" ") + " z1 z2 z3"
+    val docs = ((bench.toSeq ++ cands.toSeq).map { id =>
+      val text =
+        if (id == bid) benchText
+        else if (id == nearId) nearText
+        else s"unique${id}a only${id}b in${id}c doc${id}d" // disjoint shingles
+      (id, "s", text)
+    }).toDF("doc_id", "source", "text")
+    val r = CorpusFilters.fuzzyDecontaminationProfile(docs, 20, 0.5).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("docs_checked") == cands.length)
+    assert(row.getAs[Long]("flagged_docs") == 1L,
+      s"exactly the planted near-dup must flag: $row")
+    assert(row.getAs[Long]("kept_docs") == cands.length - 1L)
+  }
+
   test("decontamination action reconciles with the census: checked = kept + dropped") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val census = CorpusFilters.contaminationProfile(docs, 20, 5).collect()
