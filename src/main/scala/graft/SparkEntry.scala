@@ -85,6 +85,8 @@ object SparkEntry {
       HeavyHitters.heavyEntities(Tables.events(s, d), 127)),
     "q_countmin_freq" -> ((s, d) => // portable CMS estimates vs exact counts
       HeavyHitters.countMinFrequencies(Tables.events(s, d))),
+    "q_sliding_dau" -> ((s, d) => // trailing-7-day distinct active users per day
+      EventAnalytics.slidingActiveUsers(Tables.events(s, d))),
     "q_daily_retention" -> ((s, d) => // day-over-day cohort retention
       EventAnalytics.dailyRetention(Tables.events(s, d))),
     "q_session_funnel" -> ((s, d) => // ordered view->click->purchase funnel
@@ -163,6 +165,8 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
+    "q_price_quantiles_cont" -> ((s, d) => // percentile_cont semantics, no global sort
+      Relational.orderPriceQuantilesCont(s, d)),
     "q_price_quantiles_approx" -> ((s, d) => // bounded-state per-group quantiles
       Relational.priceQuantilesHist(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
@@ -1529,6 +1533,22 @@ object SparkEntry {
 
     // Mirror of EventAnalytics.dailyRetention: distinct (user, day) then a
     // self-semi-join on (user, day+1).
+    // Mirror of EventAnalytics.slidingActiveUsers: per observed day, the
+    // exact distinct user count over the trailing 7 days (the oracle uses
+    // the direct range join; the engine's coverage replication computes
+    // the identical set).
+    "q_sliding_dau" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec
+        |  FROM events),
+        |days AS (SELECT DISTINCT day_sec FROM a)
+        |SELECT d.day_sec, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users
+        |FROM days d JOIN a u
+        |  ON u.day_sec BETWEEN d.day_sec - 6 * 86400 AND d.day_sec
+        |GROUP BY d.day_sec ORDER BY d.day_sec""".stripMargin,
+
     "q_daily_retention" ->
       s"""WITH a AS (
          |  SELECT DISTINCT user_id,
@@ -2250,6 +2270,31 @@ object SparkEntry {
          |  ${q4("quantile_cont(o_totalprice, 0.5)")} AS median_price,
          |  ${q4("quantile_cont(o_totalprice, 0.9)")} AS p90_price
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Mirror of Relational.quantilesCont: global rank on exact cents (the
+    // oracle may use one window; the engine ranks via histogram offsets),
+    // integer (n-1)*q selection positions, interpolation as the identical
+    // IEEE op sequence on the two selected cents values.
+    "q_price_quantiles_cont" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS r,
+        |    count(*) OVER () AS n
+        |  FROM o),
+        |k(q, nu, de) AS (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4)),
+        |sel AS (
+        |  SELECT k.q AS quantile,
+        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 1 THEN r.cents END) AS lo,
+        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 2 THEN r.cents END) AS hi,
+        |    max(((r.n - 1) * k.nu) % k.de) AS rem, max(k.de) AS de
+        |  FROM r, k GROUP BY k.q)
+        |SELECT quantile,
+        |  (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
+        |    * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS value
+        |FROM sel ORDER BY quantile""".stripMargin,
 
     // Mirror of Relational.priceQuantilesHist: per-group bounded histogram
     // → per-group running sum → integer rank tests (2·cum ≥ n, 10·cum ≥ 9n).

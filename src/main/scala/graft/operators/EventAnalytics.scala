@@ -412,6 +412,34 @@ object EventAnalytics {
       .orderBy(col("day_sec"))
   }
 
+  /** Sliding distinct count — trailing-`windowDays` active users per
+    * observed day (the "7-day active users" dashboard series), EXACT and
+    * distributed. Distinct users aren't summable across days, so the
+    * windowed count cannot ride a running-sum window; the scale-correct
+    * identity is coverage replication: collapse raw events to distinct
+    * (user, day) FIRST (the one pass over raw data), replicate each pair
+    * to the ≤ `windowDays` window-END days it covers, distinct again
+    * (adjacent active days cover overlapping ends), keep only observed end
+    * days, and count. Everything after the first distinct runs on
+    * |users|·|days|·windowDays rows, independent of event volume; no
+    * window function, no self-join over the event table. */
+  def slidingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), (col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec"))
+      .distinct()
+      .localCheckpoint() // feeds both the coverage explode and the day list
+    val days = userDays.select(col("day_sec")).distinct()
+    userDays
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"), col("day_sec"))
+      .select(col("user_id"), (col("day_sec") + col("k") * 86400L).as("day_sec"))
+      .distinct()
+      .join(days, Seq("day_sec"), "left_semi")
+      .groupBy(col("day_sec"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy(col("day_sec"))
+  }
+
   /** Session funnel: how far each gap-rule session progressed along
     * view → click → purchase IN TIME ORDER — each stage's time is the
     * earliest event of its type AT OR AFTER the previous stage's time

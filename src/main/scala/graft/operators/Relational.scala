@@ -328,6 +328,61 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** Exact interpolated quantiles (SQL `percentile_cont` semantics) with NO
+    * global sort: the [[decilesByValue]] histogram-offset machinery ranks
+    * every order inside its value bucket, the (n−1)·q selection positions
+    * are pure integer arithmetic on the rank frame (q = num/den rational, so
+    * lo = ((n−1)·num) div den and the fractional remainder are exact), and
+    * only the ≤ 2·|quantiles| selected rows reach the interpolation — one
+    * deterministic IEEE op sequence on exact cents, mirrored verbatim in
+    * the oracle.
+    *
+    * Scale shape: same as the deciles — the only unpartitioned window runs
+    * on the bounded bucket histogram; per-bucket ranking shuffles on the
+    * bucket key; selection is a filter on the ranked stream (no top-k, no
+    * sort). Complements [[groupQuantiles]]' nearest-rank flavor with the
+    * interpolated one analysts usually mean by "the median". */
+  private[graft] def quantilesCont(ordersIn: DataFrame, width: Double = 1000.0,
+      qs: Seq[(String, Long, Long)] = Seq(("p25", 1L, 4L), ("p50", 2L, 4L),
+        ("p75", 3L, 4L))): DataFrame = {
+    val orders = ordersIn
+      .select(col("o_orderkey"), Cols.cents(col("o_totalprice")).as("cents"),
+        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+    val hist = orders.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("bucket"),
+      coalesce(sum(col("cnt")).over(wPrev), lit(0L)).as("off"),
+      sum(col("cnt")).over(Window.partitionBy()).as("n"))
+    val wBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = orders.join(broadcast(offsets), Seq("bucket"))
+      .select(col("cents"), (col("off") + row_number().over(wBucket)).as("r"), col("n"))
+    def lo(nu: Long, de: Long) = expr(s"((n - 1) * $nu) div $de")
+    val cands = ranked.where(qs.map { case (_, nu, de) =>
+      col("r") === lo(nu, de) + 1 || col("r") === lo(nu, de) + 2
+    }.reduce(_ || _))
+    val sel = cands.agg(
+      first(col("n")).as("n"),
+      qs.flatMap { case (label, nu, de) => Seq(
+        min(when(col("r") === lo(nu, de) + 1, col("cents"))).as(s"${label}_lo"),
+        min(when(col("r") === lo(nu, de) + 2, col("cents"))).as(s"${label}_hi"))
+      }: _*)
+    val rows = qs.map { case (label, nu, de) =>
+      val rem = pmod((col("n") - 1) * nu, lit(de))
+      sel.select(lit(label).as("quantile"),
+        ((col(s"${label}_lo").cast("double")
+          + (rem.cast("double") / lit(de).cast("double"))
+            * (coalesce(col(s"${label}_hi"), col(s"${label}_lo")).cast("double")
+              - col(s"${label}_lo").cast("double"))) / 100.0).as("value"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy(col("quantile"))
+  }
+
+  /** [[quantilesCont]] over the orders table — the registered form. */
+  def orderPriceQuantilesCont(spark: SparkSession, dir: String): DataFrame =
+    quantilesCont(Tables.orders(spark, dir))
+
   /** One-window ntile spec of [[orderValueDeciles]] — a single-partition
     * sort of every order, which is exactly what must never run at scale.
     * Test-only anchor: the SQL oracle states this form, and OperatorSpec

@@ -142,6 +142,49 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sliding DAU: window=1 equals plain daily actives; 7-day dominates; equals naive range join") {
+    val events = Tables.events(spark, sf)
+    val daily = EventAnalytics.slidingActiveUsers(events, windowDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = events
+      .select(col("user_id"), (col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec"))
+      .distinct().groupBy("day_sec").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(daily == plain)
+    val weekly = EventAnalytics.slidingActiveUsers(events, windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weekly.keySet == daily.keySet)
+    daily.foreach { case (d, n) => assert(weekly(d) >= n, s"day $d") }
+    // independent derivation: per-day distinct over the trailing range join
+    val ud = events.select(col("user_id"),
+      (col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec")).distinct()
+    val naive = ud.select(col("day_sec")).distinct().as("d")
+      .join(ud.as("u"), expr("u.day_sec BETWEEN d.day_sec - 6*86400 AND d.day_sec"))
+      .groupBy(col("d.day_sec")).agg(countDistinct(col("u.user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weekly == naive)
+  }
+
+  test("interpolated quantiles equal Spark's percentile_cont, incl. tiny frames") {
+    def check(ordersIn: org.apache.spark.sql.DataFrame): Unit = {
+      val got = Relational.quantilesCont(ordersIn).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val e = ordersIn.agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+        expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"))
+        .head()
+      for ((q, i) <- Seq("p25", "p50", "p75").zipWithIndex)
+        // ours interpolates on exact cents, Spark on raw doubles — same
+        // value up to one rounding step, never bit-contractual (the ORACLE
+        // pins the engine's exact sequence; this anchors the semantics)
+        assert(math.abs(got(q) - e.getDouble(i)) < 1e-6, s"$q: ${got(q)} vs ${e.getDouble(i)}")
+    }
+    check(Tables.orders(spark, sf))
+    for (n <- Seq(1, 2, 3, 4, 5, 7))
+      check(Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(n))
+  }
+
   test("forward fill equals the naive per-user scan; pre-first-purchase stays null") {
     val filled = EventAnalytics.lastKnownValueFill(Tables.events(spark, sf))
       .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type"),
