@@ -193,6 +193,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
     "q_vocab_coverage" -> ((s, d) => // top-k vocabulary coverage / OOV rate
       TextAnalysis.vocabCoverage(Tables.documents(s, d), 1000)),
+    "q_bigram_lm_heldout" -> ((s, d) => // leak-free LM scoring: train split, score held-out
+      TextAnalysis.bigramLmCrossScores(Tables.documents(s, d))),
     "q_bigram_lm" -> ((s, d) => // corpus bigram-LM document scoring (CCNet shape)
       TextAnalysis.bigramLmScores(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => // BPE merge-pair candidates (tokenizer training step 1)
@@ -291,6 +293,8 @@ object SparkEntry {
       Sampling.groupSampleProfile(Tables.documents(s, d), 40)),
     "q_train_split" -> ((s, d) => // deterministic 8/1/1 train/val/test census
       Sampling.splitProfile(Tables.documents(s, d), 8, 1, 10)),
+    "q_split_leakage" -> ((s, d) => // row-split vs group-split user leakage audit
+      Sampling.splitLeakageAudit(Tables.events(s, d))),
     "q_split_balance" -> ((s, d) => // split x label stratification check
       Sampling.splitBalance(Tables.embeddings(s, d), 8, 1, 10)),
     "q_weighted_sample" -> ((s, d) => // quality-proportional Bernoulli sample
@@ -1973,6 +1977,33 @@ object SparkEntry {
 
     // Mirror of Sampling.splitBalance: the same md5₄₈ split rule keyed on
     // vec_id, label counts per split, share = ratio-to-total within split.
+    // Mirror of Sampling.splitLeakageAudit: per-user membership flags via
+    // one distinct-collapse per method; by_user straddling is structurally
+    // zero — the audit exists so pipelines can ASSERT that, not assume it.
+    "q_split_leakage" ->
+      """WITH be AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN CAST(('0x' || substring(md5('esplit:' || CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 1 ELSE 0 END) AS in_test,
+        |    max(CASE WHEN CAST(('0x' || substring(md5('esplit:' || CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 0 ELSE 1 END) AS in_train
+        |  FROM events GROUP BY user_id),
+        |bu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN CAST(('0x' || substring(md5('usplit:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 1 ELSE 0 END) AS in_test,
+        |    max(CASE WHEN CAST(('0x' || substring(md5('usplit:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 0 ELSE 1 END) AS in_train
+        |  FROM events GROUP BY user_id)
+        |SELECT 'by_event' AS method,
+        |  CAST(sum(CASE WHEN in_train = 1 THEN 1 ELSE 0 END) AS BIGINT) AS train_users,
+        |  CAST(sum(CASE WHEN in_test = 1 THEN 1 ELSE 0 END) AS BIGINT) AS test_users,
+        |  CAST(sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 ELSE 0 END) AS BIGINT) AS straddling_users
+        |FROM be
+        |UNION ALL
+        |SELECT 'by_user',
+        |  CAST(sum(CASE WHEN in_train = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN in_test = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM bu
+        |ORDER BY method""".stripMargin,
+
     "q_split_balance" ->
       s"""WITH b AS (
          |  SELECT CAST(label AS BIGINT) AS label,
@@ -2535,6 +2566,33 @@ object SparkEntry {
     // (docs with ≥2 tokens), MLE p(w₂|w₁) floored to 1e-4-unit longs at
     // the model (the only IEEE ops — one multiply, one divide on exact
     // counts), pure integer sums per document.
+    // Mirror of TextAnalysis.bigramLmCrossScores: the same gram CTE split
+    // on md5₄₈('lmsplit:'‖doc_id) % 4 — model from the train slice, LEFT
+    // scoring of the held-out slice with explicit OOV coverage lanes.
+    "q_bigram_lm_heldout" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t),
+        |bc AS (SELECT w1, bigram, count(*) AS c2 FROM g
+        |  WHERE NOT (CAST(('0x' || substring(md5('lmsplit:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 4 = 0) GROUP BY 1, 2),
+        |hc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |model AS (
+        |  SELECT bigram,
+        |    CAST(floor(CAST(c2 AS DOUBLE) * 10000.0 / CAST(c1 AS DOUBLE)) AS BIGINT) AS units
+        |  FROM bc JOIN hc USING (w1)),
+        |db AS (SELECT doc_id, bigram, count(*) AS n FROM g
+        |  WHERE CAST(('0x' || substring(md5('lmsplit:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 4 = 0 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN units IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS scored_bigrams,
+        |  CAST(sum(n * coalesce(units, 0)) AS BIGINT) AS score_units
+        |FROM db LEFT JOIN model USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

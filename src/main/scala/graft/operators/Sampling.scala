@@ -111,6 +111,37 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Group-leakage audit of train/test splitting — the ML-hygiene check
+    * behind "split by GROUP, not by row": a row-keyed (event-keyed) split
+    * puts the same user's history on both sides, the classic leakage that
+    * inflates eval metrics on any user-behavior model; a user-keyed split
+    * structurally cannot. Quantified side by side at the same rate: per
+    * method, distinct users in train, in test, and straddling BOTH.
+    *
+    * Shape: one distinct-collapse aggregation per method — scan-side hash
+    * predicates and two map-side-combined aggs, never a self-join; output
+    * is two rows. The by_user row's straddling_users is the structural
+    * zero a pipeline should ASSERT before training. */
+  def splitLeakageAudit(events: DataFrame, num: Int = 1, den: Int = 5): DataFrame = {
+    import graft.functions.Cols
+    def h(tag: String, c: Column) =
+      Dedup.PortableHash(concat(lit(tag), c.cast("string")))
+    def census(method: String, isTest: Column) =
+      events.select(col("user_id"), isTest.as("t"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("t"), 1L).otherwise(0L)).as("in_test"),
+          max(when(!col("t"), 1L).otherwise(0L)).as("in_train"))
+        .agg(Cols.countWhen(col("in_train") === 1L).as("train_users"),
+          Cols.countWhen(col("in_test") === 1L).as("test_users"),
+          Cols.countWhen(col("in_train") === 1L && col("in_test") === 1L)
+            .as("straddling_users"))
+        .select(lit(method).as("method"), col("train_users"), col("test_users"),
+          col("straddling_users"))
+    census("by_event", h("esplit:", col("event_id")) % den < num)
+      .unionAll(census("by_user", h("usplit:", col("user_id")) % den < num))
+      .orderBy(col("method"))
+  }
+
   /** Split × source census — the contamination-audit view of a split. */
   def splitProfile(docs: DataFrame, trainNum: Int = 8, valNum: Int = 1,
                    den: Int = 10): DataFrame =

@@ -444,7 +444,22 @@ object TextAnalysis {
   }
 
   def bigramLmScores(docs: DataFrame): DataFrame = {
-    val grams = docs
+    val grams = bigramRows(docs)
+
+    val model = bigramModel(grams)
+
+    val docBigrams = grams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    docBigrams.join(model, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("units")).as("score_units"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One row per consecutive-token bigram occurrence (docs with ≥ 2 tokens). */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(
@@ -453,20 +468,44 @@ object TextAnalysis {
               concat_ws(" ", slice(col("toks"), i, lit(2))).as("bigram")))).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.bigram").as("bigram"))
 
+  /** MLE bigram model from a gram stream: p(w₂|w₁) floored to exact
+    * 1e-4-unit longs (the only IEEE ops — one multiply, one divide on
+    * exact counts). */
+  private def bigramModel(grams: DataFrame): DataFrame = {
     val bigramCounts = grams.groupBy(col("w1"), col("bigram"))
       .agg(count(lit(1)).as("c2"))
     val headCounts = bigramCounts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val model = bigramCounts.join(headCounts, Seq("w1"))
+    bigramCounts.join(headCounts, Seq("w1"))
       .select(col("bigram"),
         floor(col("c2").cast("double") * 10000.0 / col("c1").cast("double"))
           .cast("long").as("units"))
+  }
 
-    val docBigrams = grams.groupBy(col("doc_id"), col("bigram"))
+  /** Held-out bigram-LM scoring — [[bigramLmScores]] without the leakage:
+    * the model trains on a deterministic (den−1)/den hash split of docs
+    * and scores only the held-out 1/den slice (the actual CCNet shape,
+    * Wenzek et al. 2020: the quality LM is trained on a REFERENCE corpus,
+    * never on the documents being scored — a same-corpus score rewards
+    * memorized boilerplate). Held-out bigrams absent from the model carry
+    * no probability mass; the per-doc `scored_bigrams` lane quantifies
+    * that OOV coverage explicitly (always equal to n_bigrams in the leaky
+    * same-corpus form, strictly informative here).
+    *
+    * Scale shape: identical to [[bigramLmScores]] — one gram pass feeds
+    * model and scoring (the split is a scan-side filter on md5₄₈ of
+    * doc_id), vocabulary-bounded model join. */
+  def bigramLmCrossScores(docs: DataFrame, den: Long = 4): DataFrame = {
+    val held = Dedup.PortableHash(concat(lit("lmsplit:"),
+      col("doc_id").cast("string"))) % den === 0
+    val grams = bigramRows(docs).localCheckpoint() // feeds model AND scoring
+    val model = bigramModel(grams.where(!held))
+    val docBigrams = grams.where(held).groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("n"))
-    docBigrams.join(model, Seq("bigram"))
+    docBigrams.join(model, Seq("bigram"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
-        sum(col("n") * col("units")).as("score_units"))
+        sum(when(col("units").isNotNull, col("n")).otherwise(0L)).as("scored_bigrams"),
+        sum(col("n") * coalesce(col("units"), lit(0L))).as("score_units"))
       .orderBy(col("doc_id"))
   }
 }
