@@ -83,6 +83,8 @@ object SparkEntry {
       EventAnalytics.lastWindowCounts(Tables.events(s, d), 86400).orderBy(col("event_type"))),
     "q_heavy_hitters" -> ((s, d) => // Misra-Gries sketch -> exact verify
       HeavyHitters.heavyEntities(Tables.events(s, d), 127)),
+    "q_kmv_distinct" -> ((s, d) => // portable KMV distinct sketch vs exact
+      HeavyHitters.kmvDistinct(Tables.events(s, d))),
     "q_countmin_freq" -> ((s, d) => // portable CMS estimates vs exact counts
       HeavyHitters.countMinFrequencies(Tables.events(s, d))),
     "q_sliding_dau" -> ((s, d) => // trailing-7-day distinct active users per day
@@ -1596,6 +1598,30 @@ object SparkEntry {
     // Mirror of HeavyHitters.countMinFrequencies: the same portable md5₄₈
     // row hashes build the identical depth×width grid, so the sketch's own
     // estimates — not just the exact counts — are oracle-checked.
+    // Mirror of HeavyHitters.kmvDistinct: distinct 48-bit hashes per type,
+    // the 64th smallest as an exact order statistic, (k-1)*2^48 div h_k.
+    // The sketch ESTIMATE is hash-checked - the property HLL cannot offer.
+    "q_kmv_distinct" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM events),
+        |n AS (SELECT event_type, count(*) AS exact_distinct FROM dh GROUP BY 1),
+        |kth AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |    FROM dh) WHERE r = 64),
+        |est AS (
+        |  SELECT n.event_type, n.exact_distinct,
+        |    CASE WHEN n.exact_distinct < 64 THEN n.exact_distinct
+        |         ELSE (63 * 281474976710656) // greatest(k.h, 1) END AS kmv_estimate
+        |  FROM n LEFT JOIN kth k ON n.event_type = k.event_type)
+        |SELECT event_type, exact_distinct, kmv_estimate,
+        |  CASE WHEN exact_distinct > 0
+        |    THEN (floor((CAST(abs(kmv_estimate - exact_distinct) AS DOUBLE) * 100.0 / CAST(exact_distinct AS DOUBLE)) * 10000.0) / 10000.0)
+        |    ELSE 0.0 END AS err_pct
+        |FROM est ORDER BY event_type""".stripMargin,
+
     "q_countmin_freq" ->
       s"""WITH k AS (
          |  SELECT TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS entity

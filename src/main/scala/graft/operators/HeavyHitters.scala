@@ -20,6 +20,40 @@ import graft.plans.FrequentItemsAggregate
   */
 object HeavyHitters {
 
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002;
+    * Beyer et al. 2007's unbiased (k−1)/θ estimator): keep the k smallest
+    * 48-bit portable hashes of the key per group; the k-th smallest order
+    * statistic h₍ₖ₎ estimates the distinct count as (k−1)·2⁴⁸ div h₍ₖ₎ —
+    * pure integer arithmetic on an exactly-determined value. That makes
+    * KMV THE portable distinct sketch: unlike HLL, whose register layout
+    * differs per implementation (A5 ships with an error-bound test, not a
+    * hash check), the sketch value AND the estimate are oracle-checkable
+    * bit-for-bit.
+    *
+    * Plan: distinct (group, hash) collapse (one map-side-combined
+    * shuffle), then the bounded [[graft.plans.TopKAggregate]] heap on
+    * negated hashes — each partition ships ≤ k pairs (the KMV merge
+    * property: the union of KMV sketches is the KMV of the union, exactly
+    * the partial-merge contract of the aggregate). Groups under k distinct
+    * keys report exactly; `exact_distinct` counts distinct hashes (a 48-bit
+    * collision would undercount by one — negligible and deterministic). */
+  def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
+    events.select(col("event_type"), h.as("h")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_distinct"),
+        graft.plans.TopKAggregate.topk(
+          struct((-col("h")).cast("double").as("score"), col("h").as("id")), k).as("top"))
+      .select(col("event_type"), col("exact_distinct"),
+        when(col("exact_distinct") < k, col("exact_distinct"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div greatest(try_element_at(top, $k).id, 1L)"))
+          .as("kmv_estimate"))
+      .select(col("event_type"), col("exact_distinct"), col("kmv_estimate"),
+        graft.functions.Cols.pct4(abs(col("kmv_estimate") - col("exact_distinct")),
+          col("exact_distinct")).as("err_pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** Entities (parsed `props.k`, the reference's JSON entity id) receiving
     * more than 1/(capacity+1) of all tagged events, with exact counts. */
   def heavyEntities(events: DataFrame, capacity: Int = 127): DataFrame = {

@@ -26,6 +26,24 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch: exact under k, bounded error above k, partitioning-invariant") {
+    // high-cardinality group (5000 distinct users) + tiny group (10)
+    val rows = (1 to 5000).map(u => ("big", u.toLong)) ++
+      (1 to 10).map(u => ("small", u.toLong))
+    val events = rows.toDF("event_type", "user_id")
+    def run(parts: Int) = HeavyHitters.kmvDistinct(events.repartition(parts), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val r32 = run(32)
+    val m = r32.map(t => t._1 -> t).toMap
+    assert(m("small") == (("small", 10L, 10L)), "under-k group must report exactly")
+    val (_, exact, est) = m("big")
+    assert(exact == 5000L)
+    // KMV standard error ~ 1/sqrt(k) ≈ 12.5%; allow 4 sigma on one draw
+    assert(math.abs(est - 5000L) < 2500, s"KMV estimate $est implausibly far from 5000")
+    // the sketch is a pure function of the hash SET → partitioning-invariant
+    assert(run(3) == r32 && run(1) == r32)
+  }
+
   test("null keys are skipped by the sketch") {
     val withNulls = (Seq.fill(50)(java.lang.Long.valueOf(7L))
       ++ Seq.fill(50)(null.asInstanceOf[java.lang.Long])).toDF("k")
