@@ -442,6 +442,8 @@ object SparkEntry {
       Stats.rfmSegments(Tables.orders(s, d))),
     "q_lateness_census" -> ((s, d) => // out-of-orderness vs the watermark
       EventAnalytics.latenessCensus(Tables.events(s, d))),
+    "q_changepoint" -> ((s, d) => // exact 2-segment least-squares break of hourly volume
+      Stats.hourlyChangepoint(Tables.events(s, d))),
     "q_hourly_autocorr" -> ((s, d) => // periodicity: volume autocorrelation lags 1..24
       Stats.hourlyAutocorrelation(Tables.events(s, d))),
     "q_revenue_trend" -> ((s, d) => // least-squares slope from exact sums
@@ -3472,6 +3474,34 @@ object SparkEntry {
 
     // Mirror of Stats.hourlyAutocorrelation: same exact HUGEINT moments on
     // the bounded hourly frame, one divide/√/floor sequence per lag.
+    // Mirror of Stats.hourlyChangepoint: hourly counts, one prefix-sum
+    // pass, f(k) = S_l^2/n_l + S_r^2/n_r as the identical IEEE sequence,
+    // argmax by (f DESC, hour ASC).
+    "q_changepoint" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec FROM events),
+        |h AS (
+        |  SELECT ts_sec - ts_sec % 3600 AS hour_sec, count(*) AS c
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT hour_sec,
+        |    CAST(sum(c) OVER (ORDER BY hour_sec) AS BIGINT) AS s_l,
+        |    CAST(row_number() OVER (ORDER BY hour_sec) AS BIGINT) AS n_l,
+        |    CAST(sum(c) OVER () AS BIGINT) AS s,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM h),
+        |cand AS (
+        |  SELECT hour_sec, s_l, n_l, s - s_l AS s_r, n - n_l AS n_r,
+        |    CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)
+        |      + CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE) / CAST(n - n_l AS DOUBLE) AS f
+        |  FROM p WHERE n_l < n),
+        |r AS (SELECT *, row_number() OVER (ORDER BY f DESC, hour_sec ASC) AS rn FROM cand)
+        |SELECT hour_sec AS split_hour_sec, n_l AS hours_left, n_r AS hours_right,
+        |  s_l AS events_left, s_r AS events_right,
+        |  (floor((CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)) * 10000.0) / 10000.0) AS mean_left,
+        |  (floor((CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)) * 10000.0) / 10000.0) AS mean_right
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "q_hourly_autocorr" ->
       """WITH hourly AS (
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,

@@ -134,6 +134,44 @@ object Stats {
     * [[Relational.priceQuantiles]] parity precedent); every comparison is
     * long-vs-double with exact widening. R scores 4 = most recent
     * (≤ p25 of days-since), F/M score 4 = top quartile. */
+  /** Exact single-changepoint detection over the hourly event-count series
+    * — the two-segment least-squares break (the k=1 case of Bai & Perron's
+    * structural-break framework; the batch analogue of a CUSUM alarm):
+    * the split k* minimizing SSE_left + SSE_right equivalently MAXIMIZES
+    * f(k) = S_l²/n_l + S_r²/n_r, and every candidate's f comes from ONE
+    * prefix-sum pass over the bounded hourly aggregate (Σc and row index
+    * left of k; totals minus them right of k) — exact integer sums, one
+    * fixed IEEE expression per candidate, argmax by (f desc, hour asc).
+    *
+    * Shape: the event scan collapses to ≤|hours| rows first; the prefix
+    * window, the candidate frame, and the argmax all run on that bounded
+    * frame — nothing corpus-sized sorts or windows. */
+  def hourlyChangepoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy((col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).as("hour_sec"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("hour_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val pre = hourly.select(col("hour_sec"),
+      sum(col("c")).over(w).as("s_l"), sum(lit(1L)).over(w).as("n_l"),
+      sum(col("c")).over(tot).as("s"), count(lit(1)).over(tot).as("n"))
+    val cand = pre.where(col("n_l") < col("n"))
+      .select(col("hour_sec"), col("s_l"), col("n_l"),
+        (col("s") - col("s_l")).as("s_r"), (col("n") - col("n_l")).as("n_r"))
+      .withColumn("f",
+        col("s_l").cast("double") * col("s_l").cast("double") / col("n_l").cast("double")
+          + col("s_r").cast("double") * col("s_r").cast("double") / col("n_r").cast("double"))
+    val wr = Window.orderBy(col("f").desc, col("hour_sec").asc)
+    cand.withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+      .select(col("hour_sec").as("split_hour_sec"),
+        col("n_l").as("hours_left"), col("n_r").as("hours_right"),
+        col("s_l").as("events_left"), col("s_r").as("events_right"),
+        Cols.q4(col("s_l").cast("double") / col("n_l").cast("double")).as("mean_left"),
+        Cols.q4(col("s_r").cast("double") / col("n_r").cast("double")).as("mean_right"))
+  }
+
   def rfmSegments(orders: DataFrame): DataFrame = {
     val base = orders.select(col("o_custkey"),
         Cols.tsSec(col("o_orderdate")).as("sec"),

@@ -142,6 +142,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("changepoint: recovers a planted step in hourly volume exactly") {
+    // 10 hours at 10 events/hour then 10 hours at 100 — the least-squares
+    // break must land after the last low hour, with exact segment stats
+    val rows = for (h <- 0 until 20; i <- 0 until (if (h < 10) 10 else 100))
+      yield (h * 3600L + i)
+    val events = rows.toDF("ts_sec")
+    val r = Stats.hourlyChangepoint(events).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("split_hour_sec") == 9L * 3600L, s"got $row")
+    assert(row.getAs[Long]("hours_left") == 10L && row.getAs[Long]("hours_right") == 10L)
+    assert(row.getAs[Long]("events_left") == 100L && row.getAs[Long]("events_right") == 1000L)
+    assert(row.getAs[Double]("mean_left") == 10.0 && row.getAs[Double]("mean_right") == 100.0)
+  }
+
   test("sliding DAU: window=1 equals plain daily actives; 7-day dominates; equals naive range join") {
     val events = Tables.events(spark, sf)
     val daily = EventAnalytics.slidingActiveUsers(events, windowDays = 1)
