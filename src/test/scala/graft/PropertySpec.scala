@@ -151,6 +151,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle-blocked all-pairs == crossJoin reference on random embedding sets") {
+    // exactPairsBlocked's block-pair coverage argument (each unordered pair
+    // under exactly one key; diagonal deduped by id order) is hand-derived
+    // — pin it against the crossJoin form over random sizes, block counts,
+    // duplicate vectors, and ids that collide into few blocks
+    val embGen: Gen[(Int, List[(Long, List[Float])])] = for {
+      b    <- Gen.oneOf(1, 2, 5, 9)
+      n    <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-100, 100).map(_ / 25.0f)))
+    } yield (b, rows.zipWithIndex.map { case (v, i) => (i * 7L, v) })
+    forAll(embGen) { case (b, rows) =>
+      val nonZero = rows.filter(_._2.exists(_ != 0.0f)) // zero vecs: norm 0
+      whenever(nonZero.nonEmpty) {
+        val df = nonZero.toDF("vec_id", "embedding")
+        val ref = graft.operators.Similarity.nearDupCosineExact(df, -2.0)
+          .collect().map(_.toString).toSet
+        val blocked = graft.operators.Similarity.exactPairsBlocked(df, -2.0, b)
+          .collect().map(_.toString)
+        assert(blocked.length == blocked.toSet.size, s"B=$b: duplicate pairs")
+        assert(blocked.toSet == ref, s"B=$b n=${nonZero.size}")
+      }
+    }
+  }
+
+  test("interpolated quantiles == one-window percentile_cont rule on random order sets") {
+    val ordersGen: Gen[List[(Long, Double)]] = for {
+      n    <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, Gen.choose(1, 400000).map(_ / 100.0))
+    } yield rows.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    forAll(ordersGen) { rows =>
+      val df = rows.toDF("o_orderkey", "o_totalprice")
+      val got = graft.operators.Relational.quantilesCont(df).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // in-memory model of the exact engine rule (cents, (n-1)*q selection)
+      val cents = rows.map(r => math.round(r._2 * 100)).sorted
+      val n = cents.length
+      for ((label, nu, de) <- Seq(("p25", 1L, 4L), ("p50", 2L, 4L), ("p75", 3L, 4L))) {
+        val pos = (n - 1) * nu
+        val lo = (pos / de).toInt
+        val rem = pos % de
+        val hiV = if (lo + 1 < n) cents(lo + 1) else cents(lo)
+        val exp = (cents(lo).toDouble
+          + (rem.toDouble / de.toDouble) * (hiV.toDouble - cents(lo).toDouble)) / 100.0
+        assert(got(label) == exp, s"$label n=$n: ${got(label)} != $exp")
+      }
+    }
+  }
+
   test("prefix-filter jaccard join == brute force at several thresholds on random corpora") {
     // guards the whole filter stack (hash join keys, probe prefix,
     // aggregated positional filter, two-tier verification): every filter
