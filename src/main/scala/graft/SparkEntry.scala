@@ -238,6 +238,8 @@ object SparkEntry {
       graft.sources.Formats.csvSourceCensus(s, d)),
     "q_merge_upsert" -> ((s, d) => // batch CDC MERGE: latest-wins upsert+delete
       Snapshot.mergeUpsertProfile(Tables.orders(s, d))),
+    "q_incremental_join_refresh" -> ((s, d) => // JOIN-view delta maintenance == recompute
+      Snapshot.incrementalJoinRefresh(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_incremental_refresh" -> ((s, d) => // MV delta maintenance == recompute
       Snapshot.incrementalRefresh(Tables.orders(s, d))),
 
@@ -361,6 +363,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.annMultiProbe(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_knn_label_agreement" -> ((s, d) => // embedding-space label-coherence eval
+      Similarity.knnLabelAgreement(Tables.embeddings(s, d))),
     "q_lsh_recall_audit" -> ((s, d) => // quantified recall of the near-dup scale path
       Similarity.lshRecallAudit(Tables.embeddings(s, d))),
     "q_matryoshka_overlap" -> ((s, d) => { // prefix-dim truncation quality audit
@@ -1358,6 +1362,33 @@ object SparkEntry {
       |         string_split(text, ' ') AS toks, length(text) AS tlen
       |  FROM documents)
       |""".stripMargin
+
+  /** Mirror of Similarity.knnLabelAgreement: the knn oracle's exact
+    * brute-force ranking with the query set widened to the deterministic
+    * 1/5 'knneval' hash slice, label-joined and censused per query label. */
+  private val knnLabelAgreementOracleSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, CAST(label AS BIGINT) AS q_label
+       |  FROM embeddings
+       |  WHERE CAST(('0x' || substring(md5('knneval:' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1),
+       |pairs AS (
+       |  SELECT query_id, q_label, e.vec_id AS neighbor_id, CAST(e.label AS BIGINT) AS n_label,
+       |    list_reduce(list_transform(list_zip(q_emb, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       |         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, q_label, neighbor_id, n_label,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |      FROM pairs),
+       |top AS (SELECT * FROM r WHERE rank <= 5),
+       |g AS (
+       |  SELECT q_label AS label, count(DISTINCT query_id) AS queries,
+       |    count(*) AS neighbor_pairs,
+       |    CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS same_label_pairs
+       |  FROM top GROUP BY 1)
+       |SELECT label, queries, neighbor_pairs, same_label_pairs,
+       |  ${pct("same_label_pairs", "neighbor_pairs")} AS agreement_pct
+       |FROM g ORDER BY label""".stripMargin
 
   private val knnOracleSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
@@ -2578,6 +2609,16 @@ object SparkEntry {
     // Oracle of Snapshot.incrementalRefresh is deliberately the ONE-SHOT
     // recompute: the engine's base+delta merge must reproduce it exactly —
     // that identity IS the materialized-view maintenance correctness claim.
+    // Oracle of Snapshot.incrementalJoinRefresh is the ONE-SHOT join +
+    // GROUP BY over the full tables: the bilinear delta identity
+    // (dA><B0 + A0><dB + dA><dB added onto the stored A0><B0) must
+    // reproduce it exactly.
+    "q_incremental_join_refresh" ->
+      """SELECT o_orderpriority, count(*) AS items,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_incremental_refresh" ->
       """SELECT o_orderpriority, count(*) AS orders,
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
@@ -3788,6 +3829,7 @@ object SparkEntry {
     "q_knn_topk_agg" -> knnOracleSql,
 
     "q_knn_cosine" -> knnOracleSql,
+    "q_knn_label_agreement" -> knnLabelAgreementOracleSql,
 
     // Mirror of Quantize.quantStats: scale = 127/max|v| (float abs/max are
     // exact, one IEEE divide), codes via floor(x*scale + 0.5) — every op

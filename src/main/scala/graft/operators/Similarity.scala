@@ -183,6 +183,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-space quality eval: leave-one-out k-NN label agreement —
+    * the standard label-coherence probe run before trusting an embedding
+    * column for semantic dedup or retrieval (a k-NN-classifier eval in
+    * census form). Queries are a deterministic hash slice of the corpus
+    * (the eval-on-a-sample doctrine — at 100 TB nobody evals on every
+    * vector); neighbors come from the exact broadcast top-k (the
+    * recall-oracle shape: sampled queries broadcast, the corpus streams),
+    * and the census reports, per query label, how many of the k nearest
+    * neighbors carry the SAME label. A healthy embedding space scores far
+    * above the label-prior baseline; a collapsed one converges to it. */
+  def knnLabelAgreement(embeddings: DataFrame, k: Int = 5,
+                        num: Int = 1, den: Int = 5): DataFrame = {
+    val queries = Sampling.hashSample(embeddings, col("vec_id"), num, den,
+      tag = "knneval")
+    val nbrs = topKCosine(embeddings, queries, k)
+    val qLab = embeddings.select(col("vec_id").as("query_id"),
+      col("label").cast("long").as("q_label"))
+    val nLab = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("n_label"))
+    nbrs.join(qLab, Seq("query_id")).join(nLab, Seq("neighbor_id"))
+      .groupBy(col("q_label").as("label"))
+      .agg(countDistinct(col("query_id")).as("queries"),
+        count(lit(1)).as("neighbor_pairs"),
+        Cols.countWhen(col("n_label") === col("q_label")).as("same_label_pairs"))
+      .select(col("label"), col("queries"), col("neighbor_pairs"),
+        col("same_label_pairs"),
+        Cols.pct4(col("same_label_pairs"), col("neighbor_pairs")).as("agreement_pct"))
+      .orderBy(col("label"))
+  }
+
   /** Exact all-pairs cosine via triangle block-partitioning (the 1-Bucket
     * blocking of Okcan & Riedewald 2011's MapReduce theta-join): each
     * vector hashes to one of `numBlocks` blocks; every unordered block

@@ -137,6 +137,56 @@ object Snapshot {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Incremental maintenance of a JOIN view (the two-table sibling of
+    * [[incrementalRefresh]]'s aggregate-only delta merge): for a stored
+    * aggregate over orders ⋈ lineitem, new rows on BOTH inputs refresh the
+    * view through the bilinear delta identity
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B₀ + A₀ ⋈ ΔB + ΔA ⋈ ΔB
+    *
+    * so the base-side term A₀ ⋈ B₀ is NEVER recomputed — at 100 TB the
+    * three delta terms are each bounded by the batch size (ΔA ⋈ B₀ probes
+    * the base table on the join key, a pruned/indexed lookup, not a scan;
+    * with both tables bucketed by orderkey it is a co-located join), and
+    * the four partial aggregates merge by summing count/cents lanes — the
+    * self-maintainable class.
+    *
+    * Oracle-facing fixture: each table's delta membership is a pure
+    * function of md5₄₈ over ITS OWN key ('inca:'‖o_orderkey on orders,
+    * 'incb:'‖(l_orderkey,l_linenumber) on lineitem — independent splits,
+    * so all four terms are non-trivially exercised), and the ORACLE is
+    * the one-shot join + GROUP BY over the full tables: the delta merge
+    * must reproduce the recompute bit-for-bit, which is exactly the
+    * incremental-view-maintenance correctness claim. */
+  def incrementalJoinRefresh(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import graft.functions.Cols
+    val oDelta = Dedup.PortableHash(
+      concat(lit("inca:"), col("o_orderkey").cast("string"))) % 5 === 4
+    val lDelta = Dedup.PortableHash(
+      concat(lit("incb:"), col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))) % 5 === 4
+    val o  = orders.select(col("o_orderkey"), col("o_orderpriority"), oDelta.as("od"))
+    val li = lineitem.select(col("l_orderkey").as("o_orderkey"),
+      Cols.cents(col("l_extendedprice")).as("cents"), lDelta.as("ld"))
+    def term(oSide: DataFrame, lSide: DataFrame) =
+      oSide.join(lSide, Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("items"), sum(col("cents")).as("cents"))
+    // A₀⋈B₀ is the STORED view; the fixture derives it in-plan like the
+    // aggregate-refresh fixture does. The three delta terms are the work
+    // an actual refresh performs.
+    val parts = Seq(
+      term(o.where(!col("od")), li.where(!col("ld"))), // stored view
+      term(o.where(col("od")), li.where(!col("ld"))),  // ΔA ⋈ B₀
+      term(o.where(!col("od")), li.where(col("ld"))),  // A₀ ⋈ ΔB
+      term(o.where(col("od")), li.where(col("ld"))))   // ΔA ⋈ ΔB
+    parts.reduce(_.unionAll(_))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("items")).as("items"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Oracle-facing fixture over one documents table: derives two
     * deterministic snapshot states (membership and mutation are pure
     * functions of md5₄₈(doc_id), mirrored verbatim in SQL — the same
