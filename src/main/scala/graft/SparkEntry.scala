@@ -430,6 +430,8 @@ object SparkEntry {
       GraphRank.weightedPageRank(cooccurrenceShared(s, d))),
     "q_personalized_pagerank" -> ((s, d) => // teleport only to the 3 seed entities
       GraphRank.personalizedPageRank(cooccurrenceShared(s, d))),
+    "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
+      ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zorder_layout" -> ((s, d) => // Morton-layout audit: per-cell rectangles
       ZOrder.zOrderProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_triangle_census" -> ((s, d) => // degree-oriented wedge-join triangles
@@ -856,6 +858,33 @@ object SparkEntry {
   /** Mirror of ZOrder.zOrderProfile(lineitem, l_partkey, l_suppkey,
     * bits=16, buckets=256): generated from the same loop bounds as the
     * engine's interleave, so both engines compute identical Morton codes. */
+  /** Mirror of ZOrder.hilbertProfile (bits = 8): the xy2d quadrant walk
+    * unrolled one CTE per bit level — identical reflect/swap/xor chain. */
+  private lazy val hilbertOracleSql: String = {
+    val bits = 8
+    val n = 1L << bits
+    def step(s: Long, src: String, dst: String) = {
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""$dst AS (
+         |  SELECT __x, __y,
+         |    CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${n - 1} - hy ELSE hy END) ELSE hx END AS hx,
+         |    CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END) ELSE hy END AS hy,
+         |    hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+         |  FROM $src)""".stripMargin
+    }
+    val levels = (0 until bits).map(i => step(n >> (i + 1), s"h$i", s"h${i + 1}"))
+    val cell = (n * n) / 256
+    s"""WITH h0 AS (
+       |  SELECT l_partkey AS __x, l_suppkey AS __y,
+       |    l_partkey % $n AS hx, l_suppkey % $n AS hy, CAST(0 AS BIGINT) AS hd
+       |  FROM lineitem),
+       |${levels.mkString(",\n")}
+       |SELECT hd // $cell AS h_bucket, count(*) AS n_rows,
+       |  min(__x) AS x_min, max(__x) AS x_max, min(__y) AS y_min, max(__y) AS y_max
+       |FROM h$bits GROUP BY 1 ORDER BY h_bucket""".stripMargin
+  }
+
   private lazy val zorderOracleSql: String = {
     val bits = 16
     val mask = 1L << bits
@@ -3473,6 +3502,7 @@ object SparkEntry {
     // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer
     // bit arithmetic via // 2^i % 2 — identical z in any engine.
     "q_zorder_layout" -> zorderOracleSql,
+    "q_hilbert_layout" -> hilbertOracleSql,
 
     // Mirror of Stats.dailyRevenueTrend: exact integer sums under the agg,
     // one fixed IEEE expression for the slope, day rebased to the corpus

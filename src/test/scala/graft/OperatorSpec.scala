@@ -142,6 +142,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Hilbert index: bijective on the full grid, consecutive cells always adjacent") {
+    // the defining property — unlike Morton, step d→d+1 NEVER jumps: it is
+    // exactly one 4-neighborhood move. Checked exhaustively at bits=4.
+    val bits = 4
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val pos = ZOrder.withHilbert(grid, "x", "y", bits)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(pos.size == n * n && pos.keySet == (0L until (n * n).toLong).toSet,
+      "hilbert index must be a bijection onto [0, n^2)")
+    for (d <- 0L until (n * n - 1).toLong) {
+      val (x1, y1) = pos(d); val (x2, y2) = pos(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumped between d=$d ($x1,$y1) and ${d + 1} ($x2,$y2)")
+    }
+    // locality vs Morton on the same dense grid: sum of per-bucket
+    // bounding-rectangle areas (16 buckets) must not be worse
+    def extentSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(((col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1))
+        .as("a")).as[Long].collect().sum
+    val h = extentSum(ZOrder.hilbertProfile(grid, "x", "y", bits, buckets = 16))
+    val z = extentSum(ZOrder.zOrderProfile(grid, "x", "y", bits, buckets = 16))
+    assert(h <= z, s"hilbert extent sum $h must be <= morton $z")
+  }
+
   test("changepoint: recovers a planted step in hourly volume exactly") {
     // 10 hours at 10 events/hour then 10 hours at 100 — the least-squares
     // break must land after the last low hour, with exact segment stats
