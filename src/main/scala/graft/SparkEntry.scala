@@ -169,6 +169,8 @@ object SparkEntry {
     "q_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q_price_quantiles_cont" -> ((s, d) => // percentile_cont semantics, no global sort
       Relational.orderPriceQuantilesCont(s, d)),
+    "q_iqr_outliers" -> ((s, d) => // Tukey-fence outlier census from the cont quartiles
+      Relational.orderPriceOutliers(s, d)),
     "q_price_quantiles_approx" -> ((s, d) => // bounded-state per-group quantiles
       Relational.priceQuantilesHist(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
@@ -213,6 +215,8 @@ object SparkEntry {
     // --- corpus curation (repetition / contamination / sampling / gate)
     "q_repetition_stats" -> ((s, d) => // Gopher-style duplicate-3-gram signal
       CorpusFilters.repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_token_apportionment" -> ((s, d) => // Hamilton integer split of a token budget
+      CorpusFilters.tokenApportionment(Tables.documents(s, d))),
     "q_contamination" -> ((s, d) => // benchmark n-gram overlap check
       CorpusFilters.contaminationProfile(Tables.documents(s, d), 20, 5)),
     "q_decontaminated" -> ((s, d) => // the census's ACTION step: drop overlapping docs
@@ -1392,6 +1396,31 @@ object SparkEntry {
       |  FROM documents)
       |""".stripMargin
 
+  /** Shared CTE of the percentile_cont oracles: exact-cents global rank,
+    * integer (n-1)*q selection, interpolation — ends in qv(quantile, value). */
+  private lazy val quantilesContCte: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS r,
+      |    count(*) OVER () AS n
+      |  FROM o),
+      |k(q, nu, de) AS (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4)),
+      |sel AS (
+      |  SELECT k.q AS quantile,
+      |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 1 THEN r.cents END) AS lo,
+      |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 2 THEN r.cents END) AS hi,
+      |    max(((r.n - 1) * k.nu) % k.de) AS rem, max(k.de) AS de
+      |  FROM r, k GROUP BY k.q),
+      |qv AS (
+      |  SELECT quantile,
+      |    (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
+      |      * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS value
+      |  FROM sel)
+      |""".stripMargin
+
   /** Mirror of Similarity.knnLabelAgreement: the knn oracle's exact
     * brute-force ranking with the query set widened to the deterministic
     * 1/5 'knneval' hash slice, label-joined and censused per query label. */
@@ -2395,25 +2424,26 @@ object SparkEntry {
     // integer (n-1)*q selection positions, interpolation as the identical
     // IEEE op sequence on the two selected cents values.
     "q_price_quantiles_cont" ->
-      """WITH o AS (
-        |  SELECT o_orderkey,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM orders),
-        |r AS (
-        |  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS r,
-        |    count(*) OVER () AS n
-        |  FROM o),
-        |k(q, nu, de) AS (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4)),
-        |sel AS (
-        |  SELECT k.q AS quantile,
-        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 1 THEN r.cents END) AS lo,
-        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 2 THEN r.cents END) AS hi,
-        |    max(((r.n - 1) * k.nu) % k.de) AS rem, max(k.de) AS de
-        |  FROM r, k GROUP BY k.q)
-        |SELECT quantile,
-        |  (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
-        |    * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS value
-        |FROM sel ORDER BY quantile""".stripMargin,
+      (quantilesContCte +
+        """SELECT quantile, value FROM qv ORDER BY quantile""".stripMargin),
+
+    // Mirror of Relational.iqrOutliers: the shared cont-quartile CTE, the
+    // identical fence expression, one census pass.
+    "q_iqr_outliers" ->
+      (quantilesContCte +
+        """, f AS (
+          |  SELECT p25, p75,
+          |    p25 - 1.5 * (p75 - p25) AS fence_lo,
+          |    p75 + 1.5 * (p75 - p25) AS fence_hi
+          |  FROM (SELECT
+          |    min(CASE WHEN quantile = 'p25' THEN value END) AS p25,
+          |    min(CASE WHEN quantile = 'p75' THEN value END) AS p75 FROM qv))
+          |SELECT count(*) AS orders, max(f.p25) AS p25, max(f.p75) AS p75,
+          |  max(f.fence_lo) AS fence_lo, max(f.fence_hi) AS fence_hi,
+          |  CAST(sum(CASE WHEN CAST(o.cents AS DOUBLE) / 100.0 < f.fence_lo THEN 1 ELSE 0 END) AS BIGINT) AS below_fence,
+          |  CAST(sum(CASE WHEN CAST(o.cents AS DOUBLE) / 100.0 > f.fence_hi THEN 1 ELSE 0 END) AS BIGINT) AS above_fence,
+          |  CASE WHEN count(*) > 0 THEN (floor((CAST(sum(CASE WHEN CAST(o.cents AS DOUBLE) / 100.0 < f.fence_lo THEN 1 ELSE 0 END) + sum(CASE WHEN CAST(o.cents AS DOUBLE) / 100.0 > f.fence_hi THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) ELSE 0.0 END AS outlier_pct
+          |FROM o, f""".stripMargin),
 
     // Mirror of Relational.priceQuantilesHist: per-group bounded histogram
     // → per-group running sum → integer rank tests (2·cum ≥ n, 10·cum ≥ 9n).
@@ -3221,6 +3251,27 @@ object SparkEntry {
 
     // Benchmark = deterministic 1/20 hash-sample; a candidate doc is
     // contaminated iff it shares ≥ 5 distinct 3-grams with the benchmark.
+    // Mirror of CorpusFilters.tokenApportionment: integer floor quotas +
+    // one extra unit to the largest remainders (rem desc, source asc)
+    // until the budget is exact.
+    "q_token_apportionment" ->
+      """WITH t AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, tokens,
+        |    (100000 * tokens) // (SELECT sum(tokens) FROM t) AS floor_quota,
+        |    (100000 * tokens) % (SELECT sum(tokens) FROM t) AS rem
+        |  FROM t),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) AS extra_rank,
+        |    100000 - (SELECT sum(floor_quota) FROM q) AS leftover
+        |  FROM q)
+        |SELECT source, tokens, CAST(floor_quota AS BIGINT) AS floor_quota,
+        |  CAST(floor_quota + (CASE WHEN extra_rank <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS quota
+        |FROM r ORDER BY source""".stripMargin,
+
     "q_contamination" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh0 AS (

@@ -401,6 +401,41 @@ object CorpusFilters {
     * handles the split). One window per source stratum — the sort is
     * per-partition, never global — then one aggregation.
     * Returns per (source, bin): packed docs and token sum. */
+  /** Largest-remainder (Hamilton) apportionment of a global token budget
+    * across sources — the exact-integer answer to "source i gets
+    * budget·wᵢ/W tokens" when fractional quotas must land as integers
+    * that SUM EXACTLY to the budget (naive per-source rounding over- or
+    * under-shoots; the classic apportionment fix assigns the floor quotas
+    * first, then one extra unit each to the sources with the largest
+    * remainders). All integer arithmetic: quota = (budget·wᵢ) div W,
+    * remainder = (budget·wᵢ) mod W, extras ranked by (remainder desc,
+    * source asc) — bit-identical in any engine.
+    *
+    * Shape: one token-count aggregation over the corpus, then everything
+    * runs on the bounded per-source frame (|sources| rows — the windows
+    * here never see the corpus). `budget·wᵢ` stays far inside 2⁶³ for any
+    * real budget×corpus pairing at these lanes (both ≤ ~2⁴⁰); widen to
+    * DECIMAL(38,0) lanes if ever apportioning >2⁶³ token-products. */
+  def tokenApportionment(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val bySource = docs
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("tokens"))
+    bySource
+      .withColumn("w_total", sum(col("tokens")).over(tot))
+      .select(col("source"), col("tokens"),
+        expr(s"(${budget}L * tokens) div w_total").as("floor_quota"),
+        pmod(lit(budget) * col("tokens"), col("w_total")).as("rem"))
+      .withColumn("leftover", lit(budget) - sum(col("floor_quota")).over(tot))
+      .withColumn("extra_rank", row_number().over(w).cast("long"))
+      .select(col("source"), col("tokens"), col("floor_quota"),
+        (col("floor_quota")
+          + when(col("extra_rank") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      .orderBy(col("source"))
+  }
+
   def tokenPackingProfile(docs: DataFrame, budgetTokens: Int = 2000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))

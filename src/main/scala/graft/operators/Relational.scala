@@ -383,6 +383,37 @@ object Relational {
   def orderPriceQuantilesCont(spark: SparkSession, dir: String): DataFrame =
     quantilesCont(Tables.orders(spark, dir))
 
+  /** Tukey-fence (1.5·IQR) outlier census — the standard distribution-
+    * health gate before any mean-based metric is trusted: quartiles come
+    * from [[quantilesCont]]'s distributed selection (one 3-row frame,
+    * broadcast back), fences are one fixed IEEE expression on them, and
+    * the census is a single aggregation pass. Nothing corpus-sized sorts;
+    * the quantile stage is the deciles histogram machinery. */
+  def iqrOutliers(ordersIn: DataFrame): DataFrame = {
+    val qs = quantilesCont(ordersIn)
+    val fences = broadcast(qs.agg(
+        min(when(col("quantile") === "p25", col("value"))).as("p25"),
+        min(when(col("quantile") === "p75", col("value"))).as("p75"))
+      .select(col("p25"), col("p75"),
+        (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("fence_lo"),
+        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("fence_hi")))
+    ordersIn
+      .select((Cols.cents(col("o_totalprice")).cast("double") / 100.0).as("v"))
+      .crossJoin(fences)
+      .agg(count(lit(1)).as("orders"),
+        first(col("p25")).as("p25"), first(col("p75")).as("p75"),
+        first(col("fence_lo")).as("fence_lo"), first(col("fence_hi")).as("fence_hi"),
+        Cols.countWhen(col("v") < col("fence_lo")).as("below_fence"),
+        Cols.countWhen(col("v") > col("fence_hi")).as("above_fence"))
+      .select(col("orders"), col("p25"), col("p75"), col("fence_lo"), col("fence_hi"),
+        col("below_fence"), col("above_fence"),
+        Cols.pct4(col("below_fence") + col("above_fence"), col("orders")).as("outlier_pct"))
+  }
+
+  /** [[iqrOutliers]] over the orders table — the registered form. */
+  def orderPriceOutliers(spark: SparkSession, dir: String): DataFrame =
+    iqrOutliers(Tables.orders(spark, dir))
+
   /** One-window ntile spec of [[orderValueDeciles]] — a single-partition
     * sort of every order, which is exactly what must never run at scale.
     * Test-only anchor: the SQL oracle states this form, and OperatorSpec

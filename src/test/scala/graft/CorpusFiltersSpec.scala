@@ -116,6 +116,18 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("token apportionment: quotas sum exactly to the budget, each within 1 of ideal") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val r = CorpusFilters.tokenApportionment(docs, budget = 12345L).collect()
+      .map(row => (row.getString(0), row.getAs[Long]("tokens"), row.getAs[Long]("quota")))
+    assert(r.map(_._3).sum == 12345L, "Hamilton quotas must sum exactly to the budget")
+    val w = r.map(_._2).sum.toDouble
+    r.foreach { case (src, tok, quota) =>
+      val ideal = 12345L * tok / w
+      assert(math.abs(quota - ideal) <= 1.0 + 1e-9, s"$src: quota $quota vs ideal $ideal")
+    }
+  }
+
   test("fuzzy decontamination flags the near-dup of a benchmark doc, nothing else") {
     import spark.implicits._
     import graft.operators.Dedup
