@@ -95,6 +95,21 @@ object ZOrder {
       .orderBy(col("h_bucket"))
   }
 
+  /** The actual write path the audits model: lay `df` out on its Hilbert
+    * index — range-partition into `files` index ranges (each becomes one
+    * parquet file whose (x, y) footer stats are a tight rectangle) and
+    * sort within partitions so row-group stats are tight too. After this
+    * write, a predicate on EITHER dimension skips most files from the
+    * footers alone; BucketingSpec measures the extent shrink vs a
+    * naturally-partitioned write of the same rows. */
+  def writeHilbertLayout(df: DataFrame, dir: String, xCol: String, yCol: String,
+                         bits: Int = 8, files: Int = 16): Unit =
+    withHilbert(df, xCol, yCol, bits)
+      .repartitionByRange(files, col("h"))
+      .sortWithinPartitions(col("h"))
+      .drop("h")
+      .write.mode("overwrite").parquet(dir)
+
   /** Layout audit: bucket rows by the top bits of their z-value (`buckets`
     * contiguous z-ranges — the "files" of a z-ordered write) and report
     * each bucket's row count and per-dimension min/max. The z-curve

@@ -23,6 +23,31 @@ class BucketingSpec extends SparkSpec {
     assert(read.count() == events.where(col("event_date") === firstDate).count())
   }
 
+  test("hilbert write layout: per-file footer extents shrink in BOTH dimensions") {
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    def meanExtentArea(dir: String): Double = {
+      val perFile = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(((max(col("l_partkey")) - min(col("l_partkey")) + 1)
+          * (max(col("l_suppkey")) - min(col("l_suppkey")) + 1)).as("area"))
+      perFile.agg(avg(col("area"))).head().getDouble(0)
+    }
+    val hDir = java.nio.file.Files.createTempDirectory("graft_hilb").toString
+    val nDir = java.nio.file.Files.createTempDirectory("graft_nat").toString
+    ZOrder.writeHilbertLayout(li, hDir, "l_partkey", "l_suppkey", bits = 8, files = 16)
+    li.repartition(16).write.mode("overwrite").parquet(nDir) // natural layout
+    val h = meanExtentArea(hDir)
+    val n = meanExtentArea(nDir)
+    info(f"mean per-file (x,y) footer extent area: hilbert=$h%.0f natural=$n%.0f")
+    // hash-partitioned files each span nearly the full key plane; the
+    // hilbert layout's files must cover a small fraction of it
+    assert(h < n / 4.0, s"hilbert layout must shrink footer extents: $h vs $n")
+    // and the layout must not lose or duplicate rows
+    assert(spark.read.parquet(hDir).count() == li.count())
+  }
+
   test("bucketed join on the bucket key runs with zero exchanges") {
     Seq("bkt_lineitem", "bkt_orders").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
