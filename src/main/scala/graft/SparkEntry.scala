@@ -289,6 +289,9 @@ object SparkEntry {
           col("doc_b").as("item_b"), lit(1L).as("pairs"))),
         TextAnalysis.qualityUnits(Tables.documents(s, d)))
     }),
+    "q_kcore_census" -> ((s, d) => // k-core peel of the near-dup graph (noise pruning)
+      GraphRank.kCoreCensus(
+        Similarity.nearDupCosineLshPairs(Tables.embeddings(s, d), 0.3), "vec_a", "vec_b")),
     "q_embedding_dedup_clusters" -> ((s, d) => // semantic dedup: ANN pairs -> CC
       Dedup.dedupClusters(
         Similarity.nearDupCosineLshPairs(Tables.embeddings(s, d), 0.4)
@@ -1070,6 +1073,37 @@ object SparkEntry {
        |cand AS (
        |$perTable)
        |""".stripMargin
+  }
+
+  /** Mirror of GraphRank.kCoreCensus over the LSH near-dup pairs: the
+    * peel unrolled 24 rounds per k (the engine converges far earlier —
+    * its guard forbids emitting a non-converged census, so unrolled-24 =
+    * fixpoint = engine). */
+  private lazy val kcoreOracleSql: String = {
+    def peel(k: Int, src: String, dst: String) =
+      s"""$dst AS MATERIALIZED (
+         |  SELECT a, b FROM $src
+         |  WHERE a IN (SELECT node FROM (SELECT a AS node FROM $src UNION ALL SELECT b FROM $src) GROUP BY node HAVING count(*) >= $k)
+         |    AND b IN (SELECT node FROM (SELECT a AS node FROM $src UNION ALL SELECT b FROM $src) GROUP BY node HAVING count(*) >= $k))""".stripMargin
+    val rounds = 24
+    def chain(k: Int) =
+      (0 until rounds).map(i => peel(k, s"k${k}r$i", s"k${k}r${i + 1}")).mkString(",\n")
+    def census(k: Int) =
+      s"""SELECT $k AS k,
+         |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (SELECT a AS node FROM k${k}r$rounds UNION ALL SELECT b FROM k${k}r$rounds)) AS core_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k${k}r$rounds) AS core_edges""".stripMargin
+    nearDupCosineLshCte +
+      s""", e0 AS MATERIALIZED (
+         |  SELECT DISTINCT vec_a AS a, vec_b AS b FROM cand
+         |  WHERE cosine >= 0.3 AND vec_a <> vec_b),
+         |k2r0 AS (SELECT a, b FROM e0),
+         |${chain(2)},
+         |k3r0 AS (SELECT a, b FROM e0),
+         |${chain(3)}
+         |${census(2)}
+         |UNION ALL
+         |${census(3)}
+         |ORDER BY k""".stripMargin
   }
 
   private val nearDupCosineLshOracleSql: String =
@@ -4011,6 +4045,7 @@ object SparkEntry {
     "q_pca_scores" -> pcaScoresOracleSql,
 
     "q_near_dup_cosine" -> nearDupCosineLshOracleSql,
+    "q_kcore_census" -> kcoreOracleSql,
     "q_lsh_recall_audit" -> lshRecallAuditOracleSql,
 
     // Mirror of Similarity.knnGraph (k=3, minCosine=0.3): the multi-table

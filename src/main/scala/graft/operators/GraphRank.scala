@@ -232,6 +232,52 @@ object GraphRank {
     * Coefficient = floor((2·T)/(d·(d−1))·10⁴)/10⁴ — one IEEE divide,
     * floor-quantized, 0 for degree < 2 (the [[graft.functions.Cols]]
     * cross-engine ratio doctrine). */
+  /** k-core census (Seidman 1983; the round-based distributed peel of
+    * Montresor et al. 2013): for each k, repeatedly drop nodes of degree
+    * < k until fixpoint — the maximal subgraph where every node keeps ≥ k
+    * neighbors, the standard noise-pruning step before clustering a
+    * near-dup or interaction graph (singleton chains and whiskers peel
+    * away; the surviving core is where real duplicate mass concentrates).
+    *
+    * Each round is one degree aggregation plus two semi-joins on the
+    * monotonically-shrinking edge set — Pregel-as-joins like the CC /
+    * PageRank family — run to a GUARDED fixpoint (a non-converged census
+    * can never be emitted; the per-round count that drives the guard is
+    * the standard distributed-termination check). Edges are
+    * localCheckpointed per round so round N's lineage never replays
+    * rounds 1..N−1. Output: |ks| rows of (k, core_nodes, core_edges). */
+  def kCoreCensus(edges: DataFrame, aCol: String, bCol: String,
+                  ks: Seq[Int] = Seq(2, 3), maxRounds: Int = 48): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val base = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .localCheckpoint()
+    val rows = ks.map { k =>
+      var e = base
+      var n = e.count()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        val keep = deg.where(col("d") >= k).select(col("node"))
+        val e2 = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint()
+        val n2 = e2.count()
+        converged = n2 == n
+        e = e2; n = n2; rounds += 1
+      }
+      require(converged, s"k-core peel (k=$k) did not converge in $maxRounds rounds")
+      val nodes = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .distinct().count()
+      (k.toLong, nodes, n)
+    }
+    rows.toDF("k", "core_nodes", "core_edges").orderBy(col("k"))
+  }
+
   def triangleCounts(edges: DataFrame, k: Int = 30): DataFrame = {
     // canonical undirected edges a < b, self-loops out
     val e = edges.where(col("item_a") < col("item_b"))

@@ -142,6 +142,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("k-core census: K4 plus a whisker peels to the clique at k=2 and k=3") {
+    // K4 on 1..4 (every node degree 3) with a path 4-5-6 hanging off:
+    // the whisker peels (6 then 5), the clique survives both cores
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = GraphRank.kCoreCensus(edges, "a", "b", ks = Seq(2, 3, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 4L, 6L), (3L, 4L, 6L), (4L, 0L, 0L)), s"got $got")
+  }
+
   test("Hilbert index: bijective on the full grid, consecutive cells always adjacent") {
     // the defining property — unlike Morton, step d→d+1 NEVER jumps: it is
     // exactly one 4-neighborhood move. Checked exhaustively at bits=4.
