@@ -171,6 +171,8 @@ object SparkEntry {
       Relational.orderPriceQuantilesCont(s, d)),
     "q_iqr_outliers" -> ((s, d) => // Tukey-fence outlier census from the cont quartiles
       Relational.orderPriceOutliers(s, d)),
+    "q_group_quantiles_cont" -> ((s, d) => // per-group percentile_cont, same machinery
+      Relational.priorityPriceQuantilesCont(s, d)),
     "q_price_quantiles_approx" -> ((s, d) => // bounded-state per-group quantiles
       Relational.priceQuantilesHist(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
@@ -2460,6 +2462,30 @@ object SparkEntry {
     "q_price_quantiles_cont" ->
       (quantilesContCte +
         """SELECT quantile, value FROM qv ORDER BY quantile""".stripMargin),
+
+    // Mirror of Relational.quantilesContByGroup(o_orderpriority): per-group
+    // rank, per-group n in the (n-1)*q selection, identical interpolation.
+    "q_group_quantiles_cont" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS r,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM o),
+        |k(q, nu, de) AS (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4)),
+        |sel AS (
+        |  SELECT o_orderpriority, k.q AS quantile,
+        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 1 THEN r.cents END) AS lo,
+        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 2 THEN r.cents END) AS hi,
+        |    max(((r.n - 1) * k.nu) % k.de) AS rem, max(k.de) AS de
+        |  FROM r, k GROUP BY 1, 2)
+        |SELECT o_orderpriority, quantile,
+        |  (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
+        |    * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS value
+        |FROM sel ORDER BY o_orderpriority, quantile""".stripMargin,
 
     // Mirror of Relational.iqrOutliers: the shared cont-quartile CTE, the
     // identical fence expression, one census pass.

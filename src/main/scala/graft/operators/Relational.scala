@@ -383,6 +383,57 @@ object Relational {
   def orderPriceQuantilesCont(spark: SparkSession, dir: String): DataFrame =
     quantilesCont(Tables.orders(spark, dir))
 
+  /** Per-group [[quantilesCont]] — `percentile_cont(...) WITHIN GROUP ...
+    * GROUP BY g`, the form analysts actually write, with the same no-
+    * global-sort machinery applied per group: bucket histograms and rank
+    * offsets are computed per (group, bucket), the offset windows run on
+    * the bounded per-group histograms, and each group's (n−1)·q selection
+    * positions use ITS OWN n. One shuffle on (group, bucket) ranks the
+    * corpus; only ≤ 2·|quantiles| rows per group reach the interpolation. */
+  def quantilesContByGroup(ordersIn: DataFrame, groupCol: String,
+      width: Double = 1000.0,
+      qs: Seq[(String, Long, Long)] = Seq(("p25", 1L, 4L), ("p50", 2L, 4L),
+        ("p75", 3L, 4L))): DataFrame = {
+    val g = col(groupCol)
+    val orders = ordersIn
+      .select(g, col("o_orderkey"), Cols.cents(col("o_totalprice")).as("cents"),
+        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+    val hist = orders.groupBy(g, col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy(g).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(g, col("bucket"),
+      coalesce(sum(col("cnt")).over(wPrev), lit(0L)).as("off"),
+      sum(col("cnt")).over(Window.partitionBy(g)).as("n"))
+    val wBucket = Window.partitionBy(g, col("bucket"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = orders.join(broadcast(offsets), Seq(groupCol, "bucket"))
+      .select(g, col("cents"), (col("off") + row_number().over(wBucket)).as("r"),
+        col("n"))
+    def lo(nu: Long, de: Long) = expr(s"((n - 1) * $nu) div $de")
+    val cands = ranked.where(qs.map { case (_, nu, de) =>
+      col("r") === lo(nu, de) + 1 || col("r") === lo(nu, de) + 2
+    }.reduce(_ || _))
+    val sel = cands.groupBy(g).agg(
+      first(col("n")).as("n"),
+      qs.flatMap { case (label, nu, de) => Seq(
+        min(when(col("r") === lo(nu, de) + 1, col("cents"))).as(s"${label}_lo"),
+        min(when(col("r") === lo(nu, de) + 2, col("cents"))).as(s"${label}_hi"))
+      }: _*)
+    val rows = qs.map { case (label, nu, de) =>
+      val rem = pmod((col("n") - 1) * nu, lit(de))
+      sel.select(g, lit(label).as("quantile"),
+        ((col(s"${label}_lo").cast("double")
+          + (rem.cast("double") / lit(de).cast("double"))
+            * (coalesce(col(s"${label}_hi"), col(s"${label}_lo")).cast("double")
+              - col(s"${label}_lo").cast("double"))) / 100.0).as("value"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy(g, col("quantile"))
+  }
+
+  /** [[quantilesContByGroup]] by order priority — the registered form. */
+  def priorityPriceQuantilesCont(spark: SparkSession, dir: String): DataFrame =
+    quantilesContByGroup(Tables.orders(spark, dir), "o_orderpriority")
+
   /** Tukey-fence (1.5·IQR) outlier census — the standard distribution-
     * health gate before any mean-based metric is trusted: quartiles come
     * from [[quantilesCont]]'s distributed selection (one 3-row frame,

@@ -237,6 +237,23 @@ class OperatorSpec extends SparkSpec {
       check(Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(n))
   }
 
+  test("per-group interpolated quantiles equal Spark's grouped percentile_cont") {
+    val got = Relational.priorityPriceQuantilesCont(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val e = Tables.orders(spark, sf).groupBy(col("o_orderpriority")).agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+        expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"))
+      .collect()
+    assert(e.nonEmpty)
+    e.foreach { r =>
+      val g = r.getString(0)
+      for ((q, i) <- Seq("p25", "p50", "p75").zipWithIndex)
+        assert(math.abs(got((g, q)) - r.getDouble(i + 1)) < 1e-6,
+          s"$g/$q: ${got((g, q))} vs ${r.getDouble(i + 1)}")
+    }
+  }
+
   test("forward fill equals the naive per-user scan; pre-first-purchase stays null") {
     val filled = EventAnalytics.lastKnownValueFill(Tables.events(spark, sf))
       .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type"),

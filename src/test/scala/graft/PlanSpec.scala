@@ -63,6 +63,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"LUT/codebook joins must broadcast:\n$p")
   }
 
+  test("fuzzy decontamination plans as bounded equi-joins: no cartesian") {
+    val p = planOf(CorpusFilters.fuzzyDecontaminationProfile(
+      Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bipartite LSH decontamination must not plan a cartesian:\n$p")
+  }
+
+  test("sliding DAU is window-free: coverage replication, joins and aggs only") {
+    val p = planOf(EventAnalytics.slidingActiveUsers(Tables.events(spark, sf)))
+    assert(!p.contains("Window"), s"sliding distinct count must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LSH recall audit is cartesian-free: blocked equi-join, no crossJoin") {
     // the registered audit samples the corpus and computes exact pairs via
     // the triangle-blocked equi-join — the suite must contain NO
