@@ -461,6 +461,8 @@ object SparkEntry {
       Stats.hourlyChangepoint(Tables.events(s, d))),
     "q_hourly_autocorr" -> ((s, d) => // periodicity: volume autocorrelation lags 1..24
       Stats.hourlyAutocorrelation(Tables.events(s, d))),
+    "q_theilsen_slope" -> ((s, d) => // robust median-of-pairwise-slopes trend
+      Stats.theilSenDailyRevenue(Tables.orders(s, d))),
     "q_revenue_trend" -> ((s, d) => // least-squares slope from exact sums
       Stats.dailyRevenueTrend(Tables.orders(s, d))),
     "q_ab_lift" -> ((s, d) => // hash-armed A/B with Wilson 95% interval
@@ -3618,6 +3620,33 @@ object SparkEntry {
     // Mirror of Stats.dailyRevenueTrend: exact integer sums under the agg,
     // one fixed IEEE expression for the slope, day rebased to the corpus
     // min so every long→double conversion stays under 2^53.
+    // Mirror of Stats.theilSenDailyRevenue: all day pairs (the oracle may
+    // self-join; the engine uses the triangle-blocked equi-join), floored
+    // 1e-4-cent/day integer slope units, exact median by rank selection
+    // with the same (n-1)/2 interpolation.
+    "q_theilsen_slope" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.day AS da, b.day AS db,
+        |    ((b.y - a.y) * 10000 - ((((b.y - a.y) * 10000) % (b.day - a.day)) + (b.day - a.day)) % (b.day - a.day)) // (b.day - a.day) AS u
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |r AS (
+        |  SELECT u, row_number() OVER (ORDER BY u, da, db) AS r, count(*) OVER () AS n
+        |  FROM pairs),
+        |sel AS (
+        |  SELECT max(CASE WHEN r = (n - 1) // 2 + 1 THEN u END) AS u_lo,
+        |    max(CASE WHEN r = (n - 1) // 2 + 2 THEN u END) AS u_hi,
+        |    max(n) AS n_pairs
+        |  FROM r)
+        |SELECT n_pairs,
+        |  (CAST(u_lo AS DOUBLE)
+        |    + (CAST((n_pairs - 1) % 2 AS DOUBLE) / 2.0)
+        |      * (CAST(coalesce(u_hi, u_lo) AS DOUBLE) - CAST(u_lo AS DOUBLE))) / 10000.0 AS slope_cents_per_day
+        |FROM sel""".stripMargin,
+
     "q_revenue_trend" ->
       s"""WITH daily AS (
          |  SELECT o_orderpriority AS priority,

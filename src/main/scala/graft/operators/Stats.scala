@@ -134,6 +134,78 @@ object Stats {
     * [[Relational.priceQuantiles]] parity precedent); every comparison is
     * long-vs-double with exact widening. R scores 4 = most recent
     * (≤ p25 of days-since), F/M score 4 = top quartile. */
+  /** Theil–Sen robust slope of daily revenue (Theil 1950 / Sen 1968): the
+    * MEDIAN of all pairwise slopes — up to ~29% of days can be corrupted
+    * (an outage, a backfill spike) without moving it, where the
+    * least-squares slope ([[dailyRevenueTrend]]) chases every outlier.
+    *
+    * Distributed shape, both halves from this engine's own toolkit:
+    * all-pairs over the bounded daily frame via the triangle
+    * block-partitioned equi-join (the [[Similarity.exactPairsBlocked]]
+    * doctrine — never a cartesian, O(days²) work spread evenly over
+    * B(B+1)/2 keys), and the exact median of the pair slopes via the
+    * histogram-offset selection (the [[Relational.quantilesCont]]
+    * machinery: only the bucket histogram windows; two rows reach the
+    * interpolation). Slopes are floored 1e-4-cent/day integer units, so
+    * selection is integer-exact and the final division is the one IEEE op. */
+  def theilSenDailyRevenue(orders: DataFrame, numBlocks: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .select(Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      .localCheckpoint() // both sides of the blocked pair join
+    val coded = daily.select(col("day"), col("y"),
+      (Dedup.PortableHash(concat(lit("tsn:"), col("day").cast("string")))
+        % numBlocks).as("blk"))
+    val l = coded.withColumn("bj", explode(sequence(col("blk"), lit(numBlocks - 1))))
+      .select(col("blk").as("bi"), col("bj"),
+        col("day").as("d1"), col("y").as("y1"))
+    val r = coded.withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi").as("ri"), col("blk").as("rj"),
+        col("day").as("d2"), col("y").as("y2"))
+    val pairs = l.join(r, col("bi") === col("ri") && col("bj") === col("rj"))
+      .where(col("bi") =!= col("bj") || col("d1") < col("d2"))
+      .select(least(col("d1"), col("d2")).as("da"),
+        greatest(col("d1"), col("d2")).as("db"),
+        when(col("d1") < col("d2"), col("y2") - col("y1"))
+          .otherwise(col("y1") - col("y2")).as("dy"),
+        abs(col("d2") - col("d1")).as("dx"))
+      // greatest(dx, 1) keeps the floor division TOTAL: dx = 0 never
+      // survives the pair filter, but Catalyst may reorder a downstream
+      // join's derived isnotnull(bucket) predicate ahead of that filter,
+      // and ANSI pmod/div on a not-yet-rejected diagonal row would throw
+      .select(col("da"), col("db"),
+        expr("((dy * 10000) - pmod(dy * 10000, greatest(dx, 1L))) div greatest(dx, 1L)")
+          .as("u"))
+    // exact median of u via histogram-offset selection (floor-div buckets
+    // handle negative slopes)
+    val bucketed = pairs.select(col("da"), col("db"), col("u"),
+      expr("((u - pmod(u, 1000000)) div 1000000)").as("bucket"))
+    val hist = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("bucket"),
+      coalesce(sum(col("cnt")).over(wPrev), lit(0L)).as("off"),
+      sum(col("cnt")).over(Window.partitionBy()).as("n"))
+    val wBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("u"), col("da"), col("db"))
+    val ranked = bucketed.join(broadcast(offsets), Seq("bucket"))
+      .select(col("u"), (col("off") + row_number().over(wBucket)).as("r"), col("n"))
+    val cands = ranked.where(
+      col("r") === expr("(n - 1) div 2") + 1 || col("r") === expr("(n - 1) div 2") + 2)
+    cands.agg(
+        first(col("n")).as("n_pairs"),
+        min(when(col("r") === expr("(n - 1) div 2") + 1, col("u"))).as("u_lo"),
+        min(when(col("r") === expr("(n - 1) div 2") + 2, col("u"))).as("u_hi"))
+      .select(col("n_pairs"),
+        ((col("u_lo").cast("double")
+          + (pmod(col("n_pairs") - 1, lit(2L)).cast("double") / 2.0)
+            * (coalesce(col("u_hi"), col("u_lo")).cast("double")
+              - col("u_lo").cast("double"))) / 10000.0).as("slope_cents_per_day"))
+  }
+
   /** Exact single-changepoint detection over the hourly event-count series
     * — the two-segment least-squares break (the k=1 case of Bai & Perron's
     * structural-break framework; the batch analogue of a CUSUM alarm):

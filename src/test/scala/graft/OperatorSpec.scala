@@ -142,6 +142,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Theil-Sen slope ignores a planted outlier day that least squares chases") {
+    // 21 days of exactly +1.00/day revenue with day 10 spiked 1e6x: the
+    // median of pairwise slopes stays exactly 100 cents/day (only 20 of
+    // 210 pairs touch the outlier); OLS would be pulled far away
+    val orders = (0 until 21).map { i =>
+      val date = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      val price = if (i == 10) BigDecimal(1000000) else BigDecimal(i + 1)
+      (date, price)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = graft.operators.Stats.theilSenDailyRevenue(orders).head()
+    assert(r.getAs[Long]("n_pairs") == 210L)
+    assert(r.getAs[Double]("slope_cents_per_day") == 100.0, s"got $r")
+  }
+
   test("k-core census: K4 plus a whisker peels to the clique at k=2 and k=3") {
     // K4 on 1..4 (every node degree 3) with a path 4-5-6 hanging off:
     // the whisker peels (6 then 5), the clique survives both cores
