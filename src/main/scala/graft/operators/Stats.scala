@@ -180,9 +180,12 @@ object Stats {
         expr("((dy * 10000) - pmod(dy * 10000, greatest(dx, 1L))) div greatest(dx, 1L)")
           .as("u"))
     // exact median of u via histogram-offset selection (floor-div buckets
-    // handle negative slopes)
+    // handle negative slopes); materialized ONCE — the histogram branch
+    // and the ranked branch both consume it, and without the checkpoint
+    // each would replay the blocked pair join
     val bucketed = pairs.select(col("da"), col("db"), col("u"),
       expr("((u - pmod(u, 1000000)) div 1000000)").as("bucket"))
+      .localCheckpoint()
     val hist = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val wPrev = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
