@@ -35,6 +35,30 @@ object Bench {
       warm("dedup")(graft.streaming.StreamingDedup.dedupedTypeCounts(spark, warmDir).count())
     } else System.err.println(
       s"[bench] no smaller sibling of $sfDir; skipping streaming warm-up")
+    // ---- calibration lane: a pinned, data-independent micro-benchmark
+    // (sum of xxhash64 over a fixed 32-partition range — saturates the
+    // same local[32] cores the suite uses; no IO, no shuffle) run 3×
+    // INTERLEAVED through the suite (before / mid / after). Its median
+    // over a pinned nominal becomes `load_index`: ≈1 means the host was
+    // as free as at calibration time; k means co-tenant load stretched
+    // wall-clock ~k× suite-wide. One committed sidecar with load_index
+    // in-file replaces the best-of-N window-shopping of earlier rounds —
+    // a slow total at load_index 1.4 is host noise, at 1.0 a regression.
+    // pinned nominal: best-observed calibration median on this host class
+    // (r11, loadavg < 3, spread of 12 reps 0.62-0.72 s). Comparing
+    // load_index ACROSS runs is the point; its absolute anchor just makes
+    // ≈1.0 read as "host as free as it ever gets".
+    val calNominal = 0.63 // sec
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.expr
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: full-range hash values overflow a long sum in
+      // ANSI mode; xor is the same per-row work with no overflow lane
+      spark.range(0L, 3000L * 1000 * 1000, 1L, 32)
+        .select(expr("bit_xor(xxhash64(id))")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // throwaway: pays the calibration plan's one-time codegen
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the run for local iteration;
     // the driver never sets it, so round benches always cover everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -69,14 +93,27 @@ object Bench {
     case class Rep(name: String, best: Double, t1: Double, gc1: Long,
                    warm: Option[(Double, Long, Option[String])],
                    retry: Option[Double], err: Option[String])
-    val firstPass = selected.map { case (name, fn) =>
-      // best-of-two damps JIT/GC noise; skip the re-run for long queries
-      val (t1, gc1, err1) = once(fn)
-      err1.foreach(m => System.err.println(s"[bench] FAILED $name: $m"))
-      val warm = if (err1.isEmpty && t1 < 15.0) Some(once(fn)) else None
-      val best = warm.map { case (t2, _, _) => math.min(t1, t2) }.getOrElse(t1)
-      Rep(name, best, t1, gc1, warm, None, err1)
-    }
+    def measure(batch: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      batch.map { case (name, fn) =>
+        // best-of-two damps JIT/GC noise; skip the re-run for long queries
+        val (t1, gc1, err1) = once(fn)
+        err1.foreach(m => System.err.println(s"[bench] FAILED $name: $m"))
+        val warm = if (err1.isEmpty && t1 < 15.0) Some(once(fn)) else None
+        val best = warm.map { case (t2, _, _) => math.min(t1, t2) }.getOrElse(t1)
+        Rep(name, best, t1, gc1, warm, None, err1)
+      }
+    val cal1 = calibrate()
+    val (halfA, halfB) = selected.splitAt(selected.size / 2)
+    val passA = measure(halfA)
+    val cal2 = calibrate()
+    val passB = measure(halfB)
+    val cal3 = calibrate()
+    val firstPass = passA ++ passB
+    val calTimes = Seq(cal1, cal2, cal3)
+    val calMedian = calTimes.sorted.apply(1)
+    val loadIndex = calMedian / calNominal
+    System.err.println(f"[bench] calibration ${calTimes.map(t => f"$t%.3f").mkString("/")} s " +
+      f"median $calMedian%.3f nominal $calNominal%.2f load_index $loadIndex%.2f")
     // Stall-proofing: a host stall (noisy neighbor / IO freeze) can span
     // BOTH back-to-back reps of one query and write a multi-× phantom into
     // the official record — gc_ms≈0 proves it wasn't GC but can't repair
@@ -127,8 +164,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case Rep(_, v, _, _, _, _, None) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calJson = f"""{"t":[${calTimes.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""median":$calMedian%.3f,"nominal":$calNominal%.2f,"load_index":$loadIndex%.2f}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // untruncated sidecar: the driver's recorded bench tail clips the first
     // ~20 query entries, so every run also lands the full per-query JSON on
@@ -151,7 +190,7 @@ object Bench {
       "\"" + k + "\":" + s"""{"t":$tCol,"gc_ms":$gc1$w$rt,"min":$minCol$e}"""
     }.mkString("{", ",", "}")
     val sidecarLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"calibration":$calJson,"queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "bench_full_latest.json") // cwd-relative: portable across machines
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),

@@ -85,6 +85,8 @@ object SparkEntry {
       HeavyHitters.heavyEntities(Tables.events(s, d), 127)),
     "q_kmv_distinct" -> ((s, d) => // portable KMV distinct sketch vs exact
       HeavyHitters.kmvDistinct(Tables.events(s, d))),
+    "q_kmv_setops" -> ((s, d) => // theta-style union/intersection from KMV sketches
+      HeavyHitters.kmvSetOps(Tables.events(s, d))),
     "q_countmin_freq" -> ((s, d) => // portable CMS estimates vs exact counts
       HeavyHitters.countMinFrequencies(Tables.events(s, d))),
     "q_sliding_dau" -> ((s, d) => // trailing-7-day distinct active users per day
@@ -173,6 +175,8 @@ object SparkEntry {
       Relational.orderPriceOutliers(s, d)),
     "q_group_quantiles_cont" -> ((s, d) => // per-group percentile_cont, same machinery
       Relational.priorityPriceQuantilesCont(s, d)),
+    "q_weighted_quantiles" -> ((s, d) => // quantity-weighted price quantiles, no global sort
+      Relational.quantityWeightedPriceQuantiles(s, d)),
     "q_price_quantiles_approx" -> ((s, d) => // bounded-state per-group quantiles
       Relational.priceQuantilesHist(s, d)),
     "q_set_ops" -> ((s, d) => Relational.prioritySegments(s, d)), // EXCEPT/INTERSECT
@@ -187,6 +191,8 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
+    "q_char_concentration" -> ((s, d) => // Simpson letter-collision quality lane (log-free)
+      TextAnalysis.letterConcentration(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_doc_fingerprints" -> ((s, d) =>
@@ -1080,16 +1086,17 @@ object SparkEntry {
   }
 
   /** Mirror of GraphRank.kCoreCensus over the LSH near-dup pairs: the
-    * peel unrolled 24 rounds per k (the engine converges far earlier —
-    * its guard forbids emitting a non-converged census, so unrolled-24 =
-    * fixpoint = engine). */
+    * peel unrolled [[GraphRank.KCoreMaxRounds]] rounds per k — the SAME
+    * constant the engine's convergence guard enforces (cumulatively across
+    * its nested peel chain, which upper-bounds this flat unroll's round
+    * need), so unrolled-N = fixpoint = engine by construction. */
   private lazy val kcoreOracleSql: String = {
     def peel(k: Int, src: String, dst: String) =
       s"""$dst AS MATERIALIZED (
          |  SELECT a, b FROM $src
          |  WHERE a IN (SELECT node FROM (SELECT a AS node FROM $src UNION ALL SELECT b FROM $src) GROUP BY node HAVING count(*) >= $k)
          |    AND b IN (SELECT node FROM (SELECT a AS node FROM $src UNION ALL SELECT b FROM $src) GROUP BY node HAVING count(*) >= $k))""".stripMargin
-    val rounds = 24
+    val rounds = GraphRank.KCoreMaxRounds
     def chain(k: Int) =
       (0 until rounds).map(i => peel(k, s"k${k}r$i", s"k${k}r${i + 1}")).mkString(",\n")
     def census(k: Int) =
@@ -1734,7 +1741,7 @@ object SparkEntry {
       """WITH dh AS (
         |  SELECT DISTINCT event_type,
         |    CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |n AS (SELECT event_type, count(*) AS exact_distinct FROM dh GROUP BY 1),
         |kth AS (
         |  SELECT event_type, h FROM (
@@ -1750,6 +1757,54 @@ object SparkEntry {
         |    THEN (floor((CAST(abs(kmv_estimate - exact_distinct) AS DOUBLE) * 100.0 / CAST(exact_distinct AS DOUBLE)) * 10000.0) / 10000.0)
         |    ELSE 0.0 END AS err_pct
         |FROM est ORDER BY event_type""".stripMargin,
+
+    // Mirror of HeavyHitters.kmvSetOps: per-side 64-min hash lists, the
+    // union sketch's k-th order statistic as theta, both-membership over
+    // the union-k, and the identical integer estimate arithmetic. Exact
+    // lane (per-side/union/intersection distinct counts) rides the same
+    // distinct collapse.
+    "q_kmv_setops" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type AS side,
+         |    ${md5h48("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |  WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect
+         |  FROM (SELECT h, count(*) AS c FROM dh GROUP BY 1)),
+         |sides AS (SELECT side, CAST(count(*) AS BIGINT) AS n_exact FROM dh GROUP BY 1),
+         |lists AS (
+         |  SELECT side, h FROM (
+         |    SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS r FROM dh)
+         |  WHERE r <= 64),
+         |uk AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS r
+         |  FROM (SELECT DISTINCT h FROM lists)),
+         |t AS (SELECT coalesce(max(CASE WHEN r = 64 THEN h END), 0) AS theta FROM uk),
+         |bk AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS both_k FROM uk
+         |  WHERE r <= 64
+         |    AND h IN (SELECT h FROM lists WHERE side = 'view')
+         |    AND h IN (SELECT h FROM lists WHERE side = 'purchase')),
+         |est AS (
+         |  SELECT (SELECT n_exact FROM sides WHERE side = 'view') AS exact_a,
+         |    (SELECT n_exact FROM sides WHERE side = 'purchase') AS exact_b,
+         |    ex.exact_union, ex.exact_intersect,
+         |    CASE WHEN ex.exact_union < 64 THEN ex.exact_union
+         |         ELSE (63 * 281474976710656) // greatest(t.theta, 1) END AS kmv_union_est,
+         |    bk.both_k
+         |  FROM ex, t, bk),
+         |est2 AS (
+         |  SELECT exact_a, exact_b, exact_union, exact_intersect, kmv_union_est,
+         |    CASE WHEN exact_union < 64 THEN both_k
+         |         ELSE (both_k * kmv_union_est) // 64 END AS kmv_intersect_est
+         |  FROM est)
+         |SELECT exact_a, exact_b, exact_union, exact_intersect,
+         |  kmv_union_est, kmv_intersect_est,
+         |  ${pct("abs(kmv_union_est - exact_union)", "exact_union")} AS union_err_pct,
+         |  ${pct("abs(kmv_intersect_est - exact_intersect)", "greatest(exact_intersect, 1)")} AS intersect_err_pct
+         |FROM est2""".stripMargin,
 
     "q_countmin_freq" ->
       s"""WITH k AS (
@@ -2488,6 +2543,32 @@ object SparkEntry {
         |  (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
         |    * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS value
         |FROM sel ORDER BY o_orderpriority, quantile""".stripMargin,
+
+    // Mirror of Relational.weightedQuantiles: one cumulative-weight window
+    // in (cents, l_orderkey, l_linenumber) order (the engine reaches the
+    // same cumulative weights via histogram offsets), integer ceiling
+    // thresholds T = (W*nu + de - 1) // de, unique crossing row per
+    // quantile (cw - w < T <= cw).
+    "q_weighted_quantiles" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT cents, w,
+        |    sum(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER () AS wt
+        |  FROM li),
+        |k(q, nu, de) AS (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4)),
+        |sel AS (
+        |  SELECT k.q AS quantile, min(c.cents) AS cents
+        |  FROM c, k
+        |  WHERE c.cw >= (c.wt * k.nu + k.de - 1) // k.de
+        |    AND c.cw - c.w < (c.wt * k.nu + k.de - 1) // k.de
+        |  GROUP BY 1)
+        |SELECT quantile, CAST(cents AS DOUBLE) / 100.0 AS value
+        |FROM sel ORDER BY quantile""".stripMargin,
 
     // Mirror of Relational.iqrOutliers: the shared cont-quartile CTE, the
     // identical fence expression, one census pass.
@@ -3278,6 +3359,28 @@ object SparkEntry {
     // Mirrors TextAnalysis.scoredUnits/qualityBySource: per-doc scores are
     // floor-quantized to exact 1e-4-unit BIGINTs, groups sum the integer
     // units (order-independent), then one shared IEEE divide chain.
+    // Mirror of TextAnalysis.letterConcentration: the same [a-z]-only
+    // collapse (regexp_replace needs the 'g' flag here; Spark's replaces
+    // all matches by default), per-(doc, letter) counts, and the exact
+    // integer pair-hit / pair-draw lanes with ONE final IEEE division.
+    "q_char_concentration" ->
+      s"""WITH s AS (
+         |  SELECT source, doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS t
+         |  FROM documents),
+         |ch AS (
+         |  SELECT source, doc_id, unnest(string_split(t, '')) AS ch
+         |  FROM s WHERE t <> ''),
+         |pc AS (SELECT source, doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+         |pd AS (
+         |  SELECT source, doc_id, sum(c) AS n, sum(c * c) AS sumsq
+         |  FROM pc GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs_with_letters,
+         |  CAST(sum(n) AS BIGINT) AS letters,
+         |  CAST(sum(sumsq) AS BIGINT) AS pair_hits,
+         |  CAST(sum(n * n) AS BIGINT) AS pair_draws,
+         |  ${q4("CAST(sum(sumsq) AS DOUBLE) / CAST(sum(n * n) AS DOUBLE)")} AS concentration
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
     "q_quality_by_source" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks

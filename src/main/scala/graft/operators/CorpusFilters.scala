@@ -394,13 +394,6 @@ object CorpusFilters {
 
   // ---------------------------------------------------------- token packing
 
-  /** Sequence-packing plan: assign documents to fixed-token-budget training
-    * bins, greedily in deterministic (source, doc_id) order — each doc's bin
-    * is the budget-quotient of its START offset in the stratum's running
-    * token count (docs may straddle a boundary; the packer downstream
-    * handles the split). One window per source stratum — the sort is
-    * per-partition, never global — then one aggregation.
-    * Returns per (source, bin): packed docs and token sum. */
   /** Largest-remainder (Hamilton) apportionment of a global token budget
     * across sources — the exact-integer answer to "source i gets
     * budget·wᵢ/W tokens" when fractional quotas must land as integers
@@ -436,6 +429,13 @@ object CorpusFilters {
       .orderBy(col("source"))
   }
 
+  /** Sequence-packing plan: assign documents to fixed-token-budget training
+    * bins, greedily in deterministic (source, doc_id) order — each doc's bin
+    * is the budget-quotient of its START offset in the stratum's running
+    * token count (docs may straddle a boundary; the packer downstream
+    * handles the split). One window per source stratum — the sort is
+    * per-partition, never global — then one aggregation.
+    * Returns per (source, bin): packed docs and token sum. */
   def tokenPackingProfile(docs: DataFrame, budgetTokens: Int = 2000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))

@@ -214,24 +214,6 @@ object GraphRank {
       .orderBy(col("root"), col("dist"))
   }
 
-  /** Per-node triangle counts + local clustering coefficient over the same
-    * undirected edge list — the community-density diagnostic (how cliquish
-    * is each entity's neighborhood).
-    *
-    * Scale shape — the classic degree-oriented wedge join (Schank '05 /
-    * Cohen's MapReduce formulation): orient every edge from its
-    * (degree, id)-smaller endpoint to the larger, enumerate wedges only
-    * from each node's OUT-edges, and close them against the canonical
-    * edge set. Orientation bounds out-degree by O(√m) on any graph, so
-    * wedge count is O(m^1.5) instead of Σdeg² — the difference between a
-    * feasible and an exploding self-join on a skewed graph (a hub of
-    * degree 10⁶ contributes zero wedges unless both neighbors out-rank
-    * it). Every stage is a hash equi-join / hash agg; each triangle is
-    * produced exactly once (its unique orientation-apex emits it).
-    *
-    * Coefficient = floor((2·T)/(d·(d−1))·10⁴)/10⁴ — one IEEE divide,
-    * floor-quantized, 0 for degree < 2 (the [[graft.functions.Cols]]
-    * cross-engine ratio doctrine). */
   /** k-core census (Seidman 1983; the round-based distributed peel of
     * Montresor et al. 2013): for each k, repeatedly drop nodes of degree
     * < k until fixpoint — the maximal subgraph where every node keeps ≥ k
@@ -245,21 +227,37 @@ object GraphRank {
     * can never be emitted; the per-round count that drives the guard is
     * the standard distributed-termination check). Edges are
     * localCheckpointed per round so round N's lineage never replays
-    * rounds 1..N−1. Output: |ks| rows of (k, core_nodes, core_edges). */
+    * rounds 1..N−1.
+    *
+    * The ks peel NESTED, ascending: since the k-core of G equals the
+    * k-core of the (k−1)-core of G (cores are nested — Seidman's
+    * containment property), each k's peel starts from the PREVIOUS core's
+    * edge set, not from the base graph. The k=3 peel therefore runs over
+    * the (much smaller) 2-core instead of re-peeling every whisker the
+    * k=2 pass already removed — at 100 TB that is the difference between
+    * |ks| full-graph peels and one full peel plus incremental shrinks.
+    * Output: |ks| rows of (k, core_nodes, core_edges), identical to
+    * independent per-k peels. */
   def kCoreCensus(edges: DataFrame, aCol: String, bCol: String,
-                  ks: Seq[Int] = Seq(2, 3), maxRounds: Int = 48): DataFrame = {
+                  ks: Seq[Int] = Seq(2, 3), maxRounds: Int = KCoreMaxRounds): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val base = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .localCheckpoint()
-    val rows = ks.map { k =>
-      var e = base
-      var n = e.count()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < maxRounds) {
+    var e = base
+    var n = e.count()
+    // CUMULATIVE round budget across the nested chain: the flat (from-base)
+    // k-peel the oracle unrolls converges within the SUM of nested rounds
+    // up to k (P_k is monotone and P_k(A) ⊆ P_j(A) for j ≤ k, so by
+    // induction flat round t stays inside nested round t's edge set), so
+    // guarding the cumulative count ≤ maxRounds is exactly what makes
+    // "oracle unrolled-maxRounds per k = fixpoint = engine" sound.
+    var cumRounds = 0
+    val rows = ks.sorted.map { k =>
+      var converged = n == 0L
+      while (!converged && cumRounds < maxRounds) {
         val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("d"))
         val keep = deg.where(col("d") >= k).select(col("node"))
@@ -268,15 +266,24 @@ object GraphRank {
           .localCheckpoint()
         val n2 = e2.count()
         converged = n2 == n
-        e = e2; n = n2; rounds += 1
+        e = e2; n = n2; cumRounds += 1
       }
-      require(converged, s"k-core peel (k=$k) did not converge in $maxRounds rounds")
+      require(converged, s"k-core peel (k=$k) did not converge within " +
+        s"$maxRounds cumulative rounds")
       val nodes = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .distinct().count()
       (k.toLong, nodes, n)
     }
     rows.toDF("k", "core_nodes", "core_edges").orderBy(col("k"))
   }
+
+  /** One shared per-k round bound for [[kCoreCensus]] AND its SQL oracle:
+    * the oracle unrolls exactly this many peel rounds per k, and the
+    * engine's guard refuses to emit a census that has not converged within
+    * the same bound — so "unrolled-N = fixpoint = engine" holds by
+    * construction (a graph needing more rounds fails loudly in the engine
+    * instead of hash-mismatching against a truncated oracle). */
+  val KCoreMaxRounds: Int = 24
 
   def triangleCounts(edges: DataFrame, k: Int = 30): DataFrame = {
     // canonical undirected edges a < b, self-loops out

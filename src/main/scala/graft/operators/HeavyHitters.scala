@@ -36,10 +36,14 @@ object HeavyHitters {
     * property: the union of KMV sketches is the KMV of the union, exactly
     * the partial-merge contract of the aggregate). Groups under k distinct
     * keys report exactly; `exact_distinct` counts distinct hashes (a 48-bit
-    * collision would undercount by one — negligible and deterministic). */
+    * collision would undercount by one — negligible and deterministic).
+    * Null keys are excluded BEFORE sketching (the [[heavyEntities]]
+    * doctrine): a null user_id hashes to null, and a null h read through
+    * the heap struct would rank as a phantom global-minimum hash and
+    * corrupt the k-th order statistic. */
   def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
     val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
-    events.select(col("event_type"), h.as("h")).distinct()
+    events.select(col("event_type"), h.as("h")).where(col("h").isNotNull).distinct()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_distinct"),
         graft.plans.TopKAggregate.topk(
@@ -52,6 +56,79 @@ object HeavyHitters {
         graft.functions.Cols.pct4(abs(col("kmv_estimate") - col("exact_distinct")),
           col("exact_distinct")).as("err_pct"))
       .orderBy(col("event_type"))
+  }
+
+  /** KMV SET-OPERATION estimates (the theta-sketch trick, Dasgupta et al.
+    * 2016, on the KMV substrate of [[kmvDistinct]]): distinct-user overlap
+    * between two event populations — |A∪B| and |A∩B| — from two bounded
+    * sketches, without ever shuffling the full key sets together. The
+    * union sketch is the k smallest hashes of the two sketches' union
+    * (the KMV merge property); θ = its k-th value estimates
+    * D̂_∪ = (k−1)·2⁴⁸ div θ; and because every union-sketch hash h ≤ θ is
+    * below BOTH sides' k-th minima, membership of h in a side's full key
+    * set is decidable from that side's k-min list alone — so the
+    * intersection estimate D̂_∩ = |{union-k hashes in both lists}|·D̂_∪ div k
+    * needs only the two ≤k-row lists. Pure integer arithmetic on
+    * exactly-determined order statistics → the sketch estimates themselves
+    * are oracle-checkable bit-for-bit (the KMV doctrine).
+    *
+    * Scale shape: one distinct-collapse of (side, hash) — the same shuffle
+    * the EXACT lane pays anyway — then everything runs on ≤2k-row frames.
+    * The exact lane (per-side, union, intersection counts) rides two
+    * aggregations of the same collapsed frame and exists as the in-query
+    * error audit; at 100 TB the sketch lane alone is the answer and the
+    * exact lane is what you run on the 1% sample. Below k distinct union
+    * keys the sketch degenerates to exact (both estimates = the counts —
+    * the union sketch then IS the union). */
+  def kmvSetOps(events: DataFrame, k: Int = 64,
+                sideA: String = "view", sideB: String = "purchase"): DataFrame = {
+    val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
+    val dh = events.where(col("event_type").isin(sideA, sideB))
+      .select(col("event_type").as("side"), h.as("h"))
+      .where(col("h").isNotNull).distinct()
+      .localCheckpoint() // three consumers: per-side agg, union agg, (via sketch) lists
+    val perSide = dh.groupBy(col("side"))
+      .agg(count(lit(1)).as("n_exact"),
+        graft.plans.TopKAggregate.topk(
+          struct((-col("h")).cast("double").as("score"), col("h").as("id")), k).as("top"))
+    val exact = dh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("exact_union"),
+        graft.functions.Cols.countWhen(col("c") === 2).as("exact_intersect"))
+    val sketchHashes = perSide
+      .select(col("side"), explode(col("top")).as("t"))
+      .select(col("side"), col("t.id").as("h"))
+    val unionTop = sketchHashes.select(col("h")).distinct()
+      .agg(graft.plans.TopKAggregate.topk(
+        struct((-col("h")).cast("double").as("score"), col("h").as("id")), k).as("top"))
+    val theta = unionTop
+      .select(coalesce(expr(s"try_element_at(top, $k).id"), lit(0L)).as("theta"))
+    val uk = unionTop.select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("r"), col("col.id").as("h"))
+    val inA = sketchHashes.where(col("side") === sideA)
+      .select(col("h"), lit(1L).as("in_a"))
+    val inB = sketchHashes.where(col("side") === sideB)
+      .select(col("h"), lit(1L).as("in_b"))
+    val both = uk.join(inA, Seq("h"), "left").join(inB, Seq("h"), "left")
+      .agg(graft.functions.Cols.countWhen(
+        col("in_a") === 1L && col("in_b") === 1L).as("both_k"))
+    val nA = perSide.where(col("side") === sideA).select(col("n_exact").as("exact_a"))
+    val nB = perSide.where(col("side") === sideB).select(col("n_exact").as("exact_b"))
+    nA.crossJoin(broadcast(nB)).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(theta)).crossJoin(broadcast(both))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"),
+        when(col("exact_union") < k, col("exact_union"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div greatest(theta, 1L)"))
+          .as("kmv_union_est"), col("both_k"))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"),
+        col("kmv_union_est"),
+        when(col("exact_union") < k, col("both_k"))
+          .otherwise(expr(s"(both_k * kmv_union_est) div ${k}L")).as("kmv_intersect_est"))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"),
+        col("kmv_union_est"), col("kmv_intersect_est"),
+        graft.functions.Cols.pct4(abs(col("kmv_union_est") - col("exact_union")),
+          col("exact_union")).as("union_err_pct"),
+        graft.functions.Cols.pct4(abs(col("kmv_intersect_est") - col("exact_intersect")),
+          greatest(col("exact_intersect"), lit(1L))).as("intersect_err_pct"))
   }
 
   /** Entities (parsed `props.k`, the reference's JSON entity id) receiving

@@ -370,7 +370,10 @@ object Relational {
       }: _*)
     val rows = qs.map { case (label, nu, de) =>
       val rem = pmod((col("n") - 1) * nu, lit(de))
-      sel.select(lit(label).as("quantile"),
+      // empty-input guard: the global agg emits one row with n=NULL when
+      // zero candidates exist; SQL's GROUP-BY-shaped quantile emits zero
+      // rows there, so drop the all-NULL row instead of reporting it
+      sel.where(col("n").isNotNull).select(lit(label).as("quantile"),
         ((col(s"${label}_lo").cast("double")
           + (rem.cast("double") / lit(de).cast("double"))
             * (coalesce(col(s"${label}_hi"), col(s"${label}_lo")).cast("double")
@@ -434,6 +437,61 @@ object Relational {
   def priorityPriceQuantilesCont(spark: SparkSession, dir: String): DataFrame =
     quantilesContByGroup(Tables.orders(spark, dir), "o_orderpriority")
 
+  /** Exact WEIGHTED quantiles — "the price below which half the UNITS
+    * (not half the line items) sell": each row counts with integer weight
+    * wᵢ, and quantile q selects the first row (in (value, key) order)
+    * whose cumulative weight reaches ⌈q·W⌉. The lower weighted quantile —
+    * integer thresholds, no interpolation, so selection is bit-exact in
+    * any engine.
+    *
+    * Same no-global-sort machinery as [[quantilesCont]], with weight sums
+    * replacing row counts: the bucket histogram aggregates Σw per value
+    * bucket (bounded frame — the only unpartitioned window), per-bucket
+    * cumulative weights ride a (bucket)-partitioned window, and each
+    * quantile's unique CROSSING row (cw − w < T ≤ cw) is a filter — at
+    * most |qs| rows reach the final aggregate. At 100 TB: one shuffle on
+    * the bucket key, one bounded-histogram window, no sort of the fact
+    * table. */
+  def weightedQuantiles(lineitem: DataFrame, width: Double = 1000.0,
+      qs: Seq[(String, Long, Long)] = Seq(("p25", 1L, 4L), ("p50", 2L, 4L),
+        ("p75", 3L, 4L))): DataFrame = {
+    val rows = lineitem.select(
+      Cols.cents(col("l_extendedprice")).as("cents"),
+      col("l_quantity").cast("long").as("w"),
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_extendedprice") / width).cast("long").as("bucket"))
+    val hist = rows.groupBy(col("bucket")).agg(sum(col("w")).as("bw"))
+    val wPrev = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("bucket"),
+      coalesce(sum(col("bw")).over(wPrev), lit(0L)).as("off"),
+      sum(col("bw")).over(Window.partitionBy()).as("wtot"))
+    val wBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rows.join(broadcast(offsets), Seq("bucket"))
+      .select(col("cents"), col("w"), col("wtot"),
+        (col("off") + sum(col("w")).over(wBucket)).as("cw"))
+    def thr(nu: Long, de: Long) = expr(s"(wtot * $nu + ${de - 1}) div $de")
+    val cands = cum.where(qs.map { case (_, nu, de) =>
+      col("cw") >= thr(nu, de) && col("cw") - col("w") < thr(nu, de)
+    }.reduce(_ || _))
+    val sel = cands.agg(
+      first(col("wtot")).as("wtot"),
+      qs.map { case (label, nu, de) =>
+        min(when(col("cw") >= thr(nu, de) && col("cw") - col("w") < thr(nu, de),
+          col("cents"))).as(label)
+      }: _*)
+    qs.map { case (label, _, _) =>
+      sel.where(col("wtot").isNotNull).select(lit(label).as("quantile"),
+        (col(label).cast("double") / 100.0).as("value"))
+    }.reduce(_.unionAll(_)).orderBy(col("quantile"))
+  }
+
+  /** [[weightedQuantiles]] of line price weighted by quantity — registered. */
+  def quantityWeightedPriceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    weightedQuantiles(Tables.lineitem(spark, dir))
+
   /** Tukey-fence (1.5·IQR) outlier census — the standard distribution-
     * health gate before any mean-based metric is trusted: quartiles come
     * from [[quantilesCont]]'s distributed selection (one 3-row frame,
@@ -442,15 +500,15 @@ object Relational {
     * the quantile stage is the deciles histogram machinery. */
   def iqrOutliers(ordersIn: DataFrame): DataFrame = {
     val qs = quantilesCont(ordersIn)
-    val fences = broadcast(qs.agg(
+    val fences = qs.agg(
         min(when(col("quantile") === "p25", col("value"))).as("p25"),
         min(when(col("quantile") === "p75", col("value"))).as("p75"))
       .select(col("p25"), col("p75"),
         (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("fence_lo"),
-        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("fence_hi")))
+        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("fence_hi"))
     ordersIn
       .select((Cols.cents(col("o_totalprice")).cast("double") / 100.0).as("v"))
-      .crossJoin(fences)
+      .crossJoin(broadcast(fences))
       .agg(count(lit(1)).as("orders"),
         first(col("p25")).as("p25"), first(col("p75")).as("p75"),
         first(col("fence_lo")).as("fence_lo"), first(col("fence_hi")).as("fence_hi"),

@@ -90,10 +90,13 @@ object Snapshot {
     // ∈ (maxk, 2·maxk] are disjoint AT ANY SCALE FACTOR — a fixed 1e8
     // offset would collide once orderkeys pass it, producing duplicate
     // (k, seq=1) changelog rows whose tie the two engines may break
-    // differently. The offset is one broadcast scalar, not a driver action.
-    val offset = broadcast(base.agg(max(col("k")).as("__maxk")))
+    // differently. The offset is one broadcast scalar, not a driver action
+    // — though at 100 TB the max key should come from table statistics /
+    // catalog metadata (a footer-stats or metastore lookup), not an extra
+    // scan+agg pass; the scan form here is the engine-portable fixture.
+    val offset = base.agg(max(col("k")).as("__maxk"))
     val ins = base.where(h("ins:") % 9 < 1)
-      .crossJoin(offset)
+      .crossJoin(broadcast(offset))
       .select((col("k") + col("__maxk")).as("k"), lit(1L).as("seq"), lit("I").as("op"),
         lit("N").as("st"), ((col("k") % 1000L) * 100L + 50L).as("cents"))
     val changes = u1.unionAll(u2).unionAll(del).unionAll(ins)

@@ -122,18 +122,6 @@ object Stats {
       .orderBy(col("lag"))
   }
 
-  /** RFM customer segmentation — the classic marketing cut: per customer
-    * Recency (days since last order), Frequency (order count), Monetary
-    * (exact cents spend), each scored into quartiles against the GLOBAL
-    * customer distribution, and the 4×4×4 segment census reported.
-    *
-    * Quartile thresholds are three interpolated percentiles per metric —
-    * a 1-row broadcast frame; scoring is then a pure projection, and the
-    * census a bounded (≤64-row) aggregate. Spark's `percentile` and the
-    * oracle's `quantile_cont` interpolate identically (the
-    * [[Relational.priceQuantiles]] parity precedent); every comparison is
-    * long-vs-double with exact widening. R scores 4 = most recent
-    * (≤ p25 of days-since), F/M score 4 = top quartile. */
   /** Theil–Sen robust slope of daily revenue (Theil 1950 / Sen 1968): the
     * MEDIAN of all pairwise slopes — up to ~29% of days can be corrupted
     * (an outage, a backfill spike) without moving it, where the
@@ -147,7 +135,16 @@ object Stats {
     * histogram-offset selection (the [[Relational.quantilesCont]]
     * machinery: only the bucket histogram windows; two rows reach the
     * interpolation). Slopes are floored 1e-4-cent/day integer units, so
-    * selection is integer-exact and the final division is the one IEEE op. */
+    * selection is integer-exact and the final division is the one IEEE op.
+    *
+    * Sizing `numBlocks` (the [[Similarity.exactPairsBlocked]] rule): the
+    * days² / 2 pairs spread over B(B+1)/2 block-pair keys, so per-task pair
+    * volume ≈ days² / B² — pick B ≈ days / √(target rows per task) (e.g.
+    * 10⁵-row tasks on a 10⁴-day frame → B ≈ 32). B=8 puts the ~2.9 M pairs
+    * of a 2.4 k-day frame into 36 tasks of ~80 k pairs — fine at sf0.1 and
+    * still fine at 100 TB, because days grow with CALENDAR TIME, not data
+    * volume. The result is invariant in B (PropertySpec checks B ∈
+    * {1, 8, 16}); only task granularity changes. */
   def theilSenDailyRevenue(orders: DataFrame, numBlocks: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = orders
@@ -247,6 +244,18 @@ object Stats {
         Cols.q4(col("s_r").cast("double") / col("n_r").cast("double")).as("mean_right"))
   }
 
+  /** RFM customer segmentation — the classic marketing cut: per customer
+    * Recency (days since last order), Frequency (order count), Monetary
+    * (exact cents spend), each scored into quartiles against the GLOBAL
+    * customer distribution, and the 4×4×4 segment census reported.
+    *
+    * Quartile thresholds are three interpolated percentiles per metric —
+    * a 1-row broadcast frame; scoring is then a pure projection, and the
+    * census a bounded (≤64-row) aggregate. Spark's `percentile` and the
+    * oracle's `quantile_cont` interpolate identically (the
+    * [[Relational.priceQuantiles]] parity precedent); every comparison is
+    * long-vs-double with exact widening. R scores 4 = most recent
+    * (≤ p25 of days-since), F/M score 4 = top quartile. */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val base = orders.select(col("o_custkey"),
         Cols.tsSec(col("o_orderdate")).as("sec"),

@@ -508,6 +508,45 @@ object TextAnalysis {
         sum(col("n") * coalesce(col("units"), lit(0L))).as("score_units"))
       .orderBy(col("doc_id"))
   }
+
+  /** Letter-concentration quality gate — per-source Simpson index
+    * (Simpson 1949; Gini impurity's complement) of the a–z letter
+    * distribution: Σc²/n² is the probability two random letters of a doc
+    * coincide, so 'aaaa…' spam scores 1 and diverse prose ≈ the
+    * language's natural letter-collision rate (~0.065 for English). The
+    * entropy-free concentration lane: unlike Shannon entropy (whose log
+    * is NOT an IEEE-exact op and can floor-flip across libm builds),
+    * Σc² and n² are exact integers, so the per-source aggregate index —
+    * Σ_docs Σc² over Σ_docs n², a letter-pair-weighted corpus collision
+    * probability — is one final IEEE division, bit-identical anywhere.
+    *
+    * Shape: text collapses to [a-z] on the scan (ASCII only — no
+    * code-unit vs code-point splitting hazard), per-(doc, letter) counts
+    * are a map-side-combinable aggregate with ≤26 groups per doc, and
+    * everything after is per-doc then per-source bounded frames. Long
+    * lanes hold to ~10¹⁸ letter-pairs (n ≤ 10⁴-char docs × 10¹⁰ docs);
+    * widen to DECIMAL(38,0) beyond. */
+  def letterConcentration(docs: DataFrame): DataFrame = {
+    val letters = docs.select(col("source"), col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z]", "").as("t"))
+      .where(col("t") =!= "")
+      .select(col("source"), col("doc_id"), explode(split(col("t"), "")).as("ch"))
+      .where(col("ch") =!= "") // Spark's split("") emits a trailing ""
+    val perDoc = letters.groupBy(col("source"), col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sumsq"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_with_letters"),
+        sum(col("n")).as("letters"),
+        sum(col("sumsq")).as("pair_hits"),
+        sum(col("n") * col("n")).as("pair_draws"))
+      .select(col("source"), col("docs_with_letters"), col("letters"),
+        col("pair_hits"), col("pair_draws"),
+        graft.functions.Cols.q4(col("pair_hits").cast("double")
+          / col("pair_draws").cast("double")).as("concentration"))
+      .orderBy(col("source"))
+  }
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).

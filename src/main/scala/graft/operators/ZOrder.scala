@@ -84,7 +84,10 @@ object ZOrder {
     * than Morton's at the same bucket count. */
   def hilbertProfile(df: DataFrame, xCol: String, yCol: String,
                      bits: Int = 8, buckets: Int = 256): DataFrame = {
-    require(buckets >= 1)
+    // buckets beyond the cell count would make `cell` 0 and h div 0 NULL-
+    // bucket every row; more buckets than curve cells is meaningless anyway
+    require(buckets >= 1 && buckets <= (1L << (2 * bits)),
+      s"buckets must be in [1, 4^bits]; got $buckets for bits=$bits")
     val cell = (1L << (2 * bits)) / buckets
     withHilbert(df.select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y")), "__x", "__y", bits, "h")
@@ -121,7 +124,8 @@ object ZOrder {
     * the scan. */
   def zOrderProfile(df: DataFrame, xCol: String, yCol: String,
                     bits: Int = 16, buckets: Int = 256): DataFrame = {
-    require(buckets >= 1)
+    require(buckets >= 1 && buckets <= (1L << (2 * bits)),
+      s"buckets must be in [1, 4^bits]; got $buckets for bits=$bits")
     val cell = (1L << (2 * bits)) / buckets
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")

@@ -58,11 +58,19 @@ object Formats {
         }
         try Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.nio.file.FileSystemException =>
-            // another JVM published the same stamp first; its directory is
-            // complete (rename-after-write), so discard our copy
-            Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          case race: java.nio.file.FileSystemException =>
+            // EITHER another JVM published the same stamp first (its
+            // directory is complete — rename-after-write — so our copy is
+            // redundant) OR the move failed for a non-race reason (e.g.
+            // AtomicMoveNotSupported across filesystems). Discard the tmp
+            // copy in both cases, then verify the target actually exists:
+            // a swallowed non-race failure would otherwise surface later
+            // as a confusing read-of-missing-directory downstream.
+            val walk = Files.walk(tmp)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+            if (!Files.exists(d)) throw race
         }
       }
       d.toString

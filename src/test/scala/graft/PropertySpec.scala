@@ -175,6 +175,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Theil-Sen slope is invariant in numBlocks on random daily series") {
+    // the B-sizing scaladoc rule promises B changes only task granularity,
+    // never the answer: same pair set (block-pair coverage), same exact
+    // median selection — pin B ∈ {1, 8, 16} identical on random frames,
+    // including B=16 > days (some block-pair keys then carry zero pairs)
+    val dailyGen: Gen[List[(java.sql.Date, BigDecimal)]] = for {
+      n    <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n, Gen.choose(1, 400000).map(c => BigDecimal(c) / 100))
+    } yield rows.zipWithIndex.map { case (p, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i * 3)), p)
+    }
+    cases(dailyGen, 3).foreach { rows =>
+      val df = rows.toDF("o_orderdate", "o_totalprice")
+      val got = Seq(1, 8, 16).map { b =>
+        val r = graft.operators.Stats.theilSenDailyRevenue(df, numBlocks = b).head()
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("slope_cents_per_day"))
+      }
+      assert(got.distinct.size == 1, s"block-count variance: $got")
+      val days = rows.size.toLong
+      assert(got.head._1 == days * (days - 1) / 2, s"pair count: $got")
+    }
+  }
+
   test("interpolated quantiles == one-window percentile_cont rule on random order sets") {
     val ordersGen: Gen[List[(Long, Double)]] = for {
       n    <- Gen.choose(1, 120)
