@@ -53,6 +53,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(cands == Set(7L))
   }
 
+  test("KMV set ops: exact regime is exact, sketch regime bounded, partitioning-invariant") {
+    // exact regime (union < k = 64): 30 viewers, 20 purchasers, 10 overlap;
+    // nulls and foreign event types must not perturb any lane
+    val small = ((1 to 30).map(u => ("view", java.lang.Long.valueOf(u.toLong))) ++
+      (21 to 40).map(u => ("purchase", java.lang.Long.valueOf(u.toLong))) ++
+      Seq(("view", null.asInstanceOf[java.lang.Long]),
+        ("purchase", null.asInstanceOf[java.lang.Long]),
+        ("click", java.lang.Long.valueOf(1L))))
+      .toDF("event_type", "user_id")
+    val r = HeavyHitters.kmvSetOps(small).head()
+    assert(r.getAs[Long]("exact_a") == 30L && r.getAs[Long]("exact_b") == 20L)
+    assert(r.getAs[Long]("exact_union") == 40L && r.getAs[Long]("exact_intersect") == 10L)
+    assert(r.getAs[Long]("kmv_union_est") == 40L, "under-k: union sketch degenerates to exact")
+    assert(r.getAs[Long]("kmv_intersect_est") == 10L, "under-k: intersection is exact")
+    // sketch regime: 3000 viewers, 2000 purchasers, 1000 overlap. The
+    // estimates are deterministic (pure functions of the hash sets); the
+    // bounds are ~4 sigma of the k=64 estimator, pinned as regression rails
+    val big = ((1 to 3000).map(u => ("view", u.toLong)) ++
+      (2001 to 4000).map(u => ("purchase", u.toLong))).toDF("event_type", "user_id")
+    val rb = HeavyHitters.kmvSetOps(big).head()
+    assert(rb.getAs[Long]("exact_union") == 4000L && rb.getAs[Long]("exact_intersect") == 1000L)
+    assert(math.abs(rb.getAs[Long]("kmv_union_est") - 4000L) < 2000L, rb.toString)
+    assert(math.abs(rb.getAs[Long]("kmv_intersect_est") - 1000L) < 900L, rb.toString)
+    assert(HeavyHitters.kmvSetOps(big.repartition(7)).head().toSeq == rb.toSeq,
+      "set-op sketch must be partitioning-invariant")
+  }
+
   test("verified heavy-entity census equals the exact GROUP BY ... HAVING") {
     val events = Tables.events(spark, sf)
     val keyed = events

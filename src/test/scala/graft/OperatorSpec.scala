@@ -156,6 +156,20 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("slope_cents_per_day") == 100.0, s"got $r")
   }
 
+  test("letter concentration: spam scores 1, alternating digraph dilutes, no-letter docs drop") {
+    val docs = Seq(
+      ("s1", 1L, "aaaa AAAA!!"), // -> "aaaaaaaa": 64/64 per doc
+      ("s1", 2L, "abababab"),    // 4a+4b: (16+16)/64
+      ("s2", 3L, "abcd"),        // 4 distinct: 4/16
+      ("s2", 4L, "123 !!!")      // no letters: excluded entirely
+    ).toDF("source", "doc_id", "text")
+    val got = graft.operators.TextAnalysis.letterConcentration(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(("s1", 2L, 16L, 96L, 128L, 0.75), ("s2", 1L, 4L, 4L, 16L, 0.25)),
+      got.toString)
+  }
+
   test("k-core census: K4 plus a whisker peels to the clique at k=2 and k=3") {
     // K4 on 1..4 (every node degree 3) with a path 4-5-6 hanging off:
     // the whisker peels (6 then 5), the clique survives both cores

@@ -175,6 +175,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weighted quantiles == in-memory cumulative-weight model on random line sets") {
+    // lower weighted quantile: first row in (cents, okey, lineno) order
+    // whose cumulative weight reaches ceil(q*W) — the engine reaches the
+    // same cumulative weights via bucket-histogram offsets, never a sort
+    val gen: Gen[List[(Long, Long, Double, Long)]] = for {
+      n    <- Gen.choose(1, 100)
+      rows <- Gen.listOfN(n, for {
+        p <- Gen.choose(1, 400000).map(_ / 100.0)
+        w <- Gen.choose(1L, 50L)
+      } yield (p, w))
+    } yield rows.zipWithIndex.map { case ((p, w), i) =>
+      (i.toLong, (i % 7).toLong, p, w)
+    }
+    forAll(gen) { rows =>
+      val df = rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      val got = graft.operators.Relational.weightedQuantiles(df).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sorted = rows.map { case (ok, ln, p, w) => (math.round(p * 100), ok, ln, w) }
+        .sortBy(t => (t._1, t._2, t._3))
+      val totalW = sorted.map(_._4).sum
+      for ((label, nu, de) <- Seq(("p25", 1L, 4L), ("p50", 2L, 4L), ("p75", 3L, 4L))) {
+        val threshold = (totalW * nu + de - 1) / de
+        var cw = 0L
+        val crossing = sorted.find { t => cw += t._4; cw >= threshold }.get
+        assert(got(label) == crossing._1.toDouble / 100.0,
+          s"$label: ${got(label)} != ${crossing._1 / 100.0} (W=$totalW T=$threshold)")
+      }
+    }
+  }
+
   test("Theil-Sen slope is invariant in numBlocks on random daily series") {
     // the B-sizing scaladoc rule promises B changes only task granularity,
     // never the answer: same pair set (block-pair coverage), same exact
