@@ -173,6 +173,8 @@ object SparkEntry {
       Relational.orderPriceQuantilesCont(s, d)),
     "q_iqr_outliers" -> ((s, d) => // Tukey-fence outlier census from the cont quartiles
       Relational.orderPriceOutliers(s, d)),
+    "q_pareto_front" -> ((s, d) => // 2-D skyline via bucketed prefix-max thresholds
+      Skyline.partParetoFront(s, d)),
     "q_group_quantiles_cont" -> ((s, d) => // per-group percentile_cont, same machinery
       Relational.priorityPriceQuantilesCont(s, d)),
     "q_weighted_quantiles" -> ((s, d) => // quantity-weighted price quantiles, no global sort
@@ -193,6 +195,8 @@ object SparkEntry {
     "q_quality_by_source" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d))),
     "q_char_concentration" -> ((s, d) => // Simpson letter-collision quality lane (log-free)
       TextAnalysis.letterConcentration(Tables.documents(s, d))),
+    "q_typo_recovery" -> ((s, d) => // SymSpell deletion-neighborhood edit-distance-1 join
+      TextAnalysis.typoRecoveryCensus(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_doc_fingerprints" -> ((s, d) =>
@@ -473,6 +477,10 @@ object SparkEntry {
       Stats.dailyRevenueTrend(Tables.orders(s, d))),
     "q_ab_lift" -> ((s, d) => // hash-armed A/B with Wilson 95% interval
       Stats.abConversionLift(Tables.events(s, d))),
+    "q_ab_srm" -> ((s, d) => // daily sample-ratio-mismatch χ² gate for the same experiment
+      Stats.sampleRatioCheck(Tables.events(s, d))),
+    "q_revenue_gini" -> ((s, d) => // Gini + top-share concentration, bucketed two-stage ranks
+      Stats.revenueConcentration(Tables.orders(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -499,6 +507,8 @@ object SparkEntry {
       Multimodal.frameSamplePlan(Multimodal.mediaFromDocuments(Tables.documents(s, d)), 30)),
     "q_resize_plan" -> ((s, d) => // integer-exact aspect-fit resize planning
       Multimodal.resizePlan(Multimodal.mediaFromDocuments(Tables.documents(s, d)), 256, 256)),
+    "q_media_dedup" -> ((s, d) => // content-addressable-storage dedup audit (digest-only shuffle)
+      Multimodal.casAudit(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
 
     // --- structured streaming (T1/T2/T8: real streaming query, append mode,
     //     memory sink; emits exactly the watermark-closed windows)
@@ -4464,5 +4474,111 @@ object SparkEntry {
          |  CAST(max(64 + h % 1024) AS BIGINT) AS max_width,
          |  CAST(max(CASE WHEN kind = 'video' THEN 1 + byte_len % 300 ELSE 1 END) AS BIGINT) AS max_frames
          |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Mirror of Multimodal.casAudit: digest the SAME bytes (payload is the
+    // UTF-8 text), group by (kind, digest), then the per-kind CAS census.
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    md5(text) AS digest, CAST(strlen(text) AS BIGINT) AS bytes
+        |  FROM documents),
+        |o AS (
+        |  SELECT kind, digest, count(*) AS copies, max(bytes) AS bytes
+        |  FROM m GROUP BY 1, 2)
+        |SELECT kind,
+        |  CAST(sum(copies) AS BIGINT) AS logical_objects,
+        |  CAST(count(*) AS BIGINT) AS unique_objects,
+        |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicated_objects,
+        |  CAST(max(copies) AS BIGINT) AS max_copies,
+        |  CAST(sum(copies * bytes) AS BIGINT) AS logical_bytes,
+        |  CAST(sum(bytes) AS BIGINT) AS unique_bytes,
+        |  CAST(sum((copies - 1) * bytes) AS BIGINT) AS saved_bytes
+        |FROM o GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Mirror of Skyline.partParetoFront: the quadratic NOT-EXISTS dominance
+    // definition — the engine's threshold-join plan must reproduce it.
+    "q_pareto_front" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT a.p_partkey, CAST(a.pc AS DOUBLE) / 100.0 AS price, a.size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.pc <= a.pc AND b.size >= a.size
+        |    AND (b.pc < a.pc OR b.size > a.size))
+        |ORDER BY price, a.p_partkey""".stripMargin,
+
+    // Mirror of TextAnalysis.typoRecoveryCensus: the same hash-selected
+    // corruption (delete char (h div 10) mod len of ~1/10 of eligible
+    // occurrences), then the BRUTE-FORCE levenshtein ≤ 1 join the engine's
+    // deletion-neighborhood candidates must reproduce exactly.
+    "q_typo_recovery" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+         |occ AS (
+         |  SELECT doc_id, l[i] AS tok, i - 1 AS pos
+         |  FROM tk, unnest(generate_series(1, len(l))) AS g(i)
+         |  WHERE regexp_matches(l[i], '^[a-z]+$$') AND len(l[i]) >= 4),
+         |vocab AS (SELECT DISTINCT tok AS clean FROM occ),
+         |hv AS (
+         |  SELECT tok,
+         |    ${md5h48("'typo:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} AS h
+         |  FROM occ),
+         |noisy AS (
+         |  SELECT substr(tok, 1, dp) || substr(tok, dp + 2) AS form
+         |  FROM (SELECT tok, CAST((h // 10) % len(tok) AS INT) AS dp
+         |        FROM hv WHERE h % 10 = 0)),
+         |forms AS (SELECT form, count(*) AS occurrences FROM noisy GROUP BY 1),
+         |m AS (
+         |  SELECT v.clean, f.form, f.occurrences
+         |  FROM forms f JOIN vocab v ON levenshtein(f.form, v.clean) <= 1)
+         |SELECT clean, CAST(count(*) AS BIGINT) AS noisy_forms,
+         |  CAST(sum(occurrences) AS BIGINT) AS occurrences
+         |FROM m GROUP BY clean ORDER BY clean""".stripMargin,
+
+    // Mirror of Stats.revenueConcentration: exact cents, one global rank
+    // window (the engine replaces it with the bucketed two-stage prefix),
+    // then the Gini identity and integer-defined top-share cuts.
+    "q_revenue_gini" ->
+      s"""WITH cr AS (
+         |  SELECT o_custkey,
+         |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT cents,
+         |    row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+         |    count(*) OVER () AS n, sum(cents) OVER () AS tot
+         |  FROM cr)
+         |SELECT CAST(max(n) AS BIGINT) AS customers,
+         |  CAST(max(tot) AS DOUBLE) / 100.0 AS total_revenue,
+         |  ${q4("CAST(sum((2 * rk - n - 1) * cents) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE))")} AS gini,
+         |  ${q4("CAST(sum(CASE WHEN rk > n - n // 10 THEN cents ELSE 0 END) AS DOUBLE) * 100.0 / CAST(max(tot) AS DOUBLE)")} AS top10_pct,
+         |  ${q4("CAST(sum(CASE WHEN rk > n - n // 100 THEN cents ELSE 0 END) AS DOUBLE) * 100.0 / CAST(max(tot) AS DOUBLE)")} AS top1_pct
+         |FROM r""".stripMargin,
+
+    // Mirror of Stats.sampleRatioCheck: distinct (day, user) units, the
+    // q_ab_lift arm hash, integer χ² numerator, one shared divide.
+    "q_ab_srm" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec,
+         |    user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |a AS (
+         |  SELECT day_sec,
+         |    ${md5h48("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+         |  FROM du),
+         |d AS (
+         |  SELECT day_sec,
+         |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS users_a,
+         |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS users_b
+         |  FROM a GROUP BY 1)
+         |SELECT day_sec, users_a, users_b,
+         |  ${q4("CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)")} AS chi2,
+         |  CAST(CASE WHEN CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE) / CAST(users_a + users_b AS DOUBLE) > 3.8415 THEN 1 ELSE 0 END AS BIGINT) AS srm
+         |FROM d ORDER BY day_sec""".stripMargin,
   )
 }

@@ -167,4 +167,30 @@ object Multimodal {
         max(col("frames")).cast("long").as("max_frames"))
       .orderBy(col("kind"))
   }
+
+  /** Content-addressable-storage audit: exact binary dedup of the payload
+    * column by digest. The scan projects (kind, md5(payload), length) — the
+    * payload itself is NEVER shuffled; at 100 TB of media the digest+length
+    * pair (≈40 bytes) is what moves, which is the whole point of
+    * content-addressing. Per kind: logical vs unique object counts/bytes
+    * and the byte savings a CAS landing (or a dedup-before-decode stage)
+    * would bank. `md5` on binary is codegen'd and identical to any SQL
+    * engine's digest of the same bytes, so the audit is oracle-exact. */
+  def casAudit(media: DataFrame): DataFrame = {
+    val objects = media
+      .select(col("kind"), md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("bytes"))
+      .groupBy(col("kind"), col("digest"))
+      .agg(count(lit(1)).as("copies"), max(col("bytes")).as("bytes"))
+    objects.groupBy(col("kind"))
+      .agg(
+        sum(col("copies")).as("logical_objects"),
+        count(lit(1)).as("unique_objects"),
+        graft.functions.Cols.countWhen(col("copies") > 1).as("duplicated_objects"),
+        max(col("copies")).as("max_copies"),
+        sum(col("copies") * col("bytes")).as("logical_bytes"),
+        sum(col("bytes")).as("unique_bytes"),
+        sum((col("copies") - 1) * col("bytes")).as("saved_bytes"))
+      .orderBy(col("kind"))
+  }
 }

@@ -326,4 +326,74 @@ object Stats {
         Cols.q4((center + margin) / denom * 100.0).as("wilson_high_pct"))
       .orderBy(col("arm"))
   }
+
+  /** Revenue concentration — Gini coefficient and top-1%/top-10% revenue
+    * shares over per-customer revenue. The "who contributes the tokens"
+    * inequality report a corpus-mixture budget needs, run on the money
+    * tables: Gini = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) with i the rank under the
+    * total order (revenue, custkey) — any consistent tie order gives the
+    * same sum because tied x are equal.
+    *
+    * Scale shape: revenue is exact integer cents; the global rank is NOT a
+    * global row window but the bucketed two-stage prefix count
+    * ([[Sampling.systematicWeighted]]'s pattern): per-bucket counts
+    * (`cents >> bucketBits`), a running count over the bounded bucket
+    * table, and an intra-bucket row_number partitioned by bucket. The
+    * scalar (n, Σx) frame broadcasts. Long headroom: Σᵢ rank·cents must
+    * stay below 2^63 — at 10⁹ customers averaging 10⁴ dollars that is
+    * ~10^21, so beyond ~10⁷ customers route the numerator through
+    * DECIMAL(38,0) (the census here is 10⁴–10⁶). */
+  def revenueConcentration(orders: DataFrame, bucketBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val custRev = orders.groupBy(col("o_custkey"))
+      .agg(sum(Cols.cents(col("o_totalprice"))).as("cents"))
+    val b = custRev.withColumn("__b", shiftright(col("cents"), bucketBits))
+    val wb = Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wi = Window.partitionBy(col("__b")).orderBy(col("cents"), col("o_custkey"))
+    val ranked = b.join(off, Seq("__b"))
+      .withColumn("rk", col("__off") + row_number().over(wi))
+    val totals = custRev.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    ranked.crossJoin(broadcast(totals))
+      .agg(
+        max(col("n")).as("customers"),
+        (max(col("tot")).cast("double") / 100.0).as("total_revenue"),
+        Cols.q4(sum((lit(2) * col("rk") - col("n") - 1) * col("cents")).cast("double")
+          / (max(col("n")).cast("double") * max(col("tot")).cast("double"))).as("gini"),
+        Cols.q4(sum(when(col("rk") > col("n") - expr("n div 10"), col("cents"))
+            .otherwise(0L)).cast("double") * 100.0
+          / max(col("tot")).cast("double")).as("top10_pct"),
+        Cols.q4(sum(when(col("rk") > col("n") - expr("n div 100"), col("cents"))
+            .otherwise(0L)).cast("double") * 100.0
+          / max(col("tot")).cast("double")).as("top1_pct"))
+  }
+
+  /** Daily sample-ratio-mismatch (SRM) check for the hash-armed experiment
+    * of [[abConversionLift]] — the trust gate that runs BEFORE anyone reads
+    * a lift number: under the 50/50 assignment the per-day unit counts must
+    * fit χ² = (n_a − n_b)²/(n_a + n_b) ≲ 3.8415 (95%, 1 dof); a flagged day
+    * means the assignment or logging pipeline is dropping one arm. Units
+    * are (day, user) pairs, the same portable-hash arm rule as the lift
+    * query; all arithmetic is integer until the single χ² divide. One
+    * distinct-collapse then a per-day aggregate — nothing here outgrows
+    * |days| rows. */
+  def sampleRatioCheck(events: DataFrame): DataFrame = {
+    val dayUsers = events.where(col("user_id").isNotNull)
+      .select((floor(Cols.tsSec(col("ts")) / 86400.0) * 86400).cast("long").as("day_sec"),
+        col("user_id"))
+      .distinct()
+      .select(col("day_sec"),
+        (Dedup.PortableHash(concat(lit("ab:"), col("user_id").cast("string"))) % 2).as("arm"))
+    val daily = dayUsers.groupBy(col("day_sec"))
+      .agg(Cols.countWhen(col("arm") === 0).as("users_a"),
+        Cols.countWhen(col("arm") === 1).as("users_b"))
+    val diff = col("users_a") - col("users_b")
+    val chi2 = (diff * diff).cast("double") / (col("users_a") + col("users_b")).cast("double")
+    daily.select(col("day_sec"), col("users_a"), col("users_b"),
+        Cols.q4(chi2).as("chi2"),
+        when(chi2 > 3.8415, 1L).otherwise(0L).as("srm"))
+      .orderBy(col("day_sec"))
+  }
 }

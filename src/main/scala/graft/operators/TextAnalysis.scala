@@ -547,6 +547,72 @@ object TextAnalysis {
           / col("pair_draws").cast("double")).as("concentration"))
       .orderBy(col("source"))
   }
+
+  /** All delete-one-character variants of a token, PLUS the token itself —
+    * the SymSpell index key set (Garbe 2012): two strings at Levenshtein
+    * distance ≤ 1 ALWAYS share a member (deletion/insertion: the shorter
+    * string is a variant of the longer; substitution at i: both sides'
+    * delete-at-i variants coincide), so an equi-join on the variant is a
+    * complete candidate generator for distance-1 matching — no cartesian,
+    * no length-band range join. */
+  private def deletionNeighborhood(tok: Column): Column =
+    array_distinct(concat(array(tok),
+      transform(sequence(lit(1), length(tok)),
+        i => concat(tok.substr(lit(1), i - 1),
+                    tok.substr(i + 1, length(tok))))))
+
+  /** Edit-distance-1 join: all (left, right) string pairs at Levenshtein
+    * distance ≤ 1, via deletion-neighborhood candidates and an exact
+    * `levenshtein` verify on collisions only. Inputs are single-column
+    * frames of DISTINCT strings; at 100 TB each side explodes to
+    * (len+1)× rows of short keys, the join is a plain shuffled equi-join
+    * on the variant, and the verify touches only bucket collisions —
+    * the same candidates-then-verify doctrine as the MinHash pipeline. */
+  def editDistance1Join(left: DataFrame, leftCol: String,
+                        right: DataFrame, rightCol: String): DataFrame = {
+    val lv = left.select(col(leftCol),
+      explode(deletionNeighborhood(col(leftCol))).as("__v"))
+    val rv = right.select(col(rightCol),
+      explode(deletionNeighborhood(col(rightCol))).as("__v"))
+    lv.join(rv, "__v")
+      .select(col(leftCol), col(rightCol)).distinct()
+      .where(levenshtein(col(leftCol), col(rightCol)) <= 1)
+  }
+
+  /** Vocabulary canonicalization census — the spell-normalization stage a
+    * noisy web corpus needs before token statistics. The fixtures carry no
+    * organic misspellings, so the noisy side is SYNTHESIZED deterministically
+    * (the [[Clickstream.generated]] pattern): ~1/10 of eligible token
+    * occurrences, chosen by portable hash of (doc_id, position), are
+    * corrupted by deleting the hash-selected character. Recovery then runs
+    * the real operator — [[editDistance1Join]] from the distinct corrupted
+    * forms back to the clean vocabulary — and reports, per canonical token,
+    * how many distinct noisy forms and total occurrences it absorbs
+    * (a form landing within distance 1 of SEVERAL vocabulary words counts
+    * toward each: ambiguity is the census's business, not hidden by it).
+    * Eligible = lowercase-alphabetic tokens of length ≥ 4 (deleting from
+    * shorter tokens collides with closed-class words everywhere). */
+  def typoRecoveryCensus(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 4)
+    val vocab = occ.select(col("tok").as("clean")).distinct()
+    val h = Dedup.PortableHash(
+      concat(lit("typo:"), col("doc_id"), lit(":"), col("pos")))
+    val noisy = occ.withColumn("__h", h)
+      .where(col("__h") % 10 === 0)
+      // delete the ((h div 10) mod len)+1-th character (1-based); `div` is
+      // integral — a double `/` could round across the quotient boundary
+      .withColumn("__dp", (expr("__h div 10") % length(col("tok"))).cast("int"))
+      .select(concat(col("tok").substr(lit(1), col("__dp")),
+        col("tok").substr(col("__dp") + 2, length(col("tok")))).as("form"))
+    val forms = noisy.groupBy(col("form")).agg(count(lit(1)).as("occurrences"))
+    editDistance1Join(forms.select(col("form")), "form", vocab, "clean")
+      .join(forms, "form")
+      .groupBy(col("clean"))
+      .agg(count(lit(1)).as("noisy_forms"), sum(col("occurrences")).as("occurrences"))
+      .orderBy(col("clean"))
+  }
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).

@@ -707,4 +707,67 @@ class OperatorSpec extends SparkSpec {
       (3L, 1L, 8L, 8L, 8L),      // 8
       (9L, 1L, 1000L, 1000L, 1000L))) // 1000 (2^9 ≤ 1000 < 2^10)
   }
+
+  test("edit-distance-1 join: deletion-neighborhood candidates ≡ brute-force levenshtein ≤ 1") {
+    // substitution (table/cable), deletion (table/able), insertion
+    // (table/tables), identity (able=able), and distance-2 negatives
+    // (table/cables is sub+ins, mango unrelated); duplicate-variant tokens
+    // (aa→a twice) must not double-report a pair
+    val left  = Seq("table", "aa", "mango").toDF("form")
+    val right = Seq("cable", "able", "tables", "cables", "a", "aab").toDF("clean")
+    val got = TextAnalysis.editDistance1Join(left, "form", right, "clean")
+      .as[(String, String)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- Seq("table", "aa", "mango"); b <- Seq("cable", "able", "tables", "cables", "a", "aab")
+      if lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains(("table", "cable")) && want.contains(("table", "able")) &&
+      want.contains(("table", "tables")) && want.contains(("aa", "a")) &&
+      want.contains(("aa", "aab")) && !want.exists(_._1 == "mango"))
+  }
+
+  test("CAS audit: crafted duplicate payloads yield exact copy and byte accounting") {
+    // kind image: "xx" twice + "yyy" once; kind audio: "zzzz" three times
+    val media = Seq(
+      (1L, "image", "xx"), (2L, "image", "xx"), (3L, "image", "yyy"),
+      (4L, "audio", "zzzz"), (5L, "audio", "zzzz"), (6L, "audio", "zzzz"))
+      .toDF("media_id", "kind", "t")
+      .select(col("media_id"), col("kind"), col("t").cast("binary").as("payload"))
+    val got = Multimodal.casAudit(media)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("audio", 3L, 1L, 1L, 3L, 12L, 4L, 8L),
+      ("image", 3L, 2L, 1L, 2L, 7L, 5L, 2L)))
+  }
+
+  test("SRM check: a crafted imbalanced day flags, a balanced day does not") {
+    // find user ids for each arm under the registered hash rule
+    val arm = (u: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      (md.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) % 2).toInt
+    }
+    val as = (0L until 200L).filter(arm(_) == 0).take(30)
+    val bs = (0L until 200L).filter(arm(_) == 1).take(30)
+    val day0 = 86400L * 100; val day1 = 86400L * 101
+    // day0: 30 vs 30 (χ²=0); day1: 30 vs 5 → χ² = 625/35 ≈ 17.86 → SRM
+    val rows = (as.map((day0, _)) ++ bs.map((day0, _)) ++
+      as.map((day1, _)) ++ bs.take(5).map((day1, _))).zipWithIndex
+      .map { case ((d, u), i) => (i.toLong, d + u, u, "view", 1.0) }
+    val df = rows.toDF("event_id", "ts_sec", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+    val got = Stats.sampleRatioCheck(df)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (day0, 30L, 30L, 0.0, 0L),
+      (day1, 30L, 5L, math.floor(625.0 / 35.0 * 10000.0) / 10000.0, 1L)))
+  }
 }

@@ -85,6 +85,18 @@ class PlanSpec extends SparkSpec {
       s"recall audit must not plan a cartesian:\n$p")
   }
 
+  test("pareto front plans threshold equi-joins, not the oracle's quadratic NOT EXISTS") {
+    val p = planOf(Skyline.partParetoFront(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must join on x, never all-pairs:\n$p")
+  }
+
+  test("typo recovery joins on deletion-neighborhood variants, never all-pairs") {
+    val p = planOf(TextAnalysis.typoRecoveryCensus(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance join must equi-join on variants:\n$p")
+  }
+
   test("aggregations are whole-stage codegen'd") {
     // codegen stages exist only in the AQE-finalized plan → execute first
     val df = EventAnalytics.hourlyMetrics(Tables.events(spark, sf))

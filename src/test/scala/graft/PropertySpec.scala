@@ -343,4 +343,58 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"edges=$edges")
     }
   }
+
+  test("pareto front == quadratic dominance model at several bucket widths") {
+    // tight domains force coordinate ties, the skyline's tricky edge:
+    // equal (x, y) rows must ALL survive, same-x lower-y must all die
+    val ptsGen: Gen[List[(Long, Long, Long)]] = for {
+      n    <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.choose(0L, 24L); y <- Gen.choose(0L, 12L)
+      } yield (x, y))
+    } yield rows.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    forAll(ptsGen) { rows =>
+      val df = rows.toDF("id", "x", "y")
+      val naive = rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, qx, qy) =>
+          qx <= x && qy >= y && (qx < x || qy > y) }
+      }.map(_._1).toSet
+      for (bits <- Seq(1, 3, 8)) {
+        val got = graft.operators.Skyline.paretoFront(df, "x", "y", bits)
+          .select("id").as[Long].collect().toSet
+        assert(got == naive, s"bits=$bits rows=$rows")
+      }
+    }
+  }
+
+  test("revenue concentration == in-memory Gini/top-share model at two bucket widths") {
+    val ordersGen: Gen[List[(Long, Long, Double)]] = for {
+      n    <- Gen.choose(1, 150)
+      rows <- Gen.listOfN(n, for {
+        ck <- Gen.choose(0L, 40L); p <- Gen.choose(1, 5000000).map(_ / 100.0)
+      } yield (ck, p))
+    } yield rows.zipWithIndex.map { case ((ck, p), i) => (i.toLong, ck, p) }
+    forAll(ordersGen) { rows =>
+      val df = rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      val byCust = rows.groupBy(_._2).view
+        .mapValues(_.map(r => math.round(r._3 * 100)).sum).toSeq
+      val ranked = byCust.sortBy { case (ck, c) => (c, ck) }.zipWithIndex
+      val n = ranked.length.toLong
+      val tot = ranked.map(_._1._2).sum
+      val gini = math.floor(
+        ranked.map { case ((_, c), i) => (2L * (i + 1) - n - 1) * c }.sum.toDouble
+          / (n.toDouble * tot.toDouble) * 10000.0) / 10000.0
+      def share(den: Long): Double = {
+        val cut = n - n / den
+        math.floor(ranked.collect { case ((_, c), i) if (i + 1) > cut => c }.sum.toDouble
+          * 100.0 / tot.toDouble * 10000.0) / 10000.0
+      }
+      for (bits <- Seq(4, 12)) {
+        val got = graft.operators.Stats.revenueConcentration(df, bits)
+          .as[(Long, Double, Double, Double, Double)].collect().head
+        assert(got == ((n, tot.toDouble / 100.0, gini, share(10), share(100))),
+          s"bits=$bits got=$got")
+      }
+    }
+  }
 }
