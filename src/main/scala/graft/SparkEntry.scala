@@ -481,6 +481,16 @@ object SparkEntry {
       Stats.sampleRatioCheck(Tables.events(s, d))),
     "q_revenue_gini" -> ((s, d) => // Gini + top-share concentration, bucketed two-stage ranks
       Stats.revenueConcentration(Tables.orders(s, d))),
+    "q_ohlc_hourly" -> ((s, d) => // OHLC bars, open/close via padded-key min_by/max_by
+      Stats.hourlyOhlc(Tables.events(s, d))),
+    "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
+      Stats.abcClasses(Tables.lineitem(s, d))),
+    "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
+      Stats.benfordAudit(Tables.orders(s, d))),
+    "q_trimmed_means" -> ((s, d) => // 5% trimmed + winsorized means from cont fences
+      Stats.trimmedMeans(Tables.orders(s, d))),
+    "q_dow_seasonality" -> ((s, d) => // weekday revenue index, epoch-day dow arithmetic
+      Stats.dowSeasonality(Tables.orders(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -4580,5 +4590,138 @@ object SparkEntry {
          |  ${q4("CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)")} AS chi2,
          |  CAST(CASE WHEN CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE) / CAST(users_a + users_b AS DOUBLE) > 3.8415 THEN 1 ELSE 0 END AS BIGINT) AS srm
          |FROM d ORDER BY day_sec""".stripMargin,
+
+    // Mirror of Stats.hourlyOhlc: exact cents, open/close by min_by/max_by
+    // on the zero-padded (second, event_id) string key — lexicographic on
+    // the padded key IS numeric order on the pair in both engines.
+    "q_ohlc_hourly" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    lpad(CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS VARCHAR), 12, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 16, '0') AS ord
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT hour_sec,
+        |  CAST(min_by(cents, ord) AS DOUBLE) / 100.0 AS open,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+        |  CAST(max_by(cents, ord) AS DOUBLE) / 100.0 AS close,
+        |  CAST(count(*) AS BIGINT) AS trades,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS volume
+        |FROM e GROUP BY hour_sec ORDER BY hour_sec""".stripMargin,
+
+    // Mirror of Stats.abcClasses: one global descending cumulative-revenue
+    // window (the engine replaces it with bucketed two-stage prefixes),
+    // integer 80/95 cuts, per-class census.
+    "q_abc_classes" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey,
+         |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |r AS (
+         |  SELECT cents,
+         |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cents) OVER () AS tot, count(*) OVER () AS np
+         |  FROM rev),
+         |c AS (
+         |  SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+         |              WHEN cum * 100 <= tot * 95 THEN 'B'
+         |              ELSE 'C' END AS abc_class, cents, np, tot
+         |  FROM r)
+         |SELECT abc_class, CAST(count(*) AS BIGINT) AS parts,
+         |  CASE WHEN max(np) > 0 THEN ${q4("CAST(count(*) AS DOUBLE) * 100.0 / CAST(max(np) AS DOUBLE)")} ELSE 0.0 END AS parts_pct,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue,
+         |  CASE WHEN max(tot) > 0 THEN ${q4("CAST(sum(cents) AS DOUBLE) * 100.0 / CAST(max(tot) AS DOUBLE)")} ELSE 0.0 END AS revenue_pct
+         |FROM c GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+
+    // Mirror of Stats.benfordAudit: leading digit of the exact cents
+    // string, pinned log10(1+1/d) literals (identical text → identical
+    // nearest-doubles), one shared χ² expression per digit.
+    "q_benford_audit" -> {
+      // CAST('…' AS DOUBLE): DuckDB parses bare decimal literals through
+      // DECIMAL(38,·) before widening (1-ulp error on log10(1+1/3));
+      // string→double is correctly rounded in both engines.
+      val caseExpr = Stats.BenfordP
+        .map { case (d, p) => s"WHEN digit = '$d' THEN CAST('$p' AS DOUBLE)" }
+        .mkString("CASE ", " ", " ELSE 0.0 END")
+      s"""WITH g AS (
+         |  SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+         |    count(*) AS observed
+         |  FROM orders
+         |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+         |  GROUP BY 1),
+         |n AS (SELECT sum(observed) AS n FROM g)
+         |SELECT digit, CAST(observed AS BIGINT) AS observed,
+         |  CASE WHEN n > 0 THEN ${q4("CAST(observed AS DOUBLE) * 100.0 / CAST(n AS DOUBLE)")} ELSE 0.0 END AS observed_pct,
+         |  ($caseExpr) AS expected_p,
+         |  ${q4(s"(CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ($caseExpr)) * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ($caseExpr)) / (CAST(n AS DOUBLE) * ($caseExpr))")} AS chi2
+         |FROM g, n ORDER BY digit""".stripMargin
+    },
+
+    // Mirror of Stats.trimmedMeans: the p05/p95 interpolated order
+    // statistics (same machinery as quantilesContCte, re-keyed), then the
+    // exact-cents trimmed/winsorized census.
+    "q_trimmed_means" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS r,
+        |    count(*) OVER () AS n
+        |  FROM o),
+        |k(q, nu, de) AS (VALUES ('p05', 1, 20), ('p95', 19, 20)),
+        |sel AS (
+        |  SELECT k.q AS quantile,
+        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 1 THEN r.cents END) AS lo,
+        |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 2 THEN r.cents END) AS hi,
+        |    max(((r.n - 1) * k.nu) % k.de) AS rem, max(k.de) AS de
+        |  FROM r, k GROUP BY k.q),
+        |qv AS (
+        |  SELECT quantile,
+        |    (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
+        |      * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS value
+        |  FROM sel),
+        |f AS (
+        |  SELECT min(CASE WHEN quantile = 'p05' THEN value END) AS p05,
+        |    min(CASE WHEN quantile = 'p95' THEN value END) AS p95 FROM qv),
+        |c AS (
+        |  SELECT o.cents AS c, CAST(o.cents AS DOUBLE) / 100.0 AS v, f.p05, f.p95
+        |  FROM o, f)
+        |SELECT CAST(count(*) AS BIGINT) AS orders, max(p05) AS p05, max(p95) AS p95,
+        |  CAST(sum(CASE WHEN v >= p05 AND v <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CASE WHEN sum(CASE WHEN v >= p05 AND v <= p95 THEN 1 ELSE 0 END) > 0 THEN
+        |    (floor(((CAST(sum(CASE WHEN v >= p05 AND v <= p95 THEN c ELSE 0 END) AS DOUBLE) / 100.0)
+        |      / CAST(sum(CASE WHEN v >= p05 AND v <= p95 THEN 1 ELSE 0 END) AS DOUBLE)) * 10000.0) / 10000.0)
+        |    ELSE 0.0 END AS trimmed_mean,
+        |  CASE WHEN count(*) > 0 THEN
+        |    (floor(((CAST(sum(CASE WHEN v >= p05 AND v <= p95 THEN c ELSE 0 END) AS DOUBLE) / 100.0
+        |      + CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS DOUBLE) * max(p05)
+        |      + CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS DOUBLE) * max(p95))
+        |      / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0)
+        |    ELSE 0.0 END AS winsorized_mean
+        |FROM c""".stripMargin,
+
+    // Mirror of Stats.dowSeasonality: epoch-day weekday arithmetic
+    // ((day + 3) mod 7, 0 = Monday), exact cents, cross-multiplied index.
+    "q_dow_seasonality" ->
+      s"""WITH d AS (
+         |  SELECT CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |p AS (
+         |  SELECT (day + 3) % 7 AS dow, count(DISTINCT day) AS days,
+         |    count(*) AS orders, sum(cents) AS cents
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT sum(days) AS tdays, sum(cents) AS tcents FROM p)
+         |SELECT dow,
+         |  CASE dow WHEN 0 THEN 'mon' WHEN 1 THEN 'tue' WHEN 2 THEN 'wed'
+         |    WHEN 3 THEN 'thu' WHEN 4 THEN 'fri' WHEN 5 THEN 'sat'
+         |    ELSE 'sun' END AS dow_name,
+         |  CAST(days AS BIGINT) AS days, CAST(orders AS BIGINT) AS orders,
+         |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  ${q4("CAST(cents * tdays AS DOUBLE) / CAST(days * tcents AS DOUBLE)")} AS seasonality
+         |FROM p, t ORDER BY dow""".stripMargin,
   )
 }

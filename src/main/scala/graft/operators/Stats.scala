@@ -396,4 +396,181 @@ object Stats {
         when(chi2 > 3.8415, 1L).otherwise(0L).as("srm"))
       .orderBy(col("day_sec"))
   }
+
+  /** Hourly OHLC (open/high/low/close) bars over the event `value` stream —
+    * the market-data aggregation shape every metrics dashboard reuses.
+    * Open/close are made deterministic with `min_by`/`max_by` on a
+    * fixed-width zero-padded `(second, event_id)` string key: lexicographic
+    * order on the padded key IS numeric order on the pair, it is globally
+    * unique (event_id is), and — unlike a struct ordering key — both
+    * engines implement `min_by(x, varchar)` identically. Values are exact
+    * cents; high/low are plain integer min/max.
+    *
+    * Shape: one map-side-combinable hash aggregation to |hours| rows; the
+    * only shuffle is on the hour key. At 100 TB the bar frame is bounded by
+    * the calendar, not the event count. */
+  def hourlyOhlc(events: DataFrame): DataFrame = {
+    val sec = Cols.tsSec(col("ts"))
+    val ord = concat(lpad(sec.cast("string"), 12, "0"),
+      lpad(col("event_id").cast("string"), 16, "0"))
+    events.where(col("value").isNotNull)
+      .select(Cols.hourSec(sec).as("hour_sec"),
+        Cols.cents(col("value")).as("cents"), ord.as("ord"))
+      .groupBy(col("hour_sec"))
+      .agg(
+        (min_by(col("cents"), col("ord")).cast("double") / 100.0).as("open"),
+        (max(col("cents")).cast("double") / 100.0).as("high"),
+        (min(col("cents")).cast("double") / 100.0).as("low"),
+        (max_by(col("cents"), col("ord")).cast("double") / 100.0).as("close"),
+        count(lit(1)).as("trades"),
+        (sum(col("cents")).cast("double") / 100.0).as("volume"))
+      .orderBy(col("hour_sec"))
+  }
+
+  /** ABC (Pareto 80/95) inventory classification of parts by lineitem
+    * revenue: class A = the cheapest prefix of the revenue-DESC ranking
+    * that covers 80% of total revenue, B = to 95%, C = the tail. The
+    * descending cumulative revenue uses the same bucketed two-stage prefix
+    * machinery as [[revenueConcentration]] — per-bucket sums
+    * (`cents >> bucketBits`), a running sum over the 2^bucketBits-times
+    * smaller bucket table (the only single-partition window), then an
+    * intra-bucket prefix partitioned by bucket — never a global window
+    * over the part frame. Class cuts are exact integer comparisons
+    * (100·cum vs 80·tot); at corpus scales where total cents approaches
+    * 2^63/100, compare on `cum div 100 * 100` instead — the fixture is
+    * 10^5× inside the bound. */
+  def abcClasses(lineitem: DataFrame, bucketBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(Cols.cents(col("l_extendedprice"))).as("cents"))
+    val b = rev.withColumn("__b", shiftright(col("cents"), bucketBits))
+    // strictly-greater buckets: every part there outranks every part here
+    val wb = Window.orderBy(col("__b").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy(col("__b")).agg(sum(col("cents")).as("__bs"))
+      .withColumn("__off", coalesce(sum(col("__bs")).over(wb), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wi = Window.partitionBy(col("__b"))
+      .orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = b.join(off, Seq("__b"))
+      .withColumn("cum", col("__off") + sum(col("cents")).over(wi))
+    val totals = rev.agg(sum(col("cents")).as("tot"), count(lit(1)).as("np"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("parts"),
+        Cols.pct4(count(lit(1)), max(col("np"))).as("parts_pct"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"),
+        Cols.pct4(sum(col("cents")), max(col("tot"))).as("revenue_pct"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** Benford first-digit audit of order totals — the fraud/data-quality
+    * screen: leading digits of naturally-occurring amounts should follow
+    * P(d) = log10(1+1/d). The digit is taken from the decimal string of
+    * the exact cents value (multiplying by 100 never changes the leading
+    * digit), so the lane is integer/string-exact; the expected shares are
+    * pinned double literals (both engines parse the same nearest-double),
+    * and each digit's χ² contribution runs one fixed IEEE expression over
+    * (observed count, n·p). Output: 9 rows. One hash aggregation on a
+    * 9-value key — nothing here scales with anything but the row count. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val cents = Cols.cents(col("o_totalprice"))
+    val digits = orders.where(cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val n = digits.agg(sum(col("observed")).as("n"))
+    val expected = BenfordP.foldLeft(when(lit(false), 0.0)) { case (acc, (d, p)) =>
+      acc.when(col("digit") === d.toString, p)
+    }
+    val e = col("n").cast("double") * expected
+    val dev = col("observed").cast("double") - e
+    digits.crossJoin(broadcast(n))
+      .select(col("digit"), col("observed"),
+        Cols.pct4(col("observed"), col("n")).as("observed_pct"),
+        expected.as("expected_p"),
+        Cols.q4(dev * dev / e).as("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  /** log10(1+1/d) for d = 1..9, pinned so the Spark plan and the SQL
+    * oracle share literal text (hence bit-identical doubles). */
+  private[graft] val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** Robust central tendency: 5%-trimmed and 5%-winsorized means of order
+    * totals from the [[Relational.quantilesCont]] interpolated p05/p95
+    * fences. The trimmed mean averages only in-fence rows (exact cents sum,
+    * one divide); the winsorized mean replaces each clipped tail row by its
+    * fence value — computed as `inside_cents/100 + below·p05 + above·p95`
+    * over integer aggregates, so no double is ever summed across rows.
+    * Shape: the fence frame is 2 rows (broadcast); the census is one
+    * scan-side aggregation. */
+  def trimmedMeans(ordersIn: DataFrame): DataFrame = {
+    val qs = Relational.quantilesCont(ordersIn,
+      qs = Seq(("p05", 1L, 20L), ("p95", 19L, 20L)))
+    val fences = qs.agg(
+      min(when(col("quantile") === "p05", col("value"))).as("p05"),
+      min(when(col("quantile") === "p95", col("value"))).as("p95"))
+    ordersIn
+      .select(Cols.cents(col("o_totalprice")).as("c"))
+      .withColumn("v", col("c").cast("double") / 100.0)
+      .crossJoin(broadcast(fences))
+      .agg(count(lit(1)).as("orders"),
+        first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+        Cols.countWhen(col("v") < col("p05")).as("below"),
+        Cols.countWhen(col("v") > col("p95")).as("above"),
+        Cols.countWhen(col("v") >= col("p05") && col("v") <= col("p95")).as("kept"),
+        sum(when(col("v") >= col("p05") && col("v") <= col("p95"), col("c"))
+          .otherwise(0L)).as("inside_cents"))
+      .select(col("orders"), col("p05"), col("p95"), col("kept"),
+        when(col("kept") > 0,
+          Cols.q4((col("inside_cents").cast("double") / 100.0)
+            / col("kept").cast("double"))).otherwise(0.0).as("trimmed_mean"),
+        when(col("orders") > 0,
+          Cols.q4((col("inside_cents").cast("double") / 100.0
+              + col("below").cast("double") * col("p05")
+              + col("above").cast("double") * col("p95"))
+            / col("orders").cast("double"))).otherwise(0.0).as("winsorized_mean"))
+  }
+
+  /** Day-of-week seasonality profile of order revenue: per-weekday order
+    * volume, revenue, and a seasonality index = (that weekday's
+    * revenue-per-day) / (overall revenue-per-day). The weekday is derived
+    * from the epoch-day number — `(days_since_1970 + 3) mod 7`, 0 = Monday
+    * (1970-01-01 was a Thursday) — pure integer arithmetic that both
+    * engines evaluate identically, instead of the engine-specific
+    * `dayofweek` whose origin differs across dialects. The index is a
+    * cross-multiplied integer ratio quantized once. Two hash aggregations,
+    * keys bounded at 7. */
+  def dowSeasonality(orders: DataFrame): DataFrame = {
+    val epochDay = expr("CAST(sec AS BIGINT) div 86400")
+    val daily = orders
+      .select(Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", epochDay)
+      .withColumn("dow", (col("day") + 3) % 7)
+    val perDow = daily.groupBy(col("dow"))
+      .agg(countDistinct(col("day")).as("days"),
+        count(lit(1)).as("orders"),
+        sum(col("cents")).as("cents"))
+    val totals = perDow.agg(sum(col("days")).as("tdays"), sum(col("cents")).as("tcents"))
+    val names = Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+    val dowName = names.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, (nm, i)) => acc.when(col("dow") === i, nm)
+    }
+    perDow.crossJoin(broadcast(totals))
+      .select(col("dow"), dowName.as("dow_name"), col("days"), col("orders"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        Cols.q4((col("cents") * col("tdays")).cast("double")
+          / (col("days") * col("tcents")).cast("double")).as("seasonality"))
+      .orderBy(col("dow"))
+  }
 }

@@ -770,4 +770,59 @@ class OperatorSpec extends SparkSpec {
       (day0, 30L, 30L, 0.0, 0L),
       (day1, 30L, 5L, math.floor(625.0 / 35.0 * 10000.0) / 10000.0, 1L)))
   }
+
+  test("hourly OHLC: hand bars; same-second open/close ties broken by event_id") {
+    val ev = Seq(
+      (1L, 5L, 10.0), (2L, 600L, 30.0), (3L, 1200L, 5.0), (4L, 3599L, 20.0),
+      // hour 1: two events in the SAME second — event_id orders open=7, close=9
+      (5L, 3600L, 7.0), (6L, 3600L, 9.0))
+      .toDF("event_id", "ts_sec", "value")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+    val got = Stats.hourlyOhlc(ev)
+      .as[(Long, Double, Double, Double, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 10.0, 30.0, 5.0, 20.0, 4L, 65.0),
+      (3600L, 7.0, 9.0, 7.0, 9.0, 2L, 16.0)), got.toString)
+  }
+
+  test("ABC classes: 80/15/5 revenue split lands one part per class; boundary cum=80% is A") {
+    val li = Seq((1L, 50.0), (1L, 30.0), (2L, 15.0), (3L, 5.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = Stats.abcClasses(li)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 33.3333, 80.0, 80.0),
+      ("B", 1L, 33.3333, 15.0, 15.0),
+      ("C", 1L, 33.3333, 5.0, 5.0)), got.toString)
+  }
+
+  test("Benford audit: digits from exact cents, zero-cent rows excluded, shares sum") {
+    val o = Seq(1.00, 2.50, 19.99, 0.05, 0.00).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("o_orderkey", "o_totalprice")
+    val got = Stats.benfordAudit(o).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("1", 2L, 50.0), ("2", 1L, 25.0), ("5", 1L, 25.0)), got.toString)
+    val chis = Stats.benfordAudit(o).select(col("chi2")).as[Double].collect()
+    assert(chis.forall(_ >= 0.0))
+  }
+
+  test("trimmed/winsorized means: 1..20 dollars → p05=1.95, p95=19.05, both means 10.5") {
+    val o = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("o_orderkey", "o_totalprice")
+    val got = Stats.trimmedMeans(o)
+      .as[(Long, Double, Double, Long, Double, Double)].collect().head
+    assert(got == ((20L, 1.95, 19.05, 18L, 10.5, 10.5)), got.toString)
+  }
+
+  test("dow seasonality: epoch-day arithmetic names 1970-01-01 thursday; balanced days index 1") {
+    // one 10-dollar order on each of thu 1970-01-01, fri 1970-01-02, mon 1970-01-05
+    val o = Seq((1L, 0L, 10.0), (2L, 86400L, 10.0), (3L, 4L * 86400L, 10.0))
+      .toDF("o_orderkey", "sec0", "o_totalprice")
+      .withColumn("o_orderdate", col("sec0").cast("timestamp"))
+    val got = Stats.dowSeasonality(o)
+      .as[(Long, String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, "mon", 1L, 1L, 10.0, 1.0),
+      (3L, "thu", 1L, 1L, 10.0, 1.0),
+      (4L, "fri", 1L, 1L, 10.0, 1.0)), got.toString)
+  }
 }

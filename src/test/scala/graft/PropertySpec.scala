@@ -397,4 +397,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("ABC classes == in-memory Pareto model at two bucket widths; classes partition the parts") {
+    val liGen: Gen[List[(Long, Double)]] = for {
+      n    <- Gen.choose(1, 150)
+      rows <- Gen.listOfN(n, for {
+        pk <- Gen.choose(0L, 40L); p <- Gen.choose(1, 5000000).map(_ / 100.0)
+      } yield (pk, p))
+    } yield rows
+    forAll(liGen) { rows =>
+      val df = rows.toDF("l_partkey", "l_extendedprice")
+      val byPart = rows.groupBy(_._1).view
+        .mapValues(_.map(r => math.round(r._2 * 100)).sum).toSeq
+      val np = byPart.length.toLong
+      val tot = byPart.map(_._2).sum
+      val ranked = byPart.sortBy { case (pk, c) => (-c, pk) }
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (pk, c)) => (pk, c, cum + c) }.drop(1)
+      val model = ranked.groupBy { case (_, _, cum) =>
+        if (cum * 100 <= tot * 80) "A" else if (cum * 100 <= tot * 95) "B" else "C"
+      }.view.mapValues { g =>
+        val parts = g.length.toLong; val cents = g.map(_._2).sum
+        (parts,
+          math.floor(parts.toDouble * 100.0 / np.toDouble * 10000.0) / 10000.0,
+          cents.toDouble / 100.0,
+          math.floor(cents.toDouble * 100.0 / tot.toDouble * 10000.0) / 10000.0)
+      }.toMap
+      for (bits <- Seq(4, 12)) {
+        val got = graft.operators.Stats.abcClasses(df, bits)
+          .as[(String, Long, Double, Double, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        assert(got == model, s"bits=$bits got=$got model=$model")
+        assert(got.values.map(_._1).sum == np)
+      }
+    }
+  }
 }
