@@ -197,6 +197,8 @@ object SparkEntry {
       TextAnalysis.letterConcentration(Tables.documents(s, d))),
     "q_typo_recovery" -> ((s, d) => // SymSpell deletion-neighborhood edit-distance-1 join
       TextAnalysis.typoRecoveryCensus(Tables.documents(s, d))),
+    "q_phrase_census" -> ((s, d) => // positional posting-list phrase dictionary match
+      TextAnalysis.phraseCensus(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_doc_fingerprints" -> ((s, d) =>
@@ -4702,6 +4704,27 @@ object SparkEntry {
         |      / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0)
         |    ELSE 0.0 END AS winsorized_mean
         |FROM c""".stripMargin,
+
+    // Mirror of TextAnalysis.phraseCensus: same whitespace tokenization,
+    // positional self-joins per dictionary phrase (generated from the same
+    // PhraseDict constant), distinct-doc + occurrence census.
+    "q_phrase_census" -> {
+      val selects = TextAnalysis.PhraseDict.map { ph =>
+        val joins = ph.zipWithIndex.drop(1).map { case (w, i) =>
+          s"JOIN occ a$i ON a$i.doc_id = a0.doc_id AND a$i.pos = a0.pos + $i AND a$i.tok = '$w'"
+        }.mkString(" ")
+        s"SELECT '${ph.mkString(" ")}' AS phrase, " +
+          "CAST(count(DISTINCT a0.doc_id) AS BIGINT) AS docs, " +
+          "CAST(count(*) AS BIGINT) AS occurrences " +
+          s"FROM occ a0 $joins WHERE a0.tok = '${ph.head}' HAVING count(*) > 0"
+      }
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+        |  FROM tk, unnest(generate_series(1, len(l))) AS g(i))
+        |""".stripMargin +
+        selects.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY phrase")
+    },
 
     // Mirror of Stats.dowSeasonality: epoch-day weekday arithmetic
     // ((day + 3) mod 7, 0 = Monday), exact cents, cross-multiplied index.

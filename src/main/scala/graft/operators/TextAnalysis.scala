@@ -613,6 +613,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("noisy_forms"), sum(col("occurrences")).as("occurrences"))
       .orderBy(col("clean"))
   }
+
+  /** Exact multi-word phrase matching over a bounded phrase dictionary —
+    * the keyword/blocklist census every brand-safety, policy-filter, or
+    * navigation-query pipeline runs. Tokens are positions in the
+    * whitespace token stream; a phrase of length m matches at position p
+    * iff term i sits at p+i for all i. Overlapping matches count.
+    *
+    * Shape: one tokenize pass defines the positional posting lists; each
+    * phrase term filters the token frame AT THE SCAN (predicate pushdown on
+    * the token value — the posting list of a dictionary word is tiny
+    * relative to the corpus), then the terms chain through equi-joins on
+    * `(doc_id, start_pos)` — never a cartesian, never a regex over the
+    * document body. Per-phrase plans union at the end (the dictionary is
+    * bounded; for dictionaries past ~10³ phrases the same join works in one
+    * pass keyed by a broadcast `(term, term_idx, phrase_id)` table —
+    * documented, not needed at this dictionary size). Counting matches per
+    * (phrase, doc) first keeps the final census map-side combinable. */
+  def phraseCensus(docs: DataFrame,
+                   phrases: Seq[Seq[String]] = PhraseDict): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    val perPhrase = phrases.map { ph =>
+      val first = toks.where(col("tok") === ph.head)
+        .select(col("doc_id"), col("pos"))
+      val matched = ph.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+        acc.join(toks.where(col("tok") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+      }
+      matched.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+        .agg(lit(ph.mkString(" ")).as("phrase"),
+          count(lit(1)).as("docs"), coalesce(sum(col("n")), lit(0L)).as("occurrences"))
+    }
+    perPhrase.reduce(_.unionAll(_))
+      .where(col("docs") > 0)
+      .orderBy(col("phrase"))
+  }
+
+  /** Fixture dictionary for the registered census: mixed lengths, drawn
+    * from the synthetic corpus vocabulary. */
+  private[graft] val PhraseDict: Seq[Seq[String]] = Seq(
+    Seq("table", "hash"), Seq("part", "filter", "small"),
+    Seq("key", "agg", "row"), Seq("customer", "join"),
+    Seq("window", "table", "table"))
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).

@@ -813,6 +813,18 @@ class OperatorSpec extends SparkSpec {
     assert(got == ((20L, 1.95, 19.05, 18L, 10.5, 10.5)), got.toString)
   }
 
+  test("phrase census: overlapping matches count; repeated-token phrase; zero-match phrase drops") {
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" matches at pos 0 AND 2 (overlap)
+      (2L, "x a b a y"), // one more
+      (3L, "b b b"))     // "b b" matches at pos 0 and 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseCensus(docs,
+        Seq(Seq("a", "b", "a"), Seq("b", "b"), Seq("zz")))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a b a", 2L, 3L), ("b b", 1L, 2L)), got.toString)
+  }
+
   test("dow seasonality: epoch-day arithmetic names 1970-01-01 thursday; balanced days index 1") {
     // one 10-dollar order on each of thu 1970-01-01, fri 1970-01-02, mon 1970-01-05
     val o = Seq((1L, 0L, 10.0), (2L, 86400L, 10.0), (3L, 4L * 86400L, 10.0))
