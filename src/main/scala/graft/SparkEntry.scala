@@ -485,6 +485,8 @@ object SparkEntry {
       Stats.revenueConcentration(Tables.orders(s, d))),
     "q_ohlc_hourly" -> ((s, d) => // OHLC bars, open/close via padded-key min_by/max_by
       Stats.hourlyOhlc(Tables.events(s, d))),
+    "q_linear_attribution" -> ((s, d) => // multi-touch credit, integer apportionment, grid join
+      Attribution.linearCreditByHour(Tables.events(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -4704,6 +4706,31 @@ object SparkEntry {
         |      / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0)
         |    ELSE 0.0 END AS winsorized_mean
         |FROM c""".stripMargin,
+
+    // Mirror of Attribution.linearCreditByHour: the naive range join the
+    // engine's (user, grid-cell) equi-join replaces, the same
+    // largest-remainder micro-unit apportionment, one shared final divide.
+    "q_linear_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT event_id AS p_id, user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, sec AS v_sec FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.p_id, v.v_id, v.v_sec,
+        |    row_number() OVER (PARTITION BY p.p_id ORDER BY v.v_sec, v.v_id) AS rk,
+        |    count(*) OVER (PARTITION BY p.p_id) AS n
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.v_sec >= p.p_sec - 3600 AND v.v_sec < p.p_sec),
+        |c AS (
+        |  SELECT (v_sec % 86400) // 3600 AS hour, p_id,
+        |    1000000 // n + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END AS units
+        |  FROM m)
+        |SELECT hour, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,
+        |  CAST(sum(units) AS DOUBLE) / 1000000.0 AS credit
+        |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
 
     // Mirror of TextAnalysis.phraseCensus: same whitespace tokenization,
     // positional self-joins per dictionary phrase (generated from the same

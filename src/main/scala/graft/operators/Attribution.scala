@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+
+/** Multi-touch (linear) marketing attribution: each purchase's credit is
+  * split EQUALLY across the user's view events in the preceding lookback
+  * window — the standard linear model, complementing the engine's
+  * last-touch as-of attribution (`AsOfJoin` / q_asof_attribution).
+  *
+  * Determinism doctrine: credit is apportioned in integer micro-units
+  * (10^6 per purchase) with the largest-remainder rule of
+  * [[CorpusFilters]]' token apportionment — touch i of n gets
+  * `10^6 div n` units plus one extra for the first `10^6 mod n` touches in
+  * `(view_sec, view_event_id)` order — so sums are exact longs under any
+  * partitioning and the single final divide by 10^6 is one shared IEEE op.
+  * Never a float split summed across rows.
+  *
+  * Scale shape: the touch join is the [[RangeJoin]] grid trick with the
+  * user as a co-key — purchases explode to the ≤ ceil(W/w)+1 grid cells
+  * their lookback interval covers, views hash to their single cell, and
+  * the join runs on `(user_id, cell)` (hash-partitionable, AQE-skew-
+  * splittable) with the exact time predicate re-checked on candidates.
+  * The per-purchase rank window partitions by purchase id — frames are
+  * bounded by touches-per-purchase (lookback-window-bounded), not by
+  * corpus size. Reference scope: the reference has no attribution
+  * operator; declared SURVEY surface beside the as-of join.
+  */
+object Attribution {
+
+  val LookbackSeconds = 3600L
+  val CreditUnits     = 1000000L
+
+  /** Linear attribution credit by view hour-of-day: which hours' browsing
+    * drives purchases. Output: one row per hour 0..23 with touch count,
+    * distinct purchases touched, and exact credit (micro-unit sum / 10^6). */
+  def linearCreditByHour(events: DataFrame,
+                         lookback: Long = LookbackSeconds): DataFrame = {
+    val e = events.where(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        Cols.tsSec(col("ts")).as("sec"), col("event_type"))
+    val w = lookback // grid width = lookback: each interval covers ≤ 2 cells
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("sec").as("p_sec"))
+      .withColumn("__cell", explode(expr(
+        s"sequence((p_sec - ${w}L) div ${w}L, (p_sec - 1L) div ${w}L)")))
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("sec").as("v_sec"))
+      .withColumn("__cell", expr(s"v_sec div ${w}L"))
+    val touches = purchases.join(views, Seq("user_id", "__cell"))
+      .where(col("v_sec") >= col("p_sec") - w && col("v_sec") < col("p_sec"))
+      .select(col("p_id"), col("v_id"), col("v_sec"))
+    val rk = Window.partitionBy(col("p_id")).orderBy(col("v_sec"), col("v_id"))
+    val credited = touches
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+      // `div`, not `/`: Spark's `/` on longs is a DOUBLE divide
+      .select(expr("(v_sec % 86400) div 3600").as("hour"), col("p_id"),
+        (expr(s"${CreditUnits}L div n") +
+          when(col("rk") <= lit(CreditUnits) % col("n"), 1L).otherwise(0L)).as("units"))
+    credited.groupBy(col("hour"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("p_id")).as("purchases_touched"),
+        (sum(col("units")).cast("double") / 1000000.0).as("credit"))
+      .orderBy(col("hour"))
+  }
+}

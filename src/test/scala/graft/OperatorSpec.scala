@@ -813,6 +813,27 @@ class OperatorSpec extends SparkSpec {
     assert(got == ((20L, 1.95, 19.05, 18L, 10.5, 10.5)), got.toString)
   }
 
+  test("linear attribution: largest-remainder micro-units, half-open lookback, zero-touch purchases drop") {
+    // user 1: purchase at 10000 → lookback [6400, 10000); touches 6400 (h1),
+    //   7200 (h2), 9999 (h2); n=3 → earliest gets 333334, others 333333
+    // user 2: purchase at 7500 → [3900, 7500); touches 4000 (h1), 7200 (h2)
+    //   (its view at 7500 is NOT a touch — half-open at the purchase second)
+    // user 3: purchase with no views → no credit rows
+    val rows = Seq(
+      (10L, 1L, 10000L, "purchase"), (1L, 1L, 6400L, "view"),
+      (2L, 1L, 7200L, "view"), (3L, 1L, 9999L, "view"),
+      (11L, 2L, 7500L, "purchase"), (4L, 2L, 4000L, "view"),
+      (5L, 2L, 7500L, "view"), (6L, 2L, 7200L, "view"),
+      (12L, 3L, 50000L, "purchase"))
+    val df = rows.toDF("event_id", "user_id", "ts_sec", "event_type")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+    val got = Attribution.linearCreditByHour(df)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 833334.0 / 1000000.0),
+      (2L, 3L, 2L, 1166666.0 / 1000000.0)), got.toString)
+  }
+
   test("phrase census: overlapping matches count; repeated-token phrase; zero-match phrase drops") {
     val docs = Seq(
       (1L, "a b a b a"), // "a b a" matches at pos 0 AND 2 (overlap)
