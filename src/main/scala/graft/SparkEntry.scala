@@ -453,6 +453,8 @@ object SparkEntry {
       GraphRank.personalizedPageRank(cooccurrenceShared(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
+    "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
+      ZOrder.zonemapSkipAudit(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zorder_layout" -> ((s, d) => // Morton-layout audit: per-cell rectangles
       ZOrder.zOrderProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_triangle_census" -> ((s, d) => // degree-oriented wedge-join triangles
@@ -901,8 +903,10 @@ object SparkEntry {
     * engine's interleave, so both engines compute identical Morton codes. */
   /** Mirror of ZOrder.hilbertProfile (bits = 8): the xy2d quadrant walk
     * unrolled one CTE per bit level — identical reflect/swap/xor chain. */
-  private lazy val hilbertOracleSql: String = {
-    val bits = 8
+  /** The xy2d quadrant walk unrolled one CTE per bit level (identical
+    * reflect/swap/xor chain to ZOrder.withHilbert); `h0` must provide
+    * (__x, __y, hx, hy, hd) and the chain ends at `h<bits>`. */
+  private def hilbertStepsSql(bits: Int): String = {
     val n = 1L << bits
     def step(s: Long, src: String, dst: String) = {
       val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
@@ -914,16 +918,68 @@ object SparkEntry {
          |    hd + ${s * s} * xor(3 * $rx, $ry) AS hd
          |  FROM $src)""".stripMargin
     }
-    val levels = (0 until bits).map(i => step(n >> (i + 1), s"h$i", s"h${i + 1}"))
+    (0 until bits).map(i => step(n >> (i + 1), s"h$i", s"h${i + 1}")).mkString(",\n")
+  }
+
+  private lazy val hilbertOracleSql: String = {
+    val bits = 8
+    val n = 1L << bits
     val cell = (n * n) / 256
     s"""WITH h0 AS (
        |  SELECT l_partkey AS __x, l_suppkey AS __y,
        |    l_partkey % $n AS hx, l_suppkey % $n AS hy, CAST(0 AS BIGINT) AS hd
        |  FROM lineitem),
-       |${levels.mkString(",\n")}
+       |${hilbertStepsSql(bits)}
        |SELECT hd // $cell AS h_bucket, count(*) AS n_rows,
        |  min(__x) AS x_min, max(__x) AS x_max, min(__y) AS y_min, max(__y) AS y_max
        |FROM h$bits GROUP BY 1 ORDER BY h_bucket""".stripMargin
+  }
+
+  /** Mirror of ZOrder.zonemapSkipAudit(lineitem, l_partkey, l_suppkey):
+    * fold both keys to the 2^bits domain, compute each layout's bucket
+    * key (Hilbert chain / raw x / Morton terms), zone-map per bucket,
+    * apply the footer-intersection test, union the three audit rows. */
+  private lazy val zonemapSkipOracleSql: String = {
+    val bits = 8; val n = 1L << bits; val buckets = 64
+    // wide-x × narrow-y: the two-sided shape where a single-column x-sort
+    // must scan every x-stripe the 128-wide range covers while the curves
+    // touch only the strip's cells
+    val (xLo, xHi, yLo, yHi) = (64, 191, 8, 23)
+    val cellCurve = (n * n) / buckets
+    val cellX = n / buckets
+    val zTerms = (0 until bits).flatMap { i =>
+      Seq(s"(__x // ${1L << i} % 2) * ${1L << (2 * i)}",
+        s"(__y // ${1L << i} % 2) * ${1L << (2 * i + 1)}")
+    }.mkString("(", " + ", ")")
+    val touched = s"x_min <= $xHi AND x_max >= $xLo AND y_min <= $yHi AND y_max >= $yLo"
+    def audit(name: String, src: String, cell: Long) =
+      s"""SELECT '$name' AS layout,
+         |  CAST(count(*) AS BIGINT) AS buckets_used,
+         |  CAST(sum(CASE WHEN $touched THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+         |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         |  CAST(sum(CASE WHEN $touched THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |FROM (SELECT k // $cell AS b, count(*) AS n_rows,
+         |        min(__x) AS x_min, max(__x) AS x_max,
+         |        min(__y) AS y_min, max(__y) AS y_max
+         |      FROM $src GROUP BY 1)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT l_partkey % $n AS __x, l_suppkey % $n AS __y FROM lineitem),
+       |h0 AS (SELECT __x, __y, __x AS hx, __y AS hy, CAST(0 AS BIGINT) AS hd FROM base),
+       |${hilbertStepsSql(bits)},
+       |hz AS (SELECT __x, __y, hd AS k FROM h$bits),
+       |xz AS (SELECT __x, __y, __x AS k FROM base),
+       |zz AS (SELECT __x, __y, $zTerms AS k FROM base),
+       |m AS (
+       |  SELECT CAST(sum(CASE WHEN __x BETWEEN $xLo AND $xHi
+       |    AND __y BETWEEN $yLo AND $yHi THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
+       |  FROM base),
+       |u AS (${audit("hilbert", "hz", cellCurve)}
+       |  UNION ALL ${audit("xsort", "xz", cellX)}
+       |  UNION ALL ${audit("zorder", "zz", cellCurve)})
+       |SELECT u.layout, u.buckets_used, u.buckets_touched, u.rows_total,
+       |  u.rows_scanned, m.rows_matching,
+       |  CASE WHEN u.rows_total > 0 THEN ${q4("CAST(u.rows_scanned AS DOUBLE) * 100.0 / CAST(u.rows_total AS DOUBLE)")} ELSE 0.0 END AS scan_pct
+       |FROM u, m ORDER BY u.layout""".stripMargin
   }
 
   private lazy val zorderOracleSql: String = {
@@ -3743,6 +3799,7 @@ object SparkEntry {
     // bit arithmetic via // 2^i % 2 — identical z in any engine.
     "q_zorder_layout" -> zorderOracleSql,
     "q_hilbert_layout" -> hilbertOracleSql,
+    "q_zonemap_skip" -> zonemapSkipOracleSql,
 
     // Mirror of Stats.dailyRevenueTrend: exact integer sums under the agg,
     // one fixed IEEE expression for the slope, day rebased to the corpus

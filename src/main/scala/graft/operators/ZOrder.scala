@@ -113,6 +113,64 @@ object ZOrder {
       .drop("h")
       .write.mode("overwrite").parquet(dir)
 
+  /** Zone-map skip audit — the question the layout family exists to
+    * answer, asked directly: for a rectangle predicate
+    * `x ∈ [xLo, xHi] ∧ y ∈ [yLo, yHi]` (in the folded 2^bits domain), how
+    * many of the `buckets` files would footer min/max stats let a scan
+    * SKIP under each layout? Three layouts are audited side by side:
+    * `hilbert` and `zorder` (curve-key range buckets — the write shapes of
+    * [[writeHilbertLayout]]) and `xsort` (single-dimension sort — perfect
+    * pruning on x, none on y), so the record shows the multi-dimensional
+    * curves beating the single-column sort on a two-sided predicate.
+    *
+    * A bucket is touched iff its zone map intersects the rectangle
+    * (`x_min ≤ xHi ∧ x_max ≥ xLo ∧ …` — exactly the parquet footer test).
+    * `rows_scanned` = rows in touched buckets; `rows_matching` is the
+    * exact predicate count (identical across layouts — layout moves rows,
+    * it never changes the answer); `scan_pct` is the fraction of the table
+    * a pruned scan still reads. Everything is one scan per layout over
+    * bounded bucket frames — integer arithmetic end to end. */
+  def zonemapSkipAudit(df: DataFrame, xCol: String, yCol: String,
+                       bits: Int = 8, buckets: Int = 64,
+                       xLo: Long = 64, xHi: Long = 191,
+                       yLo: Long = 8, yHi: Long = 23): DataFrame = {
+    require(buckets >= 1 && buckets <= (1L << bits),
+      s"buckets must divide every layout's domain: [1, 2^bits]; got $buckets")
+    val n = 1L << bits
+    val base = df.select(pmod(col(xCol).cast("long"), lit(n)).as("__x"),
+      pmod(col(yCol).cast("long"), lit(n)).as("__y"))
+    val layouts: Seq[(String, DataFrame, Long)] = Seq(
+      ("hilbert", withHilbert(base, "__x", "__y", bits, "__k"), (n * n) / buckets),
+      ("xsort", base.withColumn("__k", col("__x")), n / buckets),
+      ("zorder", base.withColumn("__k", zValue(col("__x"), col("__y"), bits)),
+        (n * n) / buckets))
+    val audits = layouts.map { case (name, frame, cell) =>
+      val zones = frame
+        .groupBy(expr(s"__k div ${cell}L").as("__b"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("__x")).as("x_min"), max(col("__x")).as("x_max"),
+          min(col("__y")).as("y_min"), max(col("__y")).as("y_max"))
+      val touched = col("x_min") <= xHi && col("x_max") >= xLo &&
+        col("y_min") <= yHi && col("y_max") >= yLo
+      zones.agg(
+        lit(name).as("layout"),
+        count(lit(1)).as("buckets_used"),
+        graft.functions.Cols.countWhen(touched).as("buckets_touched"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(touched, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+    }
+    val matching = base
+      .agg(graft.functions.Cols.countWhen(
+        col("__x").between(xLo, xHi) && col("__y").between(yLo, yHi))
+        .as("rows_matching"))
+    audits.reduce(_.unionAll(_))
+      .crossJoin(broadcast(matching))
+      .select(col("layout"), col("buckets_used"), col("buckets_touched"),
+        col("rows_total"), col("rows_scanned"), col("rows_matching"),
+        graft.functions.Cols.pct4(col("rows_scanned"), col("rows_total")).as("scan_pct"))
+      .orderBy(col("layout"))
+  }
+
   /** Layout audit: bucket rows by the top bits of their z-value (`buckets`
     * contiguous z-ranges — the "files" of a z-ordered write) and report
     * each bucket's row count and per-dimension min/max. The z-curve

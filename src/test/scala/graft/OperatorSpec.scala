@@ -813,6 +813,21 @@ class OperatorSpec extends SparkSpec {
     assert(got == ((20L, 1.95, 19.05, 18L, 10.5, 10.5)), got.toString)
   }
 
+  test("zonemap skip audit: scanned bounds matching on every layout; curves never scan more than x-sort") {
+    val got = ZOrder.zonemapSkipAudit(Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap // total, scanned, matching
+    assert(got.keySet == Set("hilbert", "xsort", "zorder"))
+    got.values.foreach { case (total, scanned, matching) =>
+      assert(matching <= scanned && scanned <= total, got.toString)
+    }
+    // same rows, same answer: rows_total and rows_matching agree across layouts
+    assert(got.values.map(v => (v._1, v._3)).toSet.size == 1, got.toString)
+    // the two-sided curves never lose to the single-column sort on the
+    // registered wide-x × narrow-y rectangle (strictly better at sf≥0.01)
+    assert(got("hilbert")._2 <= got("xsort")._2 && got("zorder")._2 <= got("xsort")._2)
+  }
+
   test("linear attribution: largest-remainder micro-units, half-open lookback, zero-touch purchases drop") {
     // user 1: purchase at 10000 → lookback [6400, 10000); touches 6400 (h1),
     //   7200 (h2), 9999 (h2); n=3 → earliest gets 333334, others 333333
