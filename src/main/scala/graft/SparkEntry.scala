@@ -489,6 +489,8 @@ object SparkEntry {
       Stats.hourlyOhlc(Tables.events(s, d))),
     "q_linear_attribution" -> ((s, d) => // multi-touch credit, integer apportionment, grid join
       Attribution.linearCreditByHour(Tables.events(s, d))),
+    "q_assoc_rules" -> ((s, d) => // market-basket rules, a-priori-pruned pair join
+      EventAnalytics.associationRules(Tables.events(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -4763,6 +4765,31 @@ object SparkEntry {
         |      / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0)
         |    ELSE 0.0 END AS winsorized_mean
         |FROM c""".stripMargin,
+
+    // Mirror of EventAnalytics.associationRules: distinct (user, item)
+    // baskets, the unpruned pair self-join (a-priori pruning never changes
+    // the surviving rule set), integer-count support/confidence/lift.
+    "q_assoc_rules" ->
+      s"""WITH it AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |n AS (SELECT count(DISTINCT user_id) AS n_baskets FROM it),
+         |ic AS (SELECT item, count(*) AS n_item FROM it GROUP BY 1),
+         |pr AS (
+         |  SELECT l.item AS a, r.item AS b, count(*) AS n_ab
+         |  FROM it l JOIN it r ON l.user_id = r.user_id AND l.item <> r.item
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+         |  ${q4("CAST(n_ab AS DOUBLE) * 100.0 / CAST(n.n_baskets AS DOUBLE)")} AS support_pct,
+         |  ${q4("CAST(n_ab AS DOUBLE) * 100.0 / CAST(ia.n_item AS DOUBLE)")} AS confidence_pct,
+         |  ${q4("CAST(n_ab * n.n_baskets AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE)")} AS lift
+         |FROM pr
+         |JOIN ic ia ON ia.item = pr.a
+         |JOIN ic ib ON ib.item = pr.b, n
+         |ORDER BY a, b""".stripMargin,
 
     // Mirror of Attribution.linearCreditByHour: the naive range join the
     // engine's (user, grid-cell) equi-join replaces, the same

@@ -595,6 +595,48 @@ object EventAnalytics {
         concat_ws(",", transform(array_sort(collect_list(col("k"))),
           x => x.cast("string"))).as("basket"))
 
+  /** Association rules over purchased-item baskets (a user's distinct
+    * `props.k` purchases): every ordered item pair (a → b) with joint
+    * basket count ≥ `minSupport`, scored by the classic trio — support
+    * (share of baskets containing both), confidence (share of a's baskets
+    * that also hold b), lift (observed/expected joint frequency). All
+    * three are integer-count ratios with one floor-quantized divide each.
+    *
+    * Scale shape: baskets are distinct (user, item) rows; the A-PRIORI
+    * property prunes BEFORE the pair join — `n_ab ≥ s` implies both items
+    * appear in ≥ s baskets, so items below `minSupport` are semi-joined
+    * away first (on real skew this is the difference between joining the
+    * catalog and joining its frequent head). The pair self-join shuffles
+    * on user_id; pair volume is Σ|basket|² — bounded by the per-user
+    * purchase count, not the corpus. Item-count frames are
+    * catalog-bounded and broadcast. */
+  def associationRules(events: DataFrame, minSupport: Long = 5): DataFrame = {
+    val items = withParsedProps(events)
+      .where(col("event_type") === "purchase" && col("k").isNotNull
+        && col("user_id").isNotNull)
+      .select(col("user_id"), col("k").cast("long").as("item"))
+      .distinct()
+    val nBaskets = items.agg(countDistinct(col("user_id")).as("n_baskets"))
+    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val frequent = itemCnt.where(col("n_item") >= minSupport).select(col("item"))
+    val pruned = items.join(broadcast(frequent), Seq("item"), "left_semi")
+    val pairs = pruned.select(col("item").as("a"), col("user_id"))
+      .join(pruned.select(col("item").as("b"), col("user_id")), Seq("user_id"))
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(itemCnt.toDF("a", "n_a")), Seq("a"))
+      .join(broadcast(itemCnt.toDF("b", "n_b")), Seq("b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("n_ab"),
+        Cols.pct4(col("n_ab"), col("n_baskets")).as("support_pct"),
+        Cols.pct4(col("n_ab"), col("n_a")).as("confidence_pct"),
+        Cols.q4((col("n_ab") * col("n_baskets")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Events in the trailing window, anchored at max(ts) for determinism
     * (Grafana panel uses NOW() - INTERVAL '1 hour',
     * ecommerce-dashboard.json:18). The scalar max is computed as a subquery

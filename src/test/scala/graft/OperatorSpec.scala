@@ -813,6 +813,22 @@ class OperatorSpec extends SparkSpec {
     assert(got == ((20L, 1.95, 19.05, 18L, 10.5, 10.5)), got.toString)
   }
 
+  test("association rules: support/confidence/lift from hand baskets; sub-support pairs pruned") {
+    // baskets: u1{1,2} u2{1,2} u3{1,2} u4{1,3} u5{2} → with minSupport=2:
+    // (1,2): n_ab=3, support 60%, confidence 3/4, lift 3·5/(4·4)=0.9375;
+    // (1,3) has n_ab=1 → pruned
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L), (5L, 2L)).zipWithIndex.map { case ((u, k), i) =>
+      (i.toLong, u, "purchase", s"""{"k": $k}""")
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "props")
+    val got = EventAnalytics.associationRules(df, minSupport = 2)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 60.0, 75.0, 0.9375),
+      (2L, 1L, 3L, 60.0, 75.0, 0.9375)), got.toString)
+  }
+
   test("zonemap skip audit: scanned bounds matching on every layout; curves never scan more than x-sort") {
     val got = ZOrder.zonemapSkipAudit(Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")
       .collect().map(r => r.getString(0) ->
