@@ -97,6 +97,27 @@ class PlanSpec extends SparkSpec {
       s"edit-distance join must equi-join on variants:\n$p")
   }
 
+  test("linear attribution: touch join is a (user, cell) equi-join, never a time-range nested loop") {
+    val p = planOf(Attribution.linearCreditByHour(Tables.events(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution must grid-join, not range-scan all pairs:\n$p")
+  }
+
+  test("association rules: basket pair join is an equi-join on user_id, no cartesian") {
+    val p = planOf(EventAnalytics.associationRules(Tables.events(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"pair join must shuffle on user_id:\n$p")
+    // the only nested-loop is the blessed 1-row scalar broadcast (n_baskets);
+    // the item-pair join itself must be hash/merge on user_id
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"only the scalar n_baskets frame may nested-loop:\n$p")
+  }
+
+  test("phrase census: every term filters at the scan and joins on (doc, pos) — no body regex, no cartesian") {
+    val p = planOf(TextAnalysis.phraseCensus(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase terms must equi-join on (doc_id, pos):\n$p")
+  }
+
   test("aggregations are whole-stage codegen'd") {
     // codegen stages exist only in the AQE-finalized plan → execute first
     val df = EventAnalytics.hourlyMetrics(Tables.events(spark, sf))
