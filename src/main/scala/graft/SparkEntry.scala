@@ -491,6 +491,8 @@ object SparkEntry {
       Attribution.linearCreditByHour(Tables.events(s, d))),
     "q_assoc_rules" -> ((s, d) => // market-basket rules, a-priori-pruned pair join
       EventAnalytics.associationRules(Tables.events(s, d))),
+    "q_ushaped_attribution" -> ((s, d) => // position-based 40/20/40, same touch frame
+      Attribution.uShapedCreditByHour(Tables.events(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -4810,6 +4812,35 @@ object SparkEntry {
         |c AS (
         |  SELECT (v_sec % 86400) // 3600 AS hour, p_id,
         |    1000000 // n + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END AS units
+        |  FROM m)
+        |SELECT hour, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,
+        |  CAST(sum(units) AS DOUBLE) / 1000000.0 AS credit
+        |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
+
+    // Mirror of Attribution.uShapedCreditByHour: same touch frame, the
+    // position-based 40/20/40 unit rule with largest-remainder middles.
+    "q_ushaped_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT event_id AS p_id, user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, sec AS v_sec FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.p_id, v.v_id, v.v_sec,
+        |    row_number() OVER (PARTITION BY p.p_id ORDER BY v.v_sec, v.v_id) AS rk,
+        |    count(*) OVER (PARTITION BY p.p_id) AS n
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.v_sec >= p.p_sec - 3600 AND v.v_sec < p.p_sec),
+        |c AS (
+        |  SELECT (v_sec % 86400) // 3600 AS hour, p_id,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rk = 1 OR rk = n THEN 400000
+        |         ELSE 200000 // (n - 2)
+        |           + CASE WHEN rk - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+        |    END AS units
         |  FROM m)
         |SELECT hour, CAST(count(*) AS BIGINT) AS touches,
         |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,

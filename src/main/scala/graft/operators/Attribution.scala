@@ -34,11 +34,11 @@ object Attribution {
   val LookbackSeconds = 3600L
   val CreditUnits     = 1000000L
 
-  /** Linear attribution credit by view hour-of-day: which hours' browsing
-    * drives purchases. Output: one row per hour 0..23 with touch count,
-    * distinct purchases touched, and exact credit (micro-unit sum / 10^6). */
-  def linearCreditByHour(events: DataFrame,
-                         lookback: Long = LookbackSeconds): DataFrame = {
+  /** Ranked touch frame shared by the attribution models: one row per
+    * (purchase, view-in-lookback) with the touch's per-purchase rank
+    * `rk` (by view time then id), the purchase's touch count `n`, and the
+    * view's hour-of-day. See the object scaladoc for the grid-join shape. */
+  private def rankedTouches(events: DataFrame, lookback: Long): DataFrame = {
     val e = events.where(col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"),
         Cols.tsSec(col("ts")).as("sec"), col("event_type"))
@@ -54,17 +54,45 @@ object Attribution {
       .where(col("v_sec") >= col("p_sec") - w && col("v_sec") < col("p_sec"))
       .select(col("p_id"), col("v_id"), col("v_sec"))
     val rk = Window.partitionBy(col("p_id")).orderBy(col("v_sec"), col("v_id"))
-    val credited = touches
+    touches
       .withColumn("rk", row_number().over(rk))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p_id"))))
       // `div`, not `/`: Spark's `/` on longs is a DOUBLE divide
-      .select(expr("(v_sec % 86400) div 3600").as("hour"), col("p_id"),
-        (expr(s"${CreditUnits}L div n") +
-          when(col("rk") <= lit(CreditUnits) % col("n"), 1L).otherwise(0L)).as("units"))
-    credited.groupBy(col("hour"))
+      .withColumn("hour", expr("(v_sec % 86400) div 3600"))
+  }
+
+  /** The hour-of-day credit census over a per-touch micro-unit column. */
+  private def creditByHour(ranked: DataFrame, units: org.apache.spark.sql.Column) =
+    ranked.select(col("hour"), col("p_id"), units.as("units"))
+      .groupBy(col("hour"))
       .agg(count(lit(1)).as("touches"),
         countDistinct(col("p_id")).as("purchases_touched"),
         (sum(col("units")).cast("double") / 1000000.0).as("credit"))
       .orderBy(col("hour"))
+
+  /** Linear attribution credit by view hour-of-day: which hours' browsing
+    * drives purchases. Output: one row per hour 0..23 with touch count,
+    * distinct purchases touched, and exact credit (micro-unit sum / 10^6). */
+  def linearCreditByHour(events: DataFrame,
+                         lookback: Long = LookbackSeconds): DataFrame =
+    creditByHour(rankedTouches(events, lookback),
+      expr(s"${CreditUnits}L div n") +
+        when(col("rk") <= lit(CreditUnits) % col("n"), 1L).otherwise(0L))
+
+  /** Position-based (U-shaped, 40/20/40) attribution: the first and last
+    * touches get 40% each, the middles share the remaining 20% by the same
+    * largest-remainder rule; n = 1 takes everything, n = 2 splits 50/50.
+    * Same ranked-touch frame and integer-unit doctrine as the linear
+    * model — only the per-touch unit expression differs. */
+  def uShapedCreditByHour(events: DataFrame,
+                          lookback: Long = LookbackSeconds): DataFrame = {
+    val mid = lit(200000L)
+    val units =
+      when(col("n") === 1, lit(CreditUnits))
+        .when(col("n") === 2, lit(CreditUnits / 2))
+        .when(col("rk") === 1 || col("rk") === col("n"), lit(400000L))
+        .otherwise(expr("200000L div (n - 2)") +
+          when(col("rk") - 1 <= mid % (col("n") - 2), 1L).otherwise(0L))
+    creditByHour(rankedTouches(events, lookback), units)
   }
 }

@@ -865,6 +865,26 @@ class OperatorSpec extends SparkSpec {
       (2L, 3L, 2L, 1166666.0 / 1000000.0)), got.toString)
   }
 
+  test("u-shaped attribution: 40/20/40 with largest-remainder middles; credit conserved per purchase") {
+    // u1: purchase at 10000, views 6400(h1) 7200 8000 9999(h2) → n=4:
+    //   0.4 / 0.1 / 0.1 / 0.4 — h1 gets 0.4, h2 gets 0.6
+    // u2: purchase at 7500, views 4000 5000 6000 (all h1) → n=3: 0.4/0.2/0.4
+    val rows = Seq(
+      (10L, 1L, 10000L, "purchase"), (1L, 1L, 6400L, "view"), (2L, 1L, 7200L, "view"),
+      (3L, 1L, 8000L, "view"), (4L, 1L, 9999L, "view"),
+      (11L, 2L, 7500L, "purchase"), (5L, 2L, 4000L, "view"),
+      (6L, 2L, 5000L, "view"), (7L, 2L, 6000L, "view"))
+    val df = rows.toDF("event_id", "user_id", "ts_sec", "event_type")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+    val got = Attribution.uShapedCreditByHour(df)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, 1.4), (2L, 3L, 1L, 0.6)), got.toString)
+    // conservation: both models hand out exactly 1.0 per touched purchase
+    val lin = Attribution.linearCreditByHour(df).agg(sum(col("credit"))).as[Double].head()
+    val ush = Attribution.uShapedCreditByHour(df).agg(sum(col("credit"))).as[Double].head()
+    assert(lin == 2.0 && ush == 2.0, (lin, ush).toString)
+  }
+
   test("phrase census: overlapping matches count; repeated-token phrase; zero-match phrase drops") {
     val docs = Seq(
       (1L, "a b a b a"), // "a b a" matches at pos 0 AND 2 (overlap)
