@@ -493,6 +493,10 @@ object SparkEntry {
       EventAnalytics.associationRules(Tables.events(s, d))),
     "q_ushaped_attribution" -> ((s, d) => // position-based 40/20/40, same touch frame
       Attribution.uShapedCreditByHour(Tables.events(s, d))),
+    "q_decay_attribution" -> ((s, d) => // half-life decay via exact power-of-two weights
+      Attribution.timeDecayCreditByHour(Tables.events(s, d))),
+    "q_split_drift" -> ((s, d) => // 2xK chi-square covariate-shift audit of the user split
+      Sampling.splitDriftAudit(Tables.events(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -4846,6 +4850,59 @@ object SparkEntry {
         |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,
         |  CAST(sum(units) AS DOUBLE) / 1000000.0 AS credit
         |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
+
+    // Mirror of Attribution.timeDecayCreditByHour: same touch frame, the
+    // shift-exact half-life weights, div-floor shares, leftover to the
+    // most recent touch.
+    "q_decay_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT event_id AS p_id, user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, sec AS v_sec FROM e WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.p_id, p.p_sec, v.v_id, v.v_sec,
+        |    row_number() OVER (PARTITION BY p.p_id ORDER BY v.v_sec, v.v_id) AS rk,
+        |    count(*) OVER (PARTITION BY p.p_id) AS n
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.v_sec >= p.p_sec - 3600 AND v.v_sec < p.p_sec),
+        |w AS (
+        |  SELECT *, CAST(1 AS BIGINT)
+        |    << CAST(3 - ((p_sec - v_sec - 1) // 900) AS INT) AS wgt
+        |  FROM m),
+        |s AS (SELECT *, sum(wgt) OVER (PARTITION BY p_id) AS sw FROM w),
+        |pt AS (SELECT *, (1000000 * wgt) // sw AS part FROM s),
+        |lf AS (SELECT *, sum(part) OVER (PARTITION BY p_id) AS sp FROM pt),
+        |c AS (
+        |  SELECT (v_sec % 86400) // 3600 AS hour, p_id,
+        |    part + CASE WHEN rk = n THEN 1000000 - sp ELSE 0 END AS units
+        |  FROM lf)
+        |SELECT hour, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,
+        |  CAST(sum(units) AS DOUBLE) / 1000000.0 AS credit
+        |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
+
+    // Mirror of Sampling.splitDriftAudit: the q_split_leakage user hash,
+    // integer counts, the exact 2xK chi-square cell expression.
+    "q_split_drift" ->
+      s"""WITH t AS (
+         |  SELECT event_type,
+         |    CASE WHEN ${md5h48("'usplit:' || CAST(user_id AS VARCHAR)")} % 5 < 1 THEN 1 ELSE 0 END AS tst
+         |  FROM events WHERE user_id IS NOT NULL),
+         |per AS (
+         |  SELECT event_type,
+         |    CAST(sum(1 - tst) AS BIGINT) AS train_n,
+         |    CAST(sum(tst) AS BIGINT) AS test_n
+         |  FROM t GROUP BY 1),
+         |tot AS (SELECT sum(train_n) AS tr_tot, sum(test_n) AS te_tot FROM per)
+         |SELECT event_type, train_n, test_n,
+         |  CASE WHEN tr_tot > 0 THEN ${q4("CAST(train_n AS DOUBLE) * 100.0 / CAST(tr_tot AS DOUBLE)")} ELSE 0.0 END AS train_share_pct,
+         |  CASE WHEN te_tot > 0 THEN ${q4("CAST(test_n AS DOUBLE) * 100.0 / CAST(te_tot AS DOUBLE)")} ELSE 0.0 END AS test_share_pct,
+         |  CASE WHEN tr_tot > 0 AND te_tot > 0 THEN ${q4(
+             "(CAST(train_n AS DOUBLE) - CAST((train_n + test_n) * tr_tot AS DOUBLE) / CAST(tr_tot + te_tot AS DOUBLE)) * (CAST(train_n AS DOUBLE) - CAST((train_n + test_n) * tr_tot AS DOUBLE) / CAST(tr_tot + te_tot AS DOUBLE)) / (CAST((train_n + test_n) * tr_tot AS DOUBLE) / CAST(tr_tot + te_tot AS DOUBLE))"
+             + " + (CAST(test_n AS DOUBLE) - CAST((train_n + test_n) * te_tot AS DOUBLE) / CAST(tr_tot + te_tot AS DOUBLE)) * (CAST(test_n AS DOUBLE) - CAST((train_n + test_n) * te_tot AS DOUBLE) / CAST(tr_tot + te_tot AS DOUBLE)) / (CAST((train_n + test_n) * te_tot AS DOUBLE) / CAST(tr_tot + te_tot AS DOUBLE))")} ELSE 0.0 END AS chi2
+         |FROM per, tot ORDER BY event_type""".stripMargin,
 
     // Mirror of TextAnalysis.phraseCensus: same whitespace tokenization,
     // positional self-joins per dictionary phrase (generated from the same

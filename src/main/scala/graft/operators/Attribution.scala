@@ -52,7 +52,7 @@ object Attribution {
       .withColumn("__cell", expr(s"v_sec div ${w}L"))
     val touches = purchases.join(views, Seq("user_id", "__cell"))
       .where(col("v_sec") >= col("p_sec") - w && col("v_sec") < col("p_sec"))
-      .select(col("p_id"), col("v_id"), col("v_sec"))
+      .select(col("p_id"), col("p_sec"), col("v_id"), col("v_sec"))
     val rk = Window.partitionBy(col("p_id")).orderBy(col("v_sec"), col("v_id"))
     touches
       .withColumn("rk", row_number().over(rk))
@@ -94,5 +94,33 @@ object Attribution {
         .otherwise(expr("200000L div (n - 2)") +
           when(col("rk") - 1 <= mid % (col("n") - 2), 1L).otherwise(0L))
     creditByHour(rankedTouches(events, lookback), units)
+  }
+
+  /** Time-decay attribution with EXACT integer half-life weights: a touch
+    * aged into half-life bucket b (of the lookback's `lookback/halfLife`
+    * buckets) weighs `2^(maxB − b)` — the freshest bucket weighs 2^maxB,
+    * each older bucket half that — so weights are powers of two computed
+    * by a shift, never a float `pow` (whose rounding is not guaranteed
+    * identical across engines). Per purchase, touch i earns
+    * `(10^6 · w_i) div Σw` micro-units and the div-leftover goes to the
+    * most recent touch — total is exactly 10^6 per touched purchase under
+    * any partitioning. Windows partition by purchase id (lookback-bounded
+    * frames), same as the sibling models. */
+  def timeDecayCreditByHour(events: DataFrame,
+                            lookback: Long = LookbackSeconds,
+                            halfLife: Long = 900L): DataFrame = {
+    require(halfLife > 0 && lookback % halfLife == 0 && lookback / halfLife <= 62,
+      "lookback must be a multiple of halfLife; 2^buckets must fit a long")
+    val maxB = lookback / halfLife - 1
+    val wp = Window.partitionBy(col("p_id"))
+    val ranked = rankedTouches(events, lookback)
+      .withColumn("w", expr(
+        s"shiftleft(1L, cast(${maxB}L - ((p_sec - v_sec - 1) div ${halfLife}L) as int))"))
+      .withColumn("sw", sum(col("w")).over(wp))
+      .withColumn("part", expr(s"(${CreditUnits}L * w) div sw"))
+      .withColumn("sp", sum(col("part")).over(wp))
+    creditByHour(ranked,
+      col("part") + when(col("rk") === col("n"),
+        lit(CreditUnits) - col("sp")).otherwise(0L))
   }
 }

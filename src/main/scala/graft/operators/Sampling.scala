@@ -142,6 +142,40 @@ object Sampling {
       .orderBy(col("method"))
   }
 
+  /** Covariate-shift audit of the user-keyed split: does the feature
+    * distribution (event_type) differ between train and test? The 2×K
+    * χ²-homogeneity statistic, reported per category so the drifting
+    * feature value is named, not just flagged. Everything is integer
+    * counts until the per-cell expected-value divides — the exact op
+    * sequence mirrored in the oracle. A structurally-sound hash split
+    * should land χ² near zero; a biased assignment (or a feature
+    * correlated with the split key) shows up as a large per-category
+    * contribution. Shape: one K-key aggregation plus a broadcast totals
+    * frame — rides the scan. */
+  def splitDriftAudit(events: DataFrame, num: Int = 1, den: Int = 5): DataFrame = {
+    import graft.functions.Cols
+    val isTest = Dedup.PortableHash(
+      concat(lit("usplit:"), col("user_id").cast("string"))) % den < num
+    val per = events.where(col("user_id").isNotNull)
+      .select(col("event_type"), isTest.as("t"))
+      .groupBy(col("event_type"))
+      .agg(Cols.countWhen(!col("t")).as("train_n"), Cols.countWhen(col("t")).as("test_n"))
+    val totals = per.agg(sum(col("train_n")).as("tr_tot"), sum(col("test_n")).as("te_tot"))
+    val n = col("tr_tot") + col("te_tot")
+    val kTot = col("train_n") + col("test_n")
+    val eTr = (kTot * col("tr_tot")).cast("double") / n.cast("double")
+    val eTe = (kTot * col("te_tot")).cast("double") / n.cast("double")
+    val dTr = col("train_n").cast("double") - eTr
+    val dTe = col("test_n").cast("double") - eTe
+    per.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("train_n"), col("test_n"),
+        Cols.pct4(col("train_n"), col("tr_tot")).as("train_share_pct"),
+        Cols.pct4(col("test_n"), col("te_tot")).as("test_share_pct"),
+        when(col("tr_tot") > 0 && col("te_tot") > 0,
+          Cols.q4(dTr * dTr / eTr + dTe * dTe / eTe)).otherwise(0.0).as("chi2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Split × source census — the contamination-audit view of a split. */
   def splitProfile(docs: DataFrame, trainNum: Int = 8, valNum: Int = 1,
                    den: Int = 10): DataFrame =

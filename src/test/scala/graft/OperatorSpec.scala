@@ -885,6 +885,44 @@ class OperatorSpec extends SparkSpec {
     assert(lin == 2.0 && ush == 2.0, (lin, ush).toString)
   }
 
+  test("time-decay attribution: power-of-two half-life weights, div-floor shares, leftover to freshest") {
+    // purchase at 10000; views 9999 (age 1 → bucket 0, w=8), 8000 (age 2000
+    // → bucket 2, w=2), 6400 (age 3600 → bucket 3, w=1); Σw=11 →
+    // parts 727272/181818/90909, leftover 1 unit → the freshest (rk=n)
+    val rows = Seq((10L, 1L, 10000L, "purchase"), (1L, 1L, 6400L, "view"),
+      (2L, 1L, 8000L, "view"), (3L, 1L, 9999L, "view"))
+    val df = rows.toDF("event_id", "user_id", "ts_sec", "event_type")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+    val got = Attribution.timeDecayCreditByHour(df)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 90909.0 / 1000000.0),
+      (2L, 2L, 1L, 909091.0 / 1000000.0)), got.toString)
+  }
+
+  test("split drift: chi2 is zero when both splits share one distribution; named category drifts") {
+    // users hash-split by the usplit rule; craft per-user event sets so
+    // shares are IDENTICAL across splits → every chi2 contribution is 0
+    def arm(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"usplit:$u".getBytes("UTF-8"))
+      ((md.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) % 5) min 1).toInt
+    }
+    val trains = (0L until 100L).filter(arm(_) == 1).take(4) // 4 train users
+    val tests  = (0L until 100L).filter(arm(_) == 0).take(2) // 2 test users
+    // every user contributes one view and one click → identical shares
+    val rows = (trains ++ tests).zipWithIndex.flatMap { case (u, i) =>
+      Seq((i.toLong * 2, u, 100L, "view"), (i.toLong * 2 + 1, u, 200L, "click"))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts_sec", "event_type")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+    val got = Sampling.splitDriftAudit(df)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", 4L, 2L, 50.0, 50.0, 0.0),
+      ("view", 4L, 2L, 50.0, 50.0, 0.0)), got.toString)
+  }
+
   test("phrase census: overlapping matches count; repeated-token phrase; zero-match phrase drops") {
     val docs = Seq(
       (1L, "a b a b a"), // "a b a" matches at pos 0 AND 2 (overlap)
