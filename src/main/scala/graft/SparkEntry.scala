@@ -497,6 +497,14 @@ object SparkEntry {
       Attribution.timeDecayCreditByHour(Tables.events(s, d))),
     "q_split_drift" -> ((s, d) => // 2xK chi-square covariate-shift audit of the user split
       Sampling.splitDriftAudit(Tables.events(s, d))),
+    "q_merkle_ranges" -> ((s, d) => { // anti-entropy range digests of the lineitem table
+      val li = Tables.lineitem(s, d)
+      DataQuality.rangeChecksums(li, col("l_orderkey"), Seq(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        graft.functions.Cols.cents(col("l_extendedprice"))))
+    }),
+    "q_gap_sweep" -> ((s, d) => // session-gap sensitivity in one scan
+      Sessionize.gapSensitivity(Tables.events(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -4850,6 +4858,54 @@ object SparkEntry {
         |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,
         |  CAST(sum(units) AS DOUBLE) / 1000000.0 AS credit
         |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
+
+    // Mirror of DataQuality.rangeChecksums: same canonical row hash as
+    // q_table_checksum, ranged by l_orderkey div ((max div 64) + 1).
+    "q_merkle_ranges" ->
+      s"""WITH h AS (
+         |  SELECT l_orderkey AS k,
+         |    ${md5h48("coalesce(CAST(l_orderkey AS VARCHAR), chr(1) || 'NULL') || '|' || coalesce(CAST(l_linenumber AS VARCHAR), chr(1) || 'NULL') || '|' || coalesce(l_returnflag, chr(1) || 'NULL') || '|' || coalesce(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), chr(1) || 'NULL')")} AS h
+         |  FROM lineitem),
+         |m AS (SELECT max(k) AS mk FROM h)
+         |SELECT k // ((mk // 64) + 1) AS range_id,
+         |  CAST(min(k) AS BIGINT) AS key_lo, CAST(max(k) AS BIGINT) AS key_hi,
+         |  CAST(count(*) AS BIGINT) AS rows,
+         |  CAST(bit_xor(h) AS BIGINT) AS xor_digest
+         |FROM h, m GROUP BY 1 ORDER BY range_id""".stripMargin,
+
+    // Mirror of Sessionize.gapSensitivity: one lag pass, conditional break
+    // sums per candidate gap, sessions = users + breaks.
+    "q_gap_sweep" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+         |  FROM events WHERE user_id IS NOT NULL),
+         |d AS (
+         |  SELECT user_id,
+         |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+         |  FROM e),
+         |a AS (
+         |  SELECT count(DISTINCT user_id) AS users, count(*) AS events,
+         |    sum(CASE WHEN delta > 900 THEN 1 ELSE 0 END) AS b900,
+         |    sum(CASE WHEN delta > 1800 THEN 1 ELSE 0 END) AS b1800,
+         |    sum(CASE WHEN delta > 3600 THEN 1 ELSE 0 END) AS b3600
+         |  FROM d)
+         |SELECT * FROM (
+         |  SELECT CAST(900 AS BIGINT) AS gap_seconds, CAST(users AS BIGINT) AS users,
+         |    CAST(users + b900 AS BIGINT) AS sessions, CAST(events AS BIGINT) AS events,
+         |    CASE WHEN users + b900 > 0 THEN ${q4("CAST(events AS DOUBLE) / CAST(users + b900 AS DOUBLE)")} ELSE 0.0 END AS avg_events_per_session
+         |  FROM a
+         |  UNION ALL
+         |  SELECT CAST(1800 AS BIGINT), CAST(users AS BIGINT),
+         |    CAST(users + b1800 AS BIGINT), CAST(events AS BIGINT),
+         |    CASE WHEN users + b1800 > 0 THEN ${q4("CAST(events AS DOUBLE) / CAST(users + b1800 AS DOUBLE)")} ELSE 0.0 END
+         |  FROM a
+         |  UNION ALL
+         |  SELECT CAST(3600 AS BIGINT), CAST(users AS BIGINT),
+         |    CAST(users + b3600 AS BIGINT), CAST(events AS BIGINT),
+         |    CASE WHEN users + b3600 > 0 THEN ${q4("CAST(events AS DOUBLE) / CAST(users + b3600 AS DOUBLE)")} ELSE 0.0 END
+         |  FROM a)
+         |ORDER BY gap_seconds""".stripMargin,
 
     // Mirror of Attribution.timeDecayCreditByHour: same touch frame, the
     // shift-exact half-life weights, div-floor shares, leftover to the

@@ -72,6 +72,33 @@ object DataQuality {
         min(col("h")).as("min_hash"),
         max(col("h")).as("max_hash"))
 
+  /** Range-level Merkle census — [[tableChecksum]] split over `buckets`
+    * CONTIGUOUS key ranges, the anti-entropy structure replica repair
+    * actually uses: compare per-range digests first, recurse only into the
+    * ranges that differ instead of re-hashing 100 TB on both sides. Range
+    * width is `(max_key div buckets) + 1` from a broadcast 1-row max (a
+    * metadata lookup at scale), so ranges are stable for a given key
+    * domain; each range row carries its observed [key_lo, key_hi], row
+    * count and xor digest. Same commutative digest lanes as the global
+    * checksum — order/partitioning/engine independent. One scan, map-side
+    * combined, bounded output. */
+  def rangeChecksums(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+                     canonicalCols: Seq[org.apache.spark.sql.Column],
+                     buckets: Int = 64): DataFrame = {
+    require(buckets >= 1)
+    val mx = df.agg(max(keyCol).as("__mk"))
+    df.select(keyCol.as("__k"),
+        Dedup.PortableHash(concat_ws("|",
+          canonicalCols.map(c => coalesce(c.cast("string"), lit("\u0001NULL"))): _*)).as("h"))
+      .crossJoin(broadcast(mx))
+      .withColumn("range_id", expr(s"__k div ((__mk div $buckets) + 1L)"))
+      .groupBy(col("range_id"))
+      .agg(min(col("__k")).as("key_lo"), max(col("__k")).as("key_hi"),
+        count(lit(1)).as("rows"),
+        bit_xor(col("h")).as("xor_digest"))
+      .orderBy(col("range_id"))
+  }
+
   /** Validation report for the documents corpus. */
   def documentsReport(docs: DataFrame): DataFrame = {
     val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(

@@ -47,6 +47,34 @@ object Sessionize {
       .drop("is_new")
   }
 
+  /** Gap-parameter sensitivity sweep — how many sessions would the gap
+    * rule produce at each candidate threshold, answered in ONE scan: the
+    * session count at gap g is `users + |inter-event deltas > g|` (every
+    * user opens one session; each over-gap delta opens another), so a
+    * single lag-window pass computes every candidate's break count as one
+    * conditional sum and the per-gap rows explode from the single
+    * aggregate row. The re-scan-per-parameter a naive sweep runs never
+    * happens — the shape parameter tuning at 100 TB needs. Ordering
+    * follows [[withSessionId]] (per-user event_id). */
+  def gapSensitivity(events: DataFrame,
+                     gaps: Seq[Long] = Seq(900L, 1800L, 3600L)): DataFrame = {
+    require(gaps.nonEmpty)
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val deltas = events.where(col("user_id").isNotNull)
+      .withColumn("delta", col("ts_sec") - lag(col("ts_sec"), 1).over(byUser))
+    val brkCols = gaps.map(g => Cols.countWhen(col("delta") > g).as(s"brk_$g"))
+    val aggs = deltas.agg(countDistinct(col("user_id")).as("users"),
+      count(lit(1)).as("events") +: brkCols: _*)
+    val gapRows = array(gaps.map(g =>
+      struct(lit(g).as("g"), col(s"brk_$g").as("b"))): _*)
+    aggs.select(col("users"), col("events"), explode(gapRows).as("gb"))
+      .select(col("gb.g").as("gap_seconds"), col("users"),
+        (col("users") + col("gb.b")).as("sessions"), col("events"),
+        Cols.avg4(col("events"), col("users") + col("gb.b"))
+          .as("avg_events_per_session"))
+      .orderBy(col("gap_seconds"))
+  }
+
   /** Per-session metrics table — parity with analytics.user_sessions
     * (/root/reference/db/init.sql:22-36, computed at
     * streaming_processor.py:172-195): start/end, duration, funnel counts,

@@ -885,6 +885,35 @@ class OperatorSpec extends SparkSpec {
     assert(lin == 2.0 && ush == 2.0, (lin, ush).toString)
   }
 
+  test("merkle ranges: disjoint ordered key ranges partition the table; xors fold to the global digest") {
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      graft.functions.Cols.cents(col("l_extendedprice")))
+    val ranges = DataQuality.rangeChecksums(li, col("l_orderkey"), cols).collect()
+    val global = DataQuality.tableChecksum(li, cols).collect().head
+    assert(ranges.map(_.getAs[Long]("rows")).sum == global.getAs[Long]("rows"))
+    assert(ranges.map(_.getAs[Long]("xor_digest")).reduce(_ ^ _)
+      == global.getAs[Long]("xor_digest"))
+    val bounds = ranges.map(r => (r.getAs[Long]("key_lo"), r.getAs[Long]("key_hi")))
+    bounds.foreach { case (lo, hi) => assert(lo <= hi) }
+    assert(bounds.toSeq.sliding(2).forall {
+      case Seq((_, h1), (l2, _)) => h1 < l2
+      case _                     => true
+    }, bounds.mkString(","))
+  }
+
+  test("gap sweep: sessions non-increasing in gap; the 3600 row equals withSessionId's count") {
+    val ev = Tables.events(spark, sf)
+    val sweep = Sessionize.gapSensitivity(ev).collect()
+    val byGap = sweep.sortBy(_.getLong(0)).map(_.getAs[Long]("sessions"))
+    assert(byGap.toSeq.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true },
+      byGap.mkString(","))
+    val s3600 = sweep.find(_.getLong(0) == 3600L).get.getAs[Long]("sessions")
+    val direct = Sessionize.withSessionId(ev.where(col("user_id").isNotNull))
+      .select(col("session_id")).distinct().count()
+    assert(s3600 == direct, s"$s3600 != $direct")
+  }
+
   test("time-decay attribution: power-of-two half-life weights, div-floor shares, leftover to freshest") {
     // purchase at 10000; views 9999 (age 1 → bucket 0, w=8), 8000 (age 2000
     // → bucket 2, w=2), 6400 (age 3600 → bucket 3, w=1); Σw=11 →
