@@ -513,6 +513,8 @@ object SparkEntry {
       Stats.trimmedMeans(Tables.orders(s, d))),
     "q_dow_seasonality" -> ((s, d) => // weekday revenue index, epoch-day dow arithmetic
       Stats.dowSeasonality(Tables.orders(s, d))),
+    "q_bootstrap_median" -> ((s, d) => // deterministic Poisson-bootstrap median CI
+      Stats.bootstrapMedianCi(Tables.orders(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -4858,6 +4860,58 @@ object SparkEntry {
         |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,
         |  CAST(sum(units) AS DOUBLE) / 1000000.0 AS credit
         |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
+
+    // Mirror of Stats.bootstrapMedianCi: generate_series resamples, the
+    // same boot: hash into the pinned Poisson(1) CDF bands, per-resample
+    // weighted lower medians via cumulative-weight windows, rank-2/R-1 CI,
+    // interpolated p50 point estimate.
+    "q_bootstrap_median" -> {
+      val bands = Stats.PoissonCdf1e6.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${Stats.PoissonCdf1e6.length} END")
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |rs AS (
+         |  SELECT o.o_orderkey, o.cents, g.r,
+         |    ${md5h48("'boot:' || CAST(g.r AS VARCHAR) || ':' || CAST(o.o_orderkey AS VARCHAR)")} % 1000000 AS u
+         |  FROM o, unnest(generate_series(0, 31)) AS g(r)),
+         |w AS (
+         |  SELECT o_orderkey, cents, r, ($bands) AS w FROM rs),
+         |wp AS (SELECT * FROM w WHERE w > 0),
+         |c AS (
+         |  SELECT r, cents, w,
+         |    sum(w) OVER (PARTITION BY r ORDER BY cents, o_orderkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |    sum(w) OVER (PARTITION BY r) AS wtot
+         |  FROM wp),
+         |m AS (
+         |  SELECT r, min(cents) AS med_cents FROM c
+         |  WHERE cw >= (wtot + 1) // 2 AND cw - w < (wtot + 1) // 2
+         |  GROUP BY r),
+         |rk AS (
+         |  SELECT med_cents, row_number() OVER (ORDER BY med_cents) AS rk,
+         |    count(*) OVER () AS nr
+         |  FROM m),
+         |pr AS (
+         |  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS r,
+         |    count(*) OVER () AS n
+         |  FROM o),
+         |sel AS (
+         |  SELECT max(CASE WHEN pr.r = (pr.n - 1) // 2 + 1 THEN pr.cents END) AS lo,
+         |    max(CASE WHEN pr.r = (pr.n - 1) // 2 + 2 THEN pr.cents END) AS hi,
+         |    max((pr.n - 1) % 2) AS rem
+         |  FROM pr),
+         |pv AS (
+         |  SELECT (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(2 AS DOUBLE))
+         |    * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS median
+         |  FROM sel)
+         |SELECT CAST(max(nr) AS BIGINT) AS resamples, max(pv.median) AS median,
+         |  CAST(min(CASE WHEN rk.rk = 2 THEN med_cents END) AS DOUBLE) / 100.0 AS ci_lo,
+         |  CAST(min(CASE WHEN rk.rk = nr - 1 THEN med_cents END) AS DOUBLE) / 100.0 AS ci_hi
+         |FROM rk, pv""".stripMargin
+    },
 
     // Mirror of DataQuality.rangeChecksums: same canonical row hash as
     // q_table_checksum, ranged by l_orderkey div ((max div 64) + 1).

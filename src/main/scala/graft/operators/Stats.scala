@@ -541,6 +541,73 @@ object Stats {
             / col("orders").cast("double"))).otherwise(0.0).as("winsorized_mean"))
   }
 
+  /** floor(10^6 · P(Pois(1) ≤ k)) for k = 0..7 — the public Poisson(1)
+    * CDF series (e^{-1}·Σ 1/i!), pinned as integers so the hash-to-weight
+    * map is pure integer comparison in both engines. */
+  private[graft] val PoissonCdf1e6: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L, 999989L)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the median
+    * order total — uncertainty quantification WITHOUT nondeterministic
+    * RNG: resample r gives row i the weight k where
+    * `md5₄₈("boot:r:key") mod 10^6` falls in the k-th pinned Poisson(1)
+    * CDF band ([[PoissonCdf1e6]]) — the standard Poisson bootstrap
+    * (resample counts are iid Pois(1) in the n→∞ limit), made a pure
+    * function of (resample, key) that any engine reproduces bit-exactly.
+    * Each resample's weighted lower median comes from the
+    * [[Relational.weightedQuantiles]] machinery run per-resample: 32
+    * bounded (r, bucket) histograms, offset windows over the histogram
+    * frames only, exact crossing-row selection — the fact table is never
+    * sorted. The CI drops each tail's extreme resample (rank 2 and R−1 of
+    * R = a ~94% interval at R = 32); the point estimate is the
+    * interpolated p50 of the full data.
+    *
+    * Scale: the ×R row explosion happens map-side and collapses into the
+    * per-(r, bucket) partial aggregation before any shuffle; everything
+    * downstream of the histogram is R×buckets-bounded. */
+  def bootstrapMedianCi(orders: DataFrame, resamples: Int = 32,
+                        width: Double = 1000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(resamples >= 4)
+    val rows = orders.select(col("o_orderkey"),
+        Cols.cents(col("o_totalprice")).as("cents"),
+        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .withColumn("r", explode(sequence(lit(0), lit(resamples - 1))))
+      .withColumn("u", Dedup.PortableHash(concat(lit("boot:"), col("r").cast("string"),
+        lit(":"), col("o_orderkey").cast("string"))) % 1000000L)
+    val w = PoissonCdf1e6.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (t, k)) =>
+        acc.when(col("u") < t, k.toLong)
+      }.otherwise(PoissonCdf1e6.length.toLong)
+    val weighted = rows.withColumn("w", w).where(col("w") > 0)
+    val hist = weighted.groupBy(col("r"), col("bucket")).agg(sum(col("w")).as("bw"))
+    val wPrev = Window.partitionBy(col("r")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("r"), col("bucket"),
+      coalesce(sum(col("bw")).over(wPrev), lit(0L)).as("off"),
+      sum(col("bw")).over(Window.partitionBy(col("r"))).as("wtot"))
+    val wBucket = Window.partitionBy(col("r"), col("bucket"))
+      .orderBy(col("cents"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = expr("(wtot + 1) div 2")
+    val med = weighted.join(broadcast(offsets), Seq("r", "bucket"))
+      .select(col("r"), col("cents"), col("w"), col("wtot"),
+        (col("off") + sum(col("w")).over(wBucket)).as("cw"))
+      .where(col("cw") >= thr && col("cw") - col("w") < thr)
+      .groupBy(col("r")).agg(min(col("cents")).as("med_cents"))
+    val ranked = med.select(col("med_cents"),
+      row_number().over(Window.orderBy(col("med_cents"))).as("rk"),
+      count(lit(1)).over(Window.partitionBy()).as("nr"))
+    val point = Relational.quantilesCont(orders, width, Seq(("p50", 1L, 2L)))
+      .agg(min(col("value")).as("median"))
+    ranked.agg(
+        max(col("nr")).as("resamples"),
+        (min(when(col("rk") === 2, col("med_cents"))).cast("double") / 100.0).as("ci_lo"),
+        (min(when(col("rk") === col("nr") - 1, col("med_cents"))).cast("double") / 100.0).as("ci_hi"))
+      .crossJoin(broadcast(point))
+      .select(col("resamples"), col("median"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** Day-of-week seasonality profile of order revenue: per-weekday order
     * volume, revenue, and a seasonality index = (that weekday's
     * revenue-per-day) / (overall revenue-per-day). The weekday is derived

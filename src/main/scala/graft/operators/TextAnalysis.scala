@@ -633,8 +633,15 @@ object TextAnalysis {
   def phraseCensus(docs: DataFrame,
                    phrases: Seq[Seq[String]] = PhraseDict): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty))
+    val dict = phrases.flatten.distinct
+    // ONE tokenize pass: filter to dictionary terms at the scan (the
+    // posting lists of a bounded dictionary are tiny next to the corpus)
+    // and materialize once — each phrase term then probes the SMALL frame
+    // instead of re-scanning and re-exploding the corpus per term.
     val toks = docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(dict: _*))
+      .localCheckpoint(false)
     val perPhrase = phrases.map { ph =>
       val first = toks.where(col("tok") === ph.head)
         .select(col("doc_id"), col("pos"))

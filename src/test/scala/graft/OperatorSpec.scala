@@ -885,6 +885,16 @@ class OperatorSpec extends SparkSpec {
     assert(lin == 2.0 && ush == 2.0, (lin, ush).toString)
   }
 
+  test("bootstrap median CI: constant data collapses the interval; real-data CI brackets the point") {
+    val const = (1 to 200).map(i => (i.toLong, 50.0)).toDF("o_orderkey", "o_totalprice")
+    val c = Stats.bootstrapMedianCi(const).head()
+    assert(c.getAs[Long]("resamples") == 32L && c.getAs[Double]("median") == 50.0
+      && c.getAs[Double]("ci_lo") == 50.0 && c.getAs[Double]("ci_hi") == 50.0, c.toString)
+    val r = Stats.bootstrapMedianCi(Tables.orders(spark, sf)).head()
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("median")
+      && r.getAs[Double]("median") <= r.getAs[Double]("ci_hi"), r.toString)
+  }
+
   test("merkle ranges: disjoint ordered key ranges partition the table; xors fold to the global digest") {
     val li = Tables.lineitem(spark, sf)
     val cols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
