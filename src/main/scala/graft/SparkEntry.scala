@@ -515,6 +515,10 @@ object SparkEntry {
       Stats.dowSeasonality(Tables.orders(s, d))),
     "q_bootstrap_median" -> ((s, d) => // deterministic Poisson-bootstrap median CI
       Stats.bootstrapMedianCi(Tables.orders(s, d))),
+    "q_view_revenue_xcorr" -> ((s, d) => // lead-lag Pearson r, exact integer moments
+      Stats.viewRevenueXcorr(Tables.events(s, d))),
+    "q_seasonal_anomalies" -> ((s, d) => // weekday-conditional z outliers, sqrt-free gate
+      Stats.seasonalAnomalies(Tables.orders(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -4860,6 +4864,52 @@ object SparkEntry {
         |  CAST(count(DISTINCT p_id) AS BIGINT) AS purchases_touched,
         |  CAST(sum(units) AS DOUBLE) / 1000000.0 AS credit
         |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
+
+    // Mirror of Stats.viewRevenueXcorr: whole-dollar daily frame, equi-join
+    // per lag, Pearson r over the six exact moments, IEEE sqrt.
+    "q_view_revenue_xcorr" -> {
+      def lagSel(lag: Int) =
+        s"""SELECT CAST($lag AS BIGINT) AS lag_days, CAST(count(*) AS BIGINT) AS days,
+           |  CASE WHEN (count(*) * sum(x * x) - sum(x) * sum(x)) > 0
+           |        AND (count(*) * sum(y * y) - sum(y) * sum(y)) > 0
+           |  THEN (floor((CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+           |    / (sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+           |      * sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)))) * 10000.0) / 10000.0)
+           |  ELSE 0.0 END AS pearson_r
+           |FROM (SELECT a.x, b.y FROM daily a
+           |      JOIN daily b ON b.day - $lag = a.day)""".stripMargin
+      """WITH daily AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) // 100 AS y
+        |  FROM events GROUP BY 1)
+        |""".stripMargin +
+        Seq(-1, 0, 1).map(lagSel).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY lag_days")
+    },
+
+    // Mirror of Stats.seasonalAnomalies: whole-dollar daily totals, per-dow
+    // exact moments, the sqrt-free (n·y − Σy)² > 4·(n·Σy² − (Σy)²) gate,
+    // IEEE-sqrt z.
+    "q_seasonal_anomalies" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+         |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100 AS y
+         |  FROM orders GROUP BY 1),
+         |d2 AS (SELECT day, y, (day + 3) % 7 AS dow FROM daily),
+         |st AS (
+         |  SELECT dow, count(*) AS nd, sum(y) AS sy, sum(y * y) AS syy
+         |  FROM d2 GROUP BY 1)
+         |SELECT CAST(d2.day * 86400 AS BIGINT) AS day_sec, CAST(d2.dow AS BIGINT) AS dow,
+         |  CAST(d2.y AS DOUBLE) AS revenue_dollars, CAST(st.nd AS BIGINT) AS dow_days,
+         |  ${q4("(CAST(st.nd AS DOUBLE) * CAST(d2.y AS DOUBLE) - CAST(st.sy AS DOUBLE)) / sqrt(CAST(st.nd AS DOUBLE) * CAST(st.syy AS DOUBLE) - CAST(st.sy AS DOUBLE) * CAST(st.sy AS DOUBLE))")} AS z
+         |FROM d2 JOIN st ON st.dow = d2.dow
+         |WHERE st.nd >= 8
+         |  AND (CAST(st.nd AS DOUBLE) * CAST(st.syy AS DOUBLE) - CAST(st.sy AS DOUBLE) * CAST(st.sy AS DOUBLE)) > 0
+         |  AND (CAST(st.nd AS DOUBLE) * CAST(d2.y AS DOUBLE) - CAST(st.sy AS DOUBLE))
+         |    * (CAST(st.nd AS DOUBLE) * CAST(d2.y AS DOUBLE) - CAST(st.sy AS DOUBLE))
+         |    > 4.0 * (CAST(st.nd AS DOUBLE) * CAST(st.syy AS DOUBLE) - CAST(st.sy AS DOUBLE) * CAST(st.sy AS DOUBLE))
+         |ORDER BY day_sec""".stripMargin,
 
     // Mirror of Stats.bootstrapMedianCi: generate_series resamples, the
     // same boot: hash into the pinned Poisson(1) CDF bands, per-resample

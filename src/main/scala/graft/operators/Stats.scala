@@ -541,6 +541,78 @@ object Stats {
             / col("orders").cast("double"))).otherwise(0.0).as("winsorized_mean"))
   }
 
+  /** Lead-lag cross-correlation between daily view volume and daily
+    * purchase revenue — "do views lead purchases?" answered with Pearson r
+    * at lags −1/0/+1 days (r at lag L correlates views on day d with
+    * revenue on day d+L). Doctrine: the daily frame is calendar-bounded;
+    * each lag is an EQUI-join of that frame to itself on `day + L` (no
+    * window, no sort), and every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an
+    * exact integer sum — r is one fixed IEEE expression over the six
+    * scalars, floor-quantized. sqrt is correctly rounded in IEEE 754, so
+    * both engines produce identical bits. Degenerate variance reports 0. */
+  def viewRevenueXcorr(events: DataFrame, lags: Seq[Int] = Seq(-1, 0, 1)): DataFrame = {
+    // moments in WHOLE DOLLARS (cents div 100): Pearson r is scale-
+    // invariant, and the squared daily sums would overflow 64-bit in
+    // cents at sf0.1 already — at larger corpora raise the unit again
+    val daily = events
+      .select(expr("ts_sec div 86400").as("day"),
+        (col("event_type") === "view").as("isv"),
+        when(col("event_type") === "purchase", Cols.cents(col("value")))
+          .otherwise(0L).as("rc"))
+      .groupBy(col("day"))
+      .agg(Cols.countWhen(col("isv")).as("x"),
+        expr("sum(rc) div 100").as("y"))
+    val perLag = lags.map { lag =>
+      val a = daily.select(col("day"), col("x"))
+      val b = daily.select((col("day") - lag).as("day"), col("y"))
+      val m = a.join(b, Seq("day")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      m.select(lit(lag.toLong).as("lag_days"), col("n").as("days"),
+        when(vx > 0 && vy > 0, Cols.q4(num / (sqrt(vx) * sqrt(vy))))
+          .otherwise(0.0).as("pearson_r"))
+    }
+    perLag.reduce(_.unionAll(_)).orderBy(col("lag_days"))
+  }
+
+  /** Seasonality-adjusted daily anomalies: a day is anomalous when its
+    * revenue sits more than two WEEKDAY-CONDITIONAL standard deviations
+    * from its weekday's mean — the adjustment that keeps every Saturday
+    * from flagging against a Monday baseline. Per-dow moments are exact
+    * integer sums over the calendar-bounded daily frame; the z test runs
+    * in double over those exact scalars ((n·y − Σy)² vs 4·(n·Σy² − (Σy)²),
+    * products taken AFTER one exact long→double conversion so nothing
+    * overflows), and the reported z uses the IEEE-exact sqrt. Weekdays
+    * with fewer than `minDays` observations are not judged. */
+  def seasonalAnomalies(orders: DataFrame, minDays: Long = 8L): DataFrame = {
+    // daily totals in WHOLE DOLLARS (cents div 100): the per-dow Σy²
+    // would overflow 64-bit in cents at sf0.1; the z statistic is
+    // defined on the dollar grain (mirrored in the oracle)
+    val daily = orders
+      .select(Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy(col("day")).agg(expr("sum(cents) div 100").as("y"))
+      .withColumn("dow", (col("day") + 3) % 7)
+    val stats = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val dev  = col("nd").cast("double") * col("y").cast("double") - col("sy").cast("double")
+    val varN = (col("nd").cast("double") * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+    daily.join(broadcast(stats), Seq("dow"))
+      .where(col("nd") >= minDays && varN > 0 && dev * dev > lit(4.0) * varN)
+      .select((col("day") * 86400).as("day_sec"), col("dow"),
+        col("y").cast("double").as("revenue_dollars"),
+        col("nd").as("dow_days"),
+        Cols.q4(dev / sqrt(varN)).as("z"))
+      .orderBy(col("day_sec"))
+  }
+
   /** floor(10^6 · P(Pois(1) ≤ k)) for k = 0..7 — the public Poisson(1)
     * CDF series (e^{-1}·Σ 1/i!), pinned as integers so the hash-to-weight
     * map is pure integer comparison in both engines. */

@@ -885,6 +885,46 @@ class OperatorSpec extends SparkSpec {
     assert(lin == 2.0 && ush == 2.0, (lin, ush).toString)
   }
 
+  test("view-revenue xcorr: planted 1-day lead maximizes r at lag +1") {
+    // x(d) pseudo-random; purchase revenue on day d proportional to views
+    // on day d-1 → pearson_r at lag +1 is (up to q4 floor) exactly 1
+    val days = 10 to 30
+    def x(d: Int) = (d * 37 % 11) + 1
+    val rows = days.flatMap { d =>
+      val views = (1 to x(d)).map(i => (d.toLong * 1000 + i, 5L,
+        d.toLong * 86400 + i, "view", 0.0))
+      val buy = if (d > days.head)
+        Seq((d.toLong * 1000 + 999, 5L, d.toLong * 86400 + 500, "purchase",
+          50.0 * x(d - 1))) else Seq.empty
+      views ++ buy
+    }
+    val df = rows.toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+      .withColumn("ts_sec", col("ts_sec")) // Tables.events provides ts_sec; fixture keeps it
+    val r = Stats.viewRevenueXcorr(df).collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(r(1L) >= 0.9999, r.toString)
+    assert(r(0L) < r(1L) && r(-1L) < r(1L), r.toString)
+  }
+
+  test("seasonal anomalies: a spiked wednesday flags against its own weekday, flat weekdays never judged") {
+    // 9 weeks: every day 100 dollars, except week 5's wednesday at 500.
+    // day 0 = 1970-01-01 (thu); wednesday = dow 2 → epoch days ≡ 6 mod 7
+    val days = (0 until 63).map(_ + 6) // start on a wednesday
+    val rows = days.zipWithIndex.map { case (d, i) =>
+      val dollars = if (i == 35) 500.0 else 100.0 // i=35 is a wednesday (35 % 7 == 0)
+      (i.toLong, d.toLong * 86400L, dollars)
+    }
+    val df = rows.toDF("o_orderkey", "sec0", "o_totalprice")
+      .withColumn("o_orderdate", col("sec0").cast("timestamp"))
+    val got = Stats.seasonalAnomalies(df).collect()
+    assert(got.length == 1, got.mkString(","))
+    assert(got(0).getAs[Long]("day_sec") == (6L + 35L) * 86400L
+      && got(0).getAs[Long]("dow") == 2L
+      && got(0).getAs[Double]("revenue_dollars") == 500.0
+      && got(0).getAs[Double]("z") > 2.0, got(0).toString)
+  }
+
   test("bootstrap median CI: constant data collapses the interval; real-data CI brackets the point") {
     val const = (1 to 200).map(i => (i.toLong, 50.0)).toDF("o_orderkey", "o_totalprice")
     val c = Stats.bootstrapMedianCi(const).head()
