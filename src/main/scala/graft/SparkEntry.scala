@@ -505,6 +505,8 @@ object SparkEntry {
     }),
     "q_gap_sweep" -> ((s, d) => // session-gap sensitivity in one scan
       Sessionize.gapSensitivity(Tables.events(s, d))),
+    "q_kanonymity" -> ((s, d) => // privacy: quasi-identifier class-size bands
+      DataQuality.kAnonymityCensus(Tables.customer(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -4976,6 +4978,26 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS rows,
          |  CAST(bit_xor(h) AS BIGINT) AS xor_digest
          |FROM h, m GROUP BY 1 ORDER BY range_id""".stripMargin,
+
+    // Mirror of DataQuality.kAnonymityCensus: same quasi tuple, class
+    // sizes, size bands, share of rows per band.
+    "q_kanonymity" ->
+      s"""WITH cl AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |    count(*) AS k
+         |  FROM customer GROUP BY 1, 2, 3),
+         |b AS (
+         |  SELECT CASE WHEN k = 1 THEN 'k=1 identifiable'
+         |              WHEN k <= 4 THEN 'k=2-4'
+         |              WHEN k <= 9 THEN 'k=5-9'
+         |              ELSE 'k>=10' END AS band, k
+         |  FROM cl),
+         |t AS (SELECT sum(k) AS tot FROM cl)
+         |SELECT band, CAST(count(*) AS BIGINT) AS classes,
+         |  CAST(sum(k) AS BIGINT) AS rows,
+         |  CASE WHEN tot > 0 THEN ${q4("CAST(sum(k) AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE)")} ELSE 0.0 END AS rows_pct
+         |FROM b, t GROUP BY band, tot ORDER BY band""".stripMargin,
 
     // Mirror of Sessionize.gapSensitivity: one lag pass, conditional break
     // sums per candidate gap, sessions = users + breaks.

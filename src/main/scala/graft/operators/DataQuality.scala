@@ -150,4 +150,32 @@ object DataQuality {
         Tables.nation(spark, dir), "n_nationkey"))
       .orderBy(col("relationship"))
   }
+
+  /** k-anonymity census over a quasi-identifier tuple — the privacy audit
+    * a dataset needs BEFORE it ships as training data: group rows into
+    * equivalence classes on the quasi identifiers (here nation ×
+    * market segment × coarse balance band — the kind of "harmless"
+    * demographics that re-identify when combined) and band the class
+    * sizes. A k=1 class is a uniquely re-identifiable row; the k ≥ 10
+    * band is what most disclosure policies require. One hash aggregation
+    * to the class frame (bounded by the quasi-value cross product), one
+    * more to the four bands. */
+  def kAnonymityCensus(customer: DataFrame): DataFrame = {
+    import graft.functions.Cols
+    val classes = customer.groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    val banded = classes.withColumn("band",
+      when(col("k") === 1, "k=1 identifiable")
+        .when(col("k") <= 4, "k=2-4")
+        .when(col("k") <= 9, "k=5-9")
+        .otherwise("k>=10"))
+    val tot = classes.agg(sum(col("k")).as("tot"))
+    banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("classes"), sum(col("k")).as("rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("classes"), col("rows"),
+        Cols.pct4(col("rows"), col("tot")).as("rows_pct"))
+      .orderBy(col("band"))
+  }
 }

@@ -885,6 +885,20 @@ class OperatorSpec extends SparkSpec {
     assert(lin == 2.0 && ush == 2.0, (lin, ush).toString)
   }
 
+  test("k-anonymity: hand classes band correctly and rows partition the table") {
+    // classes: (0,A,0)x1 → k=1; (1,B,0)x3 → k=2-4; (2,C,0)x12 → k>=10
+    val rows = Seq.fill(1)((0, "A", 100.0)) ++ Seq.fill(3)((1, "B", 100.0)) ++
+      Seq.fill(12)((2, "C", 100.0))
+    val df = rows.zipWithIndex.map { case ((n, s, b), i) => (i.toLong, n, s, b) }
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = DataQuality.kAnonymityCensus(df)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("k=1 identifiable", 1L, 1L, 6.25),
+      ("k=2-4", 1L, 3L, 18.75),
+      ("k>=10", 1L, 12L, 75.0)), got.toString)
+  }
+
   test("view-revenue xcorr: planted 1-day lead maximizes r at lag +1") {
     // x(d) pseudo-random; purchase revenue on day d proportional to views
     // on day d-1 → pearson_r at lag +1 is (up to q4 floor) exactly 1
