@@ -636,14 +636,21 @@ object Stats {
     *
     * Scale: the ×R row explosion happens map-side and collapses into the
     * per-(r, bucket) partial aggregation before any shuffle; everything
-    * downstream of the histogram is R×buckets-bounded. */
+    * downstream of the histogram is R×buckets-bounded. The pre-explode
+    * hash repartition matters at BOTH ends of the scale axis: a small
+    * input (one parquet row-group → one scan split) would otherwise run
+    * the ×R explosion + md5 lane single-task, and a huge one inherits
+    * however few splits the scan chose; spreading the narrow pre-explosion
+    * frame is a cheap shuffle that parallelizes everything downstream. */
   def bootstrapMedianCi(orders: DataFrame, resamples: Int = 32,
                         width: Double = 1000.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(resamples >= 4)
+    val parts = orders.sparkSession.sparkContext.defaultParallelism
     val rows = orders.select(col("o_orderkey"),
         Cols.cents(col("o_totalprice")).as("cents"),
         floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .repartition(parts, col("o_orderkey"))
       .withColumn("r", explode(sequence(lit(0), lit(resamples - 1))))
       .withColumn("u", Dedup.PortableHash(concat(lit("boot:"), col("r").cast("string"),
         lit(":"), col("o_orderkey").cast("string"))) % 1000000L)
