@@ -521,6 +521,14 @@ object SparkEntry {
       Stats.viewRevenueXcorr(Tables.events(s, d))),
     "q_seasonal_anomalies" -> ((s, d) => // weekday-conditional z outliers, sqrt-free gate
       Stats.seasonalAnomalies(Tables.orders(s, d))),
+    "q_ks_test" -> ((s, d) => // two-sample Kolmogorov-Smirnov, integer cross-mult D
+      Hypothesis.ksTest(Tables.orders(s, d))),
+    "q_rank_sum" -> ((s, d) => // Mann-Whitney U + rank-sum AUC, doubled midranks
+      Hypothesis.rankSumTest(Tables.orders(s, d))),
+    "q_kendall_tau" -> ((s, d) => // tau-b monotone association, blocked pair counts
+      Hypothesis.kendallTauDaily(Tables.events(s, d))),
+    "q_chisq_independence" -> ((s, d) => // type x weekday contingency test + Cramer's V
+      Hypothesis.chisqIndependence(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -5127,5 +5135,139 @@ object SparkEntry {
          |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
          |  ${q4("CAST(cents * tdays AS DOUBLE) / CAST(days * tcents AS DOUBLE)")} AS seasonality
          |FROM p, t ORDER BY dow""".stripMargin,
+
+    // Mirror of Hypothesis.ksTest: distinct-value two-sample counts,
+    // inclusive cumulative counts, D as the exact 128-bit integer
+    // cross-multiplication |cum1*n2 - cum2*n1| (HUGEINT = the engine's
+    // DECIMAL(38,0)), one final division + floor-1e6; critical value and
+    // reject flag on the quantized values.
+    "q_ks_test" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS a1
+        |  FROM orders),
+        |g AS (
+        |  SELECT v, sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN NOT a1 THEN 1 ELSE 0 END) AS c2
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |c AS (
+        |  SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+        |    sum(c2) OVER (ORDER BY v) AS cum2
+        |  FROM g),
+        |m AS (
+        |  SELECT max(abs(CAST(cum1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+        |    - CAST(cum2 AS HUGEINT) * CAST(n1 AS HUGEINT))) AS dnum
+        |  FROM c, t)
+        |SELECT n1, n2,
+        |  floor(CAST(dnum AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6) / 1e6 AS ks_stat,
+        |  floor(1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e6) / 1e6 AS critical,
+        |  (floor(CAST(dnum AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6) / 1e6)
+        |  > (floor(1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e6) / 1e6) AS reject
+        |FROM m, t""".stripMargin,
+
+    // Mirror of Hypothesis.rankSumTest: doubled midranks R2 = 2*cumBefore
+    // + ties + 1 keep every rank quantity integral; u2 = 2U exact; the
+    // tie-corrected z and the AUC are single fixed IEEE expressions.
+    "q_rank_sum" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS a1
+        |  FROM orders),
+        |g AS (
+        |  SELECT v, sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN NOT a1 THEN 1 ELSE 0 END) AS c2
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |c AS (
+        |  SELECT c1, c2,
+        |    coalesce(sum(c1 + c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(c1 * (2 * cb + (c1 + c2) + 1)) AS BIGINT) AS w2,
+        |    CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS ties3
+        |  FROM c)
+        |SELECT n1, n2,
+        |  CAST(w2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+        |  floor(CAST(w2 - n1 * (n1 + 1) AS DOUBLE)
+        |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6) / 1e6 AS auc,
+        |  floor((CAST(w2 - n1 * (n1 + 1) AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0
+        |    / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+        |      * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+        |        - CAST(ties3 AS DOUBLE)
+        |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |            * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))))
+        |    * 1e4) / 1e4 AS z
+        |FROM a, t""".stripMargin,
+
+    // Mirror of Hypothesis.kendallTauDaily: the oracle enumerates the
+    // day<day upper triangle directly (the engine's block decomposition is
+    // invisible); concordance is the exact integer sign of dx*dy.
+    "q_kendall_tau" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |    event_type, value
+        |  FROM events),
+        |d AS (
+        |  SELECT ts_sec // 86400 AS day,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS y
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+        |    CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+        |  FROM p)
+        |SELECT n0, concordant, discordant, tie_x, tie_y,
+        |  floor(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST(n0 - tie_x AS DOUBLE) * CAST(n0 - tie_y AS DOUBLE))
+        |    * 1e4) / 1e4 AS tau_b
+        |FROM a""".stripMargin,
+
+    // Mirror of Hypothesis.chisqIndependence: bounded contingency cells,
+    // per-cell (o-e)^2/e floor-quantized to integer 1e6 units BEFORE the
+    // sum (partition-order-free), one final requantization + Cramer's V.
+    "q_chisq_independence" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |cl AS (
+        |  SELECT event_type, (day + 3) % 7 AS dow, count(*) AS o
+        |  FROM e GROUP BY 1, 2),
+        |t AS (
+        |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS c,
+        |    CAST(sum(o) AS BIGINT) AS n
+        |  FROM cl),
+        |m AS (
+        |  SELECT o, sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY dow) AS ct
+        |  FROM cl),
+        |u AS (
+        |  SELECT CAST(sum(CAST(floor(
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS chi2u
+        |  FROM m, t)
+        |SELECT n, r AS type_levels, c AS dow_levels,
+        |  floor(CAST(chi2u AS DOUBLE) / 1e6 * 1e4) / 1e4 AS chi2,
+        |  (r - 1) * (c - 1) AS dof,
+        |  floor(sqrt(CAST(chi2u AS DOUBLE) / 1e6
+        |    / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e4) / 1e4 AS cramers_v
+        |FROM u, t""".stripMargin,
   )
 }

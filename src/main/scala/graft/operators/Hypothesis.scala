@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Cols
+
+/** Distributed two-sample hypothesis tests and rank statistics — the
+  * "is this split / arm / cohort actually different?" family every
+  * experimentation and data-curation pipeline needs beside the point
+  * estimates ([[Stats.abConversionLift]], [[Stats.sampleRatioCheck]]).
+  *
+  * Everything here follows the repo's cross-engine exactness doctrine:
+  * the test statistics are assembled from INTEGER counts, cumulative
+  * counts, and rank sums (exact on any engine, partition-order-free),
+  * with at most one final fixed IEEE double expression per output row,
+  * floor-quantized. No log/ln anywhere (not correctly rounded across
+  * engines); the only transcendental is sqrt, which IEEE 754 requires
+  * correctly rounded.
+  *
+  * Scale shape shared by the two-sample tests: the value stream collapses
+  * to a distinct-value count frame first (one hash agg); cumulative
+  * counts come from the same bucketed two-stage prefix machinery as
+  * [[Relational.decilesByValue]] — a global window ONLY over the
+  * 2^bucketBits-times-smaller bucket histogram, per-value ranking
+  * partitioned by bucket — so nothing corpus-sized is globally sorted. */
+object Hypothesis {
+
+  /** Per-distinct-value two-sample cumulative frame over order prices:
+    * sample 1 = urgent/high-priority orders, sample 2 = the rest (a
+    * deterministic, meaningful split — "do expedited orders price
+    * differently?"). Returns one row per distinct cents value with
+    * per-sample counts (c1, c2), INCLUSIVE cumulative counts (cum1,
+    * cum2), and the sample totals (n1, n2) on every row. */
+  private[graft] def twoSampleCumFrame(orders: DataFrame,
+                                       bucketBits: Int = 12): DataFrame = {
+    val arm1 = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val vals = orders
+      .select(Cols.cents(col("o_totalprice")).as("v"), arm1.as("a1"))
+      .groupBy(col("v"))
+      .agg(Cols.countWhen(col("a1")).as("c1"),
+        Cols.countWhen(!col("a1")).as("c2"))
+      .withColumn("bkt", expr(s"v div ${1L << bucketBits}"))
+    val hist = vals.groupBy(col("bkt"))
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+    val wPrev = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("bkt"),
+      coalesce(sum(col("s1")).over(wPrev), lit(0L)).as("off1"),
+      coalesce(sum(col("s2")).over(wPrev), lit(0L)).as("off2"))
+    val totals = hist.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    val wBkt = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(totals))
+      .select(col("v"), col("c1"), col("c2"),
+        (col("off1") + sum(col("c1")).over(wBkt)).as("cum1"),
+        (col("off2") + sum(col("c2")).over(wBkt)).as("cum2"),
+        col("n1"), col("n2"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test (Smirnov 1939) between
+    * urgent/high-priority and normal-priority order prices. The statistic
+    * D = max over distinct values v of |F1(v) − F2(v)| is evaluated in
+    * PURE INTEGER cross-multiplied form — |cum1·n2 − cum2·n1| — so the
+    * max is exact; the single division happens once on the selected
+    * maximum. Products run in DECIMAL(38,0) (HUGEINT in the oracle): at
+    * corpus scale cum·n overflows int64 long before the distinct-value
+    * frame is large (n per side ≳ 3·10⁹), and 128-bit integer products
+    * stay exact far past any real row count.
+    *
+    * Output: one row with the sample sizes, D (floor-1e6-quantized), the
+    * α=0.05 critical value c·sqrt((n1+n2)/(n1·n2)) with c = 1.358
+    * (the asymptotic Kolmogorov quantile), and the reject flag comparing
+    * the two QUANTIZED values (deterministic on both engines). */
+  def ksTest(orders: DataFrame): DataFrame = {
+    val cum = twoSampleCumFrame(orders)
+    val dec = DecimalType(38, 0)
+    val dnum = abs(col("cum1").cast(dec) * col("n2").cast(dec)
+      - col("cum2").cast(dec) * col("n1").cast(dec))
+    val agg = cum.agg(max(dnum).as("dnum"),
+      first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val ks = floor(col("dnum").cast("double") / (n1d * n2d) * 1e6) / 1e6
+    val crit = floor(lit(1.358) * sqrt((n1d + n2d) / (n1d * n2d)) * 1e6) / 1e6
+    agg.select(col("n1"), col("n2"), ks.as("ks_stat"), crit.as("critical"),
+      (ks > crit).as("reject"))
+  }
+
+  /** Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947) on the
+    * same priority split, with the tie-corrected normal approximation and
+    * the rank-sum AUC (U/(n1·n2) — the probability a random urgent order
+    * out-prices a random normal one; the two-sample test and the ROC AUC
+    * are the same statistic). Ties take midranks; every rank quantity is
+    * kept DOUBLED so midranks stay integral: R2(v) = 2·cumBefore + t + 1
+    * (t = ties at v), W2 = Σ c1·R2, u2 = 2·U = W2 − n1·(n1+1). The tie
+    * correction needs Σ(t³−t), exact in int64 here (≤ n³; move to
+    * DECIMAL(38,0) past n ≈ 2·10⁶ concentrated in one value — the
+    * scaladoc bound, not a fixture concern).
+    *
+    * Output: one row — n1, n2, u2 (exact long), auc (floor-1e6), z
+    * (floor-1e4; the continuity-uncorrected tie-adjusted normal score). */
+  def rankSumTest(orders: DataFrame): DataFrame = {
+    val cum = twoSampleCumFrame(orders)
+    val t = col("c1") + col("c2")
+    val r2 = lit(2L) * (col("cum1") - col("c1") + col("cum2") - col("c2")) + t + 1L
+    val agg = cum.agg(
+      sum(col("c1") * r2).as("w2"),
+      sum(t * t * t - t).as("ties3"),
+      first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = n1d + n2d
+    val u2 = (col("w2") - col("n1") * (col("n1") + 1L)).as("u2")
+    val aucD = floor(col("u2").cast("double") / (lit(2.0) * n1d * n2d) * 1e6) / 1e6
+    val varU = (n1d * n2d / 12.0) *
+      ((nd + 1.0) - col("ties3").cast("double") / (nd * (nd - 1.0)))
+    val z = floor((col("u2").cast("double") - n1d * n2d) / 2.0 / sqrt(varU)
+      * 1e4) / 1e4
+    agg.select(col("n1"), col("n2"), col("ties3"), u2)
+      .select(col("n1"), col("n2"), col("u2"), aucD.as("auc"), z.as("z"))
+  }
+
+  /** Kendall rank correlation (tau-b, Kendall 1938) between daily view
+    * traffic and daily purchase revenue — the robust "do busy days earn
+    * more?" monotone-association check beside the Pearson-flavored
+    * [[Stats.viewRevenueXcorr]]. Concordant / discordant / tied pair
+    * counts are exact longs from the same Okcan & Riedewald blocked
+    * upper-triangle self-join as [[Stats.theilSenDailyRevenue]] (pairs
+    * spread over B(B+1)/2 equi-join keys — never a cartesian, and the
+    * paired frame is the BOUNDED daily aggregate, which grows with the
+    * calendar, not the corpus). tau-b = (C−D)/sqrt((n0−tx)(n0−ty)) is one
+    * fixed IEEE expression on the exact counts, floor-1e4-quantized. */
+  def kendallTauDaily(events: DataFrame, numBlocks: Int = 4): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts_sec div 86400"))
+      .groupBy(col("day"))
+      .agg(Cols.countWhen(col("event_type") === "view").as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          Cols.cents(col("value")))), lit(0L)).as("y"))
+      .localCheckpoint() // both sides of the blocked pair join
+    val coded = daily.select(col("day"), col("x"), col("y"),
+      (Dedup.PortableHash(concat(lit("kt:"), col("day").cast("string")))
+        % numBlocks).as("blk"))
+    val l = coded.withColumn("bj", explode(sequence(col("blk"), lit(numBlocks - 1))))
+      .select(col("blk").as("bi"), col("bj"),
+        col("day").as("d1"), col("x").as("x1"), col("y").as("y1"))
+    val r = coded.withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi").as("ri"), col("blk").as("rj"),
+        col("day").as("d2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = l.join(r, col("bi") === col("ri") && col("bj") === col("rj"))
+      .where(col("bi") =!= col("bj") || col("d1") < col("d2"))
+    // exact integer sign product: daily aggregates are calendar-bounded,
+    // so dx·dy stays far inside int64 at any corpus scale
+    val prod = (col("x2") - col("x1")) * (col("y2") - col("y1"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n0"),
+      Cols.countWhen(prod > 0L).as("concordant"),
+      Cols.countWhen(prod < 0L).as("discordant"),
+      Cols.countWhen(col("x1") === col("x2")).as("tie_x"),
+      Cols.countWhen(col("y1") === col("y2")).as("tie_y"))
+    val tau = floor((col("concordant") - col("discordant")).cast("double")
+      / sqrt((col("n0") - col("tie_x")).cast("double")
+        * (col("n0") - col("tie_y")).cast("double")) * 1e4) / 1e4
+    agg.select(col("n0"), col("concordant"), col("discordant"),
+      col("tie_x"), col("tie_y"), tau.as("tau_b"))
+  }
+
+  /** Pearson chi-square test of independence (with Cramér's V effect
+    * size) between event type and day-of-week — "does the action mix
+    * shift across the week?", the contingency-table sibling of the
+    * goodness-of-fit [[Stats.sampleRatioCheck]]. Observed counts, row /
+    * column totals, and N are exact longs; each cell's (o−e)²/e runs as
+    * ONE fixed IEEE sequence (e = rowTot·colTot/N in doubles) and is
+    * floor-quantized to integer 1e6 units BEFORE the sum — summing exact
+    * longs instead of raw doubles keeps the total partition-order-free
+    * (the repo's standing no-double-sums rule; the quantization error is
+    * bounded by |cells|·1e-6, well under the emitted 1e-4 grain).
+    *
+    * Shape: one hash agg to the bounded |types|×7 table; everything
+    * downstream (margins via windows, the cell sum) runs on that bounded
+    * frame. Output: one row — n, table dims, chi2 (1e4-floored), dof,
+    * and Cramér's V = sqrt(chi2/(n·min(r−1,c−1))) (1e4-floored). */
+  def chisqIndependence(events: DataFrame): DataFrame = {
+    val cells = events
+      .withColumn("dow", (expr("ts_sec div 86400") + 3) % 7)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("dow"))
+    val dims = cells.agg(countDistinct(col("event_type")).as("r"),
+      countDistinct(col("dow")).as("c"), sum(col("o")).as("n"))
+    val margins = cells.select(col("o"),
+      sum(col("o")).over(wr).as("rt"),
+      sum(col("o")).over(wc).as("ct"))
+      .crossJoin(broadcast(dims))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val contrib = floor((col("o").cast("double") - e) *
+      (col("o").cast("double") - e) / e * 1e6).cast("long")
+    val agg = margins
+      .select(contrib.as("u"), col("n"), col("r"), col("c"))
+      .agg(sum(col("u")).as("chi2u"), first(col("n")).as("n"),
+        first(col("r")).as("r"), first(col("c")).as("c"))
+    val chi2 = floor(col("chi2u").cast("double") / 1e6 * 1e4) / 1e4
+    val dof = ((col("r") - 1L) * (col("c") - 1L)).as("dof")
+    val v = floor(sqrt(col("chi2u").cast("double") / 1e6 /
+      (col("n").cast("double") *
+        least(col("r") - 1L, col("c") - 1L).cast("double"))) * 1e4) / 1e4
+    agg.select(col("n"), col("r").as("type_levels"), col("c").as("dow_levels"),
+      chi2.as("chi2"), dof, v.as("cramers_v"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Invariants of the two-sample / contingency hypothesis-test operators. */
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-sample cum frame: cumulative counts are monotone and end at the totals") {
+    val cum = Hypothesis.twoSampleCumFrame(Tables.orders(spark, sf))
+    val rows = cum.orderBy(col("v")).collect()
+    assert(rows.nonEmpty)
+    var c1 = 0L; var c2 = 0L
+    rows.foreach { r =>
+      c1 += r.getAs[Long]("c1"); c2 += r.getAs[Long]("c2")
+      assert(r.getAs[Long]("cum1") == c1, s"cum1 drift at v=${r.getAs[Long]("v")}")
+      assert(r.getAs[Long]("cum2") == c2, s"cum2 drift at v=${r.getAs[Long]("v")}")
+    }
+    assert(rows.last.getAs[Long]("cum1") == rows.head.getAs[Long]("n1"))
+    assert(rows.last.getAs[Long]("cum2") == rows.head.getAs[Long]("n2"))
+  }
+
+  test("ks: D matches the naive single-threaded scan; bounds hold") {
+    val orders = Tables.orders(spark, sf)
+    val ks = Hypothesis.ksTest(orders).collect()(0)
+    val (n1, n2) = (ks.getAs[Long]("n1"), ks.getAs[Long]("n2"))
+    assert(n1 > 0 && n2 > 0)
+    val d = ks.getAs[Double]("ks_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    // naive: sort the two samples driver-side, walk the merged step function
+    val vals = orders.select(
+        (expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("v"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("a1"))
+      .as[(Long, Boolean)].collect()
+    val s1 = vals.filter(_._2).map(_._1).sorted
+    val s2 = vals.filterNot(_._2).map(_._1).sorted
+    val steps = (s1 ++ s2).distinct.sorted
+    val dNaive = steps.map { v =>
+      math.abs(s1.count(_ <= v).toDouble / s1.length - s2.count(_ <= v).toDouble / s2.length)
+    }.max
+    assert(math.abs(d - dNaive) < 2e-6, s"engine D=$d naive D=$dNaive")
+  }
+
+  test("rank-sum: u2 matches the naive doubled rank sum; AUC symmetric bound") {
+    val orders = Tables.orders(spark, sf)
+    val rs = Hypothesis.rankSumTest(orders).collect()(0)
+    val (n1, n2) = (rs.getAs[Long]("n1"), rs.getAs[Long]("n2"))
+    val u2 = rs.getAs[Long]("u2")
+    assert(u2 >= 0 && u2 <= 2 * n1 * n2, "0 <= U <= n1*n2")
+    val auc = rs.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // naive doubled midranks on the driver
+    val vals = orders.select(
+        (expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("v"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("a1"))
+      .as[(Long, Boolean)].collect()
+    val byV = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    var cb = 0L; var w2 = 0L
+    byV.foreach { case (_, g) =>
+      val c1 = g.count(_._2).toLong; val t = g.length.toLong
+      w2 += c1 * (2 * cb + t + 1)
+      cb += t
+    }
+    assert(u2 == w2 - n1 * (n1 + 1), s"engine u2=$u2 naive=${w2 - n1 * (n1 + 1)}")
+  }
+
+  test("kendall: blocked pair counts equal the naive enumeration at several block counts") {
+    val ev = Tables.events(spark, sf)
+    val naive = {
+      val daily = ev.withColumn("day", expr("ts_sec div 86400"))
+        .groupBy(col("day"))
+        .agg(functions.Cols.countWhen(col("event_type") === "view").as("x"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            functions.Cols.cents(col("value")))), lit(0L)).as("y"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      var (c, d, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)
+      for (i <- daily.indices; j <- (i + 1) until daily.length) {
+        val p = (daily(j)._2 - daily(i)._2) * (daily(j)._3 - daily(i)._3)
+        n0 += 1
+        if (p > 0) c += 1 else if (p < 0) d += 1
+        if (daily(i)._2 == daily(j)._2) tx += 1
+        if (daily(i)._3 == daily(j)._3) ty += 1
+      }
+      (n0, c, d, tx, ty)
+    }
+    for (b <- Seq(1, 3, 4, 7)) {
+      val r = Hypothesis.kendallTauDaily(ev, numBlocks = b).collect()(0)
+      assert((r.getAs[Long]("n0"), r.getAs[Long]("concordant"),
+        r.getAs[Long]("discordant"), r.getAs[Long]("tie_x"),
+        r.getAs[Long]("tie_y")) == naive, s"blocked(b=$b) != naive")
+    }
+  }
+
+  test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
+    val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
+    val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
+    assert(r.getAs[Long]("dof") == (tl - 1) * (dl - 1))
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+}
