@@ -529,6 +529,10 @@ object SparkEntry {
       Hypothesis.kendallTauDaily(Tables.events(s, d))),
     "q_chisq_independence" -> ((s, d) => // type x weekday contingency test + Cramer's V
       Hypothesis.chisqIndependence(Tables.events(s, d))),
+    "q_survival_km" -> ((s, d) => // Kaplan-Meier time-to-purchase with censoring
+      Hypothesis.survivalKm(Tables.events(s, d))),
+    "q_markov_stationary" -> ((s, d) => // steady-state of the event-type chain
+      GraphRank.markovStationary(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -5269,5 +5273,88 @@ object SparkEntry {
         |  floor(sqrt(CAST(chi2u AS DOUBLE) / 1e6
         |    / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e4) / 1e4 AS cramers_v
         |FROM u, t""".stripMargin,
+
+    // Mirror of Hypothesis.survivalKm: per-user first-purchase duration
+    // (censored at last event), exact d/n factors from cumulative counts,
+    // and the ascending-t ordered fold product (list_reduce over
+    // list(ORDER BY te) with a prepended 1.0 = the engine's left fold
+    // seeded with 1.0 — the identical IEEE multiplication sequence).
+    "q_survival_km" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events WHERE user_id IS NOT NULL),
+        |u AS (
+        |  SELECT user_id, min(s) AS t0, max(s) AS tl,
+        |    min(CASE WHEN event_type = 'purchase' THEN s END) AS tp
+        |  FROM e GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS obs,
+        |    tp IS NOT NULL AS ev
+        |  FROM u),
+        |v AS (
+        |  SELECT obs, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM v),
+        |cu AS (
+        |  SELECT obs, d,
+        |    coalesce(sum(c) OVER (ORDER BY obs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM v),
+        |f AS (
+        |  SELECT obs AS te, d,
+        |    CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(nn - cb AS DOUBLE) AS f
+        |  FROM cu, n WHERE d > 0),
+        |hz AS (
+        |  SELECT h, te, d, f
+        |  FROM f, (SELECT CAST(unnest([60, 300, 1800, 3600, 21600, 86400]) AS BIGINT) AS h)
+        |  WHERE te <= h)
+        |SELECT h, (SELECT nn FROM n) AS cohort, CAST(sum(d) AS BIGINT) AS events,
+        |  floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list(f ORDER BY te)),
+        |    (a, b) -> a * b) * 1e6) / 1e6 AS survival
+        |FROM hz GROUP BY h ORDER BY h""".stripMargin,
+
+    // Mirror of GraphRank.markovStationary(iterations=12, scale=1e12):
+    // the user-windowed bigram matrix, out-strengths, the source/target
+    // state union, then twelve UNROLLED damped fixed-point rounds
+    // generated by the same loop bound the engine runs.
+    "q_markov_stationary" -> markovStationaryOracleSql,
   )
+
+  /** Mirror of GraphRank.markovStationary — see the registration note. */
+  private lazy val markovStationaryOracleSql: String = {
+    val S = "1000000000000"
+    val head =
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS src
+         |  FROM e),
+         |tr AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM b WHERE src IS NOT NULL GROUP BY 1, 2),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM tr GROUP BY 1),
+         |ns AS (SELECT src AS state FROM tr UNION SELECT dst FROM tr),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ns),
+         |r0 AS (SELECT state, ($S // k) AS rank FROM ns, kk)
+         |""".stripMargin
+    val rounds = (1 to 12).map { i =>
+      s""", r$i AS (
+         |  SELECT b.state,
+         |    ((15 * ($S // b.k)) // 100) + (85 * coalesce(c.im, 0)) // 100 AS rank
+         |  FROM (SELECT ns.state, kk.k FROM ns, kk) b
+         |  LEFT JOIN (
+         |    SELECT t.dst AS state, CAST(sum((r.rank * t.w) // st.s) AS BIGINT) AS im
+         |    FROM tr t JOIN st ON t.src = st.src
+         |    JOIN r${i - 1} r ON r.state = t.src
+         |    GROUP BY 1) c ON b.state = c.state)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      "SELECT state, rank FROM r12 ORDER BY rank DESC, state"
+  }
 }

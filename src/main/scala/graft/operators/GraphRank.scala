@@ -285,6 +285,59 @@ object GraphRank {
     * instead of hash-mismatching against a truncated oracle). */
   val KCoreMaxRounds: Int = 24
 
+  /** Stationary distribution of the per-user event-type Markov chain —
+    * the steady-state of [[EventAnalytics.typeTransitions]]' behavior
+    * model ("where does a session spend its time in the long run?"),
+    * estimated as damped power iteration over the DIRECTED weighted
+    * transition graph. Same fixed-point integer doctrine as
+    * [[weightedPageRank]] (total mass `scale`, damping ×85 div 100,
+    * per-edge flow `(rank·w) div s` — bit-reproducible on any engine and
+    * partitioning; the oracle unrolls the identical rounds), but the
+    * graph is NOT symmetrized: edges are conditional transitions
+    * P(next|prev), the state set is the UNION of sources and targets,
+    * and a state with no outgoing transitions simply sheds its damped
+    * mass (the standard dangling simplification — deterministic, and
+    * identical in the oracle).
+    *
+    * Shape: the transition matrix is the |types|² bounded frame from one
+    * user-windowed lag + one hash agg; every round is a broadcast join +
+    * agg over that bounded frame. The event scan happens once (the lag
+    * window is the sessionization exchange shape). */
+  def markovStationary(events: DataFrame, iterations: Int = 12,
+                       scale: Long = 1000000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val trans = events
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .coalesce(1).localCheckpoint()
+    val states = trans.select(col("src").as("state"))
+      .union(trans.select(col("dst").as("state"))).distinct()
+    val strength = trans.groupBy(col("src")).agg(sum(col("w")).as("s"))
+    val kDF = states.agg(count(lit(1)).as("k"))
+    val base = states.crossJoin(broadcast(kDF))
+      .select(col("state"),
+        expr(s"(15L * (${scale}L div k)) div 100L").as("teleport"),
+        expr(s"${scale}L div k").as("rank0"))
+      .coalesce(1).localCheckpoint()
+    val out = trans.join(strength, "src").coalesce(1).localCheckpoint()
+    var rank = base.select(col("state"), col("rank0").as("rank")).localCheckpoint()
+    for (i <- 1 to iterations) {
+      val contribs = out
+        .join(broadcast(rank.withColumnRenamed("state", "src")), "src")
+        .select(col("dst").as("state"), expr("(rank * w) div s").as("c"))
+        .groupBy(col("state")).agg(sum(col("c")).as("in_mass"))
+      val next = base
+        .join(broadcast(contribs), Seq("state"), "left")
+        .select(col("state"),
+          expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+      rank = if (i % 3 == 0 || i == iterations) next.localCheckpoint() else next
+    }
+    rank.orderBy(col("rank").desc, col("state").asc)
+  }
+
   def triangleCounts(edges: DataFrame, k: Int = 30): DataFrame = {
     // canonical undirected edges a < b, self-loops out
     val e = edges.where(col("item_a") < col("item_b"))

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Cols
 
-/** Distributed two-sample hypothesis tests and rank statistics — the
-  * "is this split / arm / cohort actually different?" family every
-  * experimentation and data-curation pipeline needs beside the point
-  * estimates ([[Stats.abConversionLift]], [[Stats.sampleRatioCheck]]).
+/** Distributed two-sample hypothesis tests, rank statistics, and
+  * censoring-aware survival estimation — the "is this split / arm /
+  * cohort actually different?" family every experimentation and
+  * data-curation pipeline needs beside the point estimates
+  * ([[Stats.abConversionLift]], [[Stats.sampleRatioCheck]]).
   *
   * Everything here follows the repo's cross-engine exactness doctrine:
   * the test statistics are assembled from INTEGER counts, cumulative
@@ -167,6 +168,70 @@ object Hypothesis {
         * (col("n0") - col("tie_y")).cast("double")) * 1e4) / 1e4
     agg.select(col("n0"), col("concordant"), col("discordant"),
       col("tie_x"), col("tie_y"), tau.as("tau_b"))
+  }
+
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) for
+    * time-to-first-purchase per user, right-censored at each
+    * non-converting user's last observed event — the churn / conversion
+    * "how long until they buy?" curve with censoring handled correctly
+    * (dropping non-converters would bias the curve optimistic; treating
+    * them as never-converting, pessimistic).
+    *
+    * Exactness: S(h) = Π_{t ≤ h} (1 − d_t/n_t). Each factor is one exact
+    * division (d_t, n_t integer counts; n_t = N − |obs < t| from the same
+    * bucketed two-stage prefix as [[twoSampleCumFrame]] — no global
+    * window over the user frame). The product folds the factors in
+    * ASCENDING-t order on both engines (IEEE multiplication is correctly
+    * rounded, so an identically-ordered fold is bit-identical; this is
+    * the one place the repo multiplies doubles across rows, and the
+    * fixed fold order is what makes it legal). Emitted survival is
+    * floor-1e6-quantized.
+    *
+    * Scale shape: users collapse to one row each (hash agg), then to the
+    * distinct observed-duration frame — bounded by the time grain, not
+    * the corpus. The per-horizon factor lists are collected only over
+    * that bounded frame (|factors ≤ h| elements); at a finer time grain
+    * cap the factor count by pre-bucketing durations. */
+  def survivalKm(events: DataFrame,
+                 horizons: Seq[Long] = Seq(60L, 300L, 1800L, 3600L, 21600L, 86400L)): DataFrame = {
+    val users = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts_sec"))).as("tp"))
+      .select(
+        when(col("tp").isNotNull, col("tp") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("obs"),
+        col("tp").isNotNull.as("ev"))
+    val vals = users.groupBy(col("obs"))
+      .agg(count(lit(1)).as("c"), Cols.countWhen(col("ev")).as("d"))
+      .withColumn("bkt", expr("obs div 4096"))
+    val hist = vals.groupBy(col("bkt")).agg(sum(col("c")).as("s"))
+    val wPrev = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("bkt"),
+      coalesce(sum(col("s")).over(wPrev), lit(0L)).as("off"))
+    val tot = hist.agg(sum(col("s")).as("nn"))
+    val wB = Window.partitionBy(col("bkt")).orderBy(col("obs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vals.join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(tot))
+      .select(col("obs"), col("d"),
+        (col("off") + coalesce(sum(col("c")).over(wB), lit(0L))).as("cb"),
+        col("nn"))
+    val factors = cum.where(col("d") > 0)
+      .select(col("obs").as("te"), col("d"), col("nn"),
+        (lit(1.0) - col("d").cast("double")
+          / (col("nn") - col("cb")).cast("double")).as("f"))
+    val hz = factors
+      .withColumn("h", explode(array(horizons.map(lit): _*)))
+      .where(col("te") <= col("h"))
+    hz.groupBy(col("h"))
+      .agg(first(col("nn")).as("cohort"), sum(col("d")).as("events"),
+        (floor(aggregate(
+          transform(sort_array(collect_list(struct(col("te"), col("f")))),
+            x => x.getField("f")),
+          lit(1.0), (acc, x) => acc * x) * 1e6) / 1e6).as("survival"))
+      .orderBy(col("h"))
   }
 
   /** Pearson chi-square test of independence (with Cramér's V effect

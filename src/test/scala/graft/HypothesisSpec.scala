@@ -94,6 +94,69 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("kaplan-meier: survival matches the naive driver fold; monotone non-increasing in h") {
+    val ev = Tables.events(spark, sf)
+    val km = Hypothesis.survivalKm(ev).orderBy(col("h")).collect()
+    assert(km.nonEmpty)
+    // monotone: S(h) non-increasing, events cumulative non-decreasing
+    km.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("survival") >= b.getAs[Double]("survival") - 1e-12)
+        assert(a.getAs[Long]("events") <= b.getAs[Long]("events"))
+      case _ =>
+    }
+    // naive: driver-side KM over the same user durations
+    val users = ev.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts_sec"))).as("tp"))
+      .select(
+        when(col("tp").isNotNull, col("tp") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("obs"),
+        col("tp").isNotNull.as("ev"))
+      .as[(Long, Boolean)].collect()
+    val n = users.length.toLong
+    val eventTimes = users.filter(_._2).groupBy(_._1).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    km.foreach { r =>
+      val h = r.getAs[Long]("h")
+      var s = 1.0
+      eventTimes.filter(_._1 <= h).foreach { case (t, d) =>
+        val atRisk = n - users.count(_._1 < t)
+        s = s * (1.0 - d.toDouble / atRisk.toDouble)
+      }
+      val sQ = math.floor(s * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("survival") - sQ) < 1e-12,
+        s"h=$h engine=${r.getAs[Double]("survival")} naive=$sQ")
+    }
+  }
+
+  test("markov stationary: matches the naive integer power iteration exactly") {
+    val ev = Tables.events(spark, sf)
+    val engine = GraphRank.markovStationary(ev).collect()
+      .map(r => (r.getAs[String]("state"), r.getAs[Long]("rank"))).toMap
+    // naive: collect the bigram matrix, run the identical recurrence
+    val trans = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val tr = ev.withColumn("src", lag(col("event_type"), 1).over(trans))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .as[(String, String, Long)].collect()
+    val s = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val states = (tr.map(_._1) ++ tr.map(_._2)).distinct.sorted
+    val scale = 1000000000000L
+    val k = states.length
+    var rank = states.map(st => st -> scale / k).toMap
+    for (_ <- 1 to 12) {
+      val in = tr.groupBy(_._2).view.mapValues(
+        _.map { case (src, _, w) => rank(src) * w / s(src) }.sum).toMap
+      rank = states.map(st =>
+        st -> ((15L * (scale / k)) / 100L + 85L * in.getOrElse(st, 0L) / 100L)).toMap
+    }
+    assert(engine == rank, s"engine=$engine naive=$rank")
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
