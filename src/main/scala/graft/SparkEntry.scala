@@ -533,6 +533,10 @@ object SparkEntry {
       Hypothesis.survivalKm(Tables.events(s, d))),
     "q_markov_stationary" -> ((s, d) => // steady-state of the event-type chain
       GraphRank.markovStationary(Tables.events(s, d))),
+    "q_cuped" -> ((s, d) => // pre-period-adjusted lift, pooled theta, exact moments
+      Hypothesis.cupedLift(Tables.events(s, d))),
+    "q_mantel_haenszel" -> ((s, d) => // activity-stratified pooled risk ratio
+      Hypothesis.mantelHaenszel(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -5320,7 +5324,99 @@ object SparkEntry {
     // state union, then twelve UNROLLED damped fixed-point rounds
     // generated by the same loop bound the engine runs.
     "q_markov_stationary" -> markovStationaryOracleSql,
+
+    // Mirror of Hypothesis.cupedLift: integer-dollar per-user pre/post
+    // revenue split at the global time midpoint, exact long moments,
+    // pooled theta and the adjusted means as the identical IEEE sequence.
+    "q_cuped" -> cupedOracleSql,
+
+    // Mirror of Hypothesis.mantelHaenszel: activity-band strata, exact
+    // 2x2 cells, per-stratum MH terms floor-quantized to integer 1e6
+    // units before the pooled sum.
+    "q_mantel_haenszel" ->
+      s"""WITH pu AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |u AS (
+         |  SELECT ${md5h48("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CASE WHEN n_ev <= 2 THEN 0 WHEN n_ev <= 5 THEN 1 ELSE 2 END AS stratum,
+         |    CASE WHEN purchases > 0 THEN 1 ELSE 0 END AS conv
+         |  FROM pu),
+         |cl AS (
+         |  SELECT CAST(stratum AS BIGINT) AS stratum,
+         |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         |  FROM u GROUP BY 1),
+         |po AS (
+         |  SELECT CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+         |    CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
+         |    CAST(sum(CAST(floor(CAST(a AS DOUBLE) * CAST(c + d AS DOUBLE)
+         |      / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS nu,
+         |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(a + b AS DOUBLE)
+         |      / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS de
+         |  FROM cl)
+         |SELECT stratum, a, b, c, d,
+         |  CASE WHEN c > 0 AND a + b > 0
+         |    THEN ${q4("CAST(a * (c + d) AS DOUBLE) / CAST((a + b) * c AS DOUBLE)")}
+         |    ELSE 0.0 END AS risk_ratio
+         |FROM cl
+         |UNION ALL
+         |SELECT CAST(99 AS BIGINT), a, b, c, d,
+         |  CASE WHEN de > 0
+         |    THEN ${q4("CAST(nu AS DOUBLE) / CAST(de AS DOUBLE)")}
+         |    ELSE 0.0 END
+         |FROM po
+         |ORDER BY stratum""".stripMargin,
   )
+
+  /** Mirror of Hypothesis.cupedLift — see the registration note. */
+  private lazy val cupedOracleSql: String = {
+    val theta = "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 " +
+      "THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) " +
+      "ELSE 0.0 END"
+    val meanX = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    def adj(sy: String, sx: String, na: String) =
+      s"(CAST($sy AS DOUBLE) - ($theta) * (CAST($sx AS DOUBLE) " +
+        s"- CAST($na AS DOUBLE) * ($meanX))) / CAST($na AS DOUBLE)"
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, value,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+       |  FROM events WHERE user_id IS NOT NULL),
+       |tm AS (SELECT (min(ts_sec) + max(ts_sec)) // 2 AS tmid FROM e),
+       |pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' AND ts_sec < tmid
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) // 100 AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' AND ts_sec >= tmid
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) // 100 AS BIGINT) AS y
+       |  FROM e, tm GROUP BY user_id, tmid),
+       |ar AS (
+       |  SELECT ${md5h48("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm, x, y
+       |  FROM pu),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+       |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+       |  FROM ar)
+       |SELECT n AS users, n0, n1,
+       |  floor(($theta) * 1e6) / 1e6 AS theta,
+       |  ${q4("CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)")} AS lift_raw,
+       |  ${q4(s"(${adj("sy1", "sx1", "n1")}) - (${adj("sy0", "sx0", "n0")})")} AS lift_cuped,
+       |  ${q4("CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 " +
+            "THEN CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) " +
+            "/ (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) ELSE 0.0 END")} AS var_reduction
+       |FROM m""".stripMargin
+  }
 
   /** Mirror of GraphRank.markovStationary — see the registration note. */
   private lazy val markovStationaryOracleSql: String = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -168,6 +168,120 @@ object Hypothesis {
         * (col("n0") - col("tie_y")).cast("double")) * 1e4) / 1e4
     agg.select(col("n0"), col("concordant"), col("discordant"),
       col("tie_x"), col("tie_y"), tau.as("tau_b"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) for the
+    * purchase-revenue A/B metric: the experiment window is the second
+    * half of the event time range, the pre-period covariate X is each
+    * user's first-half purchase revenue, and the adjusted metric is
+    * Y − θ(X − X̄) with the pooled θ = cov(X,Y)/var(X). Reported beside
+    * the raw lift so the reader sees both the point estimate and how
+    * much variance the pre-period explains (ρ² — the fraction CUPED
+    * removes).
+    *
+    * Exactness: X and Y are exact integer DOLLARS per user (cents div
+    * 100 — the [[Stats.viewRevenueXcorr]] overflow rule for squared
+    * sums); all moments are exact long sums; θ, the adjusted means, and
+    * ρ² are single fixed IEEE expressions over those scalars. One hash
+    * agg to the user frame, one agg to a 1-row moment frame — nothing
+    * else. */
+  def cupedLift(events: DataFrame): DataFrame = {
+    val mid = events.agg(
+      expr("(min(ts_sec) + max(ts_sec)) div 2").as("tmid"))
+    val users = events.where(col("user_id").isNotNull)
+      .crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" && col("ts_sec") < col("tmid"),
+          Cols.cents(col("value"))).otherwise(0L).as("xc"),
+        when(col("event_type") === "purchase" && col("ts_sec") >= col("tmid"),
+          Cols.cents(col("value"))).otherwise(0L).as("yc"))
+      .groupBy(col("user_id"))
+      .agg(expr("sum(xc) div 100").as("x"), expr("sum(yc) div 100").as("y"))
+      .select(
+        (Dedup.PortableHash(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .as("arm"),
+        col("x"), col("y"))
+    val m = users.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      Cols.countWhen(col("arm") === 0).as("n0"),
+      Cols.countWhen(col("arm") === 1).as("n1"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = when(vx > 0, num / vx).otherwise(lit(0.0))
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    def adj(syA: String, sxA: String, nA: String) =
+      (col(syA).cast("double") - theta *
+        (col(sxA).cast("double") - col(nA).cast("double") * meanX)) /
+        col(nA).cast("double")
+    val liftRaw = col("sy1").cast("double") / col("n1").cast("double") -
+      col("sy0").cast("double") / col("n0").cast("double")
+    val rho2 = when(vx > 0 && vy > 0, num * num / (vx * vy)).otherwise(lit(0.0))
+    m.select(col("n").as("users"), col("n0"), col("n1"),
+      (floor(theta * 1e6) / 1e6).as("theta"),
+      Cols.q4(liftRaw).as("lift_raw"),
+      Cols.q4(adj("sy1", "sx1", "n1") - adj("sy0", "sx0", "n0")).as("lift_cuped"),
+      Cols.q4(rho2).as("var_reduction"))
+  }
+
+  /** Mantel–Haenszel stratified risk ratio (Mantel & Haenszel 1959) for
+    * the A/B conversion metric, stratified by user activity band (1–2,
+    * 3–5, 6+ events) — the pooled "is the effect real once you hold
+    * engagement constant?" estimate that guards against Simpson
+    * reversal, beside per-stratum 2×2 tables and risk ratios.
+    *
+    * Exactness: all cell counts are exact longs; each stratum's MH
+    * numerator a·(c+d)/n and denominator c·(a+b)/n are floor-quantized
+    * to integer 1e6 units BEFORE the pooled sum (bounded strata, so the
+    * quantization error is < |strata|·1e-6 — the no-double-sums rule);
+    * risk ratios are single fixed IEEE expressions, floor-1e4.
+    *
+    * Shape: one hash agg to the user frame, one to the |strata|×2 table;
+    * the pooled row folds the bounded stratum frame. */
+  def mantelHaenszel(events: DataFrame): DataFrame = {
+    val users = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        Cols.countWhen(col("event_type") === "purchase").as("purchases"))
+      .select(
+        (Dedup.PortableHash(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .as("arm"),
+        when(col("n_ev") <= 2, 0L).when(col("n_ev") <= 5, 1L).otherwise(2L)
+          .as("stratum"),
+        when(col("purchases") > 0, 1L).otherwise(0L).as("conv"))
+    val cells = users.groupBy(col("stratum"))
+      .agg(Cols.countWhen(col("arm") === 1 && col("conv") === 1).as("a"),
+        Cols.countWhen(col("arm") === 1 && col("conv") === 0).as("b"),
+        Cols.countWhen(col("arm") === 0 && col("conv") === 1).as("c"),
+        Cols.countWhen(col("arm") === 0 && col("conv") === 0).as("d"))
+      .localCheckpoint() // consumed by the stratum rows AND the pooled fold
+    def rr(a: Column, b: Column, c: Column, d: Column): Column =
+      when(c > 0 && a + b > 0,
+        Cols.q4((a * (c + d)).cast("double") / ((a + b) * c).cast("double")))
+        .otherwise(lit(0.0))
+    val perStratum = cells.select(col("stratum"), col("a"), col("b"),
+      col("c"), col("d"), rr(col("a"), col("b"), col("c"), col("d")).as("risk_ratio"))
+    val nI = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val pooled = cells.select(
+        floor(col("a").cast("double") * (col("c") + col("d")).cast("double") / nI
+          * 1e6).cast("long").as("nu"),
+        floor(col("c").cast("double") * (col("a") + col("b")).cast("double") / nI
+          * 1e6).cast("long").as("de"),
+        col("a"), col("b"), col("c"), col("d"))
+      .agg(sum(col("nu")).as("nu"), sum(col("de")).as("de"),
+        sum(col("a")).as("a"), sum(col("b")).as("b"),
+        sum(col("c")).as("c"), sum(col("d")).as("d"))
+      .select(lit(99L).as("stratum"), col("a"), col("b"), col("c"), col("d"),
+        when(col("de") > 0,
+          Cols.q4(col("nu").cast("double") / col("de").cast("double")))
+          .otherwise(lit(0.0)).as("risk_ratio"))
+    perStratum.unionAll(pooled).orderBy(col("stratum"))
   }
 
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) for

@@ -157,6 +157,26 @@ class HypothesisSpec extends SparkSpec {
     assert(engine == rank, s"engine=$engine naive=$rank")
   }
 
+  test("cuped: variance reduction in [0,1]; adjusted lift equals raw when theta is 0") {
+    val r = Hypothesis.cupedLift(Tables.events(spark, sf)).collect()(0)
+    assert(r.getAs[Long]("users") == r.getAs[Long]("n0") + r.getAs[Long]("n1"))
+    val vr = r.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr <= 1.0)
+    // CUPED leaves the expectation unbiased: with theta = 0 the adjustment
+    // vanishes, and in general the two lifts differ only by the theta term
+    if (r.getAs[Double]("theta") == 0.0)
+      assert(r.getAs[Double]("lift_cuped") == r.getAs[Double]("lift_raw"))
+  }
+
+  test("mantel-haenszel: pooled cells are the stratum sums; RRs non-negative") {
+    val rows = Hypothesis.mantelHaenszel(Tables.events(spark, sf)).collect()
+    val strata = rows.filter(_.getAs[Long]("stratum") != 99L)
+    val pooled = rows.find(_.getAs[Long]("stratum") == 99L).get
+    for (cOl <- Seq("a", "b", "c", "d"))
+      assert(pooled.getAs[Long](cOl) == strata.map(_.getAs[Long](cOl)).sum)
+    rows.foreach(r => assert(r.getAs[Double]("risk_ratio") >= 0.0))
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
