@@ -537,6 +537,8 @@ object SparkEntry {
       Hypothesis.cupedLift(Tables.events(s, d))),
     "q_mantel_haenszel" -> ((s, d) => // activity-stratified pooled risk ratio
       Hypothesis.mantelHaenszel(Tables.events(s, d))),
+    "q_mmr_rerank" -> ((s, d) => // diversified top-k, unrolled greedy argmax
+      Similarity.mmrRerank(Tables.embeddings(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -5330,6 +5332,9 @@ object SparkEntry {
     // pooled theta and the adjusted means as the identical IEEE sequence.
     "q_cuped" -> cupedOracleSql,
 
+    // Mirror of Similarity.mmrRerank — see the builder's note.
+    "q_mmr_rerank" -> mmrOracleSql,
+
     // Mirror of Hypothesis.mantelHaenszel: activity-band strata, exact
     // 2x2 cells, per-stratum MH terms floor-quantized to integer 1e6
     // units before the pooled sum.
@@ -5371,6 +5376,72 @@ object SparkEntry {
          |FROM po
          |ORDER BY stratum""".stripMargin,
   )
+
+  /** Mirror of Similarity.mmrRerank(nQueries=3, listK=12, k=5, λ=0.7,
+    * μ=0.3): the cosine candidate CTE (the [[knnOracleSql]] fold idioms —
+    * bit-identical to the engine's codegen'd expressions), the candidate
+    * pair-sim frame, then five UNROLLED greedy rounds whose argmax orders
+    * by the floor-1e9-quantized score — generated by the same loop bound
+    * the engine runs. */
+  private lazy val mmrOracleSql: String = {
+    def dt(x: String, y: String) =
+      s"list_reduce(list_transform(list_zip($x, $y), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (u, v) -> u + v)"
+    def nm(x: String) =
+      s"sqrt(list_reduce(list_transform($x, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), (u, v) -> u + v))"
+    val head =
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+         |sc AS (
+         |  SELECT query_id, e.vec_id AS cand, e.embedding AS emb,
+         |    ${dt("q_emb", "e.embedding")} / (${nm("q_emb")} * ${nm("e.embedding")}) AS rel
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |cand AS (
+         |  SELECT query_id, cand, emb, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand ASC) AS rn FROM sc)
+         |  WHERE rn <= 12),
+         |ps AS (
+         |  SELECT a.query_id, a.cand AS ca, b.cand AS cb,
+         |    ${dt("a.emb", "b.emb")} / (${nm("a.emb")} * ${nm("b.emb")}) AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand <> b.cand),
+         |s1 AS (
+         |  SELECT query_id, cand, CAST(1 AS BIGINT) AS pick,
+         |    floor((0.7 * rel - 0.3 * 0.0) * 1e4) / 1e4 AS mmr_score
+         |  FROM (SELECT query_id, cand, rel,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY CAST(floor((0.7 * rel - 0.3 * 0.0) * 1e9) AS BIGINT) DESC,
+         |              cand ASC) AS prn
+         |        FROM cand)
+         |  WHERE prn = 1)
+         |""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      val sel = (1 until r).map(i => s"SELECT query_id, cand FROM s$i")
+        .mkString(" UNION ALL ")
+      s""", sel$r AS ($sel),
+         |m$r AS (
+         |  SELECT c.query_id, c.cand, c.rel, max(p.sim) AS msim
+         |  FROM cand c
+         |  JOIN ps p ON p.query_id = c.query_id AND p.ca = c.cand
+         |  JOIN sel$r s ON s.query_id = p.query_id AND s.cand = p.cb
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$r x
+         |                    WHERE x.query_id = c.query_id AND x.cand = c.cand)
+         |  GROUP BY 1, 2, 3),
+         |s$r AS (
+         |  SELECT query_id, cand, CAST($r AS BIGINT) AS pick,
+         |    floor((0.7 * rel - 0.3 * msim) * 1e4) / 1e4 AS mmr_score
+         |  FROM (SELECT query_id, cand, rel, msim,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY CAST(floor((0.7 * rel - 0.3 * msim) * 1e9) AS BIGINT) DESC,
+         |              cand ASC) AS prn
+         |        FROM m$r)
+         |  WHERE prn = 1)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      """SELECT query_id, pick, cand AS neighbor_id, mmr_score
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+        |ORDER BY query_id, pick""".stripMargin
+  }
 
   /** Mirror of Hypothesis.cupedLift — see the registration note. */
   private lazy val cupedOracleSql: String = {

@@ -692,4 +692,77 @@ object Similarity {
       .agg(count(lit(1)).as("vecs"))
       .orderBy(col("label"), col("assigned"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * of each query's cosine candidate list — the diversified top-k a
+    * retrieval pipeline serves instead of the raw nearest neighbors when
+    * near-duplicate hits would waste the context window. Greedy:
+    * repeatedly pick argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s).
+    *
+    * Determinism: rel and sim are the engine's bit-exact ordered-fold
+    * cosines; each round's argmax orders by the FLOOR-1e9-QUANTIZED score
+    * (an exact long on both engines) with vec_id as the tiebreak, so the
+    * pick sequence — a lexicographic decision chain on exact integers —
+    * is reproducible anywhere. The oracle unrolls the same `k` greedy
+    * rounds. `mu` is passed explicitly (NOT derived as 1−λ at runtime)
+    * so both engines parse the identical literal.
+    *
+    * Scale shape: candidates come from the top-`listK` cosine window per
+    * query (broadcast queries over the streamed corpus — the [[topKCosine]]
+    * shape); everything after is bounded by |queries|·listK² (the pair-sim
+    * frame) and runs as k broadcast-join rounds over checkpointed
+    * candidate frames. Corpus size only ever touches the first scan. */
+  def mmrRerank(embeddings: DataFrame, nQueries: Int = 3, listK: Int = 12,
+                k: Int = 5, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val c = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val q = broadcast(embeddings.where(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
+    val scored = c.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand"), col("embedding"),
+        col("nrm"),
+        (fvecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand").asc)
+    val cands = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= listK)
+      .select(col("query_id"), col("cand"), col("embedding"), col("nrm"), col("rel"))
+      .coalesce(1).localCheckpoint()
+    val a = cands.select(col("query_id"), col("cand").as("ca"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = cands.select(col("query_id"), col("cand").as("cb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairSims = a.join(b, Seq("query_id")).where(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        (fvecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      .coalesce(1).localCheckpoint()
+    val rel = cands.select(col("query_id"), col("cand"), col("rel"))
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val rem = if (r == 1) rel
+        else rel.join(selected.select(col("query_id"), col("cand")),
+          Seq("query_id", "cand"), "left_anti")
+      val ms = if (r == 1) rem.withColumn("msim", lit(0.0))
+        else rem.join(
+          pairSims.join(broadcast(selected.select(col("query_id"),
+              col("cand").as("cb"))), Seq("query_id", "cb"))
+            .groupBy(col("query_id"), col("ca").as("cand"))
+            .agg(max(col("sim")).as("msim")),
+          Seq("query_id", "cand"))
+      val score = lit(lambda) * col("rel") - lit(mu) * col("msim")
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("si").desc, col("cand").asc)
+      val pick = ms.withColumn("si", floor(score * 1e9).cast("long"))
+        .withColumn("prn", row_number().over(wr))
+        .where(col("prn") === 1)
+        .select(col("query_id"), col("cand"), lit(r.toLong).as("pick"),
+          (floor(score * 1e4) / 1e4).as("mmr_score"))
+      selected = if (r == 1) pick.localCheckpoint()
+        else selected.unionAll(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("pick"), col("cand").as("neighbor_id"),
+        col("mmr_score"))
+      .orderBy(col("query_id"), col("pick"))
+  }
 }

@@ -177,6 +177,41 @@ class HypothesisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("risk_ratio") >= 0.0))
   }
 
+  test("mmr: fixture picks are distinct per query, pick 1 is the top-rel candidate") {
+    val emb = Tables.embeddings(spark, sf)
+    val mmr = Similarity.mmrRerank(emb).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (qid, rows) =>
+      val picks = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(picks.distinct.length == picks.length, s"q=$qid repeated pick")
+      assert(rows.map(_.getAs[Long]("pick")).sorted.sameElements(1L to rows.length))
+    }
+    val top1 = Similarity.topKCosine(emb, emb.where(col("vec_id") < 3), 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    byQ.foreach { case (qid, rows) =>
+      val first = rows.find(_.getAs[Long]("pick") == 1L).get.getAs[Long]("neighbor_id")
+      assert(first == top1(qid), s"q=$qid MMR pick 1 != cosine top-1")
+    }
+  }
+
+  test("mmr: a near-duplicate of pick 1 is demoted below a diverse candidate") {
+    // query [1,0,0]; candidates 0/1 are near-identical twins at +45°, 2
+    // sits at -45° — equally relevant but orthogonal to the twins. Pure
+    // top-2 = the twin pair; MMR must take the diverse vector at pick 2
+    // (twin penalty ~0.3·1.0 vs diverse penalty ~0.3·0).
+    val rows = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f), "q"),
+      (0L, Array(0.7f, 0.7f, 0.0f), "a"),
+      (1L, Array(0.7f, 0.70001f, 0.0f), "a"), // near-duplicate of vec 0
+      (2L, Array(0.7f, -0.7f, 0.0f), "b"))    // diverse, same relevance
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val mmr = Similarity.mmrRerank(emb, nQueries = 101, listK = 3, k = 2)
+      .where(col("query_id") === 100L).orderBy(col("pick")).collect()
+    assert(mmr(0).getAs[Long]("neighbor_id") == 0L)
+    assert(mmr(1).getAs[Long]("neighbor_id") == 2L,
+      "diversification must beat the near-duplicate twin")
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
