@@ -539,6 +539,12 @@ object SparkEntry {
       Hypothesis.mantelHaenszel(Tables.events(s, d))),
     "q_mmr_rerank" -> ((s, d) => // diversified top-k, unrolled greedy argmax
       Similarity.mmrRerank(Tables.embeddings(s, d))),
+    "q_qte" -> ((s, d) => // per-quantile treatment effect, interpolated exact
+      Hypothesis.quantileTreatmentEffect(Tables.events(s, d))),
+    "q_eb_shrinkage" -> ((s, d) => // beta-binomial shrunk conversion rates
+      Hypothesis.ebShrinkage(s, d)),
+    "q_power_analysis" -> ((s, d) => // required sample size for a 10% lift
+      Hypothesis.powerAnalysis(Tables.events(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -5335,6 +5341,49 @@ object SparkEntry {
     // Mirror of Similarity.mmrRerank — see the builder's note.
     "q_mmr_rerank" -> mmrOracleSql,
 
+    // Mirror of Hypothesis.quantileTreatmentEffect: the group-quantile
+    // rank construction over arm-keyed purchase values, the identical
+    // interpolation, then the arm pivot and floor-1e4 difference.
+    "q_qte" ->
+      s"""WITH p AS (
+         |  SELECT ${md5h48("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    event_id AS k,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type = 'purchase' AND value IS NOT NULL),
+         |r AS (
+         |  SELECT arm, cents,
+         |    row_number() OVER (PARTITION BY arm ORDER BY cents, k) AS r,
+         |    count(*) OVER (PARTITION BY arm) AS n
+         |  FROM p),
+         |k(q, nu, de) AS (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4)),
+         |sel AS (
+         |  SELECT arm, k.q AS quantile,
+         |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 1 THEN r.cents END) AS lo,
+         |    max(CASE WHEN r.r = ((r.n - 1) * k.nu) // k.de + 2 THEN r.cents END) AS hi,
+         |    max(((r.n - 1) * k.nu) % k.de) AS rem, max(k.de) AS de
+         |  FROM r, k GROUP BY 1, 2),
+         |v AS (
+         |  SELECT arm, quantile,
+         |    (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
+         |      * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS value
+         |  FROM sel)
+         |SELECT quantile,
+         |  min(CASE WHEN arm = 0 THEN value END) AS control,
+         |  min(CASE WHEN arm = 1 THEN value END) AS treatment,
+         |  floor((min(CASE WHEN arm = 1 THEN value END)
+         |    - min(CASE WHEN arm = 0 THEN value END)) * 10000.0) / 10000.0 AS qte
+         |FROM v GROUP BY quantile ORDER BY quantile""".stripMargin,
+
+    // Mirror of Hypothesis.ebShrinkage: per-nation buyer counts, group
+    // rates quantized to 1e9 units for the prior's mean/variance sums,
+    // beta-binomial posterior as the identical IEEE sequence.
+    "q_eb_shrinkage" -> ebShrinkageOracleSql,
+
+    // Mirror of Hypothesis.powerAnalysis: exact user/converter counts,
+    // the two-proportion sample-size formula with pinned z constants.
+    "q_power_analysis" -> powerAnalysisOracleSql,
+
     // Mirror of Hypothesis.mantelHaenszel: activity-band strata, exact
     // 2x2 cells, per-stratum MH terms floor-quantized to integer 1e6
     // units before the pooled sum.
@@ -5441,6 +5490,61 @@ object SparkEntry {
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
         |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
         |ORDER BY query_id, pick""".stripMargin
+  }
+
+  /** Mirror of Hypothesis.ebShrinkage — see the registration note. */
+  private lazy val ebShrinkageOracleSql: String = {
+    val rate = "CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+    val mu = "CAST(su AS DOUBLE) / 1e9 / CAST(gn AS DOUBLE)"
+    s"""WITH b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+       |g AS (
+       |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS x
+       |  FROM customer c LEFT JOIN b ON c.c_custkey = b.c_custkey
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS gn,
+       |    CAST(sum(CAST(floor(($rate) * 1e9) AS BIGINT)) AS BIGINT) AS su
+       |  FROM g),
+       |vv AS (
+       |  SELECT gn, su,
+       |    CAST(sum(CAST(floor((($rate) - ($mu)) * (($rate) - ($mu)) * 1e9) AS BIGINT)) AS BIGINT) AS sv
+       |  FROM g, m GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT $mu AS mu, CAST(sv AS DOUBLE) / 1e9 / CAST(gn AS DOUBLE) AS v
+       |  FROM vv),
+       |pa AS (
+       |  SELECT mu,
+       |    CASE WHEN v > 0 AND mu * (1.0 - mu) > v
+       |      THEN mu * (1.0 - mu) / v - 1.0 ELSE 0.0 END AS ab
+       |  FROM pr)
+       |SELECT c_nationkey, n AS customers, x AS buyers,
+       |  ${q4(s"($rate) * 100.0")} AS rate_pct,
+       |  ${q4("(CAST(x AS DOUBLE) + mu * ab) / (CAST(n AS DOUBLE) + ab) * 100.0")} AS shrunk_pct
+       |FROM g, pa ORDER BY c_nationkey""".stripMargin
+  }
+
+  /** Mirror of Hypothesis.powerAnalysis — see the registration note. */
+  private lazy val powerAnalysisOracleSql: String = {
+    val p1 = "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+    val p2 = s"($p1 + 0.1 * (1.0 - $p1))"
+    val pbar = s"(($p1 + $p2) / 2.0)"
+    val nReq = s"(1.96 * sqrt(2.0 * $pbar * (1.0 - $pbar)) " +
+      s"+ 0.8416 * sqrt($p1 * (1.0 - $p1) + $p2 * (1.0 - $p2)))"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS d,
+       |    count(*) FILTER (WHERE event_type = 'purchase') AS p
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+       |  FROM pu)
+       |SELECT n AS units, x AS converters,
+       |  ${q4(s"$p1 * 100.0")} AS base_rate_pct,
+       |  ${q4(s"$p2 * 100.0")} AS target_rate_pct,
+       |  CAST(ceil($nReq * $nReq / (($p2 - $p1) * ($p2 - $p1))) AS BIGINT) AS n_per_arm
+       |FROM m""".stripMargin
   }
 
   /** Mirror of Hypothesis.cupedLift — see the registration note. */

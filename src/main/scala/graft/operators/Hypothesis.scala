@@ -284,6 +284,106 @@ object Hypothesis {
     perStratum.unionAll(pooled).orderBy(col("stratum"))
   }
 
+  /** Quantile treatment effects: the per-quantile difference between the
+    * treatment and control purchase-value distributions — what a mean
+    * lift hides when the effect lives in one tail. Reuses
+    * [[Relational.quantilesContByGroup]]'s exact interpolated machinery
+    * (histogram-offset ranks, integer selection positions, one mirrored
+    * IEEE interpolation) with the hash arm as the group; the pivot and
+    * the difference run on the bounded arm×quantile frame. */
+  def quantileTreatmentEffect(events: DataFrame): DataFrame = {
+    val purchases = events
+      .where(col("user_id").isNotNull && col("event_type") === "purchase"
+        && col("value").isNotNull)
+      .select(
+        (Dedup.PortableHash(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .as("arm"),
+        col("event_id").as("o_orderkey"), col("value").as("o_totalprice"))
+    Relational.quantilesContByGroup(purchases, "arm", width = 50.0)
+      .groupBy(col("quantile"))
+      .agg(min(when(col("arm") === 0, col("value"))).as("control"),
+        min(when(col("arm") === 1, col("value"))).as("treatment"))
+      .select(col("quantile"), col("control"), col("treatment"),
+        Cols.q4(col("treatment") - col("control")).as("qte"))
+      .orderBy(col("quantile"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-nation customer conversion rates
+    * (beta-binomial method of moments — Robbins 1956; the Efron & Morris
+    * batting-average estimator): small nations' noisy rates pull toward
+    * the cross-nation mean, big nations keep their own signal. The prior
+    * (α, β) comes from the unweighted mean and variance of the group
+    * rates; the posterior mean is (x + α)/(n + α + β).
+    *
+    * Exactness: x, n exact longs; each group rate is one division; the
+    * cross-group mean and variance sums are floor-quantized to integer
+    * 1e9 units per group BEFORE summing (bounded |nations| terms — the
+    * no-double-sums rule), and everything downstream is a fixed IEEE
+    * expression over those scalars. Degenerate prior (v ≤ 0 or at the
+    * Bernoulli bound) falls back to no shrinkage. */
+  def ebShrinkage(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val buyers = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val groups = cust
+      .join(buyers.withColumn("conv", lit(1L)), Seq("c_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("conv"), lit(0L))).as("x"))
+      .localCheckpoint() // three consumers: mean pass, var pass, output
+    val g = broadcast(groups.agg(count(lit(1)).as("gn"),
+      sum(floor(col("x").cast("double") / col("n").cast("double") * 1e9)
+        .cast("long")).as("su")))
+    val mu = col("su").cast("double") / 1e9 / col("gn").cast("double")
+    val vsum = groups.crossJoin(g)
+      .select(floor((col("x").cast("double") / col("n").cast("double") - mu)
+        * (col("x").cast("double") / col("n").cast("double") - mu) * 1e9)
+        .cast("long").as("vq"), col("gn"), col("su"))
+      .groupBy(col("gn"), col("su")).agg(sum(col("vq")).as("sv"))
+    val v = col("sv").cast("double") / 1e9 / col("gn").cast("double")
+    val prior = broadcast(vsum.select(col("gn"), col("su"), col("sv"),
+      mu.as("mu"), v.as("v"),
+      when(v > 0 && mu * (lit(1.0) - mu) > v,
+        mu * (lit(1.0) - mu) / v - lit(1.0)).otherwise(lit(0.0)).as("ab")))
+    groups.crossJoin(prior)
+      .select(col("c_nationkey"), col("n").as("customers"), col("x").as("buyers"),
+        Cols.q4(col("x").cast("double") / col("n").cast("double") * 100.0)
+          .as("rate_pct"),
+        Cols.q4((col("x").cast("double") + col("mu") * col("ab"))
+          / (col("n").cast("double") + col("ab")) * 100.0).as("shrunk_pct"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Fixed-horizon A/B power analysis: the per-arm sample size needed to
+    * detect a 10% relative reduction of the NON-conversion rate
+    * (p₂ = p₁ + 0.1·(1−p₁) — a target that stays inside (p₁, 1) for any
+    * observed rate, unlike a naive 1.1·p₁) at α = 0.05 (two-sided),
+    * power = 0.8 — the "how long must this test run" planning readout,
+    * from the standard two-proportion formula
+    * n = (z_α·sqrt(2·p̄·(1−p̄)) + z_β·sqrt(p₁q₁ + p₂q₂))² / δ². The
+    * randomization unit is the USER-DAY (this fixture's users are all
+    * eventually converting, so per-user conversion is degenerate at 1.0;
+    * daily conversion is the metric a high-frequency product actually
+    * tests). Exact counts in; one fixed IEEE expression out, with the
+    * pinned z constants (1.96, 0.8416), ceiling'd to an exact integer. */
+  def powerAnalysis(events: DataFrame): DataFrame = {
+    val users = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"), expr("ts_sec div 86400").as("d"))
+      .agg(Cols.countWhen(col("event_type") === "purchase").as("p"))
+      .agg(count(lit(1)).as("n"), Cols.countWhen(col("p") > 0).as("x"))
+    val p1 = col("x").cast("double") / col("n").cast("double")
+    val p2 = p1 + lit(0.1) * (lit(1.0) - p1)
+    val pbar = (p1 + p2) / 2.0
+    val delta = p2 - p1
+    val nReq = (lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar))
+      + lit(0.8416) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)))
+    users.select(col("n").as("units"), col("x").as("converters"),
+      Cols.q4(p1 * 100.0).as("base_rate_pct"),
+      Cols.q4(p2 * 100.0).as("target_rate_pct"),
+      ceil(nReq * nReq / (delta * delta)).cast("long").as("n_per_arm"))
+  }
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) for
     * time-to-first-purchase per user, right-censored at each
     * non-converting user's last observed event — the churn / conversion

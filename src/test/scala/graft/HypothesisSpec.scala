@@ -212,6 +212,43 @@ class HypothesisSpec extends SparkSpec {
       "diversification must beat the near-duplicate twin")
   }
 
+  test("qte: per-quantile diffs equal treatment minus control; quantiles monotone per arm") {
+    val rows = Hypothesis.quantileTreatmentEffect(Tables.events(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, t) = (r.getAs[Double]("control"), r.getAs[Double]("treatment"))
+      assert(r.getAs[Double]("qte") == math.floor((t - c) * 1e4) / 1e4)
+    }
+    val byLabel = rows.map(r => r.getAs[String]("quantile") ->
+      (r.getAs[Double]("control"), r.getAs[Double]("treatment"))).toMap
+    for (arm <- Seq[((Double, Double)) => Double](_._1, _._2))
+      assert(arm(byLabel("p25")) <= arm(byLabel("p50"))
+        && arm(byLabel("p50")) <= arm(byLabel("p75")))
+  }
+
+  test("eb shrinkage: shrunk rates sit between the raw rate and the pooled prior mean") {
+    val rows = Hypothesis.ebShrinkage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // prior mean: unweighted mean of group rates (the operator's mu)
+    val mu = rows.map(r =>
+      r.getAs[Long]("buyers").toDouble / r.getAs[Long]("customers")).sum / rows.length
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("rate_pct")
+      val shrunk = r.getAs[Double]("shrunk_pct")
+      val lo = math.min(raw, mu * 100.0) - 1e-3
+      val hi = math.max(raw, mu * 100.0) + 1e-3
+      assert(shrunk >= lo && shrunk <= hi,
+        s"nation=${r.getAs[Long]("c_nationkey")} shrunk=$shrunk outside [$lo,$hi]")
+    }
+  }
+
+  test("power analysis: required n shrinks as the base rate's detectable delta grows") {
+    val r = Hypothesis.powerAnalysis(Tables.events(spark, sf)).collect()(0)
+    assert(r.getAs[Long]("units") > 0)
+    assert(r.getAs[Double]("target_rate_pct") > r.getAs[Double]("base_rate_pct"))
+    assert(r.getAs[Long]("n_per_arm") > 0)
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
