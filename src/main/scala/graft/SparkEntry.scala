@@ -545,6 +545,12 @@ object SparkEntry {
       Hypothesis.ebShrinkage(s, d)),
     "q_power_analysis" -> ((s, d) => // required sample size for a 10% lift
       Hypothesis.powerAnalysis(Tables.events(s, d))),
+    "q_balanced_sample" -> ((s, d) => // minority-quota class balancing census
+      Sampling.balancedSample(Tables.embeddings(s, d))),
+    "q_code_detect" -> ((s, d) => // code-vs-prose structural screen per source
+      CorpusFilters.codeProseCensus(Tables.documents(s, d))),
+    "q_zipf_octaves" -> ((s, d) => // log-free Zipf power-law readout
+      TextAnalysis.zipfOctaves(Tables.documents(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -5383,6 +5389,61 @@ object SparkEntry {
     // Mirror of Hypothesis.powerAnalysis: exact user/converter counts,
     // the two-proportion sample-size formula with pinned z constants.
     "q_power_analysis" -> powerAnalysisOracleSql,
+
+    // Mirror of Sampling.balancedSample: minority-class quota, salted-hash
+    // rank per label, id-sum checksum pinning exact membership.
+    "q_balanced_sample" ->
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS label, vec_id FROM embeddings),
+         |k AS (SELECT CAST(min(n) AS BIGINT) AS k
+         |      FROM (SELECT count(*) AS n FROM c GROUP BY label)),
+         |r AS (
+         |  SELECT label, vec_id,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY ${md5h48("'bal:' || CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+         |  FROM c)
+         |SELECT label, CAST(count(*) AS BIGINT) AS sampled,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+         |FROM r, k WHERE rn <= k GROUP BY label ORDER BY label""".stripMargin,
+
+    // Mirror of CorpusFilters.codeProseCensus: translate-based symbol
+    // counts, the integer 2% gate, aggregate percentage ratios.
+    "q_code_detect" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |    CAST(length(text) - length(translate(text, '{};=<>()', '')) AS BIGINT) AS sym
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         |    CAST(sum(CASE WHEN sym * 100 >= greatest(n_chars, 1) * 2
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS code_docs,
+         |    CAST(sum(sym) AS BIGINT) AS symbol_chars,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars
+         |  FROM d GROUP BY 1)
+         |SELECT source, docs, code_docs,
+         |  ${pct("code_docs", "docs")} AS code_pct,
+         |  ${pct("symbol_chars", "chars")} AS symbol_density_pct
+         |FROM g ORDER BY source""".stripMargin,
+
+    // Mirror of TextAnalysis.zipfOctaves: vocabulary-bounded frequency
+    // ranks, power-of-two rank selection, consecutive-octave ratio.
+    "q_zipf_octaves" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |f AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+         |  FROM t WHERE length(token) > 0 GROUP BY 1),
+         |r AS (
+         |  SELECT token, freq,
+         |    CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS rank
+         |  FROM f),
+         |o AS (
+         |  SELECT rank, token, freq FROM r
+         |  WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024))
+         |SELECT rank, token, freq,
+         |  CASE WHEN lag(freq) OVER (ORDER BY rank) IS NOT NULL
+         |    THEN ${q4("CAST(freq AS DOUBLE) / CAST(lag(freq) OVER (ORDER BY rank) AS DOUBLE)")}
+         |    ELSE CAST(1.0 AS DOUBLE) END AS octave_ratio
+         |FROM o ORDER BY rank""".stripMargin,
 
     // Mirror of Hypothesis.mantelHaenszel: activity-band strata, exact
     // 2x2 cells, per-stratum MH terms floor-quantized to integer 1e6

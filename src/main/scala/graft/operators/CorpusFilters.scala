@@ -654,4 +654,28 @@ object CorpusFilters {
           .otherwise(lit(0.0)).as("kept_token_frac"))
       .orderBy(col("source"))
   }
+
+  /** Code-vs-prose census per source: a document is flagged as code-like
+    * when its code-symbol density ({ } ; = < > ( )) clears 2% of its
+    * characters — the cheap structural screen an LLM corpus runs before
+    * routing documents to a code-specific pipeline (language-ID only
+    * separates natural languages; code is orthogonal). The symbol count
+    * is `length(text) − length(translate(text, symbols, ''))` — one
+    * codegen'd scan-side expression, exact integers, no regex engine in
+    * the hot path, identical semantics on any engine with Postgres-style
+    * `translate`. */
+  def codeProseCensus(docs: DataFrame): DataFrame = {
+    val sym = length(col("text")) -
+      length(translate(col("text"), "{};=<>()", ""))
+    docs.select(col("source"), col("n_chars"), sym.as("symbols"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        Cols.countWhen(col("symbols") * 100L >= greatest(col("n_chars"), lit(1L)) * 2L)
+          .as("code_docs"),
+        sum(col("symbols")).as("symbol_chars"), sum(col("n_chars")).as("chars"))
+      .select(col("source"), col("docs"), col("code_docs"),
+        Cols.pct4(col("code_docs"), col("docs")).as("code_pct"),
+        Cols.pct4(col("symbol_chars"), col("chars")).as("symbol_density_pct"))
+      .orderBy(col("source"))
+  }
 }

@@ -261,4 +261,32 @@ object Sampling {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
       .orderBy(col("source"))
+
+  /** Class-balanced downsample of the labeled embedding corpus: every
+    * label keeps exactly the MINORITY class's count, selected by the
+    * [[groupSample]] salted-hash rank (deterministic shuffle — same data,
+    * same sample, any engine/partitioning). The classifier-training
+    * preprocessing step that stops the majority class from dominating the
+    * loss. The quota is data-dependent (min over per-label counts), so it
+    * rides in as a broadcast 1-row frame rather than a literal.
+    *
+    * Output is the census (per label: kept count and the exact id-sum
+    * checksum), which pins MEMBERSHIP, not just size, cross-engine.
+    *
+    * Shape: one bounded count agg, one hash-partitioned window per label,
+    * no global structure. */
+  def balancedSample(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val quota = broadcast(counts.agg(min(col("n")).as("k")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(Dedup.PortableHash(concat(lit("bal:"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+    embeddings.select(col("label").cast("long").as("label"), col("vec_id"))
+      .crossJoin(quota)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("k"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("sampled"), sum(col("vec_id")).as("id_checksum"))
+      .orderBy(col("label"))
+  }
 }

@@ -665,6 +665,38 @@ object TextAnalysis {
     Seq("table", "hash"), Seq("part", "filter", "small"),
     Seq("key", "agg", "row"), Seq("customer", "join"),
     Seq("window", "table", "table"))
+
+  /** Zipf octave census: the token frequency at ranks 1, 2, 4, …, 1024
+    * plus each octave's frequency ratio to the previous one — the
+    * log-free Zipf's-law readout (a power law f ∝ r^(−s) shows up as a
+    * CONSTANT octave ratio 2^(−s); a healthy natural-language corpus sits
+    * near 0.5, a template-spammed one decays much slower). The repo's
+    * no-log doctrine is why this is octave ratios rather than a log-log
+    * slope fit: every number here is an exact count or one division.
+    *
+    * Shape: one scan+explode to the vocabulary-bounded frequency frame;
+    * the rank window and the lag run on that bounded frame (the standing
+    * vocabulary-bounded exception), and only ≤11 rows survive to the
+    * ratio. */
+  def zipfOctaves(docs: DataFrame, maxRank: Long = 1024L): DataFrame = {
+    val freq = docs
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    val octaves = (0 to 63).map(1L << _).takeWhile(_ <= maxRank).map(lit(_))
+    val ranked = freq.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank").isin(octaves: _*))
+    val lagW = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
+    ranked.select(col("rank"), col("token"), col("freq"),
+        lag(col("freq"), 1).over(lagW).as("prev"))
+      .select(col("rank"), col("token"), col("freq"),
+        when(col("prev").isNotNull,
+          Cols.q4(col("freq").cast("double") / col("prev").cast("double")))
+          .otherwise(lit(1.0)).as("octave_ratio"))
+      .orderBy(col("rank"))
+  }
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusFilters, Redact}
+import graft.operators.{CorpusFilters, Redact, Sampling, TextAnalysis}
+import graft.sources
 
 class CorpusFiltersSpec extends SparkSpec {
   import spark.implicits._
@@ -306,5 +307,46 @@ class CorpusFiltersSpec extends SparkSpec {
         "drop_contam", "drop_sample", "kept").map(r.getAs[Long](_)).sum
       assert(r.getAs[Long]("docs") == parts)
     }
+  }
+
+  test("code census: crafted code doc is flagged, prose doc is not; ratios bounded") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "def f(x) { return (x == 1) ? g(x) : h(x); }", "en", "s1", 44L),
+      (2L, "plain prose with no structural symbols at all here", "en", "s1", 50L),
+      (3L, "more prose text", "en", "s2", 15L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CorpusFilters.codeProseCensus(docs).collect()
+    val s1 = rows.find(_.getAs[String]("source") == "s1").get
+    assert(s1.getAs[Long]("docs") == 2 && s1.getAs[Long]("code_docs") == 1)
+    val s2 = rows.find(_.getAs[String]("source") == "s2").get
+    assert(s2.getAs[Long]("code_docs") == 0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("code_pct") >= 0.0 && r.getAs[Double]("code_pct") <= 100.0)
+    }
+  }
+
+  test("zipf octaves: ranks are powers of two, freqs non-increasing, ratios in (0,1]") {
+    val rows = TextAnalysis.zipfOctaves(sources.Tables.documents(spark, sf))
+      .collect()
+    assert(rows.nonEmpty && rows.head.getAs[Long]("rank") == 1L)
+    rows.foreach(r => assert((r.getAs[Long]("rank") &
+      (r.getAs[Long]("rank") - 1)) == 0, "rank must be a power of two"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("freq") >= b.getAs[Long]("freq"))
+        val ratio = b.getAs[Double]("octave_ratio")
+        assert(ratio > 0.0 && ratio <= 1.0)
+      case _ =>
+    }
+  }
+
+  test("balanced sample: every label keeps exactly the minority count") {
+    val emb = sources.Tables.embeddings(spark, sf)
+    val minN = emb.groupBy(col("label")).count()
+      .agg(org.apache.spark.sql.functions.min("count")).collect()(0).getLong(0)
+    val rows = Sampling.balancedSample(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("sampled") == minN,
+      s"label=${r.getAs[Long]("label")} kept ${r.getAs[Long]("sampled")} != $minN"))
   }
 }
