@@ -540,4 +540,38 @@ class PlanSpec extends SparkSpec {
     assert(p.split("BroadcastNestedLoopJoin").length <= 2,
       s"rows must never flow through more than the scalar broadcast:\n$p")
   }
+
+  test("two-sample tests: per-value ranking partitions by bucket; kendall pairs equi-join") {
+    val orders = Tables.orders(spark, sf)
+    for (df <- Seq(Hypothesis.ksTest(orders), Hypothesis.rankSumTest(orders))) {
+      val p = planOf(df, mode = "simple")
+      // the value-scale cumulative window must partition by the bucket key;
+      // only the 4096x-smaller bucket histogram windows globally
+      assert(p.contains("hashpartitioning(bkt"),
+        s"the value-frame window must partition by bucket:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    }
+    val pk = planOf(Hypothesis.kendallTauDaily(Tables.events(spark, sf)),
+      mode = "simple")
+    assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"),
+      s"kendall pairs must flow through the blocked equi-join:\n$pk")
+  }
+
+  test("mmr: candidate and pair-sim joins are equi-joins on the query key") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = planOf(Similarity.mmrRerank(emb), mode = "simple")
+    // one broadcast NLJ is expected and bounded: queries x corpus (the
+    // brute-kNN candidate scan); the pair-sim self-join and every greedy
+    // round must equi-join
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2,
+      s"only the bounded query-broadcast NLJ is allowed:\n$p")
+  }
+
+  test("survival km: risk counts ride the bucketed prefix, user frame never globally windows") {
+    val p = planOf(Hypothesis.survivalKm(Tables.events(spark, sf)), mode = "simple")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"the duration-frame window must partition by bucket:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
