@@ -551,6 +551,8 @@ object SparkEntry {
       CorpusFilters.codeProseCensus(Tables.documents(s, d))),
     "q_zipf_octaves" -> ((s, d) => // log-free Zipf power-law readout
       TextAnalysis.zipfOctaves(Tables.documents(s, d))),
+    "q_rbo_towers" -> ((s, d) => // lexical-vs-dense ranking agreement (RBO@10)
+      Retrieval.rboLexicalDense(Tables.documents(s, d), Tables.embeddings(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -4957,7 +4959,9 @@ object SparkEntry {
          |  FROM orders),
          |rs AS (
          |  SELECT o.o_orderkey, o.cents, g.r,
-         |    ${md5h48("'boot:' || CAST(g.r AS VARCHAR) || ':' || CAST(o.o_orderkey AS VARCHAR)")} % 1000000 AS u
+         |    -- two-round MINSTD mixer, mirror of Stats.minstdUniform1e6
+         |    ((((o.o_orderkey % 2147483647) * 48271 % 2147483647
+         |      + g.r * 1000003 + 12345) * 48271 % 2147483647) % 1000000) AS u
          |  FROM o, unnest(generate_series(0, 31)) AS g(r)),
          |w AS (
          |  SELECT o_orderkey, cents, r, ($bands) AS w FROM rs),
@@ -5347,6 +5351,9 @@ object SparkEntry {
     // Mirror of Similarity.mmrRerank — see the builder's note.
     "q_mmr_rerank" -> mmrOracleSql,
 
+    // Mirror of Retrieval.rboLexicalDense — see the builder's note.
+    "q_rbo_towers" -> rboOracleSql,
+
     // Mirror of Hypothesis.quantileTreatmentEffect: the group-quantile
     // rank construction over arm-keyed purchase values, the identical
     // interpolation, then the arm pivot and floor-1e4 difference.
@@ -5551,6 +5558,72 @@ object SparkEntry {
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
         |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
         |ORDER BY query_id, pick""".stripMargin
+  }
+
+  /** Mirror of Retrieval.rboLexicalDense: the BM25 and cosine tower CTEs
+    * (the q_hybrid_search idioms at listK = 10), per-depth overlap
+    * counts, the SHARED Retrieval.RboWeights literals (Double.toString
+    * round-trips exactly, so both engines hold the identical double),
+    * 1e12-unit quantized terms, one final scale. */
+  private lazy val rboOracleSql: String = {
+    val wCase = Retrieval.RboWeights
+      .map { case (d, w) => s"WHEN $d THEN CAST($w AS DOUBLE)" }
+      .mkString("CASE d ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+    val oneMinusP = (1.0 - Retrieval.RboP).toString
+    val k = Retrieval.RboDepth
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+       |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |globals AS (
+       |  SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE)
+       |         / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl,
+       |    (SELECT count(*) FROM documents) AS n_docs),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok
+       |  WHERE token IN ('join', 'filter', 'stream') GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(
+       |      ((CAST(g.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2 /
+       |         (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / g.avgdl)))
+       |      * 1000000.0) AS BIGINT) AS term_micro
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN globals g),
+       |bmtop AS (
+       |  SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY doc_id
+       |  ORDER BY score_micro DESC, doc_id ASC LIMIT $k),
+       |bmr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS ra
+       |  FROM bmtop),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cpairs AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    list_reduce(list_transform(list_zip(q_emb, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       |         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |cosr AS (
+       |  SELECT doc_id, rb FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rb
+       |    FROM cpairs)
+       |  WHERE rb <= $k),
+       |j AS (SELECT b.ra, c.rb FROM bmr b JOIN cosr c USING (doc_id)),
+       |ov AS (
+       |  SELECT d, CAST(count(*) AS BIGINT) AS ov
+       |  FROM j, (SELECT unnest(range(1, ${k + 1})) AS d)
+       |  WHERE ra <= d AND rb <= d GROUP BY d),
+       |tq AS (
+       |  SELECT d, ov,
+       |    CAST(floor(($wCase) * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE) * 1e12) AS BIGINT) AS tq
+       |  FROM ov)
+       |SELECT CAST($k AS BIGINT) AS depth,
+       |  coalesce(max(CASE WHEN d = $k THEN ov END), 0) AS overlap_at_k,
+       |  floor(CAST($oneMinusP AS DOUBLE) * CAST(coalesce(sum(tq), 0) AS DOUBLE) / 1e12 * 1e6) / 1e6 AS rbo
+       |FROM tq""".stripMargin
   }
 
   /** Mirror of Hypothesis.ebShrinkage — see the registration note. */

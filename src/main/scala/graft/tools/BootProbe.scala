@@ -29,8 +29,9 @@ object BootProbe {
           Cols.cents(col("o_totalprice")).as("cents"),
           floor(col("o_totalprice") / width).cast("long").as("bucket"))
         .withColumn("r", explode(sequence(lit(0), lit(resamples - 1))))
-        .withColumn("u", Dedup.PortableHash(concat(lit("boot:"), col("r").cast("string"),
-          lit(":"), col("o_orderkey").cast("string"))) % 1000000L)
+        .withColumn("u",
+          expr("(((o_orderkey % 2147483647) * 48271 % 2147483647" +
+            " + r * 1000003 + 12345) * 48271 % 2147483647) % 1000000"))
       val w = Stats.PoissonCdf1e6.zipWithIndex
         .foldLeft(when(lit(false), 0L)) { case (acc, (tt, k)) =>
           acc.when(col("u") < tt, k.toLong)

@@ -249,6 +249,17 @@ class HypothesisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_per_arm") > 0)
   }
 
+  test("rbo: bounded by the identical-list ceiling 1 - p^k; zero iff no overlap") {
+    val r = Retrieval.rboLexicalDense(Tables.documents(spark, sf),
+      Tables.embeddings(spark, sf)).collect()(0)
+    val k = r.getAs[Long]("depth").toInt
+    val ceiling = 1.0 - math.pow(0.9, k) // identical top-k lists
+    val rbo = r.getAs[Double]("rbo")
+    assert(rbo >= 0.0 && rbo <= ceiling + 1e-9, s"rbo=$rbo ceiling=$ceiling")
+    assert(r.getAs[Long]("overlap_at_k") >= 0 && r.getAs[Long]("overlap_at_k") <= k)
+    if (r.getAs[Long]("overlap_at_k") == 0) assert(rbo == 0.0)
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
