@@ -553,6 +553,8 @@ object SparkEntry {
       TextAnalysis.zipfOctaves(Tables.documents(s, d))),
     "q_rbo_towers" -> ((s, d) => // lexical-vs-dense ranking agreement (RBO@10)
       Retrieval.rboLexicalDense(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q_langid_confusion" -> ((s, d) => // classifier eval: confusion + margins
+      TextAnalysis.langIdConfusion(Tables.documents(s, d))),
 
     // --- A8 first/last-in-group, collect_list baskets, regexp extraction
     "q_first_last_event" -> ((s, d) =>
@@ -5353,6 +5355,33 @@ object SparkEntry {
 
     // Mirror of Retrieval.rboLexicalDense — see the builder's note.
     "q_rbo_towers" -> rboOracleSql,
+
+    // Mirror of TextAnalysis.langIdConfusion: the q_lang_id argmax CTE,
+    // bounded confusion cells, margin-window shares.
+    "q_langid_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, labeled_lang,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_en,
+         |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','es'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_es,
+         |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','zu','in','ist','ein'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_de,
+         |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','que','en','un','est'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_fr
+         |  FROM t),
+         |p AS (
+         |  SELECT labeled_lang,
+         |    CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |         WHEN score_de >= score_fr THEN 'de'
+         |         ELSE 'fr' END AS predicted_lang
+         |  FROM s),
+         |cl AS (
+         |  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS docs
+         |  FROM p GROUP BY 1, 2)
+         |SELECT labeled_lang, predicted_lang, docs,
+         |  ${pct("docs", "sum(docs) OVER (PARTITION BY labeled_lang)")} AS recall_pct,
+         |  ${pct("docs", "sum(docs) OVER (PARTITION BY predicted_lang)")} AS precision_pct
+         |FROM cl ORDER BY labeled_lang, predicted_lang""".stripMargin,
 
     // Mirror of Hypothesis.quantileTreatmentEffect: the group-quantile
     // rank construction over arm-keyed purchase values, the identical

@@ -195,6 +195,28 @@ object TextAnalysis {
         .otherwise("fr").as("predicted_lang"))
   }
 
+  /** Confusion matrix of [[languageId]] against the gold `lang` labels —
+    * the classifier-evaluation census (per (gold, predicted) cell: count,
+    * recall share of the gold row, precision share of the predicted
+    * column). Diagonal rows carry the per-class precision/recall; the
+    * off-diagonal cells say WHERE the heuristic confuses languages, which
+    * is what you read before widening a stopword list.
+    *
+    * Shape: the per-doc argmax collapses immediately into the bounded
+    * |langs|² cell frame; the margin windows run on that bounded frame. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = languageId(docs)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("docs"))
+    val wr = Window.partitionBy(col("labeled_lang"))
+    val wc = Window.partitionBy(col("predicted_lang"))
+    cells.select(col("labeled_lang"), col("predicted_lang"), col("docs"),
+        Cols.pct4(col("docs"), sum(col("docs")).over(wr)).as("recall_pct"),
+        Cols.pct4(col("docs"), sum(col("docs")).over(wc)).as("precision_pct"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
   /** Per-doc token-class counts via RE2-safe patterns (letter runs, digit
     * runs, single punctuation) — the portable face of [[tokensRegex]]: plain
     * alternation-free character classes run identically under java.util.regex

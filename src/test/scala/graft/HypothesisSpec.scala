@@ -260,6 +260,20 @@ class HypothesisSpec extends SparkSpec {
     if (r.getAs[Long]("overlap_at_k") == 0) assert(rbo == 0.0)
   }
 
+  test("langid confusion: cells partition the corpus; margin shares sum to 100 per class") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextAnalysis.langIdConfusion(docs).collect()
+    assert(rows.map(_.getAs[Long]("docs")).sum == docs.count())
+    rows.groupBy(_.getAs[String]("labeled_lang")).foreach { case (_, g) =>
+      val s = g.map(_.getAs[Double]("recall_pct")).sum
+      assert(s > 99.9 && s <= 100.0001, s"recall shares must sum to ~100: $s")
+    }
+    rows.groupBy(_.getAs[String]("predicted_lang")).foreach { case (_, g) =>
+      val s = g.map(_.getAs[Double]("precision_pct")).sum
+      assert(s > 99.9 && s <= 100.0001, s"precision shares must sum to ~100: $s")
+    }
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
