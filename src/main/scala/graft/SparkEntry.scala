@@ -254,6 +254,8 @@ object SparkEntry {
       graft.sources.Formats.jsonSourceCensus(s, d)),
     "q_csv_source" -> ((s, d) => // CSV ingest path, fidelity-checksummed
       graft.sources.Formats.csvSourceCensus(s, d)),
+    "q_orc_source" -> ((s, d) => // ORC columnar path, fidelity-checksummed
+      graft.sources.Formats.orcSourceCensus(s, d)),
     "q_merge_upsert" -> ((s, d) => // batch CDC MERGE: latest-wins upsert+delete
       Snapshot.mergeUpsertProfile(Tables.orders(s, d))),
     "q_incremental_join_refresh" -> ((s, d) => // JOIN-view delta maintenance == recompute
@@ -2906,6 +2908,7 @@ object SparkEntry {
     // staging+read path is lossless, not just row-count-preserving.
     "q_json_source" -> formatCensusOracleSql,
     "q_csv_source" -> formatCensusOracleSql,
+    "q_orc_source" -> formatCensusOracleSql,
 
     // Mirror of Snapshot.mergeUpsertProfile: the same md5₄₈-derived
     // changelog (two update generations, deletes at seq 3, inserts under a

@@ -55,6 +55,7 @@ object Formats {
         fmt match {
           case "json" => w.json(tmp.toString)
           case "csv"  => w.option("header", "true").option("quoteAll", "true").csv(tmp.toString)
+          case "orc"  => w.orc(tmp.toString)
         }
         try Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
         catch {
@@ -95,4 +96,12 @@ object Formats {
     census(spark.read.schema(docSchema)
       .option("header", "true").option("multiLine", "true")
       .csv(stagedDir(spark, dir, "csv")))
+
+  /** Census over the ORC staging of documents — the OTHER columnar at-rest
+    * format (footer statistics, column pruning, predicate pushdown — the
+    * same scan contract as parquet, unlike the row-oriented ingest
+    * formats above). Same losslessness proof: the text-checksum lane must
+    * equal the parquet-side oracle's. */
+  def orcSourceCensus(spark: SparkSession, dir: String): DataFrame =
+    census(spark.read.schema(docSchema).orc(stagedDir(spark, dir, "orc")))
 }
