@@ -453,6 +453,8 @@ object SparkEntry {
       GraphRank.weightedPageRank(cooccurrenceShared(s, d))),
     "q_personalized_pagerank" -> ((s, d) => // teleport only to the 3 seed entities
       GraphRank.personalizedPageRank(cooccurrenceShared(s, d))),
+    "q_communities" -> ((s, d) => // synchronous LPA, min-label ties, 6 rounds
+      GraphRank.labelPropagation(cooccurrenceShared(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -3854,6 +3856,7 @@ object SparkEntry {
     // fixed-point rounds — every operation integer, so ranks are bit-equal.
     "q_entity_pagerank" -> pageRankOracleSql,
     "q_personalized_pagerank" -> personalizedPageRankOracleSql,
+    "q_communities" -> lpaOracleSql,
     "q_entity_reachability" -> bfsOracleSql,
 
     // Mirror of ZOrder.zOrderProfile: the same 32 interleave terms, integer
@@ -5590,6 +5593,37 @@ object SparkEntry {
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
         |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
         |ORDER BY query_id, pick""".stripMargin
+  }
+
+  /** Mirror of GraphRank.labelPropagation(rounds=6): the graph CTE, both
+    * edge directions, identity initial labels, then six UNROLLED rounds of
+    * weighted vote + (v desc, label asc) argmax — generated by the same
+    * loop bound the engine runs. */
+  private lazy val lpaOracleSql: String = {
+    val head = cooccurrenceGraphCte +
+      """, dir AS (
+        |  SELECT item_a AS src, item_b AS dst, pairs AS w FROM g
+        |  UNION ALL
+        |  SELECT item_b, item_a, pairs FROM g WHERE item_a <> item_b),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir)
+        |""".stripMargin
+    val rounds = (1 to 6).map { i =>
+      s""", v$i AS (
+         |  SELECT d.dst AS node, l.label, CAST(sum(d.w) AS BIGINT) AS v
+         |  FROM dir d JOIN l${i - 1} l ON l.node = d.src
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY v DESC, label ASC) AS rn
+         |    FROM v$i)
+         |  WHERE rn = 1)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      """SELECT label, CAST(count(*) AS BIGINT) AS nodes,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM l6 GROUP BY label ORDER BY label""".stripMargin
   }
 
   /** Mirror of Retrieval.rboLexicalDense: the BM25 and cosine tower CTEs

@@ -285,6 +285,50 @@ object GraphRank {
     * instead of hash-mismatching against a truncated oracle). */
   val KCoreMaxRounds: Int = 24
 
+  /** Synchronous label-propagation communities (Raghavan, Albert & Kumara
+    * 2007) over the undirected weighted entity graph: every node starts
+    * as its own label; each round it adopts the label with the greatest
+    * incident edge weight (ties to the SMALLEST label — the determinism
+    * rule that makes synchronous LPA reproducible, where the classic
+    * random-order variant is not). Communities are the densely-linked
+    * subsets WITHIN a connected component — the finer structure
+    * [[Dedup.dedupClusters]]' min-label CC deliberately ignores.
+    *
+    * Fixed round count (like the PageRank family): the oracle unrolls the
+    * same rounds, so a non-converged labeling is still bit-identical on
+    * both engines. Each round is one equi-join (labels onto edges) + one
+    * weighted vote aggregation + one deterministic argmax — Pregel-as-
+    * joins, linear in |E| per round, no driver-side graph. Output is the
+    * community census (label, size, min/max member). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1)
+    val dir = edges.select(col("item_a").cast("long").as("src"),
+        col("item_b").cast("long").as("dst"), col("pairs").cast("long").as("w"))
+      .union(edges.where(col("item_a") =!= col("item_b"))
+        .select(col("item_b").cast("long").as("src"),
+          col("item_a").cast("long").as("dst"), col("pairs").cast("long").as("w")))
+      .coalesce(8).localCheckpoint()
+    var lab = dir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .coalesce(4).localCheckpoint()
+    for (i <- 1 to rounds) {
+      val votes = dir
+        .join(broadcast(lab.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("w")).as("v"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+        .orderBy(col("v").desc, col("label").asc)
+      val next = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("node"), col("label"))
+      lab = if (i % 2 == 0 || i == rounds) next.coalesce(4).localCheckpoint()
+        else next
+    }
+    lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(col("label"))
+  }
+
   /** Stationary distribution of the per-user event-type Markov chain —
     * the steady-state of [[EventAnalytics.typeTransitions]]' behavior
     * model ("where does a session spend its time in the long run?"),

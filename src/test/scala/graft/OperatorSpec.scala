@@ -170,6 +170,23 @@ class OperatorSpec extends SparkSpec {
       got.toString)
   }
 
+  test("label propagation: two triangles over a weak bridge split into two communities") {
+    // triangles {1,2,3} and {4,5,6} with heavy internal edges (w=5) and a
+    // single w=1 bridge 3-4: LPA must NOT merge them (CC would), and the
+    // census must conserve every node
+    val edges = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L),
+      (3L, 4L, 1L)).toDF("item_a", "item_b", "pairs")
+    val got = GraphRank.labelPropagation(edges).collect()
+    assert(got.map(_.getAs[Long]("nodes")).sum == 6, "census must conserve nodes")
+    assert(got.length == 2, s"expected two communities, got ${got.toSeq}")
+    val members = got.map(r =>
+      (r.getAs[Long]("min_node"), r.getAs[Long]("max_node"), r.getAs[Long]("nodes")))
+    assert(members.contains((1L, 3L, 3L)) && members.contains((4L, 6L, 3L)),
+      s"triangles must be the communities: ${members.toSeq}")
+  }
+
   test("k-core census: K4 plus a whisker peels to the clique at k=2 and k=3") {
     // K4 on 1..4 (every node degree 3) with a path 4-5-6 hanging off:
     // the whisker peels (6 then 5), the clique survives both cores
