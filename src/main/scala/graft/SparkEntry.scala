@@ -455,6 +455,10 @@ object SparkEntry {
       GraphRank.personalizedPageRank(cooccurrenceShared(s, d))),
     "q_communities" -> ((s, d) => // synchronous LPA, min-label ties, 6 rounds
       GraphRank.labelPropagation(cooccurrenceShared(s, d))),
+    "q_jackknife_ci" -> ((s, d) => // delete-bucket jackknife CI for the rate
+      Hypothesis.jackknifeRateCi(Tables.events(s, d))),
+    "q_order_reconciliation" -> ((s, d) => // header vs detail totals audit
+      DataQuality.orderReconciliation(s, d)),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -5431,6 +5435,69 @@ object SparkEntry {
     // Mirror of Hypothesis.powerAnalysis: exact user/converter counts,
     // the two-proportion sample-size formula with pinned z constants.
     "q_power_analysis" -> powerAnalysisOracleSql,
+
+    // Mirror of Hypothesis.jackknifeRateCi: md5h48 bucket split, exact
+    // bucket counts, leave-one-out replicate rates, 1e12/1e15-quantized
+    // mean/variance sums, the (B-1)/B jackknife interval.
+    "q_jackknife_ci" ->
+      s"""WITH pu AS (
+         |  SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') AS p
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |u AS (
+         |  SELECT ${md5h48("'jk:' || CAST(user_id AS VARCHAR)")} % 32 AS b,
+         |    CASE WHEN p > 0 THEN 1 ELSE 0 END AS conv
+         |  FROM pu),
+         |pb AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+         |  FROM u GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS xx,
+         |    CAST(count(*) AS BIGINT) AS bb
+         |  FROM pb),
+         |r AS (
+         |  SELECT CAST(xx - x AS DOUBLE) / CAST(nn - n AS DOUBLE) AS ri
+         |  FROM pb, t),
+         |m AS (SELECT CAST(sum(CAST(floor(ri * 1e12) AS BIGINT)) AS BIGINT) AS sq FROM r),
+         |v AS (
+         |  SELECT CAST(sum(CAST(floor(
+         |    (ri - CAST(sq AS DOUBLE) / 1e12 / CAST(t.bb AS DOUBLE))
+         |    * (ri - CAST(sq AS DOUBLE) / 1e12 / CAST(t.bb AS DOUBLE))
+         |    * 1e15) AS BIGINT)) AS BIGINT) AS sv
+         |  FROM r, m, t)
+         |SELECT nn AS users, xx AS converters,
+         |  ${q4("CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) * 100.0")} AS rate_pct,
+         |  ${q4("(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) - 1.96 * sqrt(CAST(bb - 1 AS DOUBLE) / CAST(bb AS DOUBLE) * (CAST(sv AS DOUBLE) / 1e15))) * 100.0")} AS ci_lo_pct,
+         |  ${q4("(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) + 1.96 * sqrt(CAST(bb - 1 AS DOUBLE) / CAST(bb AS DOUBLE) * (CAST(sv AS DOUBLE) / 1e15))) * 100.0")} AS ci_hi_pct
+         |FROM t, v""".stripMargin,
+
+    // Mirror of DataQuality.orderReconciliation: per-order detail sums,
+    // full-outer key join, capped 25-wide integer ratio bands, orphan
+    // lanes, exact-cents totals per band.
+    "q_order_reconciliation" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS hc
+        |  FROM orders),
+        |i AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dc,
+        |    CAST(count(*) AS BIGINT) AS items
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT hc, dc, items
+        |  FROM o FULL OUTER JOIN i ON o.o_orderkey = i.l_orderkey),
+        |b AS (
+        |  SELECT CASE WHEN hc IS NULL THEN 'orphan_detail'
+        |    WHEN dc IS NULL THEN 'orphan_header'
+        |    ELSE 'ratio_' || lpad(CAST(least((100 * hc) // dc, 999)
+        |      - (least((100 * hc) // dc, 999) % 25) AS VARCHAR), 4, '0') END AS band,
+        |    hc, dc, items
+        |  FROM j)
+        |SELECT band, CAST(count(*) AS BIGINT) AS orders,
+        |  CAST(coalesce(sum(items), 0) AS BIGINT) AS line_items,
+        |  CAST(coalesce(sum(hc), 0) AS DOUBLE) / 100.0 AS header_total,
+        |  CAST(coalesce(sum(dc), 0) AS DOUBLE) / 100.0 AS detail_total
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
 
     // Mirror of Sampling.balancedSample: minority-class quota, salted-hash
     // rank per label, id-sum checksum pinning exact membership.

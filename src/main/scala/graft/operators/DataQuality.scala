@@ -178,4 +178,44 @@ object DataQuality {
         Cols.pct4(col("rows"), col("tot")).as("rows_pct"))
       .orderBy(col("band"))
   }
+
+  /** Order↔lineitem reconciliation census — the cross-table totals audit
+    * every warehouse runs between a header table and its detail table:
+    * per-order Σ(l_extendedprice) against o_totalprice, bucketed by the
+    * integer ratio band ⌊100·header/detail⌋ div 25 (exact cross-
+    * multiplied integers — no division on the hot path), with orphan
+    * headers (no detail rows) and orphan details (no header) as their own
+    * lanes. On this synthetic fixture the identity deliberately does NOT
+    * hold (the generator prices headers independently) — the census
+    * REPORTS that honestly, which is exactly what a reconciliation audit
+    * is for.
+    *
+    * Shape: one detail-side hash agg to per-order sums, one big-big
+    * shuffle join on the order key (the [[Relational.fulfillmentLatency]]
+    * posture — degrades to zero-shuffle under at-rest bucketing), one
+    * bounded band census. */
+  def orderReconciliation(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import graft.functions.Cols
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Cols.cents(col("o_totalprice")).as("hc"))
+    val items = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Cols.cents(col("l_extendedprice"))).as("dc"),
+        count(lit(1)).as("items"))
+    val joined = orders.join(items,
+      col("o_orderkey") === col("l_orderkey"), "full_outer")
+    val band = when(col("hc").isNull, lit("orphan_detail"))
+      .when(col("dc").isNull, lit("orphan_header"))
+      .otherwise(concat(lit("ratio_"),
+        lpad((least(expr("(100 * hc) div dc"), lit(999L))
+          - pmod(least(expr("(100 * hc) div dc"), lit(999L)), lit(25L)))
+          .cast("string"), 4, "0")))
+    joined.groupBy(band.as("band"))
+      .agg(count(lit(1)).as("orders"),
+        coalesce(sum(col("items")), lit(0L)).as("line_items"),
+        (coalesce(sum(col("hc")), lit(0L)).cast("double") / 100.0).as("header_total"),
+        (coalesce(sum(col("dc")), lit(0L)).cast("double") / 100.0).as("detail_total"))
+      .orderBy(col("band"))
+  }
 }

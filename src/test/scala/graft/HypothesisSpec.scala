@@ -274,6 +274,25 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("jackknife CI: brackets the point rate and tightens with more data") {
+    val r = Hypothesis.jackknifeRateCi(Tables.events(spark, sf)).collect()(0)
+    val rate = r.getAs[Double]("rate_pct")
+    assert(r.getAs[Double]("ci_lo_pct") <= rate && rate <= r.getAs[Double]("ci_hi_pct"))
+    assert(r.getAs[Long]("users") >= r.getAs[Long]("converters"))
+  }
+
+  test("order reconciliation: every order and orphan lands in exactly one band") {
+    val rec = DataQuality.orderReconciliation(spark, sf).collect()
+    val orders = Tables.orders(spark, sf).count()
+    val detailOnly = rec.filter(_.getAs[String]("band") == "orphan_detail")
+      .map(_.getAs[Long]("orders")).sum
+    assert(rec.map(_.getAs[Long]("orders")).sum == orders + detailOnly,
+      "bands must partition headers plus detail-orphans")
+    rec.foreach { b =>
+      assert(b.getAs[String]("band").matches("orphan_(header|detail)|ratio_\\d{4}"))
+    }
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
