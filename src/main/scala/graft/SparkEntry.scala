@@ -459,6 +459,8 @@ object SparkEntry {
       Hypothesis.jackknifeRateCi(Tables.events(s, d))),
     "q_order_reconciliation" -> ((s, d) => // header vs detail totals audit
       DataQuality.orderReconciliation(s, d)),
+    "q_dedup_threshold_sweep" -> ((s, d) => // cutoff sensitivity, one verified frame
+      Dedup.dedupThresholdSweep(Tables.documents(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -4391,6 +4393,32 @@ object SparkEntry {
            |  WHERE e.est_jaccard >= 0.3)
            |SELECT doc_a, doc_b, jaccard FROM ver
            |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Mirror of Dedup.dedupThresholdSweep: the SAME candidate-verify chain
+    // as q_near_dup_verified with NO cutoff, then per-threshold pair and
+    // affected-doc counts from the one verified frame.
+    "q_dedup_threshold_sweep" ->
+      (minhashCte +
+        s""", sets AS (
+           |  SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id),
+           |ver AS (
+           |  SELECT e.doc_a, e.doc_b,
+           |    ${q4("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.s, b.s))) AS DOUBLE)")} AS jaccard
+           |  FROM est e
+           |  JOIN sets a ON a.doc_id = e.doc_a
+           |  JOIN sets b ON b.doc_id = e.doc_b
+           |  WHERE e.est_jaccard >= 0.3),
+           |fl AS (
+           |  SELECT CAST(t.t AS DOUBLE) AS threshold, v.doc_a, v.doc_b
+           |  FROM ver v, (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t) t
+           |  WHERE v.jaccard >= CAST(t.t AS DOUBLE)),
+           |p AS (SELECT threshold, CAST(count(*) AS BIGINT) AS pairs FROM fl GROUP BY 1),
+           |ex AS (SELECT threshold, doc_a AS doc FROM fl
+           |       UNION ALL SELECT threshold, doc_b FROM fl),
+           |a AS (SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS docs_affected
+           |      FROM ex GROUP BY 1)
+           |SELECT p.threshold, p.pairs, a.docs_affected
+           |FROM p JOIN a USING (threshold) ORDER BY threshold""".stripMargin),
 
     // Mirror of Dedup.jaccardJoinPrefix (t = 1/2): same shingles, same
     // canonical (df, shingle) order, same integer prefix/size bounds, same

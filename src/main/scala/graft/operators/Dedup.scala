@@ -321,6 +321,35 @@ object Dedup {
       .where(col("jaccard") >= exactThreshold)
   }
 
+  /** Dedup threshold sensitivity sweep: the verified candidate-pair frame
+    * is computed ONCE (LSH candidates → exact Jaccard, no threshold), then
+    * every candidate threshold reads its pair count and affected-doc count
+    * from that one frame — the "what does moving the near-dup cutoff
+    * cost?" calibration a pipeline runs before committing to one, without
+    * re-running the pipeline per threshold (the [[Sessionize.gapSensitivity]]
+    * doctrine applied to dedup). Thresholds are shared literal doubles;
+    * the flagged set per threshold is an exact comparison on the
+    * 1e-4-quantized Jaccard, so counts are cross-engine exact. */
+  def dedupThresholdSweep(docs: DataFrame,
+                          thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+                          estThreshold: Double = 0.3,
+                          hash: HashFn = FastHash): DataFrame = {
+    val sh = shingleRows(docs).localCheckpoint()
+    val cands = nearDupMinhashOnSignatures(signaturesOnShingles(sh, hash), estThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val ver = verifyJaccardOnShingles(sh, cands).localCheckpoint()
+    val flagged = ver
+      .withColumn("threshold", explode(array(thresholds.map(lit): _*)))
+      .where(col("jaccard") >= col("threshold"))
+    val pairs = flagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("pairs"))
+    val affected = flagged
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("doc")).as("docs_affected"))
+    pairs.join(affected, Seq("threshold")).orderBy(col("threshold"))
+  }
+
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
     * AllPairs/PPJoin family: Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW 2007; Xiao et al., WWW 2008) — every pair with

@@ -339,4 +339,21 @@ class DedupSpec extends SparkSpec {
     assert(multi.size.toDouble >= 0.35 * exact.size,
       s"multi-table recall collapsed: ${multi.size}/${exact.size}")
   }
+
+  test("threshold sweep: pair counts are monotone non-increasing in the cutoff, 0.5 row matches the pipeline") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sweep = Dedup.dedupThresholdSweep(docs).collect()
+    assert(sweep.nonEmpty)
+    sweep.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("pairs") >= b.getAs[Long]("pairs"))
+        assert(a.getAs[Long]("docs_affected") >= b.getAs[Long]("docs_affected"))
+      case _ =>
+    }
+    sweep.find(_.getAs[Double]("threshold") == 0.5).foreach { row =>
+      val pipeline = Dedup.nearDupVerifiedPairs(docs).count()
+      assert(row.getAs[Long]("pairs") == pipeline,
+        "the 0.5 sweep row must equal the registered pipeline's pair count")
+    }
+  }
 }
