@@ -578,4 +578,40 @@ class StreamingSpec extends SparkSpec {
       .drop("unique_users")
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
+
+  test("foreachBatch maintains the aggregate view incrementally, equal to the batch recompute") {
+    // the streaming face of Snapshot.incrementalRefresh's self-maintainable
+    // class: each micro-batch contributes ONE delta aggregate, merged into
+    // the stored view by summing count/cents lanes — the base is never
+    // rescanned. After three batches the view must equal the one-shot
+    // recompute over everything that streamed through.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val view = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val q = mem.toDF().toDF("prio", "cents").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("prio"))
+          .agg(count(lit(1)).as("o"), sum(col("cents")).as("c"))
+          .collect()
+        delta.foreach { r =>
+          val k = r.getString(0)
+          val (po, pc) = view.getOrElse(k, (0L, 0L))
+          view.put(k, (po + r.getLong(1), pc + r.getLong(2)))
+        }
+      }
+      .start()
+    val all = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    for (b <- 1 to 3) {
+      val rows = (1 to 20).map(i => (s"P${i % 3}", (b * 100 + i).toLong))
+      all ++= rows
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val recompute = all.groupBy(_._1).map { case (k, g) =>
+      k -> (g.size.toLong, g.map(_._2).sum)
+    }
+    assert(view.toMap == recompute, s"view=$view recompute=$recompute")
+  }
 }
