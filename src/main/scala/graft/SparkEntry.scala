@@ -461,6 +461,12 @@ object SparkEntry {
       DataQuality.orderReconciliation(s, d)),
     "q_dedup_threshold_sweep" -> ((s, d) => // cutoff sensitivity, one verified frame
       Dedup.dedupThresholdSweep(Tables.documents(s, d))),
+    "q_funnel_by_arm" -> ((s, d) => // per-arm reach funnel + stage conversion
+      EventAnalytics.funnelByArm(Tables.events(s, d))),
+    "q_stickiness" -> ((s, d) => // DAU / trailing-7d actives engagement ratio
+      EventAnalytics.stickiness(Tables.events(s, d))),
+    "q_new_vs_returning" -> ((s, d) => // acquisition vs retention daily mix
+      EventAnalytics.newVsReturning(Tables.events(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -1838,6 +1844,74 @@ object SparkEntry {
         |FROM days d JOIN a u
         |  ON u.day_sec BETWEEN d.day_sec - 6 * 86400 AND d.day_sec
         |GROUP BY d.day_sec ORDER BY d.day_sec""".stripMargin,
+
+    // Mirror of EventAnalytics.stickiness: both active-user lanes from the
+    // q_sliding_dau trailing range join (windows 1 and 7), one ratio.
+    "q_stickiness" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec
+         |  FROM events),
+         |days AS (SELECT DISTINCT day_sec FROM a),
+         |dau AS (
+         |  SELECT d.day_sec, CAST(count(DISTINCT u.user_id) AS BIGINT) AS dau
+         |  FROM days d JOIN a u ON u.day_sec = d.day_sec
+         |  GROUP BY d.day_sec),
+         |wau AS (
+         |  SELECT d.day_sec, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+         |  FROM days d JOIN a u
+         |    ON u.day_sec BETWEEN d.day_sec - 6 * 86400 AND d.day_sec
+         |  GROUP BY d.day_sec)
+         |SELECT dau.day_sec, dau.dau, wau.wau,
+         |  ${pct("dau.dau", "wau.wau")} AS stickiness_pct
+         |FROM dau JOIN wau ON dau.day_sec = wau.day_sec
+         |ORDER BY dau.day_sec""".stripMargin,
+
+    // Mirror of EventAnalytics.funnelByArm: per-user reach flags, hash
+    // arms, stage-to-stage conversion percentages.
+    "q_funnel_by_arm" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    count(*) FILTER (WHERE event_type = 'view') AS v,
+         |    count(*) FILTER (WHERE event_type = 'click') AS c,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS p
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |u AS (
+         |  SELECT ${md5h48("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CASE WHEN v > 0 THEN 1 ELSE 0 END AS viewed,
+         |    CASE WHEN c > 0 THEN 1 ELSE 0 END AS clicked,
+         |    CASE WHEN p > 0 THEN 1 ELSE 0 END AS purchased
+         |  FROM pu),
+         |g AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS users,
+         |    CAST(sum(viewed) AS BIGINT) AS viewed,
+         |    CAST(sum(clicked) AS BIGINT) AS clicked,
+         |    CAST(sum(purchased) AS BIGINT) AS purchased
+         |  FROM u GROUP BY 1)
+         |SELECT arm, users, viewed, clicked, purchased,
+         |  ${pct("clicked", "viewed")} AS view_to_click_pct,
+         |  ${pct("purchased", "clicked")} AS click_to_purchase_pct
+         |FROM g ORDER BY arm""".stripMargin,
+
+    // Mirror of EventAnalytics.newVsReturning: distinct (user, day), the
+    // per-user first-seen day, daily new/returning census.
+    "q_new_vs_returning" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec
+         |  FROM events WHERE user_id IS NOT NULL),
+         |f AS (SELECT user_id, min(day_sec) AS first_day FROM a GROUP BY 1),
+         |g AS (
+         |  SELECT a.day_sec,
+         |    CAST(sum(CASE WHEN a.day_sec = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+         |    CAST(sum(CASE WHEN a.day_sec <> f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+         |  FROM a JOIN f ON a.user_id = f.user_id
+         |  GROUP BY 1)
+         |SELECT day_sec, new_users, returning_users,
+         |  ${pct("new_users", "new_users + returning_users")} AS new_pct
+         |FROM g ORDER BY day_sec""".stripMargin,
 
     "q_daily_retention" ->
       s"""WITH a AS (

@@ -649,4 +649,71 @@ object EventAnalytics {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), Cols.sumDec2(col("value")).as("total_value"))
   }
+
+  /** Per-arm reach funnel — the experiment readout of the funnel family:
+    * for each hash arm, how many users reached each stage (any view / any
+    * click / any purchase) and the stage-to-stage conversion percentages.
+    * Reach (not time-ordered) is deliberate here: the arm comparison
+    * wants "did the treatment move the share of users who ever click?",
+    * and the time-ordered depth lives in [[sessionFunnel]]. One hash agg
+    * to the user frame, one to the 2-row arm frame. */
+  def funnelByArm(events: DataFrame): DataFrame = {
+    val users = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(Cols.countWhen(col("event_type") === "view").as("v"),
+        Cols.countWhen(col("event_type") === "click").as("c"),
+        Cols.countWhen(col("event_type") === "purchase").as("p"))
+      .select(
+        (Dedup.PortableHash(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+          .as("arm"),
+        when(col("v") > 0, 1L).otherwise(0L).as("viewed"),
+        when(col("c") > 0, 1L).otherwise(0L).as("clicked"),
+        when(col("p") > 0, 1L).otherwise(0L).as("purchased"))
+    users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("users"), sum(col("viewed")).as("viewed"),
+        sum(col("clicked")).as("clicked"), sum(col("purchased")).as("purchased"))
+      .select(col("arm"), col("users"), col("viewed"), col("clicked"),
+        col("purchased"),
+        Cols.pct4(col("clicked"), col("viewed")).as("view_to_click_pct"),
+        Cols.pct4(col("purchased"), col("clicked")).as("click_to_purchase_pct"))
+      .orderBy(col("arm"))
+  }
+
+  /** DAU/WAU stickiness — per day, 1-day actives over trailing-7-day
+    * actives, the classic engagement-intensity ratio. Both lanes are
+    * [[slidingActiveUsers]]' coverage-replication distinct counts
+    * (window-free at any scale); the ratio is one division on the
+    * calendar-bounded day frame. */
+  def stickiness(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val dau = slidingActiveUsers(events, 1)
+      .select(col("day_sec"), col("active_users").as("dau"))
+    val wau = slidingActiveUsers(events, windowDays)
+      .select(col("day_sec"), col("active_users").as("wau"))
+    dau.join(wau, Seq("day_sec"))
+      .select(col("day_sec"), col("dau"), col("wau"),
+        Cols.pct4(col("dau"), col("wau")).as("stickiness_pct"))
+      .orderBy(col("day_sec"))
+  }
+
+  /** New-vs-returning daily census: a user is "new" on their first-seen
+    * day, "returning" after — the acquisition/retention mix every growth
+    * dashboard leads with. One distinct (user, day) collapse, one per-user
+    * min, one bounded daily census. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val userDays = events.where(col("user_id").isNotNull)
+      .select(col("user_id"),
+        (col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec"))
+      .distinct()
+      .localCheckpoint() // feeds both the first-seen agg and the census
+    val firstSeen = userDays.groupBy(col("user_id"))
+      .agg(min(col("day_sec")).as("first_day"))
+    userDays.join(firstSeen, Seq("user_id"))
+      .groupBy(col("day_sec"))
+      .agg(Cols.countWhen(col("day_sec") === col("first_day")).as("new_users"),
+        Cols.countWhen(col("day_sec") =!= col("first_day")).as("returning_users"))
+      .select(col("day_sec"), col("new_users"), col("returning_users"),
+        Cols.pct4(col("new_users"), col("new_users") + col("returning_users"))
+          .as("new_pct"))
+      .orderBy(col("day_sec"))
+  }
 }

@@ -293,6 +293,32 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("product analytics: funnel arms partition users; stickiness <= 100; new+returning = DAU") {
+    val ev = Tables.events(spark, sf)
+    val funnel = EventAnalytics.funnelByArm(ev).collect()
+    val totalUsers = ev.where(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(funnel.map(_.getAs[Long]("users")).sum == totalUsers)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("viewed") <= r.getAs[Long]("users"))
+      assert(r.getAs[Double]("view_to_click_pct") <= 100.0001)
+    }
+    val st = EventAnalytics.stickiness(ev).collect()
+    st.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      assert(r.getAs[Double]("stickiness_pct") <= 100.0001)
+    }
+    val nvr = EventAnalytics.newVsReturning(ev).collect()
+    val dauByDay = st.map(r => r.getAs[Long]("day_sec") -> r.getAs[Long]("dau")).toMap
+    nvr.foreach { r =>
+      assert(r.getAs[Long]("new_users") + r.getAs[Long]("returning_users")
+        == dauByDay(r.getAs[Long]("day_sec")),
+        "new + returning must equal that day's actives")
+    }
+    assert(nvr.head.getAs[Long]("returning_users") == 0L
+      || nvr.head.getAs[Long]("new_users") > 0, "the first day is all-new")
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
