@@ -467,6 +467,8 @@ object SparkEntry {
       EventAnalytics.stickiness(Tables.events(s, d))),
     "q_new_vs_returning" -> ((s, d) => // acquisition vs retention daily mix
       EventAnalytics.newVsReturning(Tables.events(s, d))),
+    "q_peak_concurrency" -> ((s, d) => // interval sweep, bucketed prefix sum
+      Sessionize.peakConcurrency(Tables.events(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -1766,6 +1768,21 @@ object SparkEntry {
 
     "q_session_metrics" ->
       (sessionCte + "SELECT * FROM sm ORDER BY user_id, session_id"),
+
+    // Mirror of Sessionize.peakConcurrency: endpoint deltas off the shared
+    // session CTE, the naive global running sum (the engine's bucketed
+    // two-stage prefix is invisible), per-day max + change-point count.
+    "q_peak_concurrency" ->
+      (sessionCte +
+        """, dl AS (
+          |  SELECT start_sec AS t, 1 AS d FROM sm
+          |  UNION ALL SELECT end_sec + 1, -1 FROM sm),
+          |dd AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM dl GROUP BY 1),
+          |c AS (SELECT t, sum(d) OVER (ORDER BY t) AS conc FROM dd)
+          |SELECT t - t % 86400 AS day_sec,
+          |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+          |  CAST(count(*) AS BIGINT) AS change_points
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Interval-overlap join: the grid is invisible — the oracle is the
     // naive overlap predicate between top-k busy hours and session spans.

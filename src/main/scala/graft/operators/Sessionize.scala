@@ -115,4 +115,40 @@ object Sessionize {
         Cols.countWhen(col("converted")).as("converted_sessions"),
         Cols.pct4(Cols.countWhen(col("converted")), count(lit(1))).as("conversion_rate"))
   }
+
+  /** Per-day peak session concurrency — the capacity-planning sweep over
+    * session intervals: +1 at each session start, −1 just after its end,
+    * and the running sum of deltas in time order IS the live-session
+    * count; the census reports each day's maximum and change-point count.
+    *
+    * Scale shape: the sweep's running sum is NOT a global window — it is
+    * the bucketed two-stage prefix (per-time-bucket delta sums, one
+    * global prefix over the bounded bucket frame, intra-bucket prefix
+    * partitioned by bucket), the [[Relational.decilesByValue]] machinery
+    * applied to the TIME axis. Endpoint collapse happens first, so the
+    * windowed frame is bounded by distinct change times, never by session
+    * count. */
+  def peakConcurrency(events: DataFrame, gapSeconds: Long = DefaultGapSeconds,
+                      bucketSeconds: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionMetrics(events, gapSeconds)
+      .select(col("start_sec"), col("end_sec"))
+    val deltas = sess.select(col("start_sec").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("end_sec") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("d"))
+      .withColumn("bkt", expr(s"t div $bucketSeconds"))
+    val hist = deltas.groupBy(col("bkt")).agg(sum(col("d")).as("s"))
+    val wPrev = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("bkt"),
+      coalesce(sum(col("s")).over(wPrev), lit(0L)).as("off"))
+    val wB = Window.partitionBy(col("bkt")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), Seq("bkt"))
+      .select(col("t"), (col("off") + sum(col("d")).over(wB)).as("conc"))
+      .groupBy((col("t") - pmod(col("t"), lit(86400L))).as("day_sec"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("change_points"))
+      .orderBy(col("day_sec"))
+  }
 }

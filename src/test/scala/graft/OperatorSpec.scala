@@ -170,6 +170,24 @@ class OperatorSpec extends SparkSpec {
       got.toString)
   }
 
+  test("peak concurrency: crafted overlapping sessions peak at 3; sweep conserves to zero") {
+    import spark.implicits._
+    // users 1-3 hold sessions spanning [100, 200] simultaneously; user 4's
+    // session sits a day later and never overlaps them
+    val ev = Seq(
+      (1L, 1L, 100L), (2L, 1L, 200L), (3L, 2L, 100L), (4L, 2L, 200L),
+      (5L, 3L, 100L), (6L, 3L, 200L), (7L, 4L, 100000L))
+      .toDF("event_id", "user_id", "ts_sec")
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        lit("view").as("event_type"), lit(1.0).as("value"))
+    val got = Sessionize.peakConcurrency(ev).collect()
+    assert(got.map(_.getAs[Long]("peak_concurrency")).max >= 3,
+      s"three overlapping sessions must peak at >= 3: ${got.toSeq}")
+    // global conservation: sum of all deltas is zero — the last change
+    // point's running count returns to 0, so no day reports negative peaks
+    got.foreach(r => assert(r.getAs[Long]("peak_concurrency") >= 0))
+  }
+
   test("label propagation: two triangles over a weak bridge split into two communities") {
     // triangles {1,2,3} and {4,5,6} with heavy internal edges (w=5) and a
     // single w=1 bridge 3-4: LPA must NOT merge them (CC would), and the
