@@ -469,6 +469,8 @@ object SparkEntry {
       EventAnalytics.newVsReturning(Tables.events(s, d))),
     "q_peak_concurrency" -> ((s, d) => // interval sweep, bucketed prefix sum
       Sessionize.peakConcurrency(Tables.events(s, d))),
+    "q_emb_outliers" -> ((s, d) => // centroid-distance class-outlier census
+      Similarity.centroidOutliers(Tables.embeddings(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -4665,6 +4667,40 @@ object SparkEntry {
         |SELECT label, c_label AS assigned, count(*) AS vecs
         |FROM a WHERE rn = 1
         |GROUP BY label, assigned ORDER BY label, assigned""".stripMargin,
+
+    // Mirror of Similarity.centroidOutliers: the q_label_centroids mean
+    // chain, own-label squared distances quantized to 1e6 units, the
+    // integer cross-multiplied 2x-mean outlier gate.
+    "q_emb_outliers" ->
+      s"""WITH e AS (
+         |  SELECT label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+         |  FROM embeddings, range(64) r(i)),
+         |m AS (
+         |  SELECT label, pos,
+         |    (CAST(sum(CAST(floor(v * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) AS mean_v
+         |  FROM e GROUP BY label, pos),
+         |c AS (SELECT label, list(mean_v ORDER BY pos) AS centroid FROM m GROUP BY label),
+         |d AS (
+         |  SELECT CAST(v.label AS BIGINT) AS label, v.vec_id,
+         |    CAST(floor(list_reduce(list_transform(range(64),
+         |      i -> (CAST(v.embedding[i + 1] AS DOUBLE) - c.centroid[i + 1])
+         |         * (CAST(v.embedding[i + 1] AS DOUBLE) - c.centroid[i + 1])),
+         |      (a, b) -> a + b) * 1e6) AS BIGINT) AS du
+         |  FROM embeddings v JOIN c ON v.label = c.label),
+         |s AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(du) AS BIGINT) AS sd
+         |  FROM d GROUP BY 1),
+         |g AS (
+         |  SELECT d.label, CAST(count(*) AS BIGINT) AS vecs,
+         |    CAST(sum(CASE WHEN d.du * s.n > 2 * s.sd THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+         |    CAST(max(d.du) AS BIGINT) AS maxdu,
+         |    CAST(max(s.sd) AS BIGINT) AS sd2, CAST(max(s.n) AS BIGINT) AS n2
+         |  FROM d JOIN s USING (label) GROUP BY 1)
+         |SELECT label, vecs, outliers,
+         |  ${pct("outliers", "vecs")} AS outlier_pct,
+         |  CAST(maxdu AS DOUBLE) / 1e6 AS max_sqdist,
+         |  ${q4("CAST(sd2 AS DOUBLE) / 1e6 / CAST(n2 AS DOUBLE)")} AS mean_sqdist
+         |FROM g ORDER BY label""".stripMargin,
 
     // Mirror of Multimodal.{featureVectors, featureProfile}: 8 feature
     // components are 12-bit md5 windows / 4096.0; the row norm is the same

@@ -693,6 +693,44 @@ object Similarity {
       .orderBy(col("label"), col("assigned"))
   }
 
+  /** Embedding-space outlier census — per label, vectors whose squared
+    * distance to their OWN class centroid exceeds 2× the class mean
+    * (mislabels, corrupt embeddings, off-distribution samples — the
+    * cleaning pass before the centroids are trusted for routing). The
+    * outlier test is a PURE INTEGER cross-multiplication on 1e6-quantized
+    * distances — du·n > 2·Σdu — so no per-row division and no float
+    * threshold; the emitted mean/max are one fixed expression each.
+    * (Headroom: du ≤ ~1e9 at unit-scale embeddings, so du·n stays inside
+    * int64 to ~10⁹ vectors per label; past that, DECIMAL lanes.)
+    *
+    * Shape: centroids are the bounded broadcast frame; distances are one
+    * codegen'd fold per vector on the scan; the per-label stats frame is
+    * |labels| rows, broadcast back for the flag pass. */
+  def centroidOutliers(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label"), col("centroid"))
+    val dist = aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val du = embeddings.join(broadcast(cents), Seq("label"))
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        floor(dist * 1e6).cast("long").as("du"))
+    val stats = du.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("du")).as("sd"))
+    du.join(broadcast(stats), Seq("label"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("vecs"),
+        Cols.countWhen(col("du") * col("n") > lit(2L) * col("sd")).as("outliers"),
+        max(col("du")).as("maxdu"), max(col("sd")).as("sd2"), max(col("n")).as("n2"))
+      .select(col("label"), col("vecs"), col("outliers"),
+        Cols.pct4(col("outliers"), col("vecs")).as("outlier_pct"),
+        (col("maxdu").cast("double") / 1e6).as("max_sqdist"),
+        Cols.q4(col("sd2").cast("double") / 1e6 / col("n2").cast("double"))
+          .as("mean_sqdist"))
+      .orderBy(col("label"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * of each query's cosine candidate list — the diversified top-k a
     * retrieval pipeline serves instead of the raw nearest neighbors when

@@ -319,6 +319,21 @@ class HypothesisSpec extends SparkSpec {
       || nvr.head.getAs[Long]("new_users") > 0, "the first day is all-new")
   }
 
+  test("embedding outliers: a planted far vector is flagged; clean classes flag nothing") {
+    // two tight clusters plus one vector far from its own class centroid
+    val mk = (base: Float) => Array.fill(4)(base)
+    val rows = Seq(
+      (0L, mk(1.0f), 0), (1L, mk(1.01f), 0), (2L, mk(0.99f), 0),
+      (3L, mk(1.0f), 0), (4L, Array.fill(4)(9.0f), 0), // the planted outlier
+      (10L, mk(5.0f), 1), (11L, mk(5.01f), 1), (12L, mk(4.99f), 1))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb).collect()
+    val c0 = got.find(_.getAs[Long]("label") == 0L).get
+    assert(c0.getAs[Long]("outliers") == 1L, s"planted outlier must be flagged: ${got.toSeq}")
+    val c1 = got.find(_.getAs[Long]("label") == 1L).get
+    assert(c1.getAs[Long]("outliers") == 0L, s"tight class must be clean: ${got.toSeq}")
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
