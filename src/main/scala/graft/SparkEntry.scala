@@ -471,6 +471,8 @@ object SparkEntry {
       Sessionize.peakConcurrency(Tables.events(s, d))),
     "q_emb_outliers" -> ((s, d) => // centroid-distance class-outlier census
       Similarity.centroidOutliers(Tables.embeddings(s, d))),
+    "q_neyman_allocation" -> ((s, d) => // variance-optimal stratified budget
+      Sampling.neymanAllocation(Tables.orders(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -4701,6 +4703,46 @@ object SparkEntry {
          |  CAST(maxdu AS DOUBLE) / 1e6 AS max_sqdist,
          |  ${q4("CAST(sd2 AS DOUBLE) / 1e6 / CAST(n2 AS DOUBLE)")} AS mean_sqdist
          |FROM g ORDER BY label""".stripMargin,
+
+    // Mirror of Sampling.neymanAllocation: exact integer-dollar moments,
+    // HUGEINT variance numerator, one IEEE sqrt per stratum, floor N*sigma
+    // weights, Hamilton largest-remainder integerization to the budget.
+    "q_neyman_allocation" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS stratum,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS y
+         |  FROM orders),
+         |m AS (
+         |  SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM o GROUP BY 1),
+         |s AS (
+         |  SELECT stratum, n,
+         |    CASE WHEN n > 1 AND CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+         |        - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) > 0
+         |      THEN sqrt(CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+         |          - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+         |        / CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) AS DOUBLE))
+         |      ELSE 0.0 END AS sigma
+         |  FROM m),
+         |w AS (
+         |  SELECT stratum, n, sigma,
+         |    CAST(floor(CAST(n AS DOUBLE) * sigma) AS BIGINT) AS wq
+         |  FROM s),
+         |t AS (SELECT CAST(sum(wq) AS BIGINT) AS wt FROM w),
+         |q AS (
+         |  SELECT stratum, n, sigma,
+         |    CAST((1000 * wq) // wt AS BIGINT) AS fq,
+         |    CAST((1000 * wq) % wt AS BIGINT) AS rem
+         |  FROM w, t),
+         |l AS (SELECT CAST(1000 - sum(fq) AS BIGINT) AS leftover FROM q),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS er
+         |  FROM q)
+         |SELECT stratum, n AS stratum_n,
+         |  ${q4("sigma")} AS sigma,
+         |  CAST(fq + CASE WHEN er <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+         |FROM r, l ORDER BY stratum""".stripMargin,
 
     // Mirror of Multimodal.{featureVectors, featureProfile}: 8 feature
     // components are 12-bit md5 windows / 4096.0; the row norm is the same

@@ -262,6 +262,53 @@ object Sampling {
       .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
       .orderBy(col("source"))
 
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): the
+    * per-stratum share of a fixed sample budget proportional to N_h·σ_h —
+    * variable strata earn more of the budget than uniform or
+    * size-proportional allocation would give them, minimizing the
+    * stratified estimator's variance. The integerization is the same
+    * largest-remainder (Hamilton) rule as
+    * [[CorpusFilters.tokenApportionment]], so quotas sum EXACTLY to the
+    * budget.
+    *
+    * Exactness: per-stratum moments are exact integer dollars; the
+    * variance numerator N·Σy² − (Σy)² runs in DECIMAL(38,0)/HUGEINT lanes
+    * (int64 overflows at fixture scale already); σ is one IEEE sqrt; the
+    * weight floors to integer N·σ units before the exact integer
+    * apportionment. Bounded |strata| frame throughout — the corpus pays
+    * one hash aggregation. */
+  def neymanAllocation(orders: DataFrame, budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Cols
+    val dec = DecimalType(38, 0)
+    val m = orders.select(col("o_orderpriority").as("stratum"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100").as("y"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val vnum = (col("n").cast(dec) * col("syy").cast(dec)
+      - col("sy").cast(dec) * col("sy").cast(dec)).cast("double")
+    val den = (col("n").cast(dec) * (col("n") - 1L).cast(dec)).cast("double")
+    val sigma = when(col("n") > 1 && vnum > 0, sqrt(vnum / den)).otherwise(lit(0.0))
+    val weighted = m.select(col("stratum"), col("n"), sigma.as("sigma"),
+      floor(col("n").cast("double") * sigma).cast("long").as("wq"))
+    val tot = Window.partitionBy()
+    val wr = Window.orderBy(col("rem").desc, col("stratum").asc)
+    weighted
+      .withColumn("wt", sum(col("wq")).over(tot))
+      .select(col("stratum"), col("n"), col("sigma"),
+        expr(s"(${budget}L * wq) div wt").as("floor_quota"),
+        pmod(lit(budget) * col("wq"), col("wt")).as("rem"))
+      .withColumn("leftover", lit(budget) - sum(col("floor_quota")).over(tot))
+      .withColumn("extra_rank", row_number().over(wr).cast("long"))
+      .select(col("stratum"), col("n").as("stratum_n"),
+        Cols.q4(col("sigma")).as("sigma"),
+        (col("floor_quota")
+          + when(col("extra_rank") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      .orderBy(col("stratum"))
+  }
+
   /** Class-balanced downsample of the labeled embedding corpus: every
     * label keeps exactly the MINORITY class's count, selected by the
     * [[groupSample]] salted-hash rank (deterministic shuffle — same data,

@@ -334,6 +334,16 @@ class HypothesisSpec extends SparkSpec {
     assert(c1.getAs[Long]("outliers") == 0L, s"tight class must be clean: ${got.toSeq}")
   }
 
+  test("neyman allocation: quotas sum exactly to the budget; high-variance strata earn more") {
+    val rows = Sampling.neymanAllocation(Tables.orders(spark, sf)).collect()
+    assert(rows.map(_.getAs[Long]("quota")).sum == 1000L, "Hamilton rule must hit the budget exactly")
+    // allocation ordering follows N*sigma ordering (same N-scale strata here)
+    val byWeight = rows.sortBy(r => -r.getAs[Long]("stratum_n") * r.getAs[Double]("sigma"))
+    val byQuota = rows.sortBy(-_.getAs[Long]("quota"))
+    assert(byWeight.head.getAs[String]("stratum") == byQuota.head.getAs[String]("stratum"),
+      "the heaviest N*sigma stratum must receive the largest quota")
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
