@@ -473,6 +473,8 @@ object SparkEntry {
       Similarity.centroidOutliers(Tables.embeddings(s, d))),
     "q_neyman_allocation" -> ((s, d) => // variance-optimal stratified budget
       Sampling.neymanAllocation(Tables.orders(s, d))),
+    "q_langid_calibration" -> ((s, d) => // reliability diagram of the en score
+      TextAnalysis.langidCalibration(Tables.documents(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -5589,6 +5591,27 @@ object SparkEntry {
          |  ${pct("docs", "sum(docs) OVER (PARTITION BY labeled_lang)")} AS recall_pct,
          |  ${pct("docs", "sum(docs) OVER (PARTITION BY predicted_lang)")} AS precision_pct
          |FROM cl ORDER BY labeled_lang, predicted_lang""".stripMargin,
+
+    // Mirror of TextAnalysis.langidCalibration: the q_lang_id score CTE
+    // with the same floor-1e4 quantization, decile bins, per-bin gold rate.
+    "q_langid_calibration" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, labeled_lang,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score_en
+         |  FROM t),
+         |b AS (
+         |  SELECT CAST(floor((floor(score_en * 10000.0) / 10000.0) * 10.0) AS BIGINT) AS score_decile,
+         |    labeled_lang = 'en' AS is_en
+         |  FROM s),
+         |g AS (
+         |  SELECT score_decile, CAST(count(*) AS BIGINT) AS docs,
+         |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS en_docs
+         |  FROM b GROUP BY 1)
+         |SELECT score_decile, docs, en_docs,
+         |  ${pct("en_docs", "docs")} AS en_pct
+         |FROM g ORDER BY score_decile""".stripMargin,
 
     // Mirror of Hypothesis.quantileTreatmentEffect: the group-quantile
     // rank construction over arm-keyed purchase values, the identical

@@ -217,6 +217,23 @@ object TextAnalysis {
       .orderBy(col("labeled_lang"), col("predicted_lang"))
   }
 
+  /** Calibration curve (reliability diagram) of the English stopword
+    * score: per score decile, how often the gold label actually IS
+    * English — a well-calibrated score tracks the diagonal, and the
+    * deviation tells you whether thresholding the score over- or
+    * under-claims. The standard eval beside [[langIdConfusion]]'s
+    * argmax-level view. Bins are exact integer floors of the quantized
+    * score; everything is counts and one percentage per bounded bin. */
+  def langidCalibration(docs: DataFrame): DataFrame =
+    languageId(docs)
+      .select(floor(col("score_en") * 10.0).cast("long").as("score_decile"),
+        (col("labeled_lang") === "en").as("is_en"))
+      .groupBy(col("score_decile"))
+      .agg(count(lit(1)).as("docs"), Cols.countWhen(col("is_en")).as("en_docs"))
+      .select(col("score_decile"), col("docs"), col("en_docs"),
+        Cols.pct4(col("en_docs"), col("docs")).as("en_pct"))
+      .orderBy(col("score_decile"))
+
   /** Per-doc token-class counts via RE2-safe patterns (letter runs, digit
     * runs, single punctuation) — the portable face of [[tokensRegex]]: plain
     * alternation-free character classes run identically under java.util.regex

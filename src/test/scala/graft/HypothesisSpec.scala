@@ -344,6 +344,17 @@ class HypothesisSpec extends SparkSpec {
       "the heaviest N*sigma stratum must receive the largest quota")
   }
 
+  test("langid calibration: bins partition the corpus; rates bounded") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextAnalysis.langidCalibration(docs).collect()
+    assert(rows.map(_.getAs[Long]("docs")).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("en_docs") <= r.getAs[Long]("docs"))
+      val d = r.getAs[Long]("score_decile")
+      assert(d >= 0 && d <= 10)
+    }
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
