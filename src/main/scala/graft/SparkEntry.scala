@@ -5405,7 +5405,7 @@ object SparkEntry {
         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6) / 1e6)
         |  > (floor(1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e6) / 1e6) AS reject
-        |FROM m, t""".stripMargin,
+        |FROM m, t WHERE n1 > 0 AND n2 > 0""".stripMargin,
 
     // Mirror of Hypothesis.rankSumTest: doubled midranks R2 = 2*cumBefore
     // + ties + 1 keep every rank quantity integral; u2 = 2U exact; the
@@ -5441,7 +5441,7 @@ object SparkEntry {
         |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |            * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))))
         |    * 1e4) / 1e4 AS z
-        |FROM a, t""".stripMargin,
+        |FROM a, t WHERE n1 > 0 AND n2 > 0""".stripMargin,
 
     // Mirror of Hypothesis.kendallTauDaily: the oracle enumerates the
     // day<day upper triangle directly (the engine's block decomposition is
@@ -5468,9 +5468,11 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
         |  FROM p)
         |SELECT n0, concordant, discordant, tie_x, tie_y,
-        |  floor(CAST(concordant - discordant AS DOUBLE)
-        |    / sqrt(CAST(n0 - tie_x AS DOUBLE) * CAST(n0 - tie_y AS DOUBLE))
-        |    * 1e4) / 1e4 AS tau_b
+        |  CASE WHEN n0 > tie_x AND n0 > tie_y
+        |    THEN floor(CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST(n0 - tie_x AS DOUBLE) * CAST(n0 - tie_y AS DOUBLE))
+        |      * 1e4) / 1e4
+        |    ELSE 0.0 END AS tau_b
         |FROM a""".stripMargin,
 
     // Mirror of Hypothesis.chisqIndependence: bounded contingency cells,
@@ -5676,7 +5678,7 @@ object SparkEntry {
          |  FROM pb),
          |r AS (
          |  SELECT CAST(xx - x AS DOUBLE) / CAST(nn - n AS DOUBLE) AS ri
-         |  FROM pb, t),
+         |  FROM pb, t WHERE n < nn),
          |m AS (SELECT CAST(sum(CAST(floor(ri * 1e12) AS BIGINT)) AS BIGINT) AS sq FROM r),
          |v AS (
          |  SELECT CAST(sum(CAST(floor(
@@ -6030,7 +6032,9 @@ object SparkEntry {
        |SELECT n AS units, x AS converters,
        |  ${q4(s"$p1 * 100.0")} AS base_rate_pct,
        |  ${q4(s"$p2 * 100.0")} AS target_rate_pct,
-       |  CAST(ceil($nReq * $nReq / (($p2 - $p1) * ($p2 - $p1))) AS BIGINT) AS n_per_arm
+       |  CASE WHEN x < n
+       |    THEN CAST(ceil($nReq * $nReq / (($p2 - $p1) * ($p2 - $p1))) AS BIGINT)
+       |    ELSE 0 END AS n_per_arm
        |FROM m""".stripMargin
   }
 

@@ -360,11 +360,15 @@ object GraphRank {
     val states = trans.select(col("src").as("state"))
       .union(trans.select(col("dst").as("state"))).distinct()
     val strength = trans.groupBy(col("src")).agg(sum(col("w")).as("s"))
-    val kDF = states.agg(count(lit(1)).as("k"))
-    val base = states.crossJoin(broadcast(kDF))
+    // scalar state count: the same distributed-check precedent as
+    // kCoreCensus' termination count; failing loudly here beats the
+    // ANSI div-by-zero an empty chain would otherwise throw mid-plan
+    val k = states.count()
+    require(k > 0, "markovStationary: the event stream has no transitions")
+    val base = states
       .select(col("state"),
-        expr(s"(15L * (${scale}L div k)) div 100L").as("teleport"),
-        expr(s"${scale}L div k").as("rank0"))
+        lit((15L * (scale / k)) / 100L).as("teleport"),
+        lit(scale / k).as("rank0"))
       .coalesce(1).localCheckpoint()
     val out = trans.join(strength, "src").coalesce(1).localCheckpoint()
     var rank = base.select(col("state"), col("rank0").as("rank")).localCheckpoint()

@@ -87,8 +87,11 @@ object Hypothesis {
     val n2d = col("n2").cast("double")
     val ks = floor(col("dnum").cast("double") / (n1d * n2d) * 1e6) / 1e6
     val crit = floor(lit(1.358) * sqrt((n1d + n2d) / (n1d * n2d)) * 1e6) / 1e6
-    agg.select(col("n1"), col("n2"), ks.as("ks_stat"), crit.as("critical"),
-      (ks > crit).as("reject"))
+    // an EMPTY sample is not a testable split: emit no verdict row rather
+    // than a NaN statistic (0/0 in double) the caller might compare
+    agg.where(col("n1") > 0 && col("n2") > 0)
+      .select(col("n1"), col("n2"), ks.as("ks_stat"), crit.as("critical"),
+        (ks > crit).as("reject"))
   }
 
   /** Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947) on the
@@ -121,7 +124,8 @@ object Hypothesis {
       ((nd + 1.0) - col("ties3").cast("double") / (nd * (nd - 1.0)))
     val z = floor((col("u2").cast("double") - n1d * n2d) / 2.0 / sqrt(varU)
       * 1e4) / 1e4
-    agg.select(col("n1"), col("n2"), col("ties3"), u2)
+    agg.where(col("n1") > 0 && col("n2") > 0) // same empty-sample contract as ksTest
+      .select(col("n1"), col("n2"), col("ties3"), u2)
       .select(col("n1"), col("n2"), col("u2"), aucD.as("auc"), z.as("z"))
   }
 
@@ -166,8 +170,14 @@ object Hypothesis {
     val tau = floor((col("concordant") - col("discordant")).cast("double")
       / sqrt((col("n0") - col("tie_x")).cast("double")
         * (col("n0") - col("tie_y")).cast("double")) * 1e4) / 1e4
+    // a fully-tied axis has no rank signal: tau-b's denominator is 0 and
+    // the double division yields NaN — report 0.0 ("no association
+    // measurable") instead, mirroring the zero-variance convention of
+    // Spectral.dimCorrelations
+    val tauSafe = when(col("n0") > col("tie_x") && col("n0") > col("tie_y"), tau)
+      .otherwise(lit(0.0))
     agg.select(col("n0"), col("concordant"), col("discordant"),
-      col("tie_x"), col("tie_y"), tau.as("tau_b"))
+      col("tie_x"), col("tie_y"), tauSafe.as("tau_b"))
   }
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) for the
@@ -378,10 +388,14 @@ object Hypothesis {
     val delta = p2 - p1
     val nReq = (lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar))
       + lit(0.8416) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)))
+    // a saturated base rate (every unit converts) leaves no detectable
+    // delta: n_per_arm is reported 0 rather than a 0/0 NaN ceiling
     users.select(col("n").as("units"), col("x").as("converters"),
       Cols.q4(p1 * 100.0).as("base_rate_pct"),
       Cols.q4(p2 * 100.0).as("target_rate_pct"),
-      ceil(nReq * nReq / (delta * delta)).cast("long").as("n_per_arm"))
+      when(col("x") < col("n"),
+        ceil(nReq * nReq / (delta * delta)).cast("long"))
+        .otherwise(lit(0L)).as("n_per_arm"))
   }
 
   /** Delete-group jackknife confidence interval (Quenouille 1956; the
@@ -411,7 +425,11 @@ object Hypothesis {
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
     val tot = perB.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"),
       count(lit(1)).as("bb"))
+    // a bucket holding the ENTIRE population (tiny inputs) would make its
+    // leave-one-out replicate 0/0; such a replicate carries no resampling
+    // information and is excluded (the jackknife needs B ≥ 2 real groups)
     val reps = perB.crossJoin(broadcast(tot))
+      .where(col("n") < col("nn"))
       .select(col("nn"), col("xx"), col("bb"),
         ((col("xx") - col("x")).cast("double")
           / (col("nn") - col("n")).cast("double")).as("ri"))

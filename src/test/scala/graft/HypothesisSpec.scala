@@ -355,6 +355,31 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs: empty arm, fully-tied series, saturated rate, whole-population bucket") {
+    // one-arm orders: the two-sample tests emit NO verdict row, not NaN
+    val oneArm = spark.createDataFrame(Seq(
+      (1L, 100.0, "5-LOW"), (2L, 200.0, "5-LOW"), (3L, 300.0, "5-LOW")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    assert(Hypothesis.ksTest(oneArm).count() == 0)
+    assert(Hypothesis.rankSumTest(oneArm).count() == 0)
+    // constant daily series: tau-b reports 0.0 instead of NaN
+    val constEv = spark.createDataFrame(
+      (1 to 8).map(i => (i.toLong, 1L, i.toLong * 86400L, "view", 1.0)))
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val kt = Hypothesis.kendallTauDaily(constEv).collect()(0)
+    assert(kt.getAs[Double]("tau_b") == 0.0 && !kt.getAs[Double]("tau_b").isNaN)
+    // every user-day converts: required n reports 0, not a NaN ceiling
+    val satEv = spark.createDataFrame(
+      (1 to 6).map(i => (i.toLong, (i % 3).toLong, i.toLong, "purchase", 1.0)))
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val pw = Hypothesis.powerAnalysis(satEv).collect()(0)
+    assert(pw.getAs[Long]("n_per_arm") == 0L)
+    // three users land in few hash buckets; the jackknife must not divide
+    // by zero even if one bucket holds everyone
+    val ci = Hypothesis.jackknifeRateCi(satEv).collect()(0)
+    assert(!ci.getAs[Double]("ci_lo_pct").isNaN && !ci.getAs[Double]("ci_hi_pct").isNaN)
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
