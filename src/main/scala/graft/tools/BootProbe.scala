@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.GraftSession
 import graft.functions.Cols
-import graft.operators.{Dedup, Stats}
+import graft.operators.Stats
 import graft.sources.Tables
 
 /** Dev-only stage-level timer for bootstrapMedianCi: isolates the ×R
