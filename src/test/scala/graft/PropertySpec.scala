@@ -431,4 +431,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // heavy-tie price generator: few distinct price points, both arms present
+  private val twoSampleGen: Gen[List[(Long, Double, String)]] =
+    Gen.listOfN(80, for {
+      cents <- Gen.oneOf(Seq(9999L, 10000L, 25000L, 25001L, 90000L))
+      prio  <- Gen.oneOf(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"))
+    } yield (cents / 100.0, prio)).map(_.zipWithIndex.map {
+      case ((p, pr), i) => (i.toLong, p, pr)
+    })
+
+  test("ks and rank-sum match the naive scan on generated heavy-tie samples") {
+    forAll(twoSampleGen) { rows =>
+      val df = rows.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      val arm1 = Set("1-URGENT", "2-HIGH")
+      val s1 = rows.filter(r => arm1(r._3)).map(r => math.round(r._2 * 100)).sorted
+      val s2 = rows.filterNot(r => arm1(r._3)).map(r => math.round(r._2 * 100)).sorted
+      whenever(s1.nonEmpty && s2.nonEmpty) {
+        val ks = graft.operators.Hypothesis.ksTest(df).collect()(0)
+        val dNaive = (s1 ++ s2).distinct.sorted.map { v =>
+          math.abs(s1.count(_ <= v).toDouble / s1.length
+            - s2.count(_ <= v).toDouble / s2.length)
+        }.max
+        assert(math.abs(ks.getAs[Double]("ks_stat") - dNaive) < 2e-6)
+        val rs = graft.operators.Hypothesis.rankSumTest(df).collect()(0)
+        val byV = (s1.map((_, true)) ++ s2.map((_, false))).groupBy(_._1).toSeq.sortBy(_._1)
+        var cb = 0L; var w2 = 0L
+        byV.foreach { case (_, g) =>
+          val c1 = g.count(_._2).toLong; val t = g.length.toLong
+          w2 += c1 * (2 * cb + t + 1); cb += t
+        }
+        val n1 = s1.length.toLong
+        assert(rs.getAs[Long]("u2") == w2 - n1 * (n1 + 1),
+          s"u2 mismatch on ties: ${rs.getAs[Long]("u2")} vs ${w2 - n1 * (n1 + 1)}")
+      }
+    }
+  }
+
+  test("kaplan-meier equals the naive fold on generated censored cohorts") {
+    val gen: Gen[List[(Long, Long, Boolean)]] = Gen.listOfN(40, for {
+      user <- Gen.choose(0L, 30L) // collisions create multi-event users
+      dur  <- Gen.oneOf(Seq(30L, 60L, 300L, 301L, 3600L, 4000L))
+      conv <- Gen.oneOf(true, false)
+    } yield (user, dur, conv))
+    forAll(gen) { rows =>
+      // one synthetic user per row: t0 = 0, purchase at dur (if converting)
+      // or a censoring view at dur
+      val ev = rows.zipWithIndex.flatMap { case ((_, dur, conv), i) =>
+        val uid = 1000L + i
+        Seq((uid * 10, uid, 0L, "view", 1.0),
+          (uid * 10 + 1, uid, dur, if (conv) "purchase" else "view", 1.0))
+      }.toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+      val got = graft.operators.Hypothesis.survivalKm(ev)
+        .collect().map(r => r.getAs[Long]("h") -> r.getAs[Double]("survival")).toMap
+      val obs = rows.zipWithIndex.map { case ((_, dur, conv), _) => (dur, conv) }
+      val n = obs.length.toLong
+      got.foreach { case (h, s) =>
+        var sv = 1.0
+        obs.filter(_._2).groupBy(_._1).toSeq.sortBy(_._1).filter(_._1 <= h)
+          .foreach { case (t, g) =>
+            val atRisk = n - obs.count(_._1 < t)
+            sv = sv * (1.0 - g.length.toDouble / atRisk.toDouble)
+          }
+        assert(math.abs(s - math.floor(sv * 1e6) / 1e6) < 1e-12,
+          s"h=$h engine=$s naive=${math.floor(sv * 1e6) / 1e6}")
+      }
+    }
+  }
 }
