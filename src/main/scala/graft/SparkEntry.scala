@@ -475,6 +475,14 @@ object SparkEntry {
       Sampling.neymanAllocation(Tables.orders(s, d))),
     "q_langid_calibration" -> ((s, d) => // reliability diagram of the en score
       TextAnalysis.langidCalibration(Tables.documents(s, d))),
+    "q_catalog_coverage" -> ((s, d) => // parents-without-children assortment view
+      Relational.catalogCoverage(s, d)),
+    "q_traffic_envelope" -> ((s, d) => // hour-of-day p25/p50/p75 alert band
+      Relational.trafficEnvelope(Tables.events(s, d))),
+    "q_mixture_temperature" -> ((s, d) => // tau=2 sampling shares via exact sqrt
+      CorpusFilters.mixtureTemperature(Tables.documents(s, d))),
+    "q_burstiness" -> ((s, d) => // Fano overdispersion per event type
+      Stats.burstiness(Tables.events(s, d))),
     "q_hilbert_layout" -> ((s, d) => // Hilbert-layout audit: the no-jump curve
       ZOrder.hilbertProfile(Tables.lineitem(s, d), "l_partkey", "l_suppkey")),
     "q_zonemap_skip" -> ((s, d) => // footer-skip audit: curves vs single-sort pruning
@@ -4705,6 +4713,80 @@ object SparkEntry {
          |  CAST(maxdu AS DOUBLE) / 1e6 AS max_sqdist,
          |  ${q4("CAST(sd2 AS DOUBLE) / 1e6 / CAST(n2 AS DOUBLE)")} AS mean_sqdist
          |FROM g ORDER BY label""".stripMargin,
+
+    // Mirror of Relational.catalogCoverage: distinct sold keys, left join
+    // onto the catalog, per-brand coverage.
+    "q_catalog_coverage" ->
+      s"""WITH s AS (SELECT DISTINCT l_partkey FROM lineitem)
+         |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS parts,
+         |  CAST(sum(CASE WHEN s.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sold_parts,
+         |  ${pct("sum(CASE WHEN s.l_partkey IS NOT NULL THEN 1 ELSE 0 END)", "count(*)")} AS coverage_pct
+         |FROM part p LEFT JOIN s ON p.p_partkey = s.l_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirror of Relational.trafficEnvelope: hourly counts shaped into the
+    // group-quantile rank construction (group = hour of day), the same
+    // interpolation, count units back out.
+    "q_traffic_envelope" ->
+      """WITH hc AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+        |    CAST(count(*) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT hour_sec % 86400 // 3600 AS hod, hour_sec AS k, cents FROM hc),
+        |r AS (
+        |  SELECT hod, cents,
+        |    row_number() OVER (PARTITION BY hod ORDER BY cents, k) AS r,
+        |    count(*) OVER (PARTITION BY hod) AS n
+        |  FROM h),
+        |q(q, nu, de) AS (VALUES ('p25', 1, 4), ('p50', 2, 4), ('p75', 3, 4)),
+        |sel AS (
+        |  SELECT hod, q.q AS quantile,
+        |    max(CASE WHEN r.r = ((r.n - 1) * q.nu) // q.de + 1 THEN r.cents END) AS lo,
+        |    max(CASE WHEN r.r = ((r.n - 1) * q.nu) // q.de + 2 THEN r.cents END) AS hi,
+        |    max(((r.n - 1) * q.nu) % q.de) AS rem, max(q.de) AS de
+        |  FROM r, q GROUP BY 1, 2)
+        |SELECT hod, quantile,
+        |  (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(de AS DOUBLE))
+        |    * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS events
+        |FROM sel ORDER BY hod, quantile""".stripMargin,
+
+    // Mirror of CorpusFilters.mixtureTemperature: token shares, exact
+    // sqrt rescale, 1e12-quantized normalizer over the bounded frame.
+    "q_mixture_temperature" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+         |  FROM documents GROUP BY 1),
+         |g AS (SELECT CAST(sum(source_tokens) AS BIGINT) AS total_tokens FROM t),
+         |sc AS (
+         |  SELECT source, source_tokens,
+         |    CAST(source_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+         |    sqrt(CAST(source_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS s
+         |  FROM t, g),
+         |n AS (SELECT CAST(sum(CAST(floor(s * 1e12) AS BIGINT)) AS BIGINT) AS sq FROM sc)
+         |SELECT source, source_tokens,
+         |  ${q4("share * 100.0")} AS token_share_pct,
+         |  ${q4("s / (CAST(sq AS DOUBLE) / 1e12) * 100.0")} AS sampled_share_pct
+         |FROM sc, n ORDER BY source""".stripMargin,
+
+    // Mirror of Stats.burstiness: hourly counts per type, exact moments,
+    // the guarded sample-variance-over-mean ratio.
+    "q_burstiness" ->
+      s"""WITH hc AS (
+         |  SELECT event_type,
+         |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS h,
+         |    CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n * n) AS BIGINT) AS snn
+         |  FROM hc GROUP BY 1)
+         |SELECT event_type, h AS hours, sn AS events_,
+         |  ${q4("CAST(sn AS DOUBLE) / CAST(h AS DOUBLE)")} AS mean_per_hour,
+         |  CASE WHEN h > 1
+         |    THEN ${q4("CAST(h * snn - sn * sn AS DOUBLE) / CAST(h * (h - 1) AS DOUBLE) / (CAST(sn AS DOUBLE) / CAST(h AS DOUBLE))")}
+         |    ELSE 0.0 END AS fano
+         |FROM m ORDER BY event_type""".stripMargin,
 
     // Mirror of Sampling.neymanAllocation: exact integer-dollar moments,
     // HUGEINT variance numerator, one IEEE sqrt per stratum, floor N*sigma

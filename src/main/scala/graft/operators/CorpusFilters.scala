@@ -474,6 +474,32 @@ object CorpusFilters {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled mixture weights at τ = 2 (the multilingual
+    * sampling rule of mBERT/XLM-R: sample source i with probability
+    * ∝ shareᵢ^(1/τ) — up-weights tails without flattening to uniform the
+    * way [[mixtureWeights]] does). τ = 2 is the one temperature whose
+    * rescale is expressible under the no-pow doctrine: share^(1/2) IS the
+    * IEEE-exact sqrt. The normalizer sums 1e12-quantized score units over
+    * the bounded source frame; each output is one fixed expression. */
+  def mixtureTemperature(docs: DataFrame): DataFrame = {
+    val nTok = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val per = docs.select(col("source"), nTok.as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("source_tokens"))
+    val global = per.agg(sum(col("source_tokens")).as("total_tokens"))
+    val share = col("source_tokens").cast("double") /
+      col("total_tokens").cast("double")
+    val scored = per.crossJoin(broadcast(global))
+      .select(col("source"), col("source_tokens"), share.as("share"),
+        sqrt(share).as("s"))
+    val norm = scored.agg(sum(floor(col("s") * 1e12).cast("long")).as("sq"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("source"), col("source_tokens"),
+        Cols.q4(col("share") * 100.0).as("token_share_pct"),
+        Cols.q4(col("s") / (col("sq").cast("double") / 1e12) * 100.0)
+          .as("sampled_share_pct"))
+      .orderBy(col("source"))
+  }
+
   // ----------------------------------------------------------- quality gate
 
   /** Composite keep/drop gate — the rule stack run once over the corpus

@@ -437,6 +437,45 @@ object Relational {
   def priorityPriceQuantilesCont(spark: SparkSession, dir: String): DataFrame =
     quantilesContByGroup(Tables.orders(spark, dir), "o_orderpriority")
 
+  /** Assortment coverage: per brand, how much of the catalog has EVER
+    * sold — the complement of [[DataQuality.fkIntegrity]]'s orphan check
+    * (that audits children without parents; this audits parents without
+    * children, which is a business readout, not a bug). One distinct
+    * collapse of the fact side's keys, one left join onto the catalog,
+    * a bounded per-brand census. */
+  def catalogCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val sold = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey")).distinct()
+      .withColumn("sold", lit(1L))
+    part.join(sold, Seq("p_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("parts"),
+        Cols.countWhen(col("sold").isNotNull).as("sold_parts"))
+      .select(col("p_brand"), col("parts"), col("sold_parts"),
+        Cols.pct4(col("sold_parts"), col("parts")).as("coverage_pct"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Hour-of-day traffic envelope: exact interpolated p25/p50/p75 of the
+    * per-(day, hour-of-day) event counts — the expected-traffic band an
+    * alerting rule compares tonight's 3 AM against LAST WEEK'S 3 AMs
+    * rather than the daily mean. Pure reuse: the hourly count frame is
+    * shaped into [[quantilesContByGroup]]'s contract (group = hour of
+    * day, key = hour, value = count), so the quantile machinery and its
+    * cross-engine interpolation are the ones already proven. The windowed
+    * frame is the calendar-bounded hourly aggregate. */
+  def trafficEnvelope(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy((col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).as("hour_sec"))
+      .agg(count(lit(1)).cast("double").as("o_totalprice"))
+      .select(expr("pmod(hour_sec, 86400) div 3600").as("hod"),
+        col("hour_sec").as("o_orderkey"), col("o_totalprice"))
+    quantilesContByGroup(hourly, "hod", width = 16.0)
+      .select(col("hod"), col("quantile"), col("value").as("events"))
+      .orderBy(col("hod"), col("quantile"))
+  }
+
   /** Exact WEIGHTED quantiles — "the price below which half the UNITS
     * (not half the line items) sell": each row counts with integer weight
     * wᵢ, and quantile q selects the first row (in (value, key) order)

@@ -699,6 +699,31 @@ object Stats {
       .select(col("resamples"), col("median"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Per-type burstiness (Fano factor — variance-to-mean ratio of the
+    * hourly arrival counts over the hours the type occurred): ≈1 is
+    * Poisson-like traffic, ≫1 is bursty (campaign spikes, retry storms),
+    * ≪1 is throttled/regular — the dispersion diagnostic behind alert
+    * threshold choice. Moments are exact longs over the calendar-bounded
+    * hourly frame; the sample-variance/mean ratio is one fixed IEEE
+    * expression per type (guarded for single-hour types). */
+  def burstiness(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).as("hour_sec"))
+      .agg(count(lit(1)).as("n"))
+    val m = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("h"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+    val vnum = (col("h") * col("snn") - col("sn") * col("sn")).cast("double")
+    val vden = (col("h") * (col("h") - 1L)).cast("double")
+    val mean = col("sn").cast("double") / col("h").cast("double")
+    m.select(col("event_type"), col("h").as("hours"), col("sn").as("events_"),
+        Cols.q4(mean).as("mean_per_hour"),
+        when(col("h") > 1, Cols.q4(vnum / vden / mean)).otherwise(lit(0.0))
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
   /** Day-of-week seasonality profile of order revenue: per-weekday order
     * volume, revenue, and a seasonality index = (that weekday's
     * revenue-per-day) / (overall revenue-per-day). The weekday is derived

@@ -380,6 +380,32 @@ class HypothesisSpec extends SparkSpec {
     assert(!ci.getAs[Double]("ci_lo_pct").isNaN && !ci.getAs[Double]("ci_hi_pct").isNaN)
   }
 
+  test("final four: coverage bounded; envelope monotone; temperature flattens; fano non-negative") {
+    val cov = Relational.catalogCoverage(spark, sf).collect()
+    cov.foreach { r =>
+      assert(r.getAs[Long]("sold_parts") <= r.getAs[Long]("parts"))
+      assert(r.getAs[Double]("coverage_pct") <= 100.0001)
+    }
+    val env = Relational.trafficEnvelope(Tables.events(spark, sf)).collect()
+      .groupBy(_.getAs[Long]("hod"))
+    env.foreach { case (_, g) =>
+      val byQ = g.map(r => r.getAs[String]("quantile") -> r.getAs[Double]("events")).toMap
+      assert(byQ("p25") <= byQ("p50") && byQ("p50") <= byQ("p75"))
+    }
+    // temperature sampling sits between raw share and uniform: the largest
+    // source's sampled share shrinks vs its token share, the smallest grows
+    val mt = CorpusFilters.mixtureTemperature(Tables.documents(spark, sf)).collect()
+    val top = mt.maxBy(_.getAs[Long]("source_tokens"))
+    val bot = mt.minBy(_.getAs[Long]("source_tokens"))
+    if (top.getAs[Long]("source_tokens") > bot.getAs[Long]("source_tokens")) {
+      assert(top.getAs[Double]("sampled_share_pct") <= top.getAs[Double]("token_share_pct") + 1e-3)
+      assert(bot.getAs[Double]("sampled_share_pct") >= bot.getAs[Double]("token_share_pct") - 1e-3)
+    }
+    val fano = Stats.burstiness(Tables.events(spark, sf)).collect()
+    fano.foreach(r => assert(r.getAs[Double]("fano") >= 0.0
+      && r.getAs[Double]("mean_per_hour") > 0.0))
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
