@@ -5565,9 +5565,14 @@ object SparkEntry {
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
         |    event_type
         |  FROM events),
-        |cl AS (
+        |ob AS (
         |  SELECT event_type, (day + 3) % 7 AS dow, count(*) AS o
         |  FROM e GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT a.event_type, b.dow, coalesce(ob.o, 0) AS o
+        |  FROM (SELECT DISTINCT event_type FROM ob) a
+        |  CROSS JOIN (SELECT DISTINCT dow FROM ob) b
+        |  LEFT JOIN ob ON ob.event_type = a.event_type AND ob.dow = b.dow),
         |t AS (
         |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
         |    CAST(count(DISTINCT dow) AS BIGINT) AS c,

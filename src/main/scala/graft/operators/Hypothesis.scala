@@ -530,10 +530,18 @@ object Hypothesis {
     * frame. Output: one row — n, table dims, chi2 (1e4-floored), dof,
     * and Cramér's V = sqrt(chi2/(n·min(r−1,c−1))) (1e4-floored). */
   def chisqIndependence(events: DataFrame): DataFrame = {
-    val cells = events
+    val observed = events
       .withColumn("dow", (expr("ts_sec div 86400") + 3) % 7)
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds the axis frames AND the completed table
+    // COMPLETE the contingency table: a (type, dow) combination that never
+    // occurred still contributes (0−e)²/e — dropping empty cells silently
+    // understates chi² (caught by the crafted deterministic-table test)
+    val cells = observed.select(col("event_type")).distinct()
+      .crossJoin(observed.select(col("dow")).distinct())
+      .join(observed, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"), coalesce(col("o"), lit(0L)).as("o"))
     val wr = Window.partitionBy(col("event_type"))
     val wc = Window.partitionBy(col("dow"))
     val dims = cells.agg(countDistinct(col("event_type")).as("r"),

@@ -406,6 +406,63 @@ class HypothesisSpec extends SparkSpec {
       && r.getAs[Double]("mean_per_hour") > 0.0))
   }
 
+  test("chi-square: a crafted independent table scores ~0; a deterministic one scores V=1") {
+    // independent: every (type, dow) cell has exactly 5 events -> chi2 = 0
+    val indep = (for {
+      t <- Seq("view", "click"); d <- 0L until 7L; i <- 1 to 5
+    } yield (t, d, i)).zipWithIndex.map { case ((t, d, _), i) =>
+      (i.toLong, 1L, (d + 4) * 86400L + i, t, 1.0) // (day+3)%7 cycles over dows
+    }
+    val dfI = spark.createDataFrame(indep)
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val rI = Hypothesis.chisqIndependence(dfI).collect()(0)
+    assert(rI.getAs[Double]("chi2") <= 1e-3, s"independent table: ${rI}")
+    // deterministic: type fully determines the weekday -> Cramer's V = 1
+    val dep = (for (d <- 0L until 2L; i <- 1 to 10) yield (d, i))
+      .zipWithIndex.map { case ((d, _), i) =>
+        (i.toLong, 1L, (d + 4) * 86400L + i, if (d == 0) "view" else "click", 1.0)
+      }
+    val dfD = spark.createDataFrame(dep)
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val rD = Hypothesis.chisqIndependence(dfD).collect()(0)
+    assert(rD.getAs[Double]("cramers_v") >= 0.999, s"deterministic table: ${rD}")
+  }
+
+  test("mantel-haenszel survives a crafted Simpson reversal") {
+    // Stratum A (heavy users): treatment converts 9/10 vs control 4/5.
+    // Stratum B (light users): treatment 2/10 vs control 1/10.
+    // Within BOTH strata treatment wins; an imbalanced pooled table can
+    // reverse that — the MH pooled RR must stay > 1.
+    // Build synthetic users pinned to arms/strata via trial hashing.
+    def arm(uid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$uid".getBytes("UTF-8"))
+      md.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) % 2
+    }
+    val treatHeavy = LazyList.from(1).map(_.toLong)
+      .filter(arm(_) == 1).take(10).toList
+    val ctrlHeavy = LazyList.from(1).map(_.toLong)
+      .filter(arm(_) == 0).take(5).toList
+    val treatLight = LazyList.from(1000).map(_.toLong)
+      .filter(arm(_) == 1).take(10).toList
+    val ctrlLight = LazyList.from(1000).map(_.toLong)
+      .filter(arm(_) == 0).take(10).toList
+    def mkEvents(users: Seq[Long], nEv: Int, converters: Int): Seq[(Long, Long, String)] =
+      users.zipWithIndex.flatMap { case (u, i) =>
+        val base = (1 to nEv).map(k => (u, (u * 100 + k), "view"))
+        if (i < converters) base :+ ((u, u * 100 + 99, "purchase")) else base
+      }
+    val rows = (mkEvents(treatHeavy, 9, 9) ++ mkEvents(ctrlHeavy, 9, 4)
+      ++ mkEvents(treatLight, 1, 2) ++ mkEvents(ctrlLight, 1, 1))
+      .zipWithIndex.map { case ((u, ts, t), i) => (i.toLong, u, ts, t, 1.0) }
+    val df = spark.createDataFrame(rows)
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val mh = Hypothesis.mantelHaenszel(df).collect()
+    val pooled = mh.find(_.getAs[Long]("stratum") == 99L).get
+    assert(pooled.getAs[Double]("risk_ratio") > 1.0,
+      s"MH pooled RR must keep the within-stratum direction: ${mh.toSeq}")
+  }
+
   test("chi-square independence: dof and margins consistent; chi2 >= 0; V in [0,1]") {
     val r = Hypothesis.chisqIndependence(Tables.events(spark, sf)).collect()(0)
     val (tl, dl) = (r.getAs[Long]("type_levels"), r.getAs[Long]("dow_levels"))
