@@ -464,7 +464,13 @@ object Relational {
     * shaped into [[quantilesContByGroup]]'s contract (group = hour of
     * day, key = hour, value = count), so the quantile machinery and its
     * cross-engine interpolation are the ones already proven. The windowed
-    * frame is the calendar-bounded hourly aggregate. */
+    * frame is the calendar-bounded hourly aggregate.
+    *
+    * Semantics note: the envelope is over hours that HAD events — an
+    * hour with zero traffic contributes no row (deliberate: a dead hour
+    * is an availability incident, not part of the expected band; zero
+    * hours would also be invisible to the oracle's identical
+    * construction, so the choice is stated here rather than implied). */
   def trafficEnvelope(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy((col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).as("hour_sec"))
