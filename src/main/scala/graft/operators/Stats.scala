@@ -675,13 +675,20 @@ object Stats {
     val wPrev = Window.partitionBy(col("r")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = hist.select(col("r"), col("bucket"),
-      coalesce(sum(col("bw")).over(wPrev), lit(0L)).as("off"),
+      coalesce(sum(col("bw")).over(wPrev), lit(0L)).as("off"), col("bw"),
       sum(col("bw")).over(Window.partitionBy(col("r"))).as("wtot"))
+    val thr = expr("(wtot + 1) div 2")
+    // each resample's crossing row lives in exactly ONE bucket — the one
+    // whose cumulative band straddles the threshold. Join weighted rows to
+    // that bucket only (R rows broadcast), so the per-bucket ranking
+    // window sorts ~n/buckets rows per resample instead of the whole ×R
+    // frame (the quantilesCont only-selected-rows-reach-selection rule;
+    // measured ~1.5× on the full query via tools/BootProbe)
+    val crossing = offsets.where(col("off") < thr && thr <= col("off") + col("bw"))
     val wBucket = Window.partitionBy(col("r"), col("bucket"))
       .orderBy(col("cents"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = expr("(wtot + 1) div 2")
-    val med = weighted.join(broadcast(offsets), Seq("r", "bucket"))
+    val med = weighted.join(broadcast(crossing), Seq("r", "bucket"))
       .select(col("r"), col("cents"), col("w"), col("wtot"),
         (col("off") + sum(col("w")).over(wBucket)).as("cw"))
       .where(col("cw") >= thr && col("cw") - col("w") < thr)
