@@ -1789,13 +1789,18 @@ object SparkEntry {
     "q_peak_concurrency" ->
       (sessionCte +
         """, dl AS (
-          |  SELECT start_sec AS t, 1 AS d FROM sm
-          |  UNION ALL SELECT end_sec + 1, -1 FROM sm),
-          |dd AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM dl GROUP BY 1),
-          |c AS (SELECT t, sum(d) OVER (ORDER BY t) AS conc FROM dd)
+          |  SELECT start_sec AS t, 1 AS d, 1 AS rl FROM sm
+          |  UNION ALL SELECT end_sec + 1, -1, 1 FROM sm),
+          |sp AS (SELECT min(start_sec) // 86400 AS d0,
+          |              max(end_sec) // 86400 AS d1 FROM sm),
+          |sd AS (SELECT g.day * 86400 AS t, 0 AS d, 0 AS rl
+          |       FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS g(day)),
+          |dd AS (SELECT t, CAST(sum(d) AS BIGINT) AS d, sum(rl) AS rl
+          |       FROM (SELECT * FROM dl UNION ALL SELECT * FROM sd) GROUP BY 1),
+          |c AS (SELECT t, rl, sum(d) OVER (ORDER BY t) AS conc FROM dd)
           |SELECT t - t % 86400 AS day_sec,
           |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
-          |  CAST(count(*) AS BIGINT) AS change_points
+          |  CAST(count(*) FILTER (WHERE rl > 0) AS BIGINT) AS change_points
           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Interval-overlap join: the grid is invisible — the oracle is the
@@ -5286,10 +5291,12 @@ object SparkEntry {
          |  SELECT (CAST(lo AS DOUBLE) + (CAST(rem AS DOUBLE) / CAST(2 AS DOUBLE))
          |    * (CAST(coalesce(hi, lo) AS DOUBLE) - CAST(lo AS DOUBLE))) / 100.0 AS median
          |  FROM sel)
-         |SELECT CAST(max(nr) AS BIGINT) AS resamples, max(pv.median) AS median,
-         |  CAST(min(CASE WHEN rk.rk = 2 THEN med_cents END) AS DOUBLE) / 100.0 AS ci_lo,
-         |  CAST(min(CASE WHEN rk.rk = nr - 1 THEN med_cents END) AS DOUBLE) / 100.0 AS ci_hi
-         |FROM rk, pv""".stripMargin
+         |SELECT * FROM (
+         |  SELECT CAST(max(nr) AS BIGINT) AS resamples, max(pv.median) AS median,
+         |    CAST(min(CASE WHEN rk.rk = 2 THEN med_cents END) AS DOUBLE) / 100.0 AS ci_lo,
+         |    CAST(min(CASE WHEN rk.rk = nr - 1 THEN med_cents END) AS DOUBLE) / 100.0 AS ci_hi
+         |  FROM rk, pv)
+         |WHERE resamples >= 4""".stripMargin
     },
 
     // Mirror of DataQuality.rangeChecksums: same canonical row hash as
@@ -5515,14 +5522,19 @@ object SparkEntry {
         |  CAST(w2 - n1 * (n1 + 1) AS BIGINT) AS u2,
         |  floor(CAST(w2 - n1 * (n1 + 1) AS DOUBLE)
         |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e6) / 1e6 AS auc,
-        |  floor((CAST(w2 - n1 * (n1 + 1) AS DOUBLE)
+        |  CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+        |      * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+        |        - CAST(ties3 AS DOUBLE)
+        |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |            * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))) > 0
+        |  THEN floor((CAST(w2 - n1 * (n1 + 1) AS DOUBLE)
         |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0
         |    / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
         |      * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
         |        - CAST(ties3 AS DOUBLE)
         |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |            * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))))
-        |    * 1e4) / 1e4 AS z
+        |    * 1e4) / 1e4 ELSE 0.0 END AS z
         |FROM a, t WHERE n1 > 0 AND n2 > 0""".stripMargin,
 
     // Mirror of Hypothesis.kendallTauDaily: the oracle enumerates the
@@ -6168,7 +6180,7 @@ object SparkEntry {
        |  ${q4("CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 " +
             "THEN CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) " +
             "/ (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) ELSE 0.0 END")} AS var_reduction
-       |FROM m""".stripMargin
+       |FROM m WHERE n0 > 0 AND n1 > 0""".stripMargin
   }
 
   /** Mirror of GraphRank.markovStationary — see the registration note. */

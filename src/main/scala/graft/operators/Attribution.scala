@@ -109,8 +109,13 @@ object Attribution {
   def timeDecayCreditByHour(events: DataFrame,
                             lookback: Long = LookbackSeconds,
                             halfLife: Long = 900L): DataFrame = {
-    require(halfLife > 0 && lookback % halfLife == 0 && lookback / halfLife <= 62,
-      "lookback must be a multiple of halfLife; 2^buckets must fit a long")
+    // bucket bound 43, NOT 62: the weight itself (2^maxB) fits a long up to
+    // 62 buckets, but the credit split multiplies CreditUnits (10^6 ≈ 2^20)
+    // by w and sums weights across the window — 2^43 · 10^6 < 2^63 keeps
+    // BOTH the product and a lookback-bounded Σw inside int64, where 2^61
+    // would wrap silently under Spark's non-ANSI multiply
+    require(halfLife > 0 && lookback % halfLife == 0 && lookback / halfLife <= 43,
+      "lookback must be a multiple of halfLife; CreditUnits*2^buckets must fit a long")
     val maxB = lookback / halfLife - 1
     val wp = Window.partitionBy(col("p_id"))
     val ranked = rankedTouches(events, lookback)

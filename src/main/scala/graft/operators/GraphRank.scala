@@ -299,7 +299,15 @@ object GraphRank {
     * both engines. Each round is one equi-join (labels onto edges) + one
     * weighted vote aggregation + one deterministic argmax — Pregel-as-
     * joins, linear in |E| per round, no driver-side graph. Output is the
-    * community census (label, size, min/max member). */
+    * community census (label, size, min/max member).
+    *
+    * The per-round label join carries NO broadcast hint: the label frame
+    * is |V| rows — the entity catalog here (~10⁴ at any SF of this
+    * corpus), so AQE broadcasts it from its measured size — but |V| is
+    * NOT structurally bounded the way [[markovStationary]]'s |types|²
+    * frame is, and at a ~10⁸-item catalog a pinned broadcast would OOM
+    * the executors where the unhinted plan degrades gracefully to a
+    * shuffle join on `src`. */
   def labelPropagation(edges: DataFrame, rounds: Int = 6): DataFrame = {
     require(rounds >= 1)
     val dir = edges.select(col("item_a").cast("long").as("src"),
@@ -313,7 +321,7 @@ object GraphRank {
       .coalesce(4).localCheckpoint()
     for (i <- 1 to rounds) {
       val votes = dir
-        .join(broadcast(lab.withColumnRenamed("node", "src")), "src")
+        .join(lab.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("w")).as("v"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))

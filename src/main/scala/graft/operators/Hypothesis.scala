@@ -122,8 +122,12 @@ object Hypothesis {
     val aucD = floor(col("u2").cast("double") / (lit(2.0) * n1d * n2d) * 1e6) / 1e6
     val varU = (n1d * n2d / 12.0) *
       ((nd + 1.0) - col("ties3").cast("double") / (nd * (nd - 1.0)))
-    val z = floor((col("u2").cast("double") - n1d * n2d) / 2.0 / sqrt(varU)
-      * 1e4) / 1e4
+    // fully-tied input (every value equal) makes varU = 0 and the z divide
+    // 0/0 → NaN; zero variance means zero signal, so emit z = 0 — the same
+    // zero-signal convention as kendallTauDaily's fully-tied axis
+    val z = when(varU > 0,
+      floor((col("u2").cast("double") - n1d * n2d) / 2.0 / sqrt(varU)
+        * 1e4) / 1e4).otherwise(lit(0.0))
     agg.where(col("n1") > 0 && col("n2") > 0) // same empty-sample contract as ksTest
       .select(col("n1"), col("n2"), col("ties3"), u2)
       .select(col("n1"), col("n2"), col("u2"), aucD.as("auc"), z.as("z"))
@@ -233,7 +237,11 @@ object Hypothesis {
     val liftRaw = col("sy1").cast("double") / col("n1").cast("double") -
       col("sy0").cast("double") / col("n0").cast("double")
     val rho2 = when(vx > 0 && vy > 0, num * num / (vx * vy)).otherwise(lit(0.0))
-    m.select(col("n").as("users"), col("n0"), col("n1"),
+    // a degenerate hash split (every user in one arm) has no lift to
+    // report: emit no verdict row rather than NaN lifts — the same
+    // empty-sample contract as ksTest/rankSumTest
+    m.where(col("n0") > 0 && col("n1") > 0)
+      .select(col("n").as("users"), col("n0"), col("n1"),
       (floor(theta * 1e6) / 1e6).as("theta"),
       Cols.q4(liftRaw).as("lift_raw"),
       Cols.q4(adj("sy1", "sx1", "n1") - adj("sy0", "sx0", "n0")).as("lift_cuped"),

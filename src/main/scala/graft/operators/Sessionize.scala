@@ -121,21 +121,37 @@ object Sessionize {
     * and the running sum of deltas in time order IS the live-session
     * count; the census reports each day's maximum and change-point count.
     *
+    * Day-boundary semantics: concurrency is sampled at every change point
+    * AND at each midnight in the observed span (a synthetic zero-delta row
+    * per day boundary). Without the midnight sample, a session carried
+    * across midnight understates the next day's peak (its first real event
+    * may be a −1), and a day lying fully inside long-running sessions
+    * emits no row at all. `change_points` counts only REAL change times
+    * (a midnight that is also a session start/end still counts).
+    *
     * Scale shape: the sweep's running sum is NOT a global window — it is
     * the bucketed two-stage prefix (per-time-bucket delta sums, one
     * global prefix over the bounded bucket frame, intra-bucket prefix
     * partitioned by bucket), the [[Relational.decilesByValue]] machinery
     * applied to the TIME axis. Endpoint collapse happens first, so the
-    * windowed frame is bounded by distinct change times, never by session
-    * count. */
+    * windowed frame is bounded by distinct change times plus one row per
+    * calendar day, never by session count. */
   def peakConcurrency(events: DataFrame, gapSeconds: Long = DefaultGapSeconds,
                       bucketSeconds: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sess = sessionMetrics(events, gapSeconds)
       .select(col("start_sec"), col("end_sec"))
-    val deltas = sess.select(col("start_sec").as("t"), lit(1L).as("d"))
-      .unionAll(sess.select((col("end_sec") + 1L).as("t"), lit(-1L).as("d")))
-      .groupBy(col("t")).agg(sum(col("d")).as("d"))
+      .localCheckpoint() // two consumers: the delta stream and the day span
+    val raw = sess.select(col("start_sec").as("t"), lit(1L).as("d"), lit(1L).as("rl"))
+      .unionAll(sess.select((col("end_sec") + 1L).as("t"), lit(-1L).as("d"), lit(1L).as("rl")))
+    // one zero-delta sample per midnight in the span: bounded by the
+    // calendar (the Markov |types| doctrine), so explode is a tiny frame
+    val seeds = sess.agg(expr("min(start_sec) div 86400").as("d0"),
+        expr("max(end_sec) div 86400").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select((col("day") * 86400L).as("t"), lit(0L).as("d"), lit(0L).as("rl"))
+    val deltas = raw.unionAll(seeds)
+      .groupBy(col("t")).agg(sum(col("d")).as("d"), sum(col("rl")).as("rl"))
       .withColumn("bkt", expr(s"t div $bucketSeconds"))
     val hist = deltas.groupBy(col("bkt")).agg(sum(col("d")).as("s"))
     val wPrev = Window.orderBy(col("bkt"))
@@ -145,10 +161,10 @@ object Sessionize {
     val wB = Window.partitionBy(col("bkt")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas.join(broadcast(offsets), Seq("bkt"))
-      .select(col("t"), (col("off") + sum(col("d")).over(wB)).as("conc"))
+      .select(col("t"), col("rl"), (col("off") + sum(col("d")).over(wB)).as("conc"))
       .groupBy((col("t") - pmod(col("t"), lit(86400L))).as("day_sec"))
       .agg(max(col("conc")).as("peak_concurrency"),
-        count(lit(1)).as("change_points"))
+        Cols.countWhen(col("rl") > 0).as("change_points"))
       .orderBy(col("day_sec"))
   }
 }

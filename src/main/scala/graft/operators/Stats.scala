@@ -698,10 +698,16 @@ object Stats {
       count(lit(1)).over(Window.partitionBy()).as("nr"))
     val point = Relational.quantilesCont(orders, width, Seq(("p50", 1L, 2L)))
       .agg(min(col("value")).as("median"))
+    // `resamples` in the output is the count of resamples that PRODUCED a
+    // median (nr), not the requested R: on tiny inputs a resample can draw
+    // all-zero Poisson weights and vanish. Below nr = 4 the rank-2 /
+    // rank-(nr−1) cuts invert or go null, so emit no interval row at all —
+    // the ksTest empty-sample convention
     ranked.agg(
         max(col("nr")).as("resamples"),
         (min(when(col("rk") === 2, col("med_cents"))).cast("double") / 100.0).as("ci_lo"),
         (min(when(col("rk") === col("nr") - 1, col("med_cents"))).cast("double") / 100.0).as("ci_hi"))
+      .where(col("resamples") >= 4)
       .crossJoin(broadcast(point))
       .select(col("resamples"), col("median"), col("ci_lo"), col("ci_hi"))
   }

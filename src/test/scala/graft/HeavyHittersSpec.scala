@@ -44,6 +44,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(3) == r32 && run(1) == r32)
   }
 
+  test("kmvDistinct: null user_ids are excluded before sketching, matching the oracle's filter") {
+    // a null user_id hashes to null; unfiltered it would read through the
+    // heap struct as a phantom minimum hash and corrupt the k-th order
+    // statistic. Both engine and the q_kmv_distinct oracle exclude it.
+    val rows: Seq[(String, java.lang.Long)] =
+      (1 to 3).map(u => ("view", java.lang.Long.valueOf(u.toLong))) ++
+        Seq.fill(5)(("view", null.asInstanceOf[java.lang.Long])) ++
+        Seq(("purchase", java.lang.Long.valueOf(9L)))
+    val events = rows.toDF("event_type", "user_id")
+    val got = HeavyHitters.kmvDistinct(events, k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("view", 3L, 3L), ("purchase", 1L, 1L)),
+      s"nulls must not count or corrupt the sketch: $got")
+  }
+
   test("null keys are skipped by the sketch") {
     val withNulls = (Seq.fill(50)(java.lang.Long.valueOf(7L))
       ++ Seq.fill(50)(null.asInstanceOf[java.lang.Long])).toDF("k")

@@ -380,6 +380,29 @@ class HypothesisSpec extends SparkSpec {
     assert(!ci.getAs[Double]("ci_lo_pct").isNaN && !ci.getAs[Double]("ci_hi_pct").isNaN)
   }
 
+  test("rank-sum on a fully-tied sample: z is 0.0 (zero variance = zero signal), never NaN") {
+    // both arms present but every value identical: varU = 0 and the
+    // unguarded z divides 0/0 — the guard must emit the kendall-style 0.0
+    val tied = spark.createDataFrame(Seq(
+      (1L, 100.0, "1-URGENT"), (2L, 100.0, "1-URGENT"),
+      (3L, 100.0, "5-LOW"), (4L, 100.0, "5-LOW")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val r = Hypothesis.rankSumTest(tied).collect()
+    assert(r.length == 1, "two populated arms must still emit a verdict row")
+    assert(r(0).getAs[Double]("z") == 0.0 && !r(0).getAs[Double]("z").isNaN, r(0).toString)
+    assert(r(0).getAs[Double]("auc") == 0.5, "all-tied AUC is exactly 1/2")
+  }
+
+  test("cuped with every user hashed into one arm: no verdict row, never NaN lifts") {
+    // users 1,4,6,10 all hash (md5_48("ab:" || uid) % 2) to arm 0
+    val oneArm = spark.createDataFrame(Seq(
+      (1L, 1L, 100L, "purchase", 10.0), (2L, 4L, 200L, "purchase", 20.0),
+      (3L, 6L, 300L, "purchase", 30.0), (4L, 10L, 400L, "purchase", 40.0)))
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    assert(Hypothesis.cupedLift(oneArm).count() == 0,
+      "a one-arm split has no lift to report")
+  }
+
   test("final four: coverage bounded; envelope monotone; temperature flattens; fano non-negative") {
     val cov = Relational.catalogCoverage(spark, sf).collect()
     cov.foreach { r =>

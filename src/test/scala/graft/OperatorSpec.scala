@@ -188,6 +188,23 @@ class OperatorSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Long]("peak_concurrency") >= 0))
   }
 
+  test("peak concurrency: a day fully inside a long session reports peak 1 via the midnight seed") {
+    import spark.implicits._
+    // one session spanning day0 23:00 -> day2 02:00 (every inter-event gap
+    // 3000 s < the 3600 s rule): day1 has NO real change point, so only the
+    // synthetic midnight sample makes it report its true concurrency
+    val ts = 82800L to 180000L by 3000L
+    val ev = ts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, 1L, t) }
+      .toDF("event_id", "user_id", "ts_sec")
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        lit("view").as("event_type"), lit(1.0).as("value"))
+    val got = Sessionize.peakConcurrency(ev).collect()
+      .map(r => (r.getAs[Long]("day_sec"), r.getAs[Long]("peak_concurrency"),
+        r.getAs[Long]("change_points")))
+    assert(got.toSeq == Seq((0L, 1L, 1L), (86400L, 1L, 0L), (172800L, 1L, 1L)),
+      s"day1 must report the carried-over concurrency with zero real change points: ${got.toSeq}")
+  }
+
   test("label propagation: two triangles over a weak bridge split into two communities") {
     // triangles {1,2,3} and {4,5,6} with heavy internal edges (w=5) and a
     // single w=1 bridge 3-4: LPA must NOT merge them (CC would), and the
@@ -984,6 +1001,16 @@ class OperatorSpec extends SparkSpec {
       && r.getAs[Double]("median") <= r.getAs[Double]("ci_hi"), r.toString)
   }
 
+  test("bootstrap median CI: too few surviving resamples emit no interval row") {
+    // single order, key 1, R=4: the pinned MINSTD draws give resamples
+    // r=1 and r=2 all-zero Poisson weight, so only nr=2 resamples produce
+    // a median — below the nr>=4 floor the rank-2/rank-(nr-1) cuts invert,
+    // so the operator must emit nothing rather than a degenerate interval
+    val one = Seq((1L, 100.0)).toDF("o_orderkey", "o_totalprice")
+    assert(Stats.bootstrapMedianCi(one, resamples = 4).count() == 0,
+      "nr < 4 must suppress the interval row")
+  }
+
   test("merkle ranges: disjoint ordered key ranges partition the table; xors fold to the global digest") {
     val li = Tables.lineitem(spark, sf)
     val cols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -1026,6 +1053,13 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 1L, 1L, 90909.0 / 1000000.0),
       (2L, 2L, 1L, 909091.0 / 1000000.0)), got.toString)
+    // overflow guard: 44 half-life buckets would push CreditUnits * 2^43
+    // past int64 under Spark's wraparound multiply — the require refuses
+    intercept[IllegalArgumentException] {
+      Attribution.timeDecayCreditByHour(df, lookback = 44L * 900L, halfLife = 900L)
+    }
+    // 43 buckets is the documented ceiling and must still be accepted
+    Attribution.timeDecayCreditByHour(df, lookback = 43L * 900L, halfLife = 900L).count()
   }
 
   test("split drift: chi2 is zero when both splits share one distribution; named category drifts") {
