@@ -6,6 +6,26 @@ package graft
   * the one-time session/codegen costs so per-query numbers reflect steady
   * state (what a long-running cluster job would see). */
 object Bench {
+  /** The 43 queries of the judge-ratified round-1 baseline record
+    * (BASELINE.md: 58.9 s at sf0.1). Every bench record carries this
+    * subset's subtotal so the per-query envelope — no baseline query
+    * >2× its round-1 time, suite per-query mean ≤ baseline per-query
+    * mean — is checkable from the sidecar alone. */
+  val Baseline43: Set[String] = Set(
+    "q1_pricing_summary", "q3_top_orders", "q_ann_lsh", "q_anti_join",
+    "q_conversion_by_duration", "q_dashboard_kpis", "q_doc_fingerprints",
+    "q_dq_documents", "q_dq_events", "q_embedding_norms",
+    "q_event_type_distribution", "q_exact_dedup_counts", "q_first_last_event",
+    "q_hourly_metrics", "q_ivf_topk", "q_knn_cosine", "q_knn_topk_agg",
+    "q_label_centroids", "q_lang_id", "q_last_window", "q_latest_hour",
+    "q_media_profile", "q_near_dup_cosine", "q_near_dup_minhash",
+    "q_near_dup_verified", "q_order_deciles", "q_order_priority_dist",
+    "q_page_type_dist", "q_pipeline_stats", "q_price_buckets",
+    "q_product_metrics", "q_purchase_baskets", "q_quality_by_source",
+    "q_revenue_by_region", "q_semi_join", "q_session_metrics",
+    "q_simhash_near_dup", "q_source_id_stats", "q_streaming_hourly",
+    "q_table_counts", "q_token_stats", "q_top_entities", "q_window_topn")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
@@ -35,30 +55,53 @@ object Bench {
       warm("dedup")(graft.streaming.StreamingDedup.dedupedTypeCounts(spark, warmDir).count())
     } else System.err.println(
       s"[bench] no smaller sibling of $sfDir; skipping streaming warm-up")
-    // ---- calibration lane: a pinned, data-independent micro-benchmark
-    // (sum of xxhash64 over a fixed 32-partition range — saturates the
-    // same local[32] cores the suite uses; no IO, no shuffle) run 3×
-    // INTERLEAVED through the suite (before / mid / after). Its median
-    // over a pinned nominal becomes `load_index`: ≈1 means the host was
-    // as free as at calibration time; k means co-tenant load stretched
-    // wall-clock ~k× suite-wide. One committed sidecar with load_index
-    // in-file replaces the best-of-N window-shopping of earlier rounds —
-    // a slow total at load_index 1.4 is host noise, at 1.0 a regression.
-    // pinned nominal: best-observed calibration median on this host class
-    // (r11, loadavg < 3, spread of 12 reps 0.62-0.72 s). Comparing
-    // load_index ACROSS runs is the point; its absolute anchor just makes
-    // ≈1.0 read as "host as free as it ever gets".
-    val calNominal = 0.63 // sec
+    // ---- calibration lanes: TWO pinned, data-independent micro-benchmarks
+    // run interleaved between query families (not just 3× per run — the
+    // r11 driver run lost +14 s in five shuffle-heavy queries while a
+    // probe sampled 3×/run read the host as FREER; contention that only
+    // hits big shuffles mid-suite is invisible to a sparse CPU-only probe).
+    //   cpu lane: bit_xor of xxhash64 over a fixed 32-partition range —
+    //     saturates the same local[32] cores the suite uses; no IO, no
+    //     shuffle. (bit_xor, not sum: full-range hashes overflow a long
+    //     sum in ANSI mode.)
+    //   shuffle lane: an 8M-row hash repartition + same-key aggregation —
+    //     one full 32→32 exchange, so it feels shuffle-disk/memory-bus
+    //     contention the cpu lane cannot.
+    // Suite-wide `load_index` = median of ALL cpu samples over a pinned
+    // nominal (≈1 means the host was as free as at calibration time; k
+    // means co-tenant load stretched wall-clock ~k× suite-wide); each
+    // family additionally records both lanes' bracketing samples so a
+    // per-family slowdown is attributable in-file. Pinned nominals:
+    // best-observed medians on this host class at loadavg < 1 (cpu: r11,
+    // 12 reps 0.62-0.72 s; shuffle: r12 CalProbe, 10 reps 0.48-0.83 s).
+    // Comparing indices ACROSS runs is the point; the absolute anchors
+    // just make ≈1.0 read as "host as free as it ever gets". Reading the
+    // SHUFFLE lane: its nominal is an idle-JVM anchor, but in-suite
+    // samples also feel the suite's own footprint (heap residency, shuffle
+    // dirs, GC) — observed ~1.5-2× idle even on a quiet host — so its
+    // absolute level is expected >1; the signal is the DELTAS across
+    // families within a run and across runs at the same family.
+    val calNominal = 0.63     // sec, cpu lane
+    val calShufNominal = 0.50 // sec, shuffle lane
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
     def calibrate(): Double = {
-      import org.apache.spark.sql.functions.expr
       val t0 = System.nanoTime()
-      // bit_xor, not sum: full-range hash values overflow a long sum in
-      // ANSI mode; xor is the same per-row work with no overflow lane
       spark.range(0L, 3000L * 1000 * 1000, 1L, 32)
         .select(expr("bit_xor(xxhash64(id))")).head()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // throwaway: pays the calibration plan's one-time codegen
+    def calibrateShuffle(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8L * 1000 * 1000, 1L, 32)
+        .select((col("id") % 1000003L).as("k"))
+        .repartition(32, col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .select(expr("bit_xor(xxhash64(k, c))")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two throwaway reps per lane: the first pays one-time codegen, the
+    // second settles JIT so sample 1 isn't systematically inflated
+    calibrate(); calibrateShuffle(); calibrate(); calibrateShuffle()
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the run for local iteration;
     // the driver never sets it, so round benches always cover everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -102,18 +145,34 @@ object Bench {
         val best = warm.map { case (t2, _, _) => math.min(t1, t2) }.getOrElse(t1)
         Rep(name, best, t1, gc1, warm, None, err1)
       }
-    val cal1 = calibrate()
-    val (halfA, halfB) = selected.splitAt(selected.size / 2)
-    val passA = measure(halfA)
-    val cal2 = calibrate()
-    val passB = measure(halfB)
-    val cal3 = calibrate()
-    val firstPass = passA ++ passB
-    val calTimes = Seq(cal1, cal2, cal3)
-    val calMedian = calTimes.sorted.apply(1)
+    // run-order families: contiguous chunks of the name-sorted suite,
+    // bracketed by calibration points — mid-suite contention shows up as
+    // elevated bracketing samples on exactly the families it hit
+    val numFamilies = math.max(1, math.min(8, selected.size))
+    val famSize = (selected.size + numFamilies - 1) / numFamilies
+    val families = selected.grouped(famSize).toSeq
+    val calPoints = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    calPoints += ((calibrate(), calibrateShuffle()))
+    val famResults = families.map { fam =>
+      val r = measure(fam)
+      calPoints += ((calibrate(), calibrateShuffle()))
+      r
+    }
+    val firstPass = famResults.flatten
+    val calTimes = calPoints.map(_._1).toSeq
+    val calShufTimes = calPoints.map(_._2).toSeq
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val calMedian = median(calTimes)
+    val calShufMedian = median(calShufTimes)
     val loadIndex = calMedian / calNominal
-    System.err.println(f"[bench] calibration ${calTimes.map(t => f"$t%.3f").mkString("/")} s " +
+    val loadShufIndex = calShufMedian / calShufNominal
+    System.err.println(f"[bench] calibration cpu ${calTimes.map(t => f"$t%.3f").mkString("/")} s " +
       f"median $calMedian%.3f nominal $calNominal%.2f load_index $loadIndex%.2f")
+    System.err.println(f"[bench] calibration shuffle ${calShufTimes.map(t => f"$t%.3f").mkString("/")} s " +
+      f"median $calShufMedian%.3f nominal $calShufNominal%.2f load_shuffle_index $loadShufIndex%.2f")
     // Stall-proofing: a host stall (noisy neighbor / IO freeze) can span
     // BOTH back-to-back reps of one query and write a multi-× phantom into
     // the official record — gc_ms≈0 proves it wasn't GC but can't repair
@@ -164,10 +223,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case Rep(_, v, _, _, _, _, None) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calJson = f"""{"t":[${calTimes.map(t => f"$t%.3f").mkString(",")}],""" +
-      f""""median":$calMedian%.3f,"nominal":$calNominal%.2f,"load_index":$loadIndex%.2f}"""
+    val calJson = f"""{"cpu":{"t":[${calTimes.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""median":$calMedian%.3f,"nominal":$calNominal%.2f,"load_index":$loadIndex%.2f},""" +
+      f""""shuffle":{"t":[${calShufTimes.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""median":$calShufMedian%.3f,"nominal":$calShufNominal%.2f,"load_index":$loadShufIndex%.2f}}"""
+    // per-family block: each run-order chunk with its bracketing samples
+    // from both lanes, normalized — a family whose load_cpu/load_shuffle
+    // sit above the suite medians ran during a contention window, and its
+    // queries' times should be read through that lens
+    val famJson = families.zipWithIndex.map { case (fam, i) =>
+      val (cb, sb) = calPoints(i); val (ca, sa) = calPoints(i + 1)
+      f"""{"i":$i,"from":"${fam.head._1}","to":"${fam.last._1}","n":${fam.size},""" +
+        f""""cal_cpu":[$cb%.3f,$ca%.3f],"cal_shuffle":[$sb%.3f,$sa%.3f],""" +
+        f""""load_cpu":${(cb + ca) / 2 / calNominal}%.2f,"load_shuffle":${(sb + sa) / 2 / calShufNominal}%.2f}"""
+    }.mkString("[", ",", "]")
+    // the ratified 43-query round-1 baseline set (BASELINE.md): its subtotal
+    // in every record makes the per-query envelope checkable from one file
+    val baselinePresent = results.filter(r => Baseline43(r.name) && r.err.isEmpty)
+    val baselineJson =
+      f"""{"n":${Baseline43.size},"present":${baselinePresent.size},""" +
+        f""""sum":${baselinePresent.map(_.best).sum}%.3f}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // untruncated sidecar: the driver's recorded bench tail clips the first
     // ~20 query entries, so every run also lands the full per-query JSON on
@@ -190,7 +267,7 @@ object Bench {
       "\"" + k + "\":" + s"""{"t":$tCol,"gc_ms":$gc1$w$rt,"min":$minCol$e}"""
     }.mkString("{", ",", "}")
     val sidecarLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"calibration":$calJson,"queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"calibration":$calJson,"families":$famJson,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "bench_full_latest.json") // cwd-relative: portable across machines
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
