@@ -91,6 +91,8 @@ object SparkEntry {
       HeavyHitters.countMinFrequencies(Tables.events(s, d))),
     "q_sliding_dau" -> ((s, d) => // trailing-7-day distinct active users per day
       EventAnalytics.slidingActiveUsers(Tables.events(s, d))),
+    "q_type_mix_drift" -> ((s, d) => // day-over-day TV drift of the event-type mix
+      EventAnalytics.typeMixDrift(Tables.events(s, d))),
     "q_daily_retention" -> ((s, d) => // day-over-day cohort retention
       EventAnalytics.dailyRetention(Tables.events(s, d))),
     "q_session_funnel" -> ((s, d) => // ordered view->click->purchase funnel
@@ -583,6 +585,8 @@ object SparkEntry {
       CorpusFilters.codeProseCensus(Tables.documents(s, d))),
     "q_zipf_octaves" -> ((s, d) => // log-free Zipf power-law readout
       TextAnalysis.zipfOctaves(Tables.documents(s, d))),
+    "q_source_vocab_jaccard" -> ((s, d) => // lexical-overlap matrix between sources
+      TextAnalysis.sourceVocabJaccard(Tables.documents(s, d))),
     "q_rbo_towers" -> ((s, d) => // lexical-vs-dense ranking agreement (RBO@10)
       Retrieval.rboLexicalDense(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_langid_confusion" -> ((s, d) => // classifier eval: confusion + margins
@@ -5856,6 +5860,55 @@ object SparkEntry {
 
     // Mirror of TextAnalysis.zipfOctaves: vocabulary-bounded frequency
     // ranks, power-of-two rank selection, consecutive-octave ratio.
+    // Mirror of EventAnalytics.typeMixDrift: dense day×type grid, exact
+    // HUGEINT cross-products (the engine's DECIMAL(38,0) lane), one IEEE
+    // division floor-quantized; only consecutive calendar days compare.
+    "q_type_mix_drift" ->
+      s"""WITH e AS (
+         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+         |    event_type
+         |  FROM events),
+         |d AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+         |t AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM d GROUP BY 1),
+         |ty AS (SELECT DISTINCT event_type FROM d),
+         |g AS (
+         |  SELECT t.day, ty.event_type, t.n, coalesce(d.c, 0) AS c
+         |  FROM t CROSS JOIN ty
+         |  LEFT JOIN d ON d.day = t.day AND d.event_type = ty.event_type),
+         |l AS (
+         |  SELECT day, n, c,
+         |    lag(c) OVER (PARTITION BY event_type ORDER BY day) AS cp,
+         |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS np,
+         |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS dp
+         |  FROM g)
+         |SELECT day * 86400 AS day_sec, CAST(max(n) AS BIGINT) AS events,
+         |  CAST(max(np) AS BIGINT) AS prev_events,
+         |  ${q4("CAST(sum(abs(CAST(c AS HUGEINT) * np - CAST(cp AS HUGEINT) * n)) AS DOUBLE) " +
+            "/ (2.0 * CAST(max(n) AS DOUBLE) * CAST(max(np) AS DOUBLE))")} AS tv_drift
+         |FROM l WHERE dp = day - 1 GROUP BY day ORDER BY day_sec""".stripMargin,
+
+    // Mirror of TextAnalysis.sourceVocabJaccard: distinct (source, token)
+    // frame, token-keyed pair join with source_a < source_b, exact integer
+    // Jaccard until the final floor-1e4 division.
+    "q_source_vocab_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+         |  FROM documents),
+         |st AS (SELECT DISTINCT source, token FROM tok WHERE length(token) > 0),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
+         |iv AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT iv.source_a, iv.source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+         |  iv.inter,
+         |  ${q4("CAST(iv.inter AS DOUBLE) / CAST(sa.vocab + sb.vocab - iv.inter AS DOUBLE)")} AS jaccard
+         |FROM iv
+         |JOIN sz sa ON iv.source_a = sa.source
+         |JOIN sz sb ON iv.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+
     "q_zipf_octaves" ->
       s"""WITH t AS (
          |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),

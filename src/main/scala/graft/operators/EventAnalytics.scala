@@ -716,4 +716,50 @@ object EventAnalytics {
           .as("new_pct"))
       .orderBy(col("day_sec"))
   }
+
+  /** Day-over-day total-variation drift of the event-type mix — the
+    * distribution-shift monitor a training-data pipeline runs on every
+    * ingest batch ("did today's traffic change regime?"). TV distance
+    * ½·Σ|pₜ − qₜ| is used instead of KL/JS deliberately: it is pure
+    * rational arithmetic on exact counts (KL's logs are libm calls whose
+    * rounding differs across engines), bounded in [0,1], and defined even
+    * when a type has zero mass on one side. The per-day statistic is
+    * Σₜ|cₜ·N_prev − c′ₜ·N_day| / (2·N_day·N_prev) with the cross-products
+    * in DECIMAL(38,0) lanes (the [[Hypothesis]] overflow doctrine — at
+    * 10¹²-event days an int64 product would wrap); one IEEE division at
+    * the end, floor-1e4.
+    *
+    * Shape: one hash agg to the bounded |days|×|types| frame; the dense
+    * day×type grid (absent types must contribute their full mass) is a
+    * broadcast of the |types| list; lag windows partition by type over
+    * the bounded frame. Only consecutive calendar days compare — a gap
+    * day breaks the chain rather than comparing across it. */
+  def typeMixDrift(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .withColumn("day", expr("ts_sec div 86400"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three consumers: totals, the type list, the grid
+    val totals = daily.groupBy(col("day")).agg(sum(col("c")).as("n"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = totals.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    grid
+      .withColumn("cp", lag(col("c"), 1).over(w))
+      .withColumn("np", lag(col("n"), 1).over(w))
+      .withColumn("dp", lag(col("day"), 1).over(w))
+      .where(col("dp") === col("day") - 1)
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("events"), max(col("np")).as("prev_events"),
+        sum(abs(col("c").cast(dec) * col("np").cast(dec)
+          - col("cp").cast(dec) * col("n").cast(dec))).as("tvnum"))
+      .select((col("day") * 86400L).as("day_sec"), col("events"), col("prev_events"),
+        Cols.q4(col("tvnum").cast("double")
+          / (lit(2.0) * col("events").cast("double")
+            * col("prev_events").cast("double"))).as("tv_drift"))
+      .orderBy(col("day_sec"))
+  }
 }

@@ -736,6 +736,39 @@ object TextAnalysis {
           .otherwise(lit(1.0)).as("octave_ratio"))
       .orderBy(col("rank"))
   }
+
+  /** Pairwise vocabulary Jaccard between sources — the lexical-overlap
+    * matrix behind training-mixture design: two sources whose vocabularies
+    * barely intersect contribute different coverage; near-identical ones
+    * are redundancy candidates. |A∩B| comes from a token-keyed self-join
+    * of the distinct (source, token) frame with source_a < source_b — the
+    * per-token fan-out is bounded by |sources|² (NOT corpus size), so the
+    * join output is ≤ |vocab|·|sources|²/2 however large the corpus; the
+    * per-source vocab sizes are a bounded broadcast and Jaccard =
+    * inter/(|A|+|B|−inter) is exact integers until one final floor-1e4
+    * division. */
+  def sourceVocabJaccard(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+      .distinct()
+      .localCheckpoint() // three consumers: both join sides + the sizes
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    val inter = st.select(col("source").as("source_a"), col("token"))
+      .join(st.select(col("source").as("source_b"), col("token")), Seq("token"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("vocab").as("vocab_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("vocab").as("vocab_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        col("inter"),
+        Cols.q4(col("inter").cast("double")
+          / (col("vocab_a") + col("vocab_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).

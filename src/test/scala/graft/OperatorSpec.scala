@@ -205,6 +205,37 @@ class OperatorSpec extends SparkSpec {
       s"day1 must report the carried-over concurrency with zero real change points: ${got.toSeq}")
   }
 
+  test("type-mix drift: identical mixes score 0; a full regime flip scores 1; gap days break the chain") {
+    import spark.implicits._
+    // day0: 2 view + 2 click; day1: same mix (tv=0); day2: all purchase
+    // (tv=1 vs day1); day4 exists but day3 doesn't -> no row for day4
+    def ev(id: Long, day: Long, i: Long, t: String) =
+      (id, 1L, day * 86400L + i, t, 1.0)
+    val rows =
+      Seq(ev(1, 0, 1, "view"), ev(2, 0, 2, "view"), ev(3, 0, 3, "click"), ev(4, 0, 4, "click"),
+        ev(5, 1, 1, "view"), ev(6, 1, 2, "view"), ev(7, 1, 3, "click"), ev(8, 1, 4, "click"),
+        ev(9, 2, 1, "purchase"), ev(10, 2, 2, "purchase"),
+        ev(11, 4, 1, "view"))
+    val df = rows.toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val got = EventAnalytics.typeMixDrift(df).collect()
+      .map(r => (r.getAs[Long]("day_sec") / 86400L, r.getAs[Double]("tv_drift")))
+    assert(got.toSeq == Seq((1L, 0.0), (2L, 1.0)),
+      s"expected tv=0 for the identical mix, tv=1 for the flip, nothing across the gap: ${got.toSeq}")
+  }
+
+  test("source vocab jaccard: hand-computed overlap; bounded in (0,1]; symmetric pair order") {
+    import spark.implicits._
+    // s1 vocab {a,b,c}; s2 vocab {b,c,d,e}; s3 vocab {z}
+    val docs = Seq(
+      ("s1", 1L, "a b c a"), ("s2", 2L, "b c d"), ("s2", 3L, "d e"), ("s3", 4L, "z"))
+      .toDF("source", "doc_id", "text")
+    val got = TextAnalysis.sourceVocabJaccard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("vocab_a"),
+        r.getAs[Long]("vocab_b"), r.getAs[Long]("inter"), r.getAs[Double]("jaccard")))
+    // only overlapping pairs emit: s1-s2 share {b,c} -> 2/(3+4-2) = 0.4
+    assert(got.toSeq == Seq(("s1", "s2", 3L, 4L, 2L, 0.4)), got.toSeq.toString)
+  }
+
   test("label propagation: two triangles over a weak bridge split into two communities") {
     // triangles {1,2,3} and {4,5,6} with heavy internal edges (w=5) and a
     // single w=1 bridge 3-4: LPA must NOT merge them (CC would), and the
