@@ -63,6 +63,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"LUT/codebook joins must broadcast:\n$p")
   }
 
+  test("source vocab jaccard: pair generation is a token equi-join, never a cartesian") {
+    val p = planOf(TextAnalysis.sourceVocabJaccard(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the source-pair intersection must shuffle on token:\n$p")
+  }
+
+  test("type-mix drift: no cartesian beyond the broadcast type grid; lag windows partition by type") {
+    val p = planOf(EventAnalytics.typeMixDrift(Tables.events(spark, sf)))
+    // the dense day×type grid is an intended broadcast of the bounded type
+    // list (BroadcastNestedLoopJoin over ~5 rows); a CartesianProduct —
+    // the unbroadcast shuffle variant — would mean the hint regressed
+    assert(!p.contains("CartesianProduct"), s"the type grid must broadcast:\n$p")
+  }
+
   test("fuzzy decontamination plans as bounded equi-joins: no cartesian") {
     val p = planOf(CorpusFilters.fuzzyDecontaminationProfile(
       Tables.documents(spark, sf)))

@@ -498,4 +498,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("type-mix drift == naive TV on random event sets; bounded [0,1]; partitioning-invariant") {
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = toDf(rows)
+        val got = graft.operators.EventAnalytics.typeMixDrift(df).collect()
+          .map(r => (r.getAs[Long]("day_sec") / 86400L, r.getAs[Double]("tv_drift")))
+        got.foreach { case (_, tv) => assert(tv >= 0.0 && tv <= 1.0, s"TV out of range: $tv") }
+        // naive: per-day type histograms on the driver, TV between consecutive days
+        val byDay = rows.groupBy(_._2 / 86400L).map { case (d, rs) =>
+          d -> rs.groupBy(_._4).map { case (t, g) => t -> g.size.toLong }
+        }
+        val expect = byDay.keys.toSeq.sorted.sliding(2).collect {
+          case Seq(a, b) if b == a + 1 =>
+            val (pa, pb) = (byDay(a), byDay(b))
+            val (na, nb) = (pa.values.sum, pb.values.sum)
+            val num = (pa.keySet ++ pb.keySet).toSeq.map(t =>
+              math.abs(pb.getOrElse(t, 0L) * na - pa.getOrElse(t, 0L) * nb)).sum
+            b -> math.floor(num.toDouble / (2.0 * nb * na) * 1e4) / 1e4
+        }.toSeq.sortBy(_._1)
+        assert(got.toSeq.sortBy(_._1) == expect, s"engine=${got.toSeq} naive=$expect")
+        // pure function of the multiset → partitioning-invariant
+        val re = graft.operators.EventAnalytics.typeMixDrift(df.repartition(7)).collect()
+          .map(r => (r.getAs[Long]("day_sec") / 86400L, r.getAs[Double]("tv_drift")))
+        assert(re.toSeq.sortBy(_._1) == got.toSeq.sortBy(_._1))
+      }
+    }
+  }
 }
