@@ -87,6 +87,8 @@ object SparkEntry {
       HeavyHitters.kmvDistinct(Tables.events(s, d))),
     "q_kmv_setops" -> ((s, d) => // theta-style union/intersection from KMV sketches
       HeavyHitters.kmvSetOps(Tables.events(s, d))),
+    "q_sliding_dau_kmv" -> ((s, d) => // trailing DAU from merged per-day KMV sketches
+      HeavyHitters.slidingDauKmv(Tables.events(s, d))),
     "q_countmin_freq" -> ((s, d) => // portable CMS estimates vs exact counts
       HeavyHitters.countMinFrequencies(Tables.events(s, d))),
     "q_sliding_dau" -> ((s, d) => // trailing-7-day distinct active users per day
@@ -2025,6 +2027,52 @@ object SparkEntry {
     // the union-k, and the identical integer estimate arithmetic. Exact
     // lane (per-side/union/intersection distinct counts) rides the same
     // distinct collapse.
+    // Mirror of HeavyHitters.slidingDauKmv: per-day 64-min hash lists,
+    // W-day coverage replication of the SKETCHES (k rows/day, not the key
+    // set), merged top-64 re-rank, the same estimate arithmetic and
+    // under-k exactness split as q_kmv_distinct; exact lane from the full
+    // distinct (day, hash) frame.
+    "q_sliding_dau_kmv" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec,
+         |    ${md5h48("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |days AS (SELECT DISTINCT day_sec FROM dh),
+         |dk AS (
+         |  SELECT day_sec, h FROM (
+         |    SELECT day_sec, h,
+         |      row_number() OVER (PARTITION BY day_sec ORDER BY h) AS r
+         |    FROM dh) WHERE r <= 64),
+         |cov AS (
+         |  SELECT DISTINCT dk.day_sec + g.w * 86400 AS day_sec, dk.h
+         |  FROM dk, unnest(generate_series(0, 6)) AS g(w)),
+         |mg AS (
+         |  SELECT c.day_sec, c.h,
+         |    count(*) OVER (PARTITION BY c.day_sec) AS sketch_union,
+         |    row_number() OVER (PARTITION BY c.day_sec ORDER BY c.h) AS r
+         |  FROM cov c JOIN days d ON c.day_sec = d.day_sec),
+         |est AS (
+         |  SELECT day_sec, CAST(max(sketch_union) AS BIGINT) AS sketch_union,
+         |    CAST(max(CASE WHEN r = 64 THEN h END) AS BIGINT) AS h64
+         |  FROM mg GROUP BY 1),
+         |ex AS (
+         |  SELECT d.day_sec, CAST(count(DISTINCT u.h) AS BIGINT) AS exact_dau
+         |  FROM days d JOIN dh u
+         |    ON u.day_sec BETWEEN d.day_sec - 6 * 86400 AND d.day_sec
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT ex.day_sec, ex.exact_dau,
+         |    CASE WHEN est.sketch_union < 64 THEN est.sketch_union
+         |         ELSE (63 * 281474976710656) // greatest(est.h64, 1) END AS kmv_estimate
+         |  FROM ex JOIN est ON ex.day_sec = est.day_sec)
+         |SELECT day_sec, exact_dau, kmv_estimate,
+         |  CASE WHEN exact_dau > 0
+         |    THEN (floor((CAST(abs(kmv_estimate - exact_dau) AS DOUBLE) * 100.0 / CAST(exact_dau AS DOUBLE)) * 10000.0) / 10000.0)
+         |    ELSE 0.0 END AS err_pct
+         |FROM o ORDER BY day_sec""".stripMargin,
+
     "q_kmv_setops" ->
       s"""WITH dh AS (
          |  SELECT DISTINCT event_type AS side,

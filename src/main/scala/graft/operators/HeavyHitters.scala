@@ -131,6 +131,64 @@ object HeavyHitters {
           greatest(col("exact_intersect"), lit(1L))).as("intersect_err_pct"))
   }
 
+  /** Trailing-window distinct users per day from MERGED per-day KMV
+    * sketches — the sketch-merge pattern that makes sliding distinct
+    * counts cheap at 100 TB: the exact lane must re-deduplicate every
+    * (user, day) pair per window position (W× coverage replication of the
+    * full key set), while the sketch lane replicates only k-row day
+    * sketches and re-ranks — the KMV merge property (the k smallest of a
+    * union of k-min lists IS the union's KMV) makes the merged estimate
+    * exactly what a from-scratch sketch of the window would report, so
+    * the whole lane is oracle-checkable bit-for-bit like [[kmvDistinct]].
+    * When the merged union carries under k hashes, every contributing
+    * day's sketch was complete, so the union is the exact distinct count
+    * and the estimate degenerates to exact (same regime split as
+    * [[kmvDistinct]]).
+    *
+    * Output per day: the exact trailing DAU (the audit lane — at real
+    * scale this is the expensive side the sketch replaces, here it rides
+    * the same distinct collapse) + the merged-sketch estimate + error.
+    * Null users excluded from BOTH lanes (the [[kmvDistinct]] doctrine).
+    * Day/window conventions follow [[EventAnalytics.slidingActiveUsers]]:
+    * a day's window covers days d−W+1..d, emitted only for days present
+    * in the data. */
+  def slidingDauKmv(events: DataFrame, windowDays: Int = 7, k: Int = 64): DataFrame = {
+    val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
+    val dayHash = events.where(col("user_id").isNotNull)
+      .select((col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec"), h.as("h"))
+      .distinct()
+      .localCheckpoint() // feeds the day list, the sketch lane, the exact audit
+    val days = dayHash.select(col("day_sec")).distinct()
+    val sketchCol = graft.plans.TopKAggregate.topk(
+      struct((-col("h")).cast("double").as("score"), col("h").as("id")), k)
+    val daySketch = dayHash.groupBy(col("day_sec")).agg(sketchCol.as("top"))
+    val merged = daySketch
+      .select(col("day_sec"), explode(col("top")).as("t"))
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("w"),
+        col("day_sec"), col("t.id").as("h"))
+      .select((col("day_sec") + col("w") * 86400L).as("day_sec"), col("h"))
+      .distinct() // two day-sketches in one window may share a hash
+      .join(days, Seq("day_sec"), "left_semi")
+      .groupBy(col("day_sec"))
+      .agg(count(lit(1)).as("sketch_union"), sketchCol.as("top"))
+    val exact = dayHash
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("w"),
+        col("day_sec"), col("h"))
+      .select((col("day_sec") + col("w") * 86400L).as("day_sec"), col("h"))
+      .distinct()
+      .join(days, Seq("day_sec"), "left_semi")
+      .groupBy(col("day_sec")).agg(count(lit(1)).as("exact_dau"))
+    merged.join(exact, Seq("day_sec"))
+      .select(col("day_sec"), col("exact_dau"),
+        when(col("sketch_union") < k, col("sketch_union"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div greatest(try_element_at(top, $k).id, 1L)"))
+          .as("kmv_estimate"))
+      .select(col("day_sec"), col("exact_dau"), col("kmv_estimate"),
+        graft.functions.Cols.pct4(abs(col("kmv_estimate") - col("exact_dau")),
+          col("exact_dau")).as("err_pct"))
+      .orderBy(col("day_sec"))
+  }
+
   /** Entities (parsed `props.k`, the reference's JSON entity id) receiving
     * more than 1/(capacity+1) of all tagged events, with exact counts. */
   def heavyEntities(events: DataFrame, capacity: Int = 127): DataFrame = {

@@ -44,6 +44,34 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(3) == r32 && run(1) == r32)
   }
 
+  test("sliding KMV DAU: merged day sketches == from-scratch window sketch; under-k windows exact") {
+    // two overlapping days, each over k distinct: day1's trailing window is
+    // users 1..3000. The KMV merge property says the merged per-day
+    // sketches must reproduce EXACTLY what a from-scratch sketch of the
+    // union reports — kmvDistinct over the same rows IS that sketch.
+    val rows = (1 to 2000).map(u => ("view", u.toLong, 0L)) ++
+      (1001 to 3000).map(u => ("view", u.toLong, 86400L))
+    val ev = rows.toDF("event_type", "user_id", "ts_sec")
+    val slide = HeavyHitters.slidingDauKmv(ev).collect()
+      .map(r => r.getAs[Long]("day_sec") ->
+        ((r.getAs[Long]("exact_dau"), r.getAs[Long]("kmv_estimate")))).toMap
+    val full = HeavyHitters.kmvDistinct(ev).collect()(0)
+    assert(full.getAs[Long]("exact_distinct") == 3000L)
+    assert(slide(86400L) == ((3000L, full.getAs[Long]("kmv_estimate"))),
+      s"merged sketch must equal the from-scratch union sketch: ${slide(86400L)} vs $full")
+    val d0 = HeavyHitters.kmvDistinct(ev.where(col("ts_sec") === 0L)).collect()(0)
+    assert(slide(0L) == ((2000L, d0.getAs[Long]("kmv_estimate"))))
+    // under-k regime: three tiny overlapping days report exactly
+    val small = ((1 to 10).map(u => (u.toLong, 0L)) ++ (6 to 15).map(u => (u.toLong, 86400L))
+      ++ (11 to 20).map(u => (u.toLong, 2 * 86400L)))
+      .toDF("user_id", "ts_sec")
+    val got = HeavyHitters.slidingDauKmv(small).collect()
+      .map(r => (r.getAs[Long]("day_sec") / 86400L, r.getAs[Long]("exact_dau"),
+        r.getAs[Long]("kmv_estimate"), r.getAs[Double]("err_pct")))
+    assert(got.toSeq == Seq((0L, 10L, 10L, 0.0), (1L, 15L, 15L, 0.0), (2L, 20L, 20L, 0.0)),
+      s"under-k trailing windows must be exact: ${got.toSeq}")
+  }
+
   test("kmvDistinct: null user_ids are excluded before sketching, matching the oracle's filter") {
     // a null user_id hashes to null; unfiltered it would read through the
     // heap struct as a phantom minimum hash and corrupt the k-th order

@@ -63,6 +63,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"LUT/codebook joins must broadcast:\n$p")
   }
 
+  test("sliding KMV DAU: sketch merge rides equi/semi joins on day_sec — no cartesian") {
+    val p = planOf(HeavyHitters.slidingDauKmv(Tables.events(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the sketch-merge lane must never cartesian:\n$p")
+  }
+
   test("source vocab jaccard: pair generation is a token equi-join, never a cartesian") {
     val p = planOf(TextAnalysis.sourceVocabJaccard(Tables.documents(spark, sf)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
