@@ -658,7 +658,7 @@ object SparkEntry {
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, value,
       |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |flagged AS (
       |  SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
       |                   OR ts_sec - lag(ts_sec) OVER w > 3600
@@ -1686,11 +1686,11 @@ object SparkEntry {
   private val asofOracleSql: String =
     """WITH v0 AS (
       |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_id
-      |  FROM events WHERE event_type = 'view'),
+      |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
       |v AS (SELECT user_id, ts_sec, max(event_id) AS view_id FROM v0 GROUP BY 1, 2),
       |p AS (
       |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-      |  FROM events WHERE event_type = 'purchase')
+      |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
       |SELECT p.user_id, p.event_id, p.ts_sec,
       |  v.view_id AS attributed_view_id, p.ts_sec - v.ts_sec AS lag_sec
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec
@@ -1880,7 +1880,7 @@ object SparkEntry {
         |  SELECT DISTINCT user_id,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |days AS (SELECT DISTINCT day_sec FROM a)
         |SELECT d.day_sec, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users
         |FROM days d JOIN a u
@@ -1894,7 +1894,7 @@ object SparkEntry {
          |  SELECT DISTINCT user_id,
          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
          |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400 AS day_sec
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |days AS (SELECT DISTINCT day_sec FROM a),
          |dau AS (
          |  SELECT d.day_sec, CAST(count(DISTINCT u.user_id) AS BIGINT) AS dau
@@ -2417,7 +2417,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |c AS (
         |  SELECT *, lag(event_type)
         |    OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev
@@ -2505,12 +2505,12 @@ object SparkEntry {
         |  SELECT user_id,
         |    max(CASE WHEN CAST(('0x' || substring(md5('esplit:' || CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 1 ELSE 0 END) AS in_test,
         |    max(CASE WHEN CAST(('0x' || substring(md5('esplit:' || CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 0 ELSE 1 END) AS in_train
-        |  FROM events GROUP BY user_id),
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
         |bu AS (
         |  SELECT user_id,
         |    max(CASE WHEN CAST(('0x' || substring(md5('usplit:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 1 ELSE 0 END) AS in_test,
         |    max(CASE WHEN CAST(('0x' || substring(md5('usplit:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 5 < 1 THEN 0 ELSE 1 END) AS in_train
-        |  FROM events GROUP BY user_id)
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
         |SELECT 'by_event' AS method,
         |  CAST(sum(CASE WHEN in_train = 1 THEN 1 ELSE 0 END) AS BIGINT) AS train_users,
         |  CAST(sum(CASE WHEN in_test = 1 THEN 1 ELSE 0 END) AS BIGINT) AS test_users,
@@ -3464,13 +3464,15 @@ object SparkEntry {
         |  min(event_id) AS first_event_id,
         |  max(event_id) AS last_event_id,
         |  count(*) AS events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_purchase_baskets" ->
       """WITH p AS (
         |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
         |  FROM events
-        |  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL)
+        |  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+        |    AND user_id IS NOT NULL)
         |SELECT user_id, count(*) AS purchases,
         |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS revenue,
         |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS basket
@@ -3514,7 +3516,7 @@ object SparkEntry {
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type,
          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec
          |      FROM e WHERE event_type = 'purchase'),
          |v AS (SELECT user_id, event_id AS view_id, ts_sec AS v_sec
@@ -3561,7 +3563,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_type, value,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |m AS (SELECT max(ts_sec) - 600 AS wm FROM e),
         |flagged AS (
         |  SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL OR ts_sec - lag(ts_sec) OVER w >= 3600
@@ -3589,7 +3591,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_type, value,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events)
+        |  FROM events WHERE user_id IS NOT NULL)
         |SELECT user_id,
         |  CAST(floor(ts_sec / 3600.0) * 3600 AS BIGINT) AS hour_sec,
         |  count(*) AS events,
@@ -3606,7 +3608,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |m AS (SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts_sec END),
         |                   max(CASE WHEN event_type = 'view' THEN ts_sec END)) - 600 AS wg FROM e),
         |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec FROM e WHERE event_type = 'purchase'),
@@ -3630,7 +3632,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |m AS (SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts_sec END),
         |                   max(CASE WHEN event_type = 'view' THEN ts_sec END)) - 600 AS wg FROM e),
         |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec FROM e WHERE event_type = 'purchase'),
@@ -3659,7 +3661,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, event_id AS view_id, ts_sec AS v_sec FROM e WHERE event_type = 'view')
         |SELECT p.user_id, p.purchase_id, v.view_id, p.p_sec, v.v_sec
@@ -4220,7 +4222,7 @@ object SparkEntry {
       s"""WITH pu AS (
          |  SELECT user_id,
          |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases
-         |  FROM events GROUP BY 1),
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
          |a AS (
          |  SELECT ${md5h48("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
          |    CASE WHEN purchases > 0 THEN 1 ELSE 0 END AS conv

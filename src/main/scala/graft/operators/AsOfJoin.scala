@@ -139,9 +139,12 @@ object AsOfJoin {
 
   private def attribution(events: DataFrame,
       join: (DataFrame, DataFrame, Seq[String], String, Seq[String]) => DataFrame): DataFrame = {
-    val views = events.where(col("event_type") === "view")
+    // null users excluded on both sides: SQL ASOF equality never matches
+    // NULL = NULL, but the union+window composition WOULD group the nulls
+    // together — filtering makes engine and oracle agree by construction
+    val views = events.where(col("event_type") === "view" && col("user_id").isNotNull)
       .select(col("user_id"), col("ts_sec"), col("event_id").as("view_id"))
-    val purchases = events.where(col("event_type") === "purchase")
+    val purchases = events.where(col("event_type") === "purchase" && col("user_id").isNotNull)
       .select(col("user_id"), col("ts_sec"), col("event_id"))
     join(purchases, views, Seq("user_id"), "ts_sec", Seq("view_id"))
       .select(col("user_id"), col("event_id"), col("ts_sec"),

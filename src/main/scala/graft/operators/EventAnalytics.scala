@@ -290,6 +290,7 @@ object EventAnalytics {
   def changeIntervals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
     events
+      .where(col("user_id").isNotNull) // per-entity history needs an entity key
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_sec"))
       .withColumn("__prev", lag(col("event_type"), 1).over(w))
       .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
@@ -425,6 +426,8 @@ object EventAnalytics {
     * window function, no self-join over the event table. */
   def slidingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val userDays = events
+      .where(col("user_id").isNotNull) // DAU counts identified users (the
+      // oracle's count(DISTINCT user_id) skips nulls; the engine must too)
       .select(col("user_id"), (col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec"))
       .distinct()
       .localCheckpoint() // feeds both the coverage explode and the day list
@@ -574,7 +577,8 @@ object EventAnalytics {
     * streaming_processor.py:382-383, made deterministic: min_by/max_by on
     * the monotone event_id instead of order-dependent first()). */
   def firstLastPerUser(events: DataFrame): DataFrame =
-    events.groupBy(col("user_id"))
+    events.where(col("user_id").isNotNull) // per-user census: identified users only
+      .groupBy(col("user_id"))
       .agg(
         min_by(col("event_type"), col("event_id")).as("first_event_type"),
         max_by(col("event_type"), col("event_id")).as("last_event_type"),
@@ -587,7 +591,8 @@ object EventAnalytics {
     * result is order-insensitive and oracle-comparable. */
   def purchaseBaskets(events: DataFrame): DataFrame =
     withParsedProps(events)
-      .where(col("event_type") === "purchase" && col("k").isNotNull)
+      .where(col("event_type") === "purchase" && col("k").isNotNull
+        && col("user_id").isNotNull)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("purchases"),

@@ -127,7 +127,8 @@ object Sampling {
     def h(tag: String, c: Column) =
       Dedup.PortableHash(concat(lit(tag), c.cast("string")))
     def census(method: String, isTest: Column) =
-      events.select(col("user_id"), isTest.as("t"))
+      events.where(col("user_id").isNotNull) // leakage is a USER property
+        .select(col("user_id"), isTest.as("t"))
         .groupBy(col("user_id"))
         .agg(max(when(col("t"), 1L).otherwise(0L)).as("in_test"),
           max(when(!col("t"), 1L).otherwise(0L)).as("in_train"))

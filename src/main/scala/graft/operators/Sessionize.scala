@@ -33,11 +33,16 @@ import graft.functions.Cols
 object Sessionize {
   val DefaultGapSeconds = 3600L
 
-  /** Adds ts_sec, session_seq (1-based per user) and session_id columns. */
+  /** Adds ts_sec, session_seq (1-based per user) and session_id columns.
+    * Null user_ids are excluded: an unidentified event is not
+    * sessionizable, and the engines disagree on what a null-keyed session
+    * even is (Spark's `concat_ws` skips the null so all null-user rows
+    * share ids like "1"; SQL's `||` nullifies the whole id) — the r12
+    * data-shape fuzz sweep caught exactly this divergence. */
   def withSessionId(events: DataFrame, gapSeconds: Long = DefaultGapSeconds): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("event_id")
     val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events // requires the normalized `ts_sec` column (Tables.events)
+    events.where(col("user_id").isNotNull) // requires the normalized `ts_sec` column (Tables.events)
       .withColumn("is_new",
         when(lag(col("ts_sec"), 1).over(byUser).isNull
           || col("ts_sec") - lag(col("ts_sec"), 1).over(byUser) > gapSeconds, 1L)

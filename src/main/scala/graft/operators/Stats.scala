@@ -306,6 +306,7 @@ object Stats {
     * aggregate. */
   def abConversionLift(events: DataFrame, z: Double = 1.96): DataFrame = {
     val perUser = events
+      .where(col("user_id").isNotNull) // a null user hashes to a null arm
       .groupBy(col("user_id"))
       .agg(Cols.countWhen(col("event_type") === "purchase").as("purchases"))
       .select(

@@ -87,7 +87,11 @@ object StreamingJoin {
       val path   = StreamingHourly.stagedTypeDir(spark, dir, eventType)
       val schema = StreamingHourly.stagedSchema(spark, path)
       spark.readStream.schema(schema).parquet(path)
-        .where(col("event_type") === eventType)
+        // null users excluded: stream-stream state is keyed by user, and
+        // the engines' null-key outer-emission rules differ (the r12 fuzz
+        // sweep caught the full-outer view lane under-emitting) — identified
+        // users only, mirrored in every stream-join oracle
+        .where(col("event_type") === eventType && col("user_id").isNotNull)
         .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
         .withColumn("event_time", timestamp_seconds(col("ts_sec")))
     }

@@ -34,6 +34,8 @@ object StreamingSessions {
                                     options: Map[String, String]): DataFrame = {
     val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.options(options).schema(schema).parquet(path)
+      // sessionization is user-keyed: null users excluded, oracle mirrored
+      .where(col("user_id").isNotNull)
       .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
@@ -84,6 +86,8 @@ object StreamingSessions {
     val path   = StreamingHourly.stagedEventsDir(spark, dir)
     val schema = StreamingHourly.stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
+      // per-user upsert target: null users excluded, oracle mirrored
+      .where(col("user_id").isNotNull)
       .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
       .withColumn("event_time", timestamp_seconds(col("ts_sec")))
 
