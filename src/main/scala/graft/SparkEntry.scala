@@ -5658,8 +5658,10 @@ object SparkEntry {
         |SELECT n, r AS type_levels, c AS dow_levels,
         |  floor(CAST(chi2u AS DOUBLE) / 1e6 * 1e4) / 1e4 AS chi2,
         |  (r - 1) * (c - 1) AS dof,
-        |  floor(sqrt(CAST(chi2u AS DOUBLE) / 1e6
-        |    / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e4) / 1e4 AS cramers_v
+        |  CASE WHEN least(r - 1, c - 1) > 0
+        |    THEN floor(sqrt(CAST(chi2u AS DOUBLE) / 1e6
+        |      / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e4) / 1e4
+        |    ELSE 0.0 END AS cramers_v
         |FROM u, t""".stripMargin,
 
     // Mirror of Hypothesis.survivalKm: per-user first-purchase duration

@@ -708,8 +708,15 @@ object Dedup {
       for (i <- 1 to extra) df = ccRound(edges, df).observe(obses(i), sumExpr)
       val ckpt = df.localCheckpoint()
       try {
-        val sums = obses.map(o => scala.concurrent.Await.result(
-          o.future, scala.concurrent.duration.Duration(5, "seconds")).getDecimal(0))
+        // an EMPTY labels frame can surface as a zero-field metrics row
+        // (the observe node never sees a partition) — read it as the null
+        // sum the caller treats as the empty-graph signal, not an index
+        // error (found by the r12 sparse fuzz variant)
+        val sums = obses.map { o =>
+          val row = scala.concurrent.Await.result(
+            o.future, scala.concurrent.duration.Duration(5, "seconds"))
+          if (row.length == 0) null else row.getDecimal(0)
+        }
         return (ckpt, sums)
       } catch {
         case _: java.util.concurrent.TimeoutException =>

@@ -79,7 +79,11 @@ object GraphRank {
     // would silently diverge from an oracle whose BIGINT raises — fail
     // loudly here instead. One bounded agg over the already-checkpointed
     // edge frame; callers with heavier edges pass a smaller `scale`.
-    val maxW = outEdges.agg(max(col("w"))).head().getLong(0)
+    // null max = empty edge frame (a legal input: a sparse corpus can have
+    // zero verified pairs — r12 sparse fuzz); 0 passes the guard and the
+    // loop then runs over empty frames to an empty rank table
+    val maxW = Option(outEdges.agg(max(col("w"))).head()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     require(maxW <= 0L || maxW <= Long.MaxValue / scale,
       s"weightedPageRank: scale=$scale x max edge weight=$maxW can overflow " +
         "Long in the per-edge contribution (rank*w); pass a smaller scale " +
@@ -145,7 +149,11 @@ object GraphRank {
         when(col("is_seed").isNotNull, lit(teleportSeed)).otherwise(lit(0L)).as("teleport"),
         when(col("is_seed").isNotNull, lit(seedShare)).otherwise(lit(0L)).as("rank0"))
     val outEdges = dir.join(strength, "src").coalesce(8).localCheckpoint()
-    val maxW = outEdges.agg(max(col("w"))).head().getLong(0)
+    // null max = empty edge frame (a legal input: a sparse corpus can have
+    // zero verified pairs — r12 sparse fuzz); 0 passes the guard and the
+    // loop then runs over empty frames to an empty rank table
+    val maxW = Option(outEdges.agg(max(col("w"))).head()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     require(maxW <= 0L || maxW <= Long.MaxValue / scale,
       s"personalizedPageRank: scale=$scale x max edge weight=$maxW can overflow Long")
     val baseCk = base.coalesce(1).localCheckpoint()

@@ -568,9 +568,15 @@ object Hypothesis {
         first(col("r")).as("r"), first(col("c")).as("c"))
     val chi2 = floor(col("chi2u").cast("double") / 1e6 * 1e4) / 1e4
     val dof = ((col("r") - 1L) * (col("c") - 1L)).as("dof")
-    val v = floor(sqrt(col("chi2u").cast("double") / 1e6 /
-      (col("n").cast("double") *
-        least(col("r") - 1L, col("c") - 1L).cast("double"))) * 1e4) / 1e4
+    // a single-level axis (all events in one dow — r12 oneday fuzz) makes
+    // min(r,c)−1 = 0: dof is 0, there is no association to normalize, and
+    // the unguarded divide raises under ANSI — report V = 0, the
+    // zero-signal convention
+    val minrc = least(col("r") - 1L, col("c") - 1L)
+    val v = when(minrc > 0,
+      floor(sqrt(col("chi2u").cast("double") / 1e6 /
+        (col("n").cast("double") * minrc.cast("double"))) * 1e4) / 1e4)
+      .otherwise(lit(0.0))
     agg.select(col("n"), col("r").as("type_levels"), col("c").as("dow_levels"),
       chi2.as("chi2"), dof, v.as("cramers_v"))
   }

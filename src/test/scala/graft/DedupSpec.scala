@@ -10,6 +10,17 @@ class DedupSpec extends SparkSpec {
   private def docsDf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("empty pair graph: clusters and page ranks are empty frames, never index errors") {
+    // a sparse corpus can legally produce ZERO verified near-dup pairs —
+    // the r12 sparse fuzz crashed here twice (a zero-field Observation
+    // metrics row; a null max edge weight read with getLong)
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.dedupClusters(noPairs).count() == 0)
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "pairs")
+    assert(graft.operators.GraphRank.pageRanks(noEdges).count() == 0)
+  }
+
   test("exact dedup keeps lowest doc_id per identical text") {
     val docs = docsDf((1L, "a b c"), (2L, "A B C"), (3L, "x y z"))
     val kept = Dedup.exactDeduped(docs).select("doc_id").as[Long].collect().sorted

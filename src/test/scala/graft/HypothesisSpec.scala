@@ -380,6 +380,16 @@ class HypothesisSpec extends SparkSpec {
     assert(!ci.getAs[Double]("ci_lo_pct").isNaN && !ci.getAs[Double]("ci_hi_pct").isNaN)
   }
 
+  test("chi-square on a single-level axis: dof 0, V = 0.0, no ANSI divide error") {
+    // every event in ONE day-of-week (the oneday fuzz shape): min(r,c)-1 = 0
+    val oneDow = spark.createDataFrame(
+      (1 to 6).map(i => (i.toLong, 1L, 100L + i, if (i % 2 == 0) "view" else "click", 1.0)))
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+    val r = Hypothesis.chisqIndependence(oneDow).collect()(0)
+    assert(r.getAs[Long]("dow_levels") == 1L && r.getAs[Long]("dof") == 0L
+      && r.getAs[Double]("cramers_v") == 0.0, r.toString)
+  }
+
   test("rank-sum on a fully-tied sample: z is 0.0 (zero variance = zero signal), never NaN") {
     // both arms present but every value identical: varU = 0 and the
     // unguarded z divides 0/0 — the guard must emit the kendall-style 0.0

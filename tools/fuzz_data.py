@@ -14,6 +14,13 @@ Variants (all deterministic: hash-based filters, no RNG):
            duplicated once under a fresh event_id; orders: totalprice
            rounded to 100s. Exercises midrank/tie-correction/dedup paths
            (rank-sum ties3, KS steps, first/last determinism).
+  sparse — every fact table cut to a few percent (events 3%, orders 5%,
+           lineitem 5%, documents 10%, embeddings 10%). Exercises the
+           empty/degenerate-group guards (zero-arm tests, thin bootstrap,
+           empty quantile groups) through the REAL oracle pipeline.
+  oneday — only the corpus's first calendar day of events survives (other
+           tables untouched). Degenerate time axis: single-day series,
+           zero drift pairs, one-day retention/DAU windows.
 
 Usage: python3 tools/fuzz_data.py <src_sf_dir> <out_dir> <variant>
 Then:  sbt 'runMain graft.Verify <out_dir> /tmp/vfz'
@@ -74,6 +81,23 @@ for t in TABLES:
                          - (CAST(o_totalprice AS DECIMAL(18,2)) % 100) AS DOUBLE) AS o_totalprice,
                        o_orderdate, o_orderpriority
                      FROM {s} WHERE {keep('o_orderkey', 50)}""", t)
+        else:
+            copy(f"SELECT * FROM {s}", t)
+    elif variant == "sparse":
+        pct = {"events": ("event_id", 3), "orders": ("o_orderkey", 5),
+               "lineitem": ("l_orderkey", 5), "documents": ("doc_id", 10),
+               "embeddings": ("vec_id", 10)}
+        if t in pct:
+            key, p = pct[t]
+            copy(f"SELECT * FROM {s} WHERE {keep(key, p)}", t)
+        else:
+            copy(f"SELECT * FROM {s}", t)
+    elif variant == "oneday":
+        if t == "events":
+            copy(f"""SELECT * FROM {s}
+                     WHERE epoch(date_trunc('second', ts)) <
+                       (SELECT min(epoch(date_trunc('second', ts))) // 86400 * 86400 + 86400
+                        FROM {s})""", t)
         else:
             copy(f"SELECT * FROM {s}", t)
     else:
