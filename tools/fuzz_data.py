@@ -21,6 +21,10 @@ Variants (all deterministic: hash-based filters, no RNG):
   oneday — only the corpus's first calendar day of events survives (other
            tables untouched). Degenerate time axis: single-day series,
            zero drift pairs, one-day retention/DAU windows.
+  skew   — half of all events reassigned to user 1 (hash-selected).
+           One giant per-user window partition / session / basket:
+           exercises the skew paths' CORRECTNESS (salting, per-user
+           windows, funnel chains) under a pathological key distribution.
 
 Usage: python3 tools/fuzz_data.py <src_sf_dir> <out_dir> <variant>
 Then:  sbt 'runMain graft.Verify <out_dir> /tmp/vfz'
@@ -90,6 +94,14 @@ for t in TABLES:
         if t in pct:
             key, p = pct[t]
             copy(f"SELECT * FROM {s} WHERE {keep(key, p)}", t)
+        else:
+            copy(f"SELECT * FROM {s}", t)
+    elif variant == "skew":
+        if t == "events":
+            copy(f"""SELECT event_id, ts,
+                       CASE WHEN {keep('event_id', 50)} THEN 1 ELSE user_id END AS user_id,
+                       event_type, value, props
+                     FROM {s}""", t)
         else:
             copy(f"SELECT * FROM {s}", t)
     elif variant == "oneday":
