@@ -25,6 +25,10 @@ Variants (all deterministic: hash-based filters, no RNG):
            One giant per-user window partition / session / basket:
            exercises the skew paths' CORRECTNESS (salting, per-user
            windows, funnel chains) under a pathological key distribution.
+  shuffled — every table rewritten in hash order (same rows, scrambled
+           file order). Any operator that accidentally leans on the
+           at-rest row order (instead of an explicit ORDER BY / window
+           order) hash-mismatches here.
 
 Usage: python3 tools/fuzz_data.py <src_sf_dir> <out_dir> <variant>
 Then:  sbt 'runMain graft.Verify <out_dir> /tmp/vfz'
@@ -104,6 +108,14 @@ for t in TABLES:
                      FROM {s}""", t)
         else:
             copy(f"SELECT * FROM {s}", t)
+    elif variant == "shuffled":
+        key = {"region": "r_regionkey", "nation": "n_nationkey",
+               "customer": "c_custkey", "supplier": "s_suppkey",
+               "part": "p_partkey", "orders": "o_orderkey",
+               "lineitem": "l_orderkey * 8 + l_linenumber",
+               "events": "event_id", "documents": "doc_id",
+               "embeddings": "vec_id"}[t]
+        copy(f"SELECT * FROM {s} ORDER BY hash({key})", t)
     elif variant == "oneday":
         if t == "events":
             copy(f"""SELECT * FROM {s}
