@@ -5,6 +5,51 @@ package graft
   * per-query wall-clock seconds. A warm-up pass on the flagship query pays
   * the one-time session/codegen costs so per-query numbers reflect steady
   * state (what a long-running cluster job would see). */
+/** The two pinned calibration probes and the median rule — ONE definition
+  * consumed by both [[Bench]] (in-suite sampling) and
+  * [[graft.tools.CalProbe]] (idle-host nominal pinning), so a nominal can
+  * never be pinned against a workload that drifted from what Bench runs. */
+object Calibration {
+  /** Pinned nominals: best-observed medians on this host class at
+    * loadavg < 1 (cpu: r11, 12 reps 0.62–0.72 s; shuffle: r12 CalProbe,
+    * 10 reps 0.48–0.83 s). Re-pin ONLY from CalProbe at idle. */
+  val CpuNominal = 0.63
+  val ShuffleNominal = 0.50
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** cpu lane: bit_xor of xxhash64 over a fixed 32-partition range —
+    * saturates the local[32] cores; no IO, no shuffle. (bit_xor, not sum:
+    * full-range hashes overflow a long sum in ANSI mode.) */
+  def cpuProbe(spark: org.apache.spark.sql.SparkSession): Double = timed {
+    spark.range(0L, 3000L * 1000 * 1000, 1L, 32)
+      .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id))")).head()
+  }
+
+  /** shuffle lane: an 8M-row hash repartition + same-key aggregation —
+    * one full 32→32 exchange, so it feels shuffle-disk/memory-bus
+    * contention the cpu lane cannot. */
+  def shuffleProbe(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    timed {
+      spark.range(0L, 8L * 1000 * 1000, 1L, 32)
+        .select((col("id") % 1000003L).as("k"))
+        .repartition(32, col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .select(expr("bit_xor(xxhash64(k, c))")).head()
+    }
+  }
+
+  /** Even counts average the two middle samples — the same median Bench
+    * reports, so CalProbe-pinned nominals mean the same statistic. */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+}
+
 object Bench {
   /** The 43 queries of the judge-ratified round-1 baseline record
     * (BASELINE.md: 58.9 s at sf0.1). Every bench record carries this
@@ -81,24 +126,10 @@ object Bench {
     // dirs, GC) — observed ~1.5-2× idle even on a quiet host — so its
     // absolute level is expected >1; the signal is the DELTAS across
     // families within a run and across runs at the same family.
-    val calNominal = 0.63     // sec, cpu lane
-    val calShufNominal = 0.50 // sec, shuffle lane
-    import org.apache.spark.sql.functions.{col, count, expr, lit}
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 3000L * 1000 * 1000, 1L, 32)
-        .select(expr("bit_xor(xxhash64(id))")).head()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def calibrateShuffle(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 8L * 1000 * 1000, 1L, 32)
-        .select((col("id") % 1000003L).as("k"))
-        .repartition(32, col("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("c"))
-        .select(expr("bit_xor(xxhash64(k, c))")).head()
-      (System.nanoTime() - t0) / 1e9
-    }
+    val calNominal = Calibration.CpuNominal         // sec, cpu lane
+    val calShufNominal = Calibration.ShuffleNominal // sec, shuffle lane
+    def calibrate(): Double = Calibration.cpuProbe(spark)
+    def calibrateShuffle(): Double = Calibration.shuffleProbe(spark)
     // two throwaway reps per lane: the first pays one-time codegen, the
     // second settles JIT so sample 1 isn't systematically inflated
     calibrate(); calibrateShuffle(); calibrate(); calibrateShuffle()
@@ -149,7 +180,9 @@ object Bench {
     // bracketed by calibration points — mid-suite contention shows up as
     // elevated bracketing samples on exactly the families it hit
     val numFamilies = math.max(1, math.min(8, selected.size))
-    val famSize = (selected.size + numFamilies - 1) / numFamilies
+    // max(1, …): an empty selection (typo'd SPARK_GRAFT_BENCH_ONLY) must
+    // produce an empty record, not a grouped(0) crash after paying warm-up
+    val famSize = math.max(1, (selected.size + numFamilies - 1) / numFamilies)
     val families = selected.grouped(famSize).toSeq
     val calPoints = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     calPoints += ((calibrate(), calibrateShuffle()))
@@ -161,12 +194,8 @@ object Bench {
     val firstPass = famResults.flatten
     val calTimes = calPoints.map(_._1).toSeq
     val calShufTimes = calPoints.map(_._2).toSeq
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val calMedian = median(calTimes)
-    val calShufMedian = median(calShufTimes)
+    val calMedian = Calibration.median(calTimes)
+    val calShufMedian = Calibration.median(calShufTimes)
     val loadIndex = calMedian / calNominal
     val loadShufIndex = calShufMedian / calShufNominal
     System.err.println(f"[bench] calibration cpu ${calTimes.map(t => f"$t%.3f").mkString("/")} s " +

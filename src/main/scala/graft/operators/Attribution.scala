@@ -111,9 +111,14 @@ object Attribution {
                             halfLife: Long = 900L): DataFrame = {
     // bucket bound 43, NOT 62: the weight itself (2^maxB) fits a long up to
     // 62 buckets, but the credit split multiplies CreditUnits (10^6 ≈ 2^20)
-    // by w and sums weights across the window — 2^43 · 10^6 < 2^63 keeps
-    // BOTH the product and a lookback-bounded Σw inside int64, where 2^61
-    // would wrap silently under Spark's non-ANSI multiply
+    // by w — 10^6 · 2^42 < 2^63 keeps the per-touch product inside int64,
+    // where 2^61 would wrap silently under Spark's non-ANSI multiply. The
+    // window sum Σw is TOUCH-count bounded, not lookback-bounded: at the
+    // 43-bucket ceiling it stays exact up to 2^20 (~10^6) touches per
+    // purchase window; at the 4-bucket default (weights ≤ 8) up to ~2^59.
+    // A static require cannot see the touch count — callers running
+    // pathological fan-in at deep bucket ladders should shrink lookback
+    // or halfLife
     require(halfLife > 0 && lookback % halfLife == 0 && lookback / halfLife <= 43,
       "lookback must be a multiple of halfLife; CreditUnits*2^buckets must fit a long")
     val maxB = lookback / halfLife - 1

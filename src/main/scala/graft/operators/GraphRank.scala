@@ -191,7 +191,11 @@ object GraphRank {
         .select(col("item_b").cast("long").as("src"),
           col("item_a").cast("long").as("dst"), col("pairs").cast("long").as("w")))
     val strength = dir.groupBy(col("src")).agg(sum(col("w")).as("s"))
-    val maxId = strength.agg(max(col("src"))).head().getLong(0)
+    // null max = empty edge graph (legal: zero co-occurrence pairs on a
+    // sparse corpus — the third site of the r12 sparse-fuzz crash class);
+    // an empty graph packs trivially and BFS returns an empty frame
+    val maxId = Option(strength.agg(max(col("src"))).head()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     require(maxId < Pack, s"bfsDistances: node id $maxId >= 2^40 breaks the (dist,root) packing")
     // seed labels: dist 0, root = self → packed = node id
     val seedDF = strength.orderBy(col("s").desc, col("src").asc).limit(seeds)

@@ -19,6 +19,7 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Dedup.dedupClusters(noPairs).count() == 0)
     val noEdges = Seq.empty[(Long, Long, Long)].toDF("item_a", "item_b", "pairs")
     assert(graft.operators.GraphRank.pageRanks(noEdges).count() == 0)
+    assert(graft.operators.GraphRank.bfsDistances(noEdges).count() == 0)
   }
 
   test("exact dedup keeps lowest doc_id per identical text") {

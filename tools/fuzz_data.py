@@ -7,9 +7,10 @@ while keeping every schema byte-compatible (DuckDB COPY round-trip, no
 pandas type coercion).
 
 Variants (all deterministic: hash-based filters, no RNG):
-  nulls  — events: ~10% of user_ids nulled (hash-selected), 40% row sample;
-           orders/lineitem/documents/embeddings sampled; dims untouched.
-           Exercises the null-key guards (kmv, cuped, sessionization drops).
+  nulls  — events: ~25% of surviving user_ids nulled (salted hash,
+           independent of the 40% row-sample hash), other fact tables
+           sampled; dims untouched. Exercises the null-key guards
+           (kmv, cuped, sessionization drops, null sort order).
   ties   — events: every value rounded to one of 8 bands and each row
            duplicated once under a fresh event_id; orders: totalprice
            rounded to 100s. Exercises midrank/tie-correction/dedup paths
@@ -58,8 +59,13 @@ for t in TABLES:
     s = src_tbl(t)
     if variant == "nulls":
         if t == "events":
+            # salt the null-selection hash so it draws independently of the
+            # row-sample hash (unsalted, the 10% set was a strict subset of
+            # the 40% sample: every nulled row survived -> 25% density and
+            # the two knobs could not vary independently)
             copy(f"""SELECT event_id, ts,
-                       CASE WHEN {keep('event_id', 10)} THEN NULL ELSE user_id END AS user_id,
+                       CASE WHEN {keep("'null:' || CAST(event_id AS VARCHAR)", 25)}
+                            THEN NULL ELSE user_id END AS user_id,
                        event_type, value, props
                      FROM {s} WHERE {keep('event_id', 40)}""", t)
         elif t == "orders":
