@@ -69,15 +69,25 @@ object Spectral {
 
   /** Distributed fixed-point power iteration over the gram matrix — PCA
     * stage 2 as a REGISTERED, oracle-checkable query (the driver-side
-    * [[topEigenvector]] stays as the test anchor; this is the shape that
-    * scales when d is large enough that d² driver work matters, and it
-    * keeps the whole pipeline corpus→gram→eigenvector on the cluster).
+    * [[topEigenvector]] stays as the test anchor; this keeps the whole
+    * pipeline corpus→gram→eigenvector on the cluster with zero driver
+    * collects).
     *
-    * Same doctrine as [[GraphRank.weightedPageRank]]: a FIXED number of
-    * rounds of `w ← G'·v` as one broadcast equi-join + one hash
-    * aggregation per round over bounded frames (d² matrix entries, d rank
-    * rows), all arithmetic exact integer so a SQL oracle can unroll the
-    * identical recurrence.
+    * Plan shape: the corpus-scale work is [[gramMatrix]] (one bounded-
+    * buffer aggregate); the loop itself runs as ARRAY arithmetic on a
+    * one-row dense-matrix frame — each round is one projection
+    * (`transform`/`aggregate` higher-order functions), so the 8 rounds
+    * compile to a single narrow stage with NO per-round join, shuffle, or
+    * window. The r12→r13 lesson: the previous row-frame loop (a broadcast
+    * join + agg + window per round over 64-row frames) spent ~2 s of pure
+    * driver/stage round-trips — 37+ Spark jobs for 64 rows of data. The
+    * d²-longs-in-one-cell representation introduces NO new scale bound:
+    * the gram stage's own flat aggregation buffer is already d²/2 longs,
+    * so any d the pipeline can aggregate, this row can hold.
+    *
+    * All arithmetic is exact integer (same recurrence as before, and the
+    * same doctrine as [[GraphRank.weightedPageRank]]): a FIXED number of
+    * rounds of `w ← G'·v` the SQL oracle unrolls identically.
     *
     * Determinism mechanics:
     *  - matrix rescale: G' = sign(g)·(|g| div D) with D = max(1,
@@ -100,63 +110,62 @@ object Spectral {
                      scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1 && scale >= 1)
     // materialize the corpus-wide aggregate ONCE: sym references the gram
-    // twice (the union) and gm/edges re-derive sym again — without this
-    // checkpoint the one edges materialization runs the full-corpus
-    // ObjectHashAggregate four times for a d²-row result
+    // twice (the union) and the dense-row build re-derives sym — without
+    // this checkpoint the full-corpus ObjectHashAggregate would run
+    // multiple times for a d²-row result
     val gram = gramMatrix(embeddings, dim).coalesce(1).localCheckpoint()
     val sym = gram.select(col("i"), col("j"), col("q_sum").as("g"))
       .union(gram.where(col("i") < col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("q_sum").as("g")))
-    val gm = sym.agg(greatest(lit(1L),
-      expr("max(abs(g)) div 67108864")).as("d_div"))
-    // d² + 1 rows; materialized once — every round re-joins this frame
-    val edges = sym.crossJoin(broadcast(gm))
-      .select(col("i"), col("j"),
-        (when(col("g") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("abs(g) div d_div")).as("gs"), col("d_div"))
-      .coalesce(1).localCheckpoint()
-    var v = edges.select(col("i").as("node")).distinct()
-      .select(col("node"), lit(scale).as("v"))
-    var lastW = v.select(col("node").as("i"), col("v").as("w")) // replaced below
-    for (r <- 1 to rounds) {
-      // repartition(1, i) BEFORE the agg: it satisfies the aggregation's
-      // required distribution, so the d-group agg runs as one task instead
-      // of fanning a 64-row frame across the session's 32 shuffle
-      // partitions every round (the shuffle machinery, not the sums, was
-      // the round cost; on a big-d cluster raise the partition count with
-      // the frame size)
-      val w = edges
-        .join(broadcast(v.select(col("node").as("j"), col("v").as("vj"))), "j")
-        .repartition(1, col("i"))
-        .groupBy(col("i")).agg(sum(col("gs") * col("vj")).as("w"))
-      // renormalization max as an empty-frame window, not a separate agg:
-      // an agg + crossJoin(broadcast) here costs one extra Spark job per
-      // round (8 driver round-trips per query); the window computes the
-      // identical integer max inside the same job the checkpoint runs.
-      // The d-row frame sits in one partition after coalesce, so the
-      // global window is a non-event at any dimension this engine targets.
-      val vn = w.coalesce(1)
-        .select(col("i").as("node"),
-          (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"CAST(abs(w) AS DECIMAL(38,0)) * ${scale}L" +
-              " div greatest(max(abs(w)) OVER (), 1L)")).as("v"))
-      v = if (r % 2 == 0 || r == rounds) vn.localCheckpoint() else vn
-      if (r == rounds) lastW = w
-    }
-    // the final round's max|w| (the eigenvalue proxy) is re-derived from
-    // the last w frame — one shallow job over the round-8 checkpointed
-    // inputs; the normalized v cannot recover it (its max is scale by
-    // construction)
-    val lambda = lastW.agg(greatest(lit(1L), max(abs(col("w")))).as("m"))
-      .crossJoin(broadcast(gm))
-      .select(expr(s"CAST(m AS DECIMAL(38,0)) * d_div div ${scale}L").as("lambda_u"))
-    // sign convention: flip so the lowest-indexed nonzero component is
-    // positive; agg-on-empty yields null → coalesce to +1 (zero vector)
-    val s0 = v.where(col("v") =!= 0)
-      .agg(coalesce(min_by(when(col("v") < 0, lit(-1L)).otherwise(lit(1L)),
-        col("node")), lit(1L)).as("s0"))
-    v.crossJoin(broadcast(s0)).crossJoin(broadcast(lambda))
-      .select(col("node").as("i"), (col("v") * col("s0")).as("v_unit"),
+    // ONE row: the rescaled dense matrix, row-major. gram emits EVERY i ≤ j
+    // entry (zeros included, straight from the flat buffer), so sym is all
+    // d² cells and sort_array by (i, j) lays them out at g[i·d + j]. The
+    // rescale G' = sign(g)·(|g| div d_div) happens in the same projection.
+    val mrow = sym
+      .agg(sort_array(collect_list(struct(col("i"), col("j"), col("g")))).as("es"),
+        greatest(lit(1L), expr("max(abs(g)) div 67108864")).as("d_div"))
+      .select(col("d_div"), expr(
+        "transform(es, e -> (CASE WHEN e.g < 0 THEN -1L ELSE 1L END)" +
+          " * (abs(e.g) div d_div))").as("g"))
+      .localCheckpoint()
+    // The ENTIRE recurrence as one `aggregate()` expression: the round
+    // counter is the sequence, the accumulator is struct(v, mx), and each
+    // round's vector enters the lambda as a BOUND variable. The binding is
+    // the point — when rounds were chained projections, CollapseProject
+    // inlined each round's array expr into the next round's per-element
+    // lambdas, re-evaluating the whole history once per element (the ~4 s
+    // reading r11/r12 attributed to host load). Two lambda steps per
+    // round: odd = matrix·vector product into the accumulator (so the even
+    // step's renorm reads w as a bound field, never re-deriving it),
+    // even = exact renormalization + the max|w| the eigenvalue needs.
+    val matvec =
+      s"transform(sequence(0, ${dim - 1}), i -> " +
+        s"aggregate(sequence(0, ${dim - 1}), 0L, " +
+        s"(a, j) -> a + element_at(g, i * $dim + j + 1) * element_at(acc.v, j + 1)))"
+    val mxOfV = "greatest(array_max(transform(acc.v, x -> abs(x))), 1L)"
+    val cur = mrow.select(col("d_div"), expr(
+      s"""aggregate(
+         |  sequence(1, ${2 * rounds}),
+         |  named_struct('v', array_repeat(${scale}L, $dim), 'mx', 1L),
+         |  (acc, s) -> CASE WHEN s % 2 = 1
+         |    THEN named_struct('v', $matvec, 'mx', acc.mx)
+         |    ELSE named_struct(
+         |      'v', transform(acc.v, x -> (CASE WHEN x < 0 THEN -1L ELSE 1L END)
+         |             * (CAST(abs(x) AS DECIMAL(38,0)) * ${scale}L div $mxOfV)),
+         |      'mx', $mxOfV) END)""".stripMargin).as("r"))
+      .select(col("d_div"), col("r.v").as("v"), col("r.mx").as("mx"))
+    // lambda from the final round's max|w| (carried as mx — the normalized
+    // v cannot recover it, its max is `scale` by construction); sign
+    // convention s0 = sign of the lowest-indexed nonzero component
+    // (filter preserves array order), +1 for the zero vector
+    cur
+      .select(
+        expr(s"CAST(mx AS DECIMAL(38,0)) * d_div div ${scale}L").as("lambda_u"),
+        expr("CASE WHEN size(filter(v, x -> x != 0)) = 0 THEN 1L " +
+          "WHEN element_at(filter(v, x -> x != 0), 1) < 0 THEN -1L ELSE 1L END").as("s0"),
+        col("v"))
+      .select(col("lambda_u"), col("s0"), posexplode(col("v")).as(Seq("pos", "vi")))
+      .select(col("pos").cast("long").as("i"), (col("vi") * col("s0")).as("v_unit"),
         col("lambda_u"))
       .orderBy(col("i"))
   }
