@@ -90,10 +90,6 @@ object GraphRank {
         s"(need scale <= ${Long.MaxValue / maxW})")
     val baseCk = base.coalesce(1).localCheckpoint()
     var rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
-    // rank and contribution frames are |V| rows — broadcast them onto the
-    // edge list so a round is map-side join + one agg (on an entity graph
-    // |V| is vocabulary-bounded; for a billion-node graph drop the hints
-    // and let both joins shuffle-hash on the node id)
     // checkpoint on a stride: each materialization is a full job round-trip
     // (~fixed driver latency at bounded |V|), and a 2-round plan over
     // checkpointed inputs is still shallow — same trick as the clustering
@@ -101,19 +97,27 @@ object GraphRank {
     iterateRanks(outEdges, baseCk, rank, iterations)
   }
 
-  /** The shared fixed-point loop: one broadcast join + one agg per round
-    * over a (node, teleport) base frame — the teleport column is what
-    * distinguishes uniform PageRank from the personalized variant. */
+  /** The shared fixed-point loop: one equi-join + one agg per round over a
+    * (node, teleport) base frame — the teleport column is what
+    * distinguishes uniform PageRank from the personalized variant.
+    *
+    * The per-round joins carry NO broadcast hint (the [[labelPropagation]]
+    * doctrine, extended here in r13): the rank/contribution frames are |V|
+    * rows — vocabulary-bounded on this corpus, so AQE broadcasts them from
+    * their measured size — but |V| is not structurally bounded, and at a
+    * ~10⁸-node graph a pinned broadcast would OOM the executors where the
+    * unhinted plan degrades gracefully to a shuffle-hash join on the node
+    * id. */
   private def iterateRanks(outEdges: DataFrame, baseCk: DataFrame,
                            rank0: DataFrame, iterations: Int): DataFrame = {
     var rank = rank0
     for (i <- 1 to iterations) {
       val contribs = outEdges
-        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
+        .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("(rank * w) div s").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val next = baseCk
-        .join(broadcast(contribs), Seq("node"), "left")
+        .join(contribs, Seq("node"), "left")
         .select(col("node"),
           expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
       rank = if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
@@ -143,8 +147,10 @@ object GraphRank {
       .select(col("src").as("node"), lit(1L).as("is_seed"))
     val seedShare    = scale / seeds
     val teleportSeed = (15L * seedShare) / 100L
+    // no hint on the seed join either (r13): seedDF is limit(seeds) rows —
+    // AQE broadcasts a frame that small on its own measurement
     val base = strength.select(col("src").as("node"))
-      .join(broadcast(seedDF), Seq("node"), "left")
+      .join(seedDF, Seq("node"), "left")
       .select(col("node"),
         when(col("is_seed").isNotNull, lit(teleportSeed)).otherwise(lit(0L)).as("teleport"),
         when(col("is_seed").isNotNull, lit(seedShare)).otherwise(lit(0L)).as("rank0"))
@@ -205,11 +211,12 @@ object GraphRank {
     var best = seedDF.select(col("node"), col("node").as("packed"))
       .coalesce(1).localCheckpoint()
     for (i <- 1 to hops) {
-      // labels are |reached| ≤ |V| rows — broadcast onto the edge list (same
-      // vocabulary-bounded argument as the PageRank rank frame; for a
-      // billion-node graph drop the hint and shuffle-hash on the node id)
+      // labels are |reached| ≤ |V| rows; NO broadcast hint (the
+      // labelPropagation doctrine) — AQE broadcasts from measured size on
+      // a vocabulary-bounded graph and shuffle-hashes on the node id when
+      // the reached set outgrows the executors
       val prop = edgesCk
-        .join(broadcast(best.withColumnRenamed("node", "src")), "src")
+        .join(best.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("packed") + Pack).as("packed"))
       val next = best.union(prop)
         .groupBy(col("node")).agg(min(col("packed")).as("packed"))
