@@ -100,32 +100,25 @@ object Bench {
       warm("dedup")(graft.streaming.StreamingDedup.dedupedTypeCounts(spark, warmDir).count())
     } else System.err.println(
       s"[bench] no smaller sibling of $sfDir; skipping streaming warm-up")
-    // ---- calibration lanes: TWO pinned, data-independent micro-benchmarks
-    // run interleaved between query families (not just 3× per run — the
-    // r11 driver run lost +14 s in five shuffle-heavy queries while a
-    // probe sampled 3×/run read the host as FREER; contention that only
-    // hits big shuffles mid-suite is invisible to a sparse CPU-only probe).
-    //   cpu lane: bit_xor of xxhash64 over a fixed 32-partition range —
-    //     saturates the same local[32] cores the suite uses; no IO, no
-    //     shuffle. (bit_xor, not sum: full-range hashes overflow a long
-    //     sum in ANSI mode.)
-    //   shuffle lane: an 8M-row hash repartition + same-key aggregation —
-    //     one full 32→32 exchange, so it feels shuffle-disk/memory-bus
-    //     contention the cpu lane cannot.
-    // Suite-wide `load_index` = median of ALL cpu samples over a pinned
-    // nominal (≈1 means the host was as free as at calibration time; k
-    // means co-tenant load stretched wall-clock ~k× suite-wide); each
-    // family additionally records both lanes' bracketing samples so a
-    // per-family slowdown is attributable in-file. Pinned nominals:
-    // best-observed medians on this host class at loadavg < 1 (cpu: r11,
-    // 12 reps 0.62-0.72 s; shuffle: r12 CalProbe, 10 reps 0.48-0.83 s).
-    // Comparing indices ACROSS runs is the point; the absolute anchors
-    // just make ≈1.0 read as "host as free as it ever gets". Reading the
-    // SHUFFLE lane: its nominal is an idle-JVM anchor, but in-suite
-    // samples also feel the suite's own footprint (heap residency, shuffle
-    // dirs, GC) — observed ~1.5-2× idle even on a quiet host — so its
-    // absolute level is expected >1; the signal is the DELTAS across
-    // families within a run and across runs at the same family.
+    // ---- calibration lanes: the two pinned probes + median rule live in
+    // [[Calibration]] (ONE definition shared with tools.CalProbe — see its
+    // scaladoc for the probe bodies and nominal-pinning rule). Bench-side
+    // doctrine: run them interleaved between query families, not just 3×
+    // per run — the r11 driver run lost +14 s in five shuffle-heavy
+    // queries while a probe sampled 3×/run read the host as FREER;
+    // contention that only hits big shuffles mid-suite is invisible to a
+    // sparse CPU-only probe. Suite-wide `load_index` = median of ALL cpu
+    // samples over the pinned nominal (≈1 means the host was as free as at
+    // calibration time; k means co-tenant load stretched wall-clock ~k×
+    // suite-wide); each family additionally records both lanes' bracketing
+    // samples so a per-family slowdown is attributable in-file. Comparing
+    // indices ACROSS runs is the point; the absolute anchors just make
+    // ≈1.0 read as "host as free as it ever gets". Reading the SHUFFLE
+    // lane: its nominal is an idle-JVM anchor, but in-suite samples also
+    // feel the suite's own footprint (heap residency, shuffle dirs, GC) —
+    // observed ~1.5-2× idle even on a quiet host — so its absolute level
+    // is expected >1; the signal is the DELTAS across families within a
+    // run and across runs at the same family.
     val calNominal = Calibration.CpuNominal         // sec, cpu lane
     val calShufNominal = Calibration.ShuffleNominal // sec, shuffle lane
     def calibrate(): Double = Calibration.cpuProbe(spark)
@@ -178,12 +171,16 @@ object Bench {
       }
     // run-order families: contiguous chunks of the name-sorted suite,
     // bracketed by calibration points — mid-suite contention shows up as
-    // elevated bracketing samples on exactly the families it hit
+    // elevated bracketing samples on exactly the families it hit.
+    // Sliced by index quotas (not grouped(ceil)) so the chunk count EQUALS
+    // numFamilies — ceil-div sizing silently undershot the bracketing
+    // granularity for suite sizes just above 8 (e.g. 9 → 5 families)
     val numFamilies = math.max(1, math.min(8, selected.size))
-    // max(1, …): an empty selection (typo'd SPARK_GRAFT_BENCH_ONLY) must
-    // produce an empty record, not a grouped(0) crash after paying warm-up
-    val famSize = math.max(1, (selected.size + numFamilies - 1) / numFamilies)
-    val families = selected.grouped(famSize).toSeq
+    val families = (0 until numFamilies).map(i =>
+        selected.slice(i * selected.size / numFamilies,
+          (i + 1) * selected.size / numFamilies))
+      .filter(_.nonEmpty) // empty selection (typo'd SPARK_GRAFT_BENCH_ONLY)
+      .toSeq
     val calPoints = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     calPoints += ((calibrate(), calibrateShuffle()))
     val famResults = families.map { fam =>

@@ -5915,11 +5915,15 @@ object SparkEntry {
     // Mirror of EventAnalytics.typeMixDrift: dense day×type grid, exact
     // HUGEINT cross-products (the engine's DECIMAL(38,0) lane), one IEEE
     // division floor-quantized; only consecutive calendar days compare.
+    // Null event_types excluded up front in BOTH lanes (null-key doctrine,
+    // r13): a null type can never match the dense grid's equi-join, so
+    // keeping it would drop its mass from the TV numerator while
+    // inflating the denominator.
     "q_type_mix_drift" ->
       s"""WITH e AS (
          |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
          |    event_type
-         |  FROM events),
+         |  FROM events WHERE event_type IS NOT NULL),
          |d AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
          |t AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM d GROUP BY 1),
          |ty AS (SELECT DISTINCT event_type FROM d),

@@ -109,18 +109,25 @@ object Attribution {
   def timeDecayCreditByHour(events: DataFrame,
                             lookback: Long = LookbackSeconds,
                             halfLife: Long = 900L): DataFrame = {
-    // bucket bound 43, NOT 62: the weight itself (2^maxB) fits a long up to
-    // 62 buckets, but the credit split multiplies CreditUnits (10^6 ≈ 2^20)
-    // by w — 10^6 · 2^42 < 2^63 keeps the per-touch product inside int64,
-    // where 2^61 would wrap silently under Spark's non-ANSI multiply. The
-    // window sum Σw is TOUCH-count bounded, not lookback-bounded: at the
-    // 43-bucket ceiling it stays exact up to 2^20 (~10^6) touches per
+    // Exact int64 ceiling (r13, ADVICE fix — the prior flat `<= 43` was one
+    // bucket stricter than int64 requires and its comment overstated the
+    // overflow point): the per-touch credit product CreditUnits·2^maxB must
+    // stay ≤ Long.MaxValue, i.e. 2^maxB ≤ Long.MaxValue div CreditUnits —
+    // at CreditUnits = 10^6 that admits maxB ≤ 43 (10^6·2^43 ≈ 8.80e18 <
+    // 9.22e18), so 44 buckets, where 2^44·10^6 would wrap silently under
+    // Spark's non-ANSI multiply. The require states the bound itself, so
+    // the ceiling moves with CreditUnits instead of hiding in a constant.
+    // The window sum Σw is TOUCH-count bounded, not lookback-bounded: at
+    // the 44-bucket ceiling it stays exact up to ~10^6 touches per
     // purchase window; at the 4-bucket default (weights ≤ 8) up to ~2^59.
     // A static require cannot see the touch count — callers running
     // pathological fan-in at deep bucket ladders should shrink lookback
     // or halfLife
-    require(halfLife > 0 && lookback % halfLife == 0 && lookback / halfLife <= 43,
-      "lookback must be a multiple of halfLife; CreditUnits*2^buckets must fit a long")
+    val buckets = if (halfLife > 0) lookback / halfLife else 0L
+    require(halfLife > 0 && lookback % halfLife == 0 && buckets >= 1 &&
+      buckets - 1 <= 62 && (1L << (buckets - 1).toInt) <= Long.MaxValue / CreditUnits,
+      s"lookback must be a positive multiple of halfLife with CreditUnits*2^(buckets-1)" +
+        s" <= Long.MaxValue (buckets <= 44 at CreditUnits=$CreditUnits); got buckets=$buckets")
     val maxB = lookback / halfLife - 1
     val wp = Window.partitionBy(col("p_id"))
     val ranked = rankedTouches(events, lookback)

@@ -738,10 +738,19 @@ object EventAnalytics {
     * day×type grid (absent types must contribute their full mass) is a
     * broadcast of the |types| list; lag windows partition by type over
     * the bounded frame. Only consecutive calendar days compare — a gap
-    * day breaks the chain rather than comparing across it. */
+    * day breaks the chain rather than comparing across it.
+    *
+    * Null-key doctrine (r13, ADVICE fix): rows with a NULL event_type are
+    * EXCLUDED up front, in both lanes — left in, they count toward each
+    * day's total N (groupBy keeps a null group) but can never match the
+    * dense grid's equi-join, so their mass silently vanishes from the TV
+    * numerator while inflating the denominator (a pure shift in null-type
+    * share would score 0 drift). Same rule as every user_id-keyed
+    * operator; the oracle filters identically. */
   def typeMixDrift(events: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     val daily = events
+      .where(col("event_type").isNotNull)
       .withColumn("day", expr("ts_sec div 86400"))
       .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // three consumers: totals, the type list, the grid

@@ -1084,13 +1084,14 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 1L, 1L, 90909.0 / 1000000.0),
       (2L, 2L, 1L, 909091.0 / 1000000.0)), got.toString)
-    // overflow guard: 44 half-life buckets would push CreditUnits * 2^43
-    // past int64 under Spark's wraparound multiply — the require refuses
+    // overflow guard at the EXACT int64 bound (r13): 45 buckets push
+    // CreditUnits * 2^44 past Long.MaxValue — the require refuses
     intercept[IllegalArgumentException] {
-      Attribution.timeDecayCreditByHour(df, lookback = 44L * 900L, halfLife = 900L)
+      Attribution.timeDecayCreditByHour(df, lookback = 45L * 900L, halfLife = 900L)
     }
-    // 43 buckets is the documented ceiling and must still be accepted
-    Attribution.timeDecayCreditByHour(df, lookback = 43L * 900L, halfLife = 900L).count()
+    // 44 buckets is the exact ceiling (10^6 * 2^43 = 8.80e18 < 9.22e18)
+    // and must be accepted — the r12 flat 43 was one bucket conservative
+    Attribution.timeDecayCreditByHour(df, lookback = 44L * 900L, halfLife = 900L).count()
   }
 
   test("split drift: chi2 is zero when both splits share one distribution; named category drifts") {
