@@ -35,7 +35,11 @@ object Formats {
     synchronized {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val src = Paths.get(s"$dir/documents.parquet")
-      val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      // v2: the stamp carries a staging-format version so a WRITER-option
+      // change (e.g. the r13 whitespace-trim fix) invalidates cached
+      // stagings — (size, mtime) alone would happily reuse a staging
+      // written under the old, lossy options
+      val stamp = s"v4:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
       // The source stamp is part of the directory NAME, and a staging is
       // written to a process-unique tmp dir then atomically renamed into
       // place — so a published staging is immutable and complete by
@@ -54,7 +58,19 @@ object Formats {
         val w = docs.repartition(4).write.mode("overwrite")
         fmt match {
           case "json" => w.json(tmp.toString)
-          case "csv"  => w.option("header", "true").option("quoteAll", "true").csv(tmp.toString)
+          // quoteAll: embedded commas/quotes/newlines survive by construction.
+          // ignore*WhiteSpace=false: the WRITER defaults these to true and
+          // silently trims padded fields. nullValue sentinel: with the
+          // default ("" both ways) a quoted empty string reads back as
+          // NULL, so "" and NULL collapse — a real null writes the
+          // sentinel, everything else round-trips verbatim. Both were
+          // found by the r13 text-shape fuzz variant (padded docs came
+          // back trimmed, empty docs came back null, shifting the
+          // checksum lane this census exists to guard).
+          case "csv"  => w.option("header", "true").option("quoteAll", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .option("nullValue", CsvNullSentinel).csv(tmp.toString)
           case "orc"  => w.orc(tmp.toString)
         }
         try Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
@@ -89,13 +105,30 @@ object Formats {
   def jsonSourceCensus(spark: SparkSession, dir: String): DataFrame =
     census(spark.read.schema(docSchema).json(stagedDir(spark, dir, "json")))
 
+  /** Shared null sentinel for the CSV lane: a string that cannot occur in
+    * a document (the corpus contract is space-separated tokens; this is
+    * picked to survive even hostile fuzz corpora). With Spark's default
+    * nullValue of "" the reader maps a QUOTED empty field to NULL, so
+    * empty-string and null text would collapse — the r13 text-fuzz find. */
+  private[graft] val CsvNullSentinel = "__graft_csv_null__"
+
   /** Census over the CSV staging of documents. `multiLine` handles quoted
     * embedded newlines; the writer quotes every field so embedded commas
-    * and quotes round-trip by construction. */
+    * and quotes round-trip by construction; the shared nullValue sentinel
+    * keeps empty string and NULL distinct both ways. */
   def csvSourceCensus(spark: SparkSession, dir: String): DataFrame =
-    census(spark.read.schema(docSchema)
+    census(readCsvStaging(spark, dir))
+
+  /** The CSV staging read path, shared with [[csvSourceCensus]] and its
+    * spec so both exercise the identical option set: the sentinel
+    * nullValue maps a written-out real null back to NULL, and — because
+    * it is no longer the default "" — a quoted empty string stays an
+    * empty string instead of collapsing to NULL. */
+  private[graft] def readCsvStaging(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(docSchema)
       .option("header", "true").option("multiLine", "true")
-      .csv(stagedDir(spark, dir, "csv")))
+      .option("nullValue", CsvNullSentinel)
+      .csv(stagedDir(spark, dir, "csv"))
 
   /** Census over the ORC staging of documents — the OTHER columnar at-rest
     * format (footer statistics, column pruning, predicate pushdown — the

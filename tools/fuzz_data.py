@@ -30,8 +30,28 @@ Variants (all deterministic: hash-based filters, no RNG):
            file order). Any operator that accidentally leans on the
            at-rest row order (instead of an explicit ORDER BY / window
            order) hash-mismatches here.
+  text   — documents perturbed INSIDE the ASCII case-folding contract
+           (the r12 Unicode boundary stays out of scope): hash-bucketed
+           classes get punctuation-glued tokens, repeated internal
+           whitespace (empty tokens under the corpus's single-space
+           split rule), empty-string and single-character docs,
+           upper/mixed-case ASCII, and leading/trailing padding;
+           n_chars is recomputed so the length invariant holds.
+           Exercises tokenizer/shingle/vocab/quality paths on the
+           shapes real corpora carry.
+  scale  — synthetic scale-up gate (r12 verdict #1): events, documents
+           and embeddings replicated xN (4th arg, default 16; orders+
+           lineitem x4 with consistent orderkey offsets) under FRESH ids.
+           Replicas are hash-salted so candidate densities stay
+           realistic instead of forming xN exact-dup clusters: each
+           replica remaps ~70% of document tokens to replica-suffixed
+           forms (vocabulary grows with the corpus, near-dup/containment
+           posting lists stay sf-shaped), embeddings get per-dimension
+           deterministic noise (replicas are NOT mutual cosine
+           near-dups), and event user_ids shift to a fresh user range
+           per replica (per-user session volume stays realistic).
 
-Usage: python3 tools/fuzz_data.py <src_sf_dir> <out_dir> <variant>
+Usage: python3 tools/fuzz_data.py <src_sf_dir> <out_dir> <variant> [scale_factor]
 Then:  sbt 'runMain graft.Verify <out_dir> /tmp/vfz'
        python3 tools/check_oracle_strict.py <out_dir> /tmp/vfz
 """
@@ -128,6 +148,87 @@ for t in TABLES:
                      WHERE epoch(date_trunc('second', ts)) <
                        (SELECT min(epoch(date_trunc('second', ts))) // 86400 * 86400 + 86400
                         FROM {s})""", t)
+        else:
+            copy(f"SELECT * FROM {s}", t)
+    elif variant == "text":
+        if t == "documents":
+            # hash-bucketed perturbation classes, all ASCII, n_chars kept
+            # true to the perturbed text (the corpus invariant)
+            copy(f"""WITH p AS (
+                       SELECT doc_id, lang, source,
+                         CASE (hash('text:' || CAST(doc_id AS VARCHAR)) % 100)
+                           WHEN 0 THEN ''
+                           WHEN 1 THEN ''
+                           WHEN 2 THEN ''
+                           WHEN 3 THEN ''
+                           WHEN 4 THEN ''
+                           WHEN 5 THEN 'x'
+                           WHEN 6 THEN 'x'
+                           WHEN 7 THEN 'x'
+                           WHEN 8 THEN 'x'
+                           WHEN 9 THEN '.'
+                           ELSE CASE
+                             WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 25
+                               THEN replace(text, ' ', ', ') || '!!!'
+                             WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 37
+                               THEN replace(text, ' ', '   ')
+                             WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 52
+                               THEN upper(text)
+                             WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 62
+                               THEN '  ' || text || ' '
+                             WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 72
+                               THEN upper(substr(text, 1, length(text) // 2))
+                                    || substr(text, length(text) // 2 + 1)
+                             ELSE text END
+                         END AS text
+                       FROM {s})
+                     SELECT doc_id, text, lang, source,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                     FROM p""", t)
+        else:
+            copy(f"SELECT * FROM {s}", t)
+    elif variant == "scale":
+        amp = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+        if t == "events":
+            mx = con.execute(f"SELECT max(event_id)+1, max(user_id)+1 FROM {s}").fetchone()
+            copy(f"""SELECT e.event_id + k.k * {mx[0]} AS event_id, e.ts,
+                       e.user_id + k.k * {mx[1]} AS user_id,
+                       e.event_type, e.value, e.props
+                     FROM {s} e CROSS JOIN (SELECT unnest(range({amp})) AS k) k""", t)
+        elif t == "documents":
+            mx = con.execute(f"SELECT max(doc_id)+1 FROM {s}").fetchone()[0]
+            copy(f"""WITH p AS (
+                       SELECT d.doc_id + k.k * {mx} AS doc_id, d.lang, d.source,
+                         CASE WHEN k.k = 0 THEN d.text ELSE
+                           list_aggregate(list_transform(string_split(d.text, ' '),
+                             w -> CASE WHEN hash(w || ':' || CAST(k.k AS VARCHAR)) % 10 < 7
+                                       THEN w || 'r' || CAST(k.k AS VARCHAR) ELSE w END),
+                             'string_agg', ' ')
+                         END AS text
+                       FROM {s} d CROSS JOIN (SELECT unnest(range({amp})) AS k) k)
+                     SELECT doc_id, text, lang, source,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                     FROM p""", t)
+        elif t == "embeddings":
+            mx = con.execute(f"SELECT max(vec_id)+1 FROM {s}").fetchone()[0]
+            copy(f"""SELECT e.vec_id + k.k * {mx} AS vec_id,
+                       CASE WHEN k.k = 0 THEN e.embedding ELSE
+                         list_transform(e.embedding, (x, i) -> CAST(x +
+                           (CAST(hash(CAST(e.vec_id AS VARCHAR) || ':' ||
+                              CAST(k.k AS VARCHAR) || ':' || CAST(i AS VARCHAR))
+                              % 1000 AS DOUBLE) / 1000.0 - 0.5) / 2.0 AS FLOAT))
+                       END AS embedding, e.label
+                     FROM {s} e CROSS JOIN (SELECT unnest(range({amp})) AS k) k""", t)
+        elif t == "orders":
+            mx = con.execute(f"SELECT max(o_orderkey)+1 FROM {s}").fetchone()[0]
+            copy(f"""SELECT o.o_orderkey + k.k * {mx} AS o_orderkey, o.o_custkey,
+                       o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority
+                     FROM {s} o CROSS JOIN (SELECT unnest(range(4)) AS k) k""", t)
+        elif t == "lineitem":
+            mx = con.execute(
+                f"SELECT max(o_orderkey)+1 FROM {src_tbl('orders')}").fetchone()[0]
+            copy(f"""SELECT l.* REPLACE (l.l_orderkey + k.k * {mx} AS l_orderkey)
+                     FROM {s} l CROSS JOIN (SELECT unnest(range(4)) AS k) k""", t)
         else:
             copy(f"SELECT * FROM {s}", t)
     else:
