@@ -32,6 +32,16 @@ object GraftSession {
       // the events table's ns-precision timestamps exceed TimestampType's µs;
       // read them as raw nanos longs (Tables.events derives ts_sec from them)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scan-split parallelism note (r13 scale gate): Spark already floors
+      // file splits at one per core (spark.sql.files.minPartitionNum
+      // defaults to leafNodeDefaultParallelism = cores), so a small file
+      // DOES split — but rows land only in the splits holding a ROW-GROUP
+      // midpoint. Single-row-group files (DuckDB's 122,880-row default
+      // covers every test table ≤ that) therefore run stage-1 on one core
+      // regardless of session conf; the fix lives in the data layout
+      // (fuzz_data.py's scale variant writes ~32 groups/table) and, for
+      // row-explosive operators, in pre-explosion repartitions
+      // (Similarity.topKCosine doctrine) — not in a session knob.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,12 +29,20 @@ object Verify {
     // outDir/errors.json, where "this round checked fewer queries" becomes
     // "these named queries errored with these messages"
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query wall clock on stderr: Verify is the only artifact that runs
+    // EVERY query on arbitrary fuzz/scale variants, so it doubles as the
+    // coarse profile locating a variant's super-linear queries (the r13
+    // scale gate found its first stall exactly this blind way — three done,
+    // one in flight, nothing to name it)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = e.getClass.getName + ": " + String.valueOf(e.getMessage)
       }

@@ -48,10 +48,20 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
     * small (it is broadcast); the corpus side streams, paying one codegen'd
-    * dot per candidate with both norms precomputed. */
+    * dot per candidate with both norms precomputed.
+    *
+    * The corpus is hash-spread over the cores before the ×|queries| row
+    * explosion (the [[graft.operators.Stats.bootstrapMedianCi]] pre-explode
+    * doctrine): a corpus small enough to scan as one split — one parquet
+    * row group — would otherwise stream the ENTIRE pair blow-up through a
+    * single task (the r13 ×16 scale gate measured exactly that: 32k vecs ×
+    * 6.4k queries on one core), while the narrow (id, vec, norm) shuffle
+    * this costs is linear and tiny. */
   def topKCosine(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+      .repartition(parts, col("vec_id"))
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_nrm")))
@@ -74,7 +84,11 @@ object Similarity {
     * output contract (and oracle) as [[topKCosine]]; this is the plan you
     * run when candidates-per-query is large. */
   def topKCosineAgg(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    // same pre-explosion spread as [[topKCosine]] — the heap still has to
+    // SEE every candidate, so single-split inputs must fan out first
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .repartition(parts, col("vec_id"))
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_nrm")))
@@ -392,8 +406,11 @@ object Similarity {
   def nearDupCosineExact(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
     val coded = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+    // pre-explosion spread (see [[topKCosine]]): the ×n blow-up side must
+    // not inherit a single-split scan
     val l = coded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"))
+      .repartition(coded.sparkSession.sparkContext.defaultParallelism, col("vec_a"))
     val r = coded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"))
     l.crossJoin(r).where(col("vec_a") < col("vec_b"))

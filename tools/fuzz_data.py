@@ -66,7 +66,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def copy(sql: str, table: str) -> None:
-    con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+    # the scale variant writes small row groups: a 100 TB corpus arrives as
+    # thousands of files/row groups, and DuckDB's 122,880-row default packs
+    # the whole amplified table into a handful (events x16 = 13, documents
+    # and embeddings = ONE) — which silently serializes every scan's
+    # stage-1 onto one core and makes the gate measure the file layout, not
+    # the plan. ~32 groups per table ≈ one split per local[32] core.
+    rg = ""
+    if variant == "scale":
+        n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        rg = f", ROW_GROUP_SIZE {max(2048, n // 32)}"
+    con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET{rg})")
 
 def src_tbl(t: str) -> str:
     return f"read_parquet('{src}/{t}.parquet')"
