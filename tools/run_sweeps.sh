@@ -28,14 +28,17 @@ run_gate() { # name sf_dir out_dir [env pairs...]
       > "/tmp/sweep_$name.log" 2>&1; then
     echo "FAIL $name: Verify crashed (see /tmp/sweep_$name.log)"; return 1
   fi
-  if grep -q "FAILED" "/tmp/sweep_$name.log"; then
-    echo "FAIL $name: query failures (see /tmp/sweep_$name.log)"; return 1
+  # errors.json is "{}" iff every query wrote its parquet (Verify records
+  # each thrown query there; grepping the log would false-positive on
+  # Spark's own WARN lines)
+  if [ "$(cat "$out/errors.json" 2>/dev/null)" != "{}" ]; then
+    echo "FAIL $name: query failures ($out/errors.json)"; return 1
   fi
   if python3 tools/check_oracle_strict.py "$sf" "$out" \
       > "/tmp/strict_$name.log" 2>&1; then
-    echo "PASS $name: $(tail -2 "/tmp/strict_$name.log" | head -1)"
+    echo "PASS $name: $(grep -E '[0-9]+ ok' "/tmp/strict_$name.log" | tail -1)"
   else
-    echo "FAIL $name: $(tail -2 "/tmp/strict_$name.log" | head -1)"; return 1
+    echo "FAIL $name: $(grep -E '[0-9]+ ok|^FAIL' "/tmp/strict_$name.log" | tail -1)"; return 1
   fi
 }
 
