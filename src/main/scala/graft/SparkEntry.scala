@@ -459,6 +459,8 @@ object SparkEntry {
       GraphRank.personalizedPageRank(cooccurrenceShared(s, d))),
     "q_communities" -> ((s, d) => // synchronous LPA, min-label ties, 6 rounds
       GraphRank.labelPropagation(cooccurrenceShared(s, d))),
+    "q_hits_scores" -> ((s, d) => // HITS hubs/authorities, 8 rounds on the DIRECTED transition graph
+      GraphRank.hitsScores(EventAnalytics.entityTransitions(Tables.events(s, d)))),
     "q_jackknife_ci" -> ((s, d) => // delete-bucket jackknife CI for the rate
       Hypothesis.jackknifeRateCi(Tables.events(s, d))),
     "q_order_reconciliation" -> ((s, d) => // header vs detail totals audit
@@ -503,6 +505,10 @@ object SparkEntry {
       CorpusFilters.curationFunnel(Tables.documents(s, d))),
     "q_revenue_ewma" -> ((s, d) => // integer-halving EWMA of daily revenue
       Stats.dailyRevenueEwma(Tables.orders(s, d))),
+    "q_holt_trend" -> ((s, d) => // Holt level+trend smoothing, one aggregate() recurrence
+      Stats.holtLinearDailyRevenue(Tables.orders(s, d))),
+    "q_rolling_median" -> ((s, d) => // trailing-7-day exact lower median of daily revenue
+      Stats.rollingMedianDailyRevenue(Tables.orders(s, d))),
     "q_rfm_segments" -> ((s, d) => // quartile-scored RFM segment census
       Stats.rfmSegments(Tables.orders(s, d))),
     "q_lateness_census" -> ((s, d) => // out-of-orderness vs the watermark
@@ -543,6 +549,8 @@ object SparkEntry {
       Sessionize.gapSensitivity(Tables.events(s, d))),
     "q_kanonymity" -> ((s, d) => // privacy: quasi-identifier class-size bands
       DataQuality.kAnonymityCensus(Tables.customer(s, d))),
+    "q_ldiversity" -> ((s, d) => // privacy: sensitive-value diversity per QI class
+      DataQuality.lDiversityCensus(Tables.customer(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -565,6 +573,8 @@ object SparkEntry {
       Hypothesis.kendallTauDaily(Tables.events(s, d))),
     "q_chisq_independence" -> ((s, d) => // type x weekday contingency test + Cramer's V
       Hypothesis.chisqIndependence(Tables.events(s, d))),
+    "q_rater_kappa" -> ((s, d) => // Cohen's kappa between two deterministic doc raters
+      Hypothesis.raterKappa(Tables.documents(s, d))),
     "q_survival_km" -> ((s, d) => // Kaplan-Meier time-to-purchase with censoring
       Hypothesis.survivalKm(Tables.events(s, d))),
     "q_markov_stationary" -> ((s, d) => // steady-state of the event-type chain
@@ -764,6 +774,58 @@ object SparkEntry {
     }.mkString
     head + rounds +
       "SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 50"
+  }
+
+  /** Mirror of GraphRank.hitsScores(iterations=8, k=25, scale=1e6) over
+    * EventAnalytics.entityTransitions: the DIRECTED per-user lag-1
+    * transition graph, then eight UNROLLED rounds of the two half-steps
+    * (authority pull over in-edges, hub pull over out-edges, each
+    * max-renormalized by `raw div max(1, max(raw) div scale)`) — the same
+    * integer ops the engine runs, generated by the same loop bound. */
+  private lazy val hitsOracleSql: String = {
+    val S = "1000000"
+    val head =
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events),
+         |lg AS (
+         |  SELECT k,
+         |    lag(k, 1) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS p
+         |  FROM ev),
+         |e AS MATERIALIZED (
+         |  SELECT CAST(p AS BIGINT) AS src, CAST(k AS BIGINT) AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lg WHERE k IS NOT NULL AND p IS NOT NULL GROUP BY 1, 2),
+         |nd AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS MATERIALIZED (SELECT node, CAST($S AS BIGINT) AS h FROM nd)
+         |""".stripMargin
+    val rounds = (1 to 8).map { i =>
+      s""", ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(e.w * h.h) AS BIGINT) AS araw
+         |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |am$i AS MATERIALIZED (SELECT max(araw) AS m FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    coalesce(ar$i.araw // greatest(1, am$i.m // $S), 0) AS a
+         |  FROM nd LEFT JOIN ar$i ON ar$i.node = nd.node, am$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(e.w * a.a) AS BIGINT) AS hraw
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |hm$i AS MATERIALIZED (SELECT max(hraw) AS m FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    coalesce(hr$i.hraw // greatest(1, hm$i.m // $S), 0) AS h
+         |  FROM nd LEFT JOIN hr$i ON hr$i.node = nd.node, hm$i)
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      """SELECT nd.node, a8.a AS authority, h8.h AS hub
+        |FROM nd JOIN a8 ON a8.node = nd.node JOIN h8 ON h8.node = nd.node
+        |ORDER BY authority DESC, hub DESC, nd.node LIMIT 25""".stripMargin
   }
 
   /** Mirror of GraphRank.personalizedPageRank(seeds=3): same unrolled
@@ -4025,6 +4087,7 @@ object SparkEntry {
     // Mirror of GraphRank.weightedPageRank over the same graph: 10 unrolled
     // fixed-point rounds — every operation integer, so ranks are bit-equal.
     "q_entity_pagerank" -> pageRankOracleSql,
+    "q_hits_scores" -> hitsOracleSql,
     "q_personalized_pagerank" -> personalizedPageRankOracleSql,
     "q_communities" -> lpaOracleSql,
     "q_entity_reachability" -> bfsOracleSql,
@@ -4100,6 +4163,57 @@ object SparkEntry {
         |SELECT priority, n_days, last_day,
         |  CAST(list_reduce(ys, (acc, v) -> (acc + v) // 2) AS DOUBLE) / 100.0 AS ewma_revenue
         |FROM g ORDER BY priority""".stripMargin,
+
+    // Mirror of Stats.holtLinearDailyRevenue(alpha=30%, beta=20%): the
+    // same daily cents frame, then the (level, trend) recurrence as a
+    // RECURSIVE CTE over the per-priority day index — l_t spelled twice in
+    // the b_t update exactly as the engine's lambda spells it, `//` and
+    // `div` agreeing on truncation toward zero for the signed trend.
+    "q_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT priority, day, y,
+        |    row_number() OVER (PARTITION BY priority ORDER BY day) AS i
+        |  FROM daily),
+        |rec AS (
+        |  SELECT priority, day, y, i, y AS l, CAST(0 AS BIGINT) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.priority, x.day, x.y, x.i,
+        |    (30 * x.y + 70 * (r.l + r.b)) // 100 AS l,
+        |    (20 * ((30 * x.y + 70 * (r.l + r.b)) // 100 - r.l) + 80 * r.b) // 100 AS b
+        |  FROM rec r JOIN idx x ON x.priority = r.priority AND x.i = r.i + 1)
+        |SELECT priority, day * 86400 AS day_sec,
+        |  CAST(y AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(l AS DOUBLE) / 100.0 AS level,
+        |  CAST(b AS DOUBLE) / 100.0 AS trend
+        |FROM rec ORDER BY priority, day_sec""".stripMargin,
+
+    // Mirror of Stats.rollingMedianDailyRevenue(7): calendar band self-join
+    // (day-6 .. day), lower median = the value at rank (cnt+1)//2 of the
+    // band ordered by value.
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |band AS (
+        |  SELECT d.day, d.y, x.y AS v
+        |  FROM daily d JOIN daily x ON x.day BETWEEN d.day - 6 AND d.day),
+        |r AS (
+        |  SELECT day, y, v,
+        |    row_number() OVER (PARTITION BY day ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS cnt
+        |  FROM band)
+        |SELECT day * 86400 AS day_sec, CAST(y AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN v END) AS DOUBLE) / 100.0
+        |    AS rolling_median,
+        |  CAST(max(cnt) AS BIGINT) AS window_days
+        |FROM r GROUP BY day, y ORDER BY day_sec""".stripMargin,
 
     // Mirror of Stats.hourlyAutocorrelation: same exact HUGEINT moments on
     // the bounded hourly frame, one divide/√/floor sequence per lag.
@@ -5387,6 +5501,25 @@ object SparkEntry {
          |  CASE WHEN tot > 0 THEN ${q4("CAST(sum(k) AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE)")} ELSE 0.0 END AS rows_pct
          |FROM b, t GROUP BY band, tot ORDER BY band""".stripMargin,
 
+    // Mirror of DataQuality.lDiversityCensus: same QI classes with a
+    // count-distinct of the sensitive attribute, banded l<=1 / l=2 / l>=3.
+    "q_ldiversity" ->
+      s"""WITH cl AS (
+         |  SELECT c_nationkey,
+         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |    count(*) AS k, count(DISTINCT c_mktsegment) AS l
+         |  FROM customer GROUP BY 1, 2),
+         |b AS (
+         |  SELECT CASE WHEN l <= 1 THEN 'l<=1 homogeneous'
+         |              WHEN l = 2 THEN 'l=2'
+         |              ELSE 'l>=3' END AS band, k, l
+         |  FROM cl),
+         |t AS (SELECT sum(k) AS tot FROM cl)
+         |SELECT band, CAST(count(*) AS BIGINT) AS classes,
+         |  CAST(sum(k) AS BIGINT) AS rows, CAST(min(l) AS BIGINT) AS min_l,
+         |  CASE WHEN tot > 0 THEN ${q4("CAST(sum(k) AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE)")} ELSE 0.0 END AS rows_pct
+         |FROM b, t GROUP BY band, tot ORDER BY band""".stripMargin,
+
     // Mirror of Sessionize.gapSensitivity: one lag pass, conditional break
     // sums per candidate gap, sessions = users + breaks.
     "q_gap_sweep" ->
@@ -5626,6 +5759,37 @@ object SparkEntry {
     // Mirror of Hypothesis.chisqIndependence: bounded contingency cells,
     // per-cell (o-e)^2/e floor-quantized to integer 1e6 units BEFORE the
     // sum (partition-order-free), one final requantization + Cramer's V.
+    // Mirror of Hypothesis.raterKappa: the same two 3-class raters (chars
+    // banding vs whitespace-token banding), ROLLUP with GROUPING for the
+    // ALL row, kappa in the cross-multiplied integer form with the
+    // denominator-zero -> 0 convention.
+    "q_rater_kappa" ->
+      s"""WITH r AS (
+         |  SELECT source,
+         |    CASE WHEN n_chars < 200 THEN 'short'
+         |         WHEN n_chars < 1000 THEN 'mid' ELSE 'long' END AS ra,
+         |    CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+         |         WHEN len(string_split(text, ' ')) < 200 THEN 'mid'
+         |         ELSE 'long' END AS rb
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, GROUPING(source) AS gr, count(*) AS n_docs,
+         |    count(*) FILTER (WHERE ra = rb) AS agree,
+         |    count(*) FILTER (WHERE ra = 'short') AS ras,
+         |    count(*) FILTER (WHERE ra = 'mid') AS ram,
+         |    count(*) FILTER (WHERE ra = 'long') AS ral,
+         |    count(*) FILTER (WHERE rb = 'short') AS rbs,
+         |    count(*) FILTER (WHERE rb = 'mid') AS rbm,
+         |    count(*) FILTER (WHERE rb = 'long') AS rbl
+         |  FROM r GROUP BY ROLLUP (source))
+         |SELECT CASE WHEN gr = 1 THEN 'ALL' ELSE source END AS source,
+         |  CAST(n_docs AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS agree,
+         |  ${q4("CAST(agree AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS raw_agreement,
+         |  CASE WHEN n_docs * n_docs - (ras * rbs + ram * rbm + ral * rbl) > 0
+         |    THEN ${q4("CAST(n_docs * agree - (ras * rbs + ram * rbm + ral * rbl) AS DOUBLE) / CAST(n_docs * n_docs - (ras * rbs + ram * rbm + ral * rbl) AS DOUBLE)")}
+         |    ELSE 0.0 END AS kappa
+         |FROM g ORDER BY source ASC NULLS FIRST""".stripMargin,
+
     "q_chisq_independence" ->
       """WITH e AS (
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,

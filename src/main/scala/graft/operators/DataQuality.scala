@@ -179,6 +179,39 @@ object DataQuality {
       .orderBy(col("band"))
   }
 
+  /** l-diversity census — the second privacy gate behind
+    * [[kAnonymityCensus]]: k-anonymity bounds how many rows share a
+    * quasi-identifier tuple, but a class where every member carries the
+    * SAME sensitive value still discloses it (the homogeneity attack —
+    * Machanavajjhala 2006). Here the quasi identifiers are nation ×
+    * coarse balance band and the sensitive attribute is the market
+    * segment: per equivalence class, l = distinct sensitive values, and
+    * the classes band into l ≤ 1 (homogeneous — disclosed), l = 2, and
+    * l ≥ 3 (what distinct-l-diversity policies require). An all-null
+    * sensitive column counts l = 0 and lands in the disclosed band.
+    *
+    * Shape: one hash aggregation to the class frame (bounded by the
+    * quasi-value cross product), one more to the three bands — the
+    * [[kAnonymityCensus]] plan with a count-distinct added to stage 1. */
+  def lDiversityCensus(customer: DataFrame): DataFrame = {
+    import graft.functions.Cols
+    val classes = customer.groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("c_mktsegment")).as("l"))
+    val banded = classes.withColumn("band",
+      when(col("l") <= 1, "l<=1 homogeneous")
+        .when(col("l") === 2, "l=2")
+        .otherwise("l>=3"))
+    val tot = classes.agg(sum(col("k")).as("tot"))
+    banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("classes"), sum(col("k")).as("rows"),
+        min(col("l")).as("min_l"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("classes"), col("rows"), col("min_l"),
+        Cols.pct4(col("rows"), col("tot")).as("rows_pct"))
+      .orderBy(col("band"))
+  }
+
   /** Order↔lineitem reconciliation census — the cross-table totals audit
     * every warehouse runs between a header table and its detail table:
     * per-order Σ(l_extendedprice) against o_totalprice, bucketed by the

@@ -375,6 +375,26 @@ object EventAnalytics {
     * aggregate with map-side combine, so the shuffle after the window is
     * |distinct pairs| per partition, bounded by the entity vocabulary —
     * never a self-join of events against events. */
+  /** Directed entity-transition graph over per-user event streams: one
+    * edge (previous entity → this entity) per consecutive event pair of
+    * the same user, weight = transition count. The ORDER-PRESERVING
+    * sibling of [[cooccurrenceCounts]] (which unordered-normalizes): the
+    * direction is what [[GraphRank.hitsScores]] needs to separate hub
+    * entities (gateways users leave FROM) from authorities (destinations
+    * users arrive AT). Same total order (ts_sec, event_id) per user, one
+    * lag over ONE user-partitioned window, straight into a hash aggregate
+    * bounded by the entity vocabulary squared. Self-transitions (k → k)
+    * are kept — they are real dwell signal and HITS handles them. */
+  def entityTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    withParsedProps(events)
+      .withColumn("__prev", lag(col("k"), 1).over(w))
+      .where(col("k").isNotNull && col("__prev").isNotNull)
+      .select(col("__prev").cast("long").as("src"), col("k").cast("long").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   def cooccurrenceCounts(events: DataFrame, windowSize: Int = 2): DataFrame = {
     require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))

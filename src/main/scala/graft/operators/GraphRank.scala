@@ -453,4 +453,84 @@ object GraphRank {
       .orderBy(col("triangles").desc, col("node").asc)
       .limit(k)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED weighted
+    * edge list `(src, dst, w)` — the direction-aware sibling of
+    * [[weightedPageRank]]: on an entity-transition graph an *authority*
+    * is an entity many strong hubs lead INTO (a destination), a *hub* is
+    * one that leads into many strong authorities (a gateway). PageRank on
+    * the symmetrized graph cannot separate the two roles; HITS is the
+    * standard mutual-reinforcement pair.
+    *
+    * Fixed-point integer arithmetic throughout, same doctrine as
+    * [[pageRanks]]: each round is two Pregel-as-joins half-steps
+    * (authority pull over in-edges, hub pull over out-edges), each ONE
+    * equi-join + ONE hash aggregation over frames bounded by |V|/|E|. The
+    * per-half-step renormalization divides by `max(1, max(raw) div scale)`
+    * — division only, no multiplication, so the rescale itself can never
+    * overflow (the `Spectral.powerIteration` matrix-rescale shape), and
+    * the normalized scores stay in [0, ~2·scale). The per-term product
+    * `w · h` is the only multiplication; the overflow guard bounds the
+    * aggregate by `2·scale·Σw` against Long.MaxValue and fails loudly
+    * (Spark wraps silently; the BIGINT oracle would raise — same rule as
+    * the PageRank guard).
+    *
+    * Iteration count is FIXED (default 8) so the oracle unrolls the same
+    * rounds; with max-renormalization each half-step, 8 rounds settle the
+    * top-k order on graphs this shape. Per round the two raw frames are
+    * localCheckpointed (bounded |V| rows) so the 8-round plan stays
+    * shallow; the normalized view rides the next half-step's plan lazily
+    * — it is one broadcast-scalar join over the checkpointed raw frame.
+    * The per-round joins carry NO broadcast hint (the [[labelPropagation]]
+    * doctrine): AQE broadcasts the |V|-row score frame from measured size
+    * and degrades to a shuffle-hash join on an unbounded vertex set.
+    *
+    * Returns the top `k` nodes by (authority desc, hub desc, node asc) —
+    * a total order, so the limit is deterministic. Nodes with no in-edges
+    * report authority 0; no out-edges, hub 0. */
+  def hitsScores(edges: DataFrame, iterations: Int = 8, k: Int = 25,
+                 scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && k >= 1 && scale >= 1)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .coalesce(8).localCheckpoint()
+    // null sum = empty edge frame (legal: a sparse corpus can have zero
+    // transitions — the r12 sparse-fuzz doctrine); 0 passes the guard and
+    // the loop runs over empty frames to an empty score table
+    val totW = Option(e.agg(sum(col("w"))).head()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+    require(totW <= Long.MaxValue / (2 * scale),
+      s"hitsScores: scale=$scale x total edge weight=$totW can overflow Long " +
+        s"in the half-step sum (w*h); pass a smaller scale " +
+        s"(need scale <= ${Long.MaxValue / (2 * totW.max(1L))})")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().coalesce(1).localCheckpoint()
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+    var auth = nodes.select(col("node"), lit(scale).as("a"))
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("w") * col("h")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("araw"))
+        .coalesce(8).localCheckpoint()
+      auth = nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(araw.agg(max(col("araw")).as("amax"))))
+        .select(col("node"),
+          coalesce(expr(s"araw div greatest(1L, amax div ${scale}L)"),
+            lit(0L)).as("a"))
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), (col("w") * col("a")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("hraw"))
+        .coalesce(8).localCheckpoint()
+      hub = nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hraw.agg(max(col("hraw")).as("hmax"))))
+        .select(col("node"),
+          coalesce(expr(s"hraw div greatest(1L, hmax div ${scale}L)"),
+            lit(0L)).as("h"))
+    }
+    nodes.join(auth, Seq("node")).join(hub, Seq("node"))
+      .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+      .orderBy(col("authority").desc, col("hub").desc, col("node").asc)
+      .limit(k)
+  }
 }

@@ -580,4 +580,61 @@ object Hypothesis {
     agg.select(col("n"), col("r").as("type_levels"), col("c").as("dow_levels"),
       chi2.as("chi2"), dof, v.as("cramers_v"))
   }
+
+  /** Cohen's kappa inter-rater agreement between two deterministic
+    * document "raters" — the labeling-pipeline audit a training corpus
+    * needs once any two labelers (heuristic, model, or human batch)
+    * classify the same rows: raw agreement overstates consensus when the
+    * class distribution is skewed; kappa corrects by the agreement two
+    * INDEPENDENT raters with the same marginals would reach by chance.
+    *
+    * The two raters here band each document into {short, mid, long} from
+    * different evidence — rater A from `n_chars` (stored metadata), rater
+    * B from the whitespace token count (recomputed from `text`) — so
+    * kappa measures how consistently the two length notions agree, per
+    * source and overall (the ROLLUP grand-total row, labeled via
+    * GROUPING, not a null sentinel, so a literal null source stays
+    * distinct).
+    *
+    * Exactness: kappa = (po−pe)/(1−pe) cross-multiplies to the pure
+    * integer form (n·agree − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k) —
+    * counts are exact longs, one final double division, floor-quantized
+    * (the [[chisqIndependence]] doctrine). A degenerate table with all
+    * mass in one (row, col) marginal pair makes the denominator 0 (chance
+    * agreement is already 1): kappa reports 0, the zero-signal convention.
+    *
+    * Shape: ONE hash aggregation over the documents scan (8 conditional
+    * counts per group, map-side combined); the kappa arithmetic runs on
+    * the |sources|+1 result frame. No shuffle beyond the group-by. */
+  def raterKappa(docs: DataFrame): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val ra = when(col("n_chars") < 200L, "short")
+      .when(col("n_chars") < 1000L, "mid").otherwise("long")
+    val rb = when(nTok < 40L, "short")
+      .when(nTok < 200L, "mid").otherwise("long")
+    val rated = docs.select(col("source"), ra.as("ra"), rb.as("rb"))
+    val g = rated.rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Cols.countWhen(col("ra") === col("rb")).as("agree"),
+        Cols.countWhen(col("ra") === "short").as("as_"),
+        Cols.countWhen(col("ra") === "mid").as("am"),
+        Cols.countWhen(col("ra") === "long").as("al"),
+        Cols.countWhen(col("rb") === "short").as("bs"),
+        Cols.countWhen(col("rb") === "mid").as("bm"),
+        Cols.countWhen(col("rb") === "long").as("bl"),
+        grouping(col("source")).as("gr"))
+    val peNum = col("as_") * col("bs") + col("am") * col("bm") +
+      col("al") * col("bl")
+    val denom = col("n_docs") * col("n_docs") - peNum
+    g.select(
+        when(col("gr") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+        col("n_docs"), col("agree"),
+        Cols.q4(col("agree").cast("double") / col("n_docs").cast("double"))
+          .as("raw_agreement"),
+        when(denom > 0L,
+          Cols.q4((col("n_docs") * col("agree") - peNum).cast("double")
+            / denom.cast("double")))
+          .otherwise(lit(0.0)).as("kappa"))
+      .orderBy(col("source").asc_nulls_first)
+  }
 }

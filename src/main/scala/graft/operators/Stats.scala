@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
@@ -82,6 +83,94 @@ object Stats {
         (expr("aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)), ys[0]," +
           " (acc, v) -> (acc + v) div 2)").cast("double") / 100.0).as("ewma_revenue"))
       .orderBy(col("priority"))
+  }
+
+  /** Holt's linear (double-exponential) smoothing of daily revenue per
+    * order priority — the trend-aware sibling of [[dailyRevenueEwma]]:
+    * a single-smoothed series lags a trending one by design; Holt keeps a
+    * coupled (level, trend) pair so the fitted level tracks drift and the
+    * trend state is itself the per-day drift estimate the forecast needs.
+    *
+    * Integer recurrence in cents (α = alphaPct/100, β = betaPct/100):
+    * l_t = (α·y_t + (1−α)·(l_{t−1}+b_{t−1})) div 100 and
+    * b_t = (β·(l_t−l_{t−1}) + (1−β)·b_{t−1}) div 100, seeded l_1 = y_1,
+    * b_1 = 0. The trend can go negative; Spark's `div` and DuckDB's `//`
+    * agree on truncation toward zero for negative operands (probed), so
+    * the lanes stay bit-identical without the AsOfJoin floorDiv shim.
+    *
+    * Shape: the whole recurrence is ONE `aggregate()` expression over the
+    * per-priority sorted day list (the Spectral.powerIteration r13
+    * doctrine — no per-round jobs, no driver loop), with the per-day
+    * (level, trend) path accumulated in the struct and exploded back to
+    * rows. The day list is calendar-bounded (the [[theilSenDailyRevenue]]
+    * posture), so the collected array is O(days), not O(rows). */
+  def holtLinearDailyRevenue(orders: DataFrame, alphaPct: Int = 30,
+                             betaPct: Int = 20): DataFrame = {
+    require(alphaPct >= 0 && alphaPct <= 100 && betaPct >= 0 && betaPct <= 100)
+    val daily = orders
+      .select(col("o_orderpriority").as("priority"),
+        Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy(col("priority"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+    // l_t appears inside both the 'l' and 'b' update: SQL lambdas have no
+    // let-binding, so the expression is spelled twice — same value, one
+    // deterministic integer sequence
+    val lNext = s"(($alphaPct * p.y + ${100 - alphaPct} * (acc.l + acc.b)) div 100)"
+    val bNext = s"(($betaPct * ($lNext - acc.l) + ${100 - betaPct} * acc.b) div 100)"
+    daily.groupBy(col("priority"))
+      .agg(expr("array_sort(collect_list(struct(day, y)))").as("ps"))
+      .select(col("priority"), explode(expr(
+        s"""aggregate(
+           |  slice(ps, 2, greatest(size(ps) - 1, 0)),
+           |  named_struct('l', ps[0].y, 'b', 0L,
+           |    'out', array(named_struct('day', ps[0].day, 'y', ps[0].y,
+           |                              'l', ps[0].y, 'b', 0L))),
+           |  (acc, p) -> named_struct(
+           |    'l', $lNext,
+           |    'b', $bNext,
+           |    'out', concat(acc.out, array(named_struct(
+           |      'day', p.day, 'y', p.y, 'l', $lNext, 'b', $bNext)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("priority"), (col("r.day") * 86400L).as("day_sec"),
+        (col("r.y").cast("double") / 100.0).as("revenue"),
+        (col("r.l").cast("double") / 100.0).as("level"),
+        (col("r.b").cast("double") / 100.0).as("trend"))
+      .orderBy(col("priority"), col("day_sec"))
+  }
+
+  /** Trailing 7-day exact (lower) median of daily revenue — the rolling
+    * robust location every ops dashboard wants beside the EWMA: a single
+    * spike day moves a trailing mean by its full mass but the trailing
+    * median not at all. CALENDAR semantics (a RANGE frame over the day
+    * number, not 7 rows): a gap day shrinks the window rather than
+    * silently reaching further back; `window_days` reports the actual
+    * support. Lower median (element ⌈n/2⌉ of the sorted band) keeps the
+    * statistic an observed value — integer cents, no interpolation, exact
+    * on any engine.
+    *
+    * Shape: one hash agg to the calendar-bounded daily frame, then ONE
+    * range-framed window whose collected band is ≤ 7 longs — O(days)
+    * total state, same posture as [[theilSenDailyRevenue]]'s bounded
+    * daily frame (the single-partition global window is bounded by the
+    * calendar, not the corpus). */
+  def rollingMedianDailyRevenue(orders: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val daily = orders
+      .select(Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    val w = Window.orderBy(col("day")).rangeBetween(-(windowDays - 1L), 0L)
+    daily
+      .withColumn("vals", sort_array(collect_list(col("y")).over(w)))
+      .select((col("day") * 86400L).as("day_sec"),
+        (col("y").cast("double") / 100.0).as("revenue"),
+        (expr("element_at(vals, CAST((size(vals) + 1) div 2 AS INT))")
+          .cast("double") / 100.0).as("rolling_median"),
+        size(col("vals")).cast("long").as("window_days"))
+      .orderBy(col("day_sec"))
   }
 
   /** Hourly-volume autocorrelation r_k for lags 1..`maxLag` — the

@@ -504,4 +504,26 @@ class HypothesisSpec extends SparkSpec {
     val v = r.getAs[Double]("cramers_v")
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("rater kappa: perfect agreement 1, perfect disagreement -1, degenerate table 0, ALL pools") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val docs = Seq(
+      // source a: every doc lands in the SAME band under both raters
+      ("a", 100L, txt(10)), ("a", 500L, txt(50)), ("a", 2000L, txt(250)),
+      // source b: systematic short<->mid swap — kappa's floor, -1
+      ("b", 100L, txt(50)), ("b", 500L, txt(10)),
+      // source c: all mass in one cell — chance agreement is already 1,
+      // the cross-multiplied denominator is 0, zero-signal kappa 0
+      ("c", 100L, txt(10)), ("c", 100L, txt(10)))
+      .toDF("source", "n_chars", "text")
+    val got = Hypothesis.raterKappa(docs)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    // ALL row: n=7, agree=5, pe_num=4*4+2*2+1=21 -> kappa=(35-21)/(49-21)=0.5
+    assert(got == List(
+      ("ALL", 7L, 5L, 0.7142, 0.5),
+      ("a", 3L, 3L, 1.0, 1.0),
+      ("b", 2L, 0L, 0.0, -1.0),
+      ("c", 2L, 2L, 1.0, 0.0)), s"got $got")
+  }
 }

@@ -421,6 +421,60 @@ class OperatorSpec extends SparkSpec {
     assert(got == List(("A", 3L, 2L, 3.50), ("B", 1L, 5L, 10.01)))
   }
 
+  test("Holt smoothing: constant series is a fixed point; linear ramp follows the hand recurrence") {
+    import java.sql.Timestamp
+    def day(d: Long) = new Timestamp(d * 86400L * 1000L)
+    // priority A constant 1.00/day: l stays 100 cents, b stays 0 — the
+    // recurrence's fixed point. Priority B ramp 1.00/2.00/3.00: hand-run
+    // l2=(30*200+70*100)div100=130, b2=(20*30)div100=6;
+    // l3=(30*300+70*136)div100=185, b3=(20*55+80*6)div100=15.
+    val orders = Seq(
+      (1L, "A", 1.00, day(0)), (2L, "A", 1.00, day(1)), (3L, "A", 1.00, day(2)),
+      (4L, "B", 1.00, day(0)), (5L, "B", 2.00, day(1)), (6L, "B", 3.00, day(2)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val got = Stats.holtLinearDailyRevenue(orders)
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(got == List(
+      ("A", 0L, 1.00, 1.00, 0.0), ("A", 86400L, 1.00, 1.00, 0.0),
+      ("A", 172800L, 1.00, 1.00, 0.0),
+      ("B", 0L, 1.00, 1.00, 0.0), ("B", 86400L, 2.00, 1.30, 0.06),
+      ("B", 172800L, 3.00, 1.85, 0.15)), s"got $got")
+  }
+
+  test("rolling median: lower median on even bands; calendar gaps shrink the window") {
+    import java.sql.Timestamp
+    def day(d: Long) = new Timestamp(d * 86400L * 1000L)
+    // days 0,1 -> day 1's band is {1.00, 3.00}: LOWER median 1.00 (an
+    // observed value, no interpolation). Day 9 sits past the 7-day reach
+    // of every earlier day: window_days collapses to 1, median = itself.
+    val orders = Seq(
+      (1L, 1.00, day(0)), (2L, 3.00, day(1)), (3L, 2.00, day(2)),
+      (4L, 9.00, day(9)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val got = Stats.rollingMedianDailyRevenue(orders)
+      .as[(Long, Double, Double, Long)].collect().toList
+    assert(got == List(
+      (0L, 1.00, 1.00, 1L), (86400L, 3.00, 1.00, 2L),
+      (172800L, 2.00, 2.00, 3L), (777600L, 9.00, 9.00, 1L)), s"got $got")
+  }
+
+  test("l-diversity: homogeneous, two-value and diverse classes band correctly") {
+    // three QI classes (nation, bal band 0): nation 1 all 'X' (l=1,
+    // homogeneous — the disclosure k-anonymity misses), nation 2 {X,Y}
+    // (l=2), nation 3 {X,Y,Z} (l=3)
+    val df = Seq(
+      (1L, 1, 100.0, "X"), (2L, 1, 200.0, "X"), (3L, 1, 300.0, "X"),
+      (4L, 2, 100.0, "X"), (5L, 2, 200.0, "Y"),
+      (6L, 3, 100.0, "X"), (7L, 3, 200.0, "Y"), (8L, 3, 300.0, "Z"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = DataQuality.lDiversityCensus(df)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("l<=1 homogeneous", 1L, 3L, 1L, 37.5),
+      ("l=2", 1L, 2L, 2L, 25.0),
+      ("l>=3", 1L, 3L, 3L, 37.5)), s"got $got")
+  }
+
   test("cohort retention: offset-0 row is the full cohort; matrix bounded by cohort size") {
     val m = EventAnalytics.cohortRetention(Tables.events(spark, sf))
       .as[(Long, Long, Long, Long, Double)].collect()
@@ -671,6 +725,43 @@ class OperatorSpec extends SparkSpec {
     }
     // conservation: every lineitem row lands in exactly one cell
     assert(prof.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+  }
+
+  test("HITS: bipartite hub/authority roles separate; fixed point exact; empty graph empty") {
+    // directed bipartite: hubs {1,2} -> authorities {10,11,12}; hub 1 links
+    // all three, hub 2 only the shared target 10. Expected values are the
+    // 8-round integer recurrence replayed by an independent scalar
+    // recompute (floor-div renorm keeps scores in [0, ~2·scale), so there
+    // is no clean closed form — the point is the ROLES and the exact
+    // arithmetic): authority(10) > authority(11) = authority(12) by the
+    // shared-target symmetry, hub(1) > hub(2) by coverage, pure
+    // authorities report hub 0 and pure hubs authority 0 — the role
+    // separation PageRank on the symmetrized graph cannot express.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val got = GraphRank.hitsScores(e).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 1780859L, 0L), (11L, 1259256L, 0L), (12L, 1259256L, 0L),
+      (1L, 0L, 1074842L), (2L, 0L, 445214L)), s"got $got")
+    assert(got.forall { case (_, a, h) => a < 2000000L && h < 2000000L },
+      "renormalized scores must stay under 2*scale")
+    // empty transition graph (sparse-fuzz doctrine): empty output, no crash
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(GraphRank.hitsScores(none).count() == 0)
+  }
+
+  test("entity transitions: direction preserved, self-loops kept, null entities dropped") {
+    val ev = Seq(
+      (1L, 10L, """{"k":1}""", 100L), (2L, 10L, """{"k":2}""", 200L),
+      (3L, 10L, """{"k":2}""", 300L), (4L, 10L, null.asInstanceOf[String], 400L),
+      (5L, 10L, """{"k":1}""", 500L),
+      (6L, 20L, """{"k":2}""", 100L), (7L, 20L, """{"k":1}""", 200L))
+      .toDF("event_id", "user_id", "props", "ts_sec")
+    val got = EventAnalytics.entityTransitions(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    // user 10: 1->2, 2->2 (self-loop), 2->null dropped, null->1 dropped;
+    // user 20: 2->1 — so (1,2) and (2,1) are DISTINCT edges
+    assert(got == Set((1L, 2L, 1L), (2L, 2L, 1L), (2L, 1L, 1L)), s"got $got")
   }
 
   test("triangle census: crafted graphs and equality with the naive triple enumeration") {
