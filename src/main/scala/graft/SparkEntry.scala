@@ -519,6 +519,10 @@ object SparkEntry {
       Stats.hourlyAutocorrelation(Tables.events(s, d))),
     "q_theilsen_slope" -> ((s, d) => // robust median-of-pairwise-slopes trend
       Stats.theilSenDailyRevenue(Tables.orders(s, d))),
+    "q_mann_kendall" -> ((s, d) => // non-parametric trend test, tie-corrected variance
+      Stats.mannKendallDailyRevenue(Tables.orders(s, d))),
+    "q_cusum_drift" -> ((s, d) => // sequential CUSUM volume-drift detector
+      Stats.cusumDailyVolume(Tables.events(s, d))),
     "q_revenue_trend" -> ((s, d) => // least-squares slope from exact sums
       Stats.dailyRevenueTrend(Tables.orders(s, d))),
     "q_ab_lift" -> ((s, d) => // hash-armed A/B with Wilson 95% interval
@@ -599,6 +603,8 @@ object SparkEntry {
       TextAnalysis.zipfOctaves(Tables.documents(s, d))),
     "q_source_vocab_jaccard" -> ((s, d) => // lexical-overlap matrix between sources
       TextAnalysis.sourceVocabJaccard(Tables.documents(s, d))),
+    "q_dataset_card" -> ((s, d) => // per-source datasheet: volume, length, lang mode, dup share
+      TextAnalysis.datasetCard(Tables.documents(s, d))),
     "q_rbo_towers" -> ((s, d) => // lexical-vs-dense ranking agreement (RBO@10)
       Retrieval.rboLexicalDense(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_langid_confusion" -> ((s, d) => // classifier eval: confusion + margins
@@ -4098,6 +4104,66 @@ object SparkEntry {
     "q_hilbert_layout" -> hilbertOracleSql,
     "q_zonemap_skip" -> zonemapSkipOracleSql,
 
+    // Mirror of Stats.mannKendallDailyRevenue: same daily cents frame,
+    // S from the d1<d2 pair join's integer signs, tie-corrected 18·Var as
+    // an exact BIGINT, one divide/sqrt/floor sequence for z, the same
+    // ±1.96 trend labels.
+    "q_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |s AS (
+         |  SELECT coalesce(CAST(sum(sign(r.y - l.y)) AS BIGINT), 0) AS s_stat
+         |  FROM daily l JOIN daily r ON l.day < r.day),
+         |tt AS (
+         |  SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tt
+         |  FROM (SELECT count(*) AS t FROM daily GROUP BY y)),
+         |n AS (SELECT count(*) AS n_days FROM daily),
+         |v AS (
+         |  SELECT n_days, s_stat,
+         |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tt AS BIGINT) AS var_s18
+         |  FROM s, tt, n),
+         |z AS (
+         |  SELECT n_days, s_stat, var_s18,
+         |    CASE WHEN var_s18 > 0 AND s_stat <> 0
+         |      THEN ${q4("(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) ELSE CAST(s_stat + 1 AS DOUBLE) END) / sqrt(CAST(var_s18 AS DOUBLE) / 18.0)")}
+         |      ELSE 0.0 END AS z
+         |  FROM v)
+         |SELECT n_days, s_stat, var_s18, z,
+         |  CASE WHEN z >= 1.96 THEN 'increasing'
+         |       WHEN z <= -1.96 THEN 'decreasing'
+         |       ELSE 'none' END AS trend
+         |FROM z""".stripMargin,
+
+    // Mirror of Stats.cusumDailyVolume(baselineDays=7): daily counts, the
+    // nb-scaled integer CUSUM recurrence as a RECURSIVE CTE (the engine
+    // runs it as one aggregate() fold), alarm at five baseline-mean units.
+    "q_cusum_drift" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM daily),
+        |b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(c) AS BIGINT) AS sumb
+        |  FROM idx WHERE i <= 7),
+        |rec AS (
+        |  SELECT i, day, c,
+        |    greatest(0, (c * nb - sumb) - sumb // 2) AS cp,
+        |    greatest(0, -(c * nb - sumb) - sumb // 2) AS cn
+        |  FROM idx, b WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.day, x.c,
+        |    greatest(0, r.cp + (x.c * b.nb - b.sumb) - b.sumb // 2),
+        |    greatest(0, r.cn - (x.c * b.nb - b.sumb) - b.sumb // 2)
+        |  FROM rec r JOIN idx x ON x.i = r.i + 1, b)
+        |SELECT day * 86400 AS day_sec, c AS events,
+        |  CAST(cp AS BIGINT) AS cusum_pos, CAST(cn AS BIGINT) AS cusum_neg,
+        |  (cp > 5 * sumb OR cn > 5 * sumb) AS alarm
+        |FROM rec, b ORDER BY day_sec""".stripMargin,
+
     // Mirror of Stats.dailyRevenueTrend: exact integer sums under the agg,
     // one fixed IEEE expression for the slope, day rebased to the corpus
     // min so every long→double conversion stays under 2^53.
@@ -6106,6 +6172,38 @@ object SparkEntry {
          |  ${q4("CAST(sum(abs(CAST(c AS HUGEINT) * np - CAST(cp AS HUGEINT) * n)) AS DOUBLE) " +
             "/ (2.0 * CAST(max(n) AS DOUBLE) * CAST(max(np) AS DOUBLE))")} AS tv_drift
          |FROM l WHERE dp = day - 1 GROUP BY day ORDER BY day_sec""".stripMargin,
+
+    // Mirror of TextAnalysis.datasetCard: per-source totals, the modal
+    // lang by (count DESC, lang ASC NULLS LAST) rank, and the
+    // within-source exact-duplicate share over md5(text) groups >1.
+    "q_dataset_card" ->
+      s"""WITH totals AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         |    count(*) FILTER (WHERE n_chars < 200) AS short_docs
+         |  FROM documents GROUP BY 1),
+         |lm AS (
+         |  SELECT source, lang AS top_lang, lc FROM (
+         |    SELECT source, lang, count(*) AS lc,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY count(*) DESC, lang ASC NULLS LAST) AS rn
+         |    FROM documents GROUP BY source, lang)
+         |  WHERE rn = 1),
+         |dups AS (
+         |  SELECT source, CAST(sum(g) AS BIGINT) AS dup_docs FROM (
+         |    SELECT source, md5(text) AS h, count(*) AS g
+         |    FROM documents WHERE text IS NOT NULL GROUP BY 1, 2)
+         |  WHERE g > 1 GROUP BY 1)
+         |SELECT t.source, t.n_docs, t.total_tokens,
+         |  ${q4("CAST(t.total_tokens AS DOUBLE) / CAST(t.n_docs AS DOUBLE)")} AS avg_tokens,
+         |  CASE WHEN t.n_docs > 0 THEN ${q4("CAST(t.short_docs AS DOUBLE) * 100.0 / CAST(t.n_docs AS DOUBLE)")} ELSE 0.0 END AS short_pct,
+         |  lm.top_lang,
+         |  CASE WHEN t.n_docs > 0 THEN ${q4("CAST(lm.lc AS DOUBLE) * 100.0 / CAST(t.n_docs AS DOUBLE)")} ELSE 0.0 END AS top_lang_pct,
+         |  CASE WHEN t.n_docs > 0 THEN ${q4("CAST(coalesce(dups.dup_docs, 0) AS DOUBLE) * 100.0 / CAST(t.n_docs AS DOUBLE)")} ELSE 0.0 END AS dup_pct
+         |FROM totals t
+         |LEFT JOIN lm ON lm.source = t.source
+         |LEFT JOIN dups ON dups.source = t.source
+         |ORDER BY t.source""".stripMargin,
 
     // Mirror of TextAnalysis.sourceVocabJaccard: distinct (source, token)
     // frame, token-keyed pair join with source_a < source_b, exact integer

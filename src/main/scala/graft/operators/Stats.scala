@@ -140,6 +140,110 @@ object Stats {
       .orderBy(col("priority"), col("day_sec"))
   }
 
+  /** Mann–Kendall non-parametric trend test on daily revenue — the
+    * hypothesis-test companion to [[theilSenDailyRevenue]]'s point
+    * estimate (Kendall 1975): S = Σ_{i<j} sign(y_j − y_i) over
+    * chronologically ordered days, variance with the standard tie
+    * correction, z with the ±1 continuity correction. Least-squares
+    * trends ([[dailyRevenueTrend]]) are pulled by single spike days;
+    * Mann–Kendall only consumes pair ORDER, so it answers "is revenue
+    * really drifting" robustly.
+    *
+    * Exactness: S is a sum of integer signs, the tie term
+    * Σ t(t−1)(2t+5) and n(n−1)(2n+5) are exact longs (`var_s18` = 18·Var S
+    * stays integer; the /18 happens once inside the final z sequence), z
+    * is ONE fixed IEEE divide/sqrt, floor-quantized. Zero variance or
+    * S = 0 reports z = 0 (zero-signal convention).
+    *
+    * Shape: the pair join runs on the calendar-bounded daily frame (the
+    * [[theilSenDailyRevenue]] posture — days grow with the calendar, not
+    * the corpus), checkpointed once and consumed by the pair join (both
+    * sides), the tie census, and the count. */
+  def mannKendallDailyRevenue(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(Cols.tsSec(col("o_orderdate")).as("sec"),
+        Cols.cents(col("o_totalprice")).as("cents"))
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      .localCheckpoint()
+    val l = daily.select(col("day").as("d1"), col("y").as("y1"))
+    val r = daily.select(col("day").as("d2"), col("y").as("y2"))
+    // sign is ±1/0 exactly; cast to long BEFORE the sum (the standing
+    // no-double-sums rule, even though small-integer doubles sum exactly)
+    val s = l.join(r, col("d1") < col("d2"))
+      .agg(coalesce(sum(signum(col("y2") - col("y1")).cast("long")), lit(0L))
+        .as("s_stat"))
+    val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tt"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val z = when(col("var_s18") > 0L && col("s_stat") =!= 0L,
+      Cols.q4(
+        when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double"))
+          .otherwise((col("s_stat") + 1L).cast("double"))
+          / sqrt(col("var_s18").cast("double") / 18.0)))
+      .otherwise(lit(0.0))
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n_days"), col("s_stat"),
+        (expr("n_days * (n_days - 1) * (2 * n_days + 5)") - col("tt"))
+          .as("var_s18"))
+      .withColumn("z", z)
+      .withColumn("trend",
+        when(col("z") >= 1.96, "increasing")
+          .when(col("z") <= -1.96, "decreasing")
+          .otherwise("none"))
+  }
+
+  /** CUSUM sequential drift detector over daily event volume — the
+    * monitoring sibling of the RETROSPECTIVE [[hourlyChangepoint]]: a
+    * tabular CUSUM (Page 1954) accumulates deviations from a baseline
+    * mean and alarms when the cumulative excess clears a threshold, which
+    * is how a production pipeline notices volume drift as it happens
+    * rather than in next week's backfill.
+    *
+    * Integer arithmetic throughout, scaled by the baseline day count so
+    * the baseline MEAN never needs a division: with nb baseline days and
+    * sumb their total count, day t's scaled deviation is c_t·nb − sumb,
+    * the slack is half a baseline mean (sumb div 2 in the same units),
+    * and the recurrences are cp_t = max(0, cp_{t−1} + dev_t − slack),
+    * cn_t = max(0, cn_{t−1} − dev_t − slack), alarm when either clears
+    * 5·sumb (five baseline-mean units). Deterministic on any engine —
+    * no floats anywhere.
+    *
+    * Shape: one hash agg to the calendar-bounded daily frame, then the
+    * whole recurrence as ONE `aggregate()` expression over the sorted day
+    * list (the [[holtLinearDailyRevenue]] / Spectral.powerIteration
+    * doctrine), exploded back to one row per day. */
+  def cusumDailyVolume(events: DataFrame, baselineDays: Int = 7): DataFrame = {
+    require(baselineDays >= 1)
+    val daily = events
+      .withColumn("day", expr("ts_sec div 86400"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val packed = daily.agg(
+      expr("array_sort(collect_list(struct(day, c)))").as("ds"))
+      .select(col("ds"),
+        expr(s"least(size(ds), $baselineDays)").cast("long").as("nb"),
+        expr(s"aggregate(slice(ds, 1, least(size(ds), $baselineDays)), 0L," +
+          " (acc, x) -> acc + x.c)").as("sumb"))
+    val cpNext = "greatest(0L, acc.cp + (x.c * nb - sumb) - (sumb div 2))"
+    val cnNext = "greatest(0L, acc.cn - (x.c * nb - sumb) - (sumb div 2))"
+    packed.select(explode(expr(
+      s"""aggregate(ds,
+         |  named_struct('cp', 0L, 'cn', 0L,
+         |    'out', CAST(array() AS
+         |      ARRAY<STRUCT<day: BIGINT, c: BIGINT, cp: BIGINT, cn: BIGINT>>)),
+         |  (acc, x) -> named_struct(
+         |    'cp', $cpNext,
+         |    'cn', $cnNext,
+         |    'out', concat(acc.out, array(named_struct(
+         |      'day', x.day, 'c', x.c, 'cp', $cpNext, 'cn', $cnNext)))),
+         |  acc -> acc.out)""".stripMargin)).as("r"), col("sumb"))
+      .select((col("r.day") * 86400L).as("day_sec"), col("r.c").as("events"),
+        col("r.cp").as("cusum_pos"), col("r.cn").as("cusum_neg"),
+        (col("r.cp") > col("sumb") * 5L || col("r.cn") > col("sumb") * 5L)
+          .as("alarm"))
+      .orderBy(col("day_sec"))
+  }
+
   /** Trailing 7-day exact (lower) median of daily revenue — the rolling
     * robust location every ops dashboard wants beside the EWMA: a single
     * spike day moves a trailing mean by its full mass but the trailing

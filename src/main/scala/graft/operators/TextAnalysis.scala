@@ -769,6 +769,55 @@ object TextAnalysis {
           .as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Per-source dataset card — the one-frame "datasheet" a corpus ships
+    * with (Gebru 2018's datasheets, reduced to the mechanically-checkable
+    * rows): volume (docs, tokens, mean tokens), a length red flag
+    * (share of sub-200-char docs), language concentration (modal lang and
+    * its share, ties broken lexicographically so the mode is
+    * deterministic), and the exact-duplicate share (docs whose full text
+    * md5 appears more than once WITHIN the source — the cheapest honesty
+    * check on a "deduplicated" delivery). One row per source.
+    *
+    * Shape: three independent hash aggregations over the documents scan
+    * (per-source totals; per-(source, lang) counts reduced by one
+    * |sources|-bounded window; per-(source, md5) duplicate groups reduced
+    * to per-source dup counts), joined on the |sources|-bounded frame.
+    * Null text is counted in `n_docs` but excluded from the dup lane (a
+    * null hash is not evidence of duplication). */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(split(col("text"), " ")).cast("long")
+    val totals = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks).as("total_tokens"),
+        Cols.countWhen(col("n_chars") < 200L).as("short_docs"))
+    val langMode = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("lc").desc, col("lang").asc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc"))
+    val dups = docs.where(col("text").isNotNull)
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("g"))
+      .where(col("g") > 1L)
+      .groupBy(col("source")).agg(sum(col("g")).as("dup_docs"))
+    totals
+      .join(langMode, Seq("source"), "left")
+      .join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        Cols.q4(col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_tokens"),
+        Cols.pct4(col("short_docs"), col("n_docs")).as("short_pct"),
+        col("top_lang"),
+        Cols.pct4(col("lc"), col("n_docs")).as("top_lang_pct"),
+        Cols.pct4(coalesce(col("dup_docs"), lit(0L)), col("n_docs"))
+          .as("dup_pct"))
+      .orderBy(col("source"))
+  }
 }
 
 /** Minimal per-language stopword lists (public, standard closed-class words).

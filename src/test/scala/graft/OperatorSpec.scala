@@ -475,6 +475,66 @@ class OperatorSpec extends SparkSpec {
       ("l>=3", 1L, 3L, 3L, 37.5)), s"got $got")
   }
 
+  test("Mann-Kendall: monotone ramp is significant; all-tied series zeroes the variance") {
+    import java.sql.Timestamp
+    def day(d: Long) = new Timestamp(d * 86400L * 1000L)
+    // strictly increasing 5 days: S = C(5,2) = 10, no ties ->
+    // var_s18 = 5*4*15 = 300, z = 9/sqrt(300/18) = 2.2045... -> increasing
+    val up = (0L to 4L).map(d => (d, 1.0 + d, day(d)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val ru = Stats.mannKendallDailyRevenue(up).collect()(0)
+    assert(ru.getAs[Long]("n_days") == 5L && ru.getAs[Long]("s_stat") == 10L
+      && ru.getAs[Long]("var_s18") == 300L)
+    assert(ru.getAs[Double]("z")
+      == math.floor(9.0 / math.sqrt(300.0 / 18.0) * 10000.0) / 10000.0)
+    assert(ru.getAs[String]("trend") == "increasing")
+    // constant 3 days: every pair ties -> S = 0 AND the tie correction
+    // consumes the whole variance (3*2*11 - 3*2*11 = 0) -> z 0, none
+    val flat = (0L to 2L).map(d => (d, 2.0, day(d)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val rf = Stats.mannKendallDailyRevenue(flat).collect()(0)
+    assert(rf.getAs[Long]("s_stat") == 0L && rf.getAs[Long]("var_s18") == 0L
+      && rf.getAs[Double]("z") == 0.0 && rf.getAs[String]("trend") == "none")
+  }
+
+  test("CUSUM drift: level shift accumulates at dev-minus-slack and alarms past 5 baseline means") {
+    // 7 baseline days of 10 events, then 3 days of 40: nb=7, sumb=70,
+    // dev = 40*7-70 = 210, slack = 35 -> cp walks 175, 350, 525; the
+    // alarm needs cp > 5*sumb = 350, so exactly the third spike day fires
+    val rows = for {
+      d <- 0L to 9L
+      i <- 0L until (if (d <= 6) 10L else 40L)
+    } yield (d * 1000 + i, d * 86400L)
+    val events = rows.toDF("event_id", "ts_sec")
+    val got = Stats.cusumDailyVolume(events)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    assert(got.size == 10)
+    // baseline days: dev = 0, cp = max(0, 0 - 35) = 0, no alarms
+    got.take(7).foreach { case (_, c, cp, cn, a) =>
+      assert(c == 10L && cp == 0L && cn == 0L && !a)
+    }
+    assert(got.drop(7).map(r => (r._3, r._5)) ==
+      List((175L, false), (350L, false), (525L, true)), s"got $got")
+  }
+
+  test("dataset card: volume, modal lang, short share and within-source dup share") {
+    val docs = Seq(
+      // source a: 4 docs, exact dup pair, one short, modal lang en
+      ("a", "en", 300L, "alpha beta gamma"), ("a", "en", 300L, "alpha beta gamma"),
+      ("a", "de", 100L, "kurz"), ("a", "en", 500L, "one two three four"),
+      // source b: no dups, lang tie de/es broken lexicographically -> de
+      ("b", "de", 900L, "x y"), ("b", "es", 900L, "p q r"))
+      .toDF("source", "lang", "n_chars", "text")
+    val got = TextAnalysis.datasetCard(docs)
+      .as[(String, Long, Long, Double, Double, String, Double, Double)]
+      .collect().toList
+    // a: tokens 3+3+1+4=11, avg 2.75, short 1/4=25%, en 3/4=75%, dup 2/4=50%
+    // b: tokens 2+3=5, avg 2.5, short 0, de 1/2=50%, dup 0
+    assert(got == List(
+      ("a", 4L, 11L, 2.75, 25.0, "en", 75.0, 50.0),
+      ("b", 2L, 5L, 2.5, 0.0, "de", 50.0, 0.0)), s"got $got")
+  }
+
   test("cohort retention: offset-0 row is the full cohort; matrix bounded by cohort size") {
     val m = EventAnalytics.cohortRetention(Tables.events(spark, sf))
       .as[(Long, Long, Long, Long, Double)].collect()
