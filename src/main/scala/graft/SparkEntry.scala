@@ -555,6 +555,8 @@ object SparkEntry {
       DataQuality.kAnonymityCensus(Tables.customer(s, d))),
     "q_ldiversity" -> ((s, d) => // privacy: sensitive-value diversity per QI class
       DataQuality.lDiversityCensus(Tables.customer(s, d))),
+    "q_tcloseness" -> ((s, d) => // privacy: per-class sensitive-distribution TV distance
+      DataQuality.tClosenessCensus(Tables.customer(s, d))),
     "q_abc_classes" -> ((s, d) => // Pareto 80/95 inventory classes, bucketed desc prefix sums
       Stats.abcClasses(Tables.lineitem(s, d))),
     "q_benford_audit" -> ((s, d) => // first-digit fraud screen vs pinned log10 expectation
@@ -605,6 +607,8 @@ object SparkEntry {
       TextAnalysis.sourceVocabJaccard(Tables.documents(s, d))),
     "q_dataset_card" -> ((s, d) => // per-source datasheet: volume, length, lang mode, dup share
       TextAnalysis.datasetCard(Tables.documents(s, d))),
+    "q_collocations" -> ((s, d) => // open bigram mining, Dice-scored top-k
+      TextAnalysis.collocations(Tables.documents(s, d))),
     "q_rbo_towers" -> ((s, d) => // lexical-vs-dense ranking agreement (RBO@10)
       Retrieval.rboLexicalDense(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_langid_confusion" -> ((s, d) => // classifier eval: confusion + margins
@@ -5586,6 +5590,40 @@ object SparkEntry {
          |  CASE WHEN tot > 0 THEN ${q4("CAST(sum(k) AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE)")} ELSE 0.0 END AS rows_pct
          |FROM b, t GROUP BY band, tot ORDER BY band""".stripMargin,
 
+    // Mirror of DataQuality.tClosenessCensus: null segments filtered in
+    // both lanes, completed class×segment grid, TV numerator in HUGEINT
+    // (the engine's DECIMAL(38,0)), one divide per class, three bands.
+    "q_tcloseness" ->
+      s"""WITH cells AS (
+         |  SELECT c_nationkey,
+         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |    c_mktsegment AS seg, count(*) AS cv
+         |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2, 3),
+         |cl AS (SELECT c_nationkey, bal_band, CAST(sum(cv) AS BIGINT) AS k
+         |       FROM cells GROUP BY 1, 2),
+         |gv AS (SELECT seg, CAST(sum(cv) AS BIGINT) AS gv FROM cells GROUP BY 1),
+         |nn AS (SELECT coalesce(CAST(sum(cv) AS BIGINT), 0) AS nn FROM cells),
+         |grid AS (
+         |  SELECT cl.c_nationkey, cl.bal_band, cl.k, gv.seg, gv.gv,
+         |    coalesce(cells.cv, 0) AS cv, nn.nn
+         |  FROM cl CROSS JOIN gv CROSS JOIN nn
+         |  LEFT JOIN cells ON cells.c_nationkey = cl.c_nationkey
+         |    AND cells.bal_band = cl.bal_band AND cells.seg = gv.seg),
+         |pc AS (
+         |  SELECT max(k) AS k,
+         |    ${q4("CAST(sum(abs(CAST(cv AS HUGEINT) * nn - CAST(gv AS HUGEINT) * k)) AS DOUBLE) / (2.0 * CAST(max(k) AS DOUBLE) * CAST(max(nn) AS DOUBLE))")} AS t
+         |  FROM grid GROUP BY c_nationkey, bal_band),
+         |b AS (
+         |  SELECT CASE WHEN t <= 0.2 THEN 't<=0.2 close'
+         |              WHEN t <= 0.4 THEN 't<=0.4'
+         |              ELSE 't>0.4 divergent' END AS band, k, t
+         |  FROM pc),
+         |tot AS (SELECT coalesce(sum(k), 0) AS tot FROM pc)
+         |SELECT band, CAST(count(*) AS BIGINT) AS classes,
+         |  CAST(sum(k) AS BIGINT) AS rows, max(t) AS max_t,
+         |  CASE WHEN tot > 0 THEN ${q4("CAST(sum(k) AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE)")} ELSE 0.0 END AS rows_pct
+         |FROM b, tot GROUP BY band, tot ORDER BY band""".stripMargin,
+
     // Mirror of Sessionize.gapSensitivity: one lag pass, conditional break
     // sums per candidate gap, sessions = users + breaks.
     "q_gap_sweep" ->
@@ -6204,6 +6242,30 @@ object SparkEntry {
          |LEFT JOIN lm ON lm.source = t.source
          |LEFT JOIN dups ON dups.source = t.source
          |ORDER BY t.source""".stripMargin,
+
+    // Mirror of TextAnalysis.collocations(k=25, minPairCount=5): the
+    // bigram_lm token/pair shape, unigram marginals over ALL docs, Dice in
+    // one floored division, (dice DESC, cab DESC, bigram ASC) total order.
+    "q_collocations" ->
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |uni AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1),
+         |g AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+         |    unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+         |  FROM t),
+         |p AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+         |  FROM g GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT p.w1 || ' ' || p.w2 AS bigram, p.cab,
+         |  CAST(a.c AS BIGINT) AS ca, CAST(b.c AS BIGINT) AS cb,
+         |  ${q4("CAST(p.cab * 2 AS DOUBLE) / CAST(a.c + b.c AS DOUBLE)")} AS dice
+         |FROM p JOIN uni a ON a.w = p.w1 JOIN uni b ON b.w = p.w2
+         |ORDER BY dice DESC, p.cab DESC, bigram LIMIT 25""".stripMargin,
 
     // Mirror of TextAnalysis.sourceVocabJaccard: distinct (source, token)
     // frame, token-keyed pair join with source_a < source_b, exact integer

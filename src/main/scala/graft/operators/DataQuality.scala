@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Cols
 
@@ -208,6 +209,67 @@ object DataQuality {
         min(col("l")).as("min_l"))
       .crossJoin(broadcast(tot))
       .select(col("band"), col("classes"), col("rows"), col("min_l"),
+        Cols.pct4(col("rows"), col("tot")).as("rows_pct"))
+      .orderBy(col("band"))
+  }
+
+  /** t-closeness census — the third privacy gate, completing the
+    * k-anonymity → l-diversity → t-closeness ladder (Li 2007):
+    * l-diversity counts DISTINCT sensitive values per class, but a class
+    * can carry 3 distinct segments at 98/1/1 % and still disclose; the
+    * t-closeness question is how far each class's sensitive DISTRIBUTION
+    * sits from the corpus-wide one. Distance is total variation
+    * (t = ½ Σ_v |p_class(v) − p_global(v)|), the categorical-attribute
+    * form of the paper's EMD.
+    *
+    * Exactness: the TV numerator is Σ|cv·N − gv·k| over the COMPLETED
+    * class×value grid (absent values contribute their full |0 − gv·k|
+    * mass — the [[graft.operators.EventAnalytics.typeMixDrift]] grid
+    * rule) in exact DECIMAL(38,0) lanes; ONE double division by 2·k·N per
+    * class, floor-quantized. Null sensitive values are filtered up front
+    * in both engine and oracle (the typeMixDrift null doctrine — a null
+    * segment is a missing measurement, not a disclosure category).
+    *
+    * Shape: one hash agg to the (class, value) cell frame (bounded by the
+    * quasi-value cross product × |segments|), the dense grid via an
+    * enum-bounded broadcast cross join, one more agg per class, one to the
+    * three policy bands. */
+  def tClosenessCensus(customer: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = customer
+      .where(col("c_mktsegment").isNotNull)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cv"))
+      .localCheckpoint() // three consumers: class sizes, value totals, grid
+    val classes = cells.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("cv")).as("k"))
+    val gvals = cells.groupBy(col("seg")).agg(sum(col("cv")).as("gv"))
+    val n = cells.agg(coalesce(sum(col("cv")), lit(0L)).as("nn"))
+    val grid = classes.crossJoin(broadcast(gvals))
+      .join(cells, Seq("c_nationkey", "bal_band", "seg"), "left")
+      .select(col("c_nationkey"), col("bal_band"), col("k"), col("gv"),
+        coalesce(col("cv"), lit(0L)).as("cv"))
+      .crossJoin(broadcast(n))
+    val perClass = grid.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(max(col("k")).as("k"), max(col("nn")).as("nn"),
+        sum(abs(col("cv").cast(dec) * col("nn").cast(dec)
+          - col("gv").cast(dec) * col("k").cast(dec))).as("tvnum"))
+      .select(col("k"),
+        Cols.q4(col("tvnum").cast("double")
+          / (lit(2.0) * col("k").cast("double") * col("nn").cast("double")))
+          .as("t"))
+    val banded = perClass.withColumn("band",
+      when(col("t") <= 0.2, "t<=0.2 close")
+        .when(col("t") <= 0.4, "t<=0.4")
+        .otherwise("t>0.4 divergent"))
+    val tot = perClass.agg(coalesce(sum(col("k")), lit(0L)).as("tot"))
+    banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("classes"), sum(col("k")).as("rows"),
+        max(col("t")).as("max_t"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("classes"), col("rows"), col("max_t"),
         Cols.pct4(col("rows"), col("tot")).as("rows_pct"))
       .orderBy(col("band"))
   }

@@ -770,6 +770,46 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Top-k collocations by Dice coefficient — open bigram mining over the
+    * whole corpus, the discovery sibling of the DICTIONARY-driven
+    * [[phraseCensus]]: dice(w₁w₂) = 2·c(w₁w₂) / (c(w₁)+c(w₂)) rewards
+    * pairs whose members rarely appear apart (Smadja 1993's collocation
+    * retrieval, with Dice instead of log-likelihood to stay inside the
+    * no-log doctrine — Dice is a pure count ratio). A raw bigram count
+    * would surface "of the"; Dice surfaces the glued pairs.
+    *
+    * Exactness: all counts exact longs; ONE double division per surviving
+    * pair, floor-quantized; the top-k order (dice desc, pair count desc,
+    * bigram asc) is total. The `minPairCount` floor keeps singleton noise
+    * out and bounds the scored frame.
+    *
+    * Shape: one tokenize pass feeds both the unigram census and the
+    * adjacent-pair census ([[bigramLmScores]]'s transform/sequence shape —
+    * no self-join on position); both aggregates are vocabulary-bounded,
+    * the two marginal joins run on the filtered pair frame. */
+  def collocations(docs: DataFrame, k: Int = 25, minPairCount: Long = 5): DataFrame = {
+    require(k >= 1 && minPairCount >= 1)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks.where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minPairCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("cab"), col("ca"), col("cb"),
+        Cols.q4((col("cab") * 2L).cast("double")
+          / (col("ca") + col("cb")).cast("double")).as("dice"))
+      .orderBy(col("dice").desc, col("cab").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-source dataset card — the one-frame "datasheet" a corpus ships
     * with (Gebru 2018's datasheets, reduced to the mechanically-checkable
     * rows): volume (docs, tokens, mean tokens), a length red flag

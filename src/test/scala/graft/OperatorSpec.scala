@@ -535,6 +535,40 @@ class OperatorSpec extends SparkSpec {
       ("b", 2L, 5L, 2.5, 0.0, "de", 50.0, 0.0)), s"got $got")
   }
 
+  test("t-closeness: hand TV distances band correctly; null segments excluded") {
+    // global (after null filter): X=4, Y=2, N=6. Class nation 1 = {2X, 2Y}:
+    // sum|cv*N - gv*k| = |12-16| + |12-8| = 8, t = 8/(2*4*6) = 0.1666.
+    // Class nation 2 = {2X}: |12-8| + |0-4| = 8, t = 8/(2*2*6) = 0.3333.
+    val df = Seq(
+      (1L, 1, 100.0, "X"), (2L, 1, 200.0, "X"), (3L, 1, 300.0, "Y"),
+      (4L, 1, 400.0, "Y"), (5L, 1, 500.0, null.asInstanceOf[String]),
+      (6L, 2, 100.0, "X"), (7L, 2, 200.0, "X"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = DataQuality.tClosenessCensus(df)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(got == List(
+      ("t<=0.2 close", 1L, 4L, 0.1666, 66.6666),
+      ("t<=0.4", 1L, 2L, 0.3333, 33.3333)), s"got $got")
+  }
+
+  test("collocations: Dice rewards glued pairs over frequent-word adjacency; floor filters rare pairs") {
+    // "alpha beta" members never appear apart -> dice 1.0; "the pad" ->
+    // 2*5/(10+5) = 0.6666; "of the" -> 2*5/(10+10) = 0.5. Pairs seen < 5
+    // times (none here besides the constructed ones) are floored out.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "alpha beta")) ++
+      (6 to 10).map(i => (i.toLong, "of the pad")) ++
+      (11 to 15).map(i => (i.toLong, "of")) ++
+      (16 to 20).map(i => (i.toLong, "the"))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("alpha beta", 5L, 5L, 5L, 1.0),
+      ("the pad", 5L, 10L, 5L, 0.6666),
+      ("of the", 5L, 10L, 10L, 0.5)), s"got $got")
+  }
+
   test("cohort retention: offset-0 row is the full cohort; matrix bounded by cohort size") {
     val m = EventAnalytics.cohortRetention(Tables.events(spark, sf))
       .as[(Long, Long, Long, Long, Double)].collect()
