@@ -609,6 +609,10 @@ object SparkEntry {
       TextAnalysis.datasetCard(Tables.documents(s, d))),
     "q_collocations" -> ((s, d) => // open bigram mining, Dice-scored top-k
       TextAnalysis.collocations(Tables.documents(s, d))),
+    "q_readability" -> ((s, d) => // Coleman-Liau grade level per source, count-only
+      TextAnalysis.readabilityBySource(Tables.documents(s, d))),
+    "q_fisher_separability" -> ((s, d) => // label-pair Fisher criterion over embeddings
+      Similarity.fisherSeparability(Tables.embeddings(s, d))),
     "q_rbo_towers" -> ((s, d) => // lexical-vs-dense ranking agreement (RBO@10)
       Retrieval.rboLexicalDense(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_langid_confusion" -> ((s, d) => // classifier eval: confusion + margins
@@ -4697,6 +4701,47 @@ object SparkEntry {
         |  min(qs[i1]) AS q_min, max(qs[i1]) AS q_max
         |FROM e GROUP BY 1 ORDER BY i""".stripMargin,
 
+    // Mirror of Similarity.fisherSeparability: 1e-4-unit quantization at
+    // the scan, per-(label, dim) integer moments, cross-multiplied
+    // centroid distance and König–Huygens scatter in HUGEINT, one IEEE
+    // divide sequence per label pair.
+    "q_fisher_separability" ->
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT label, i1, CAST(sum(u) AS BIGINT) AS su,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS sq
+         |  FROM (
+         |    SELECT label,
+         |      unnest(list_transform(embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))) AS u,
+         |      unnest(range(1, len(embedding) + 1)) AS i1
+         |    FROM embeddings)
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT label, max(n) AS n,
+         |    CAST(sum(CAST(n AS HUGEINT) * sq
+         |      - CAST(su AS HUGEINT) * su) AS HUGEINT) AS scnum
+         |  FROM m GROUP BY 1),
+         |pn AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |    max(a.n) AS na, max(b.n) AS nb,
+         |    CAST(sum((CAST(a.su AS HUGEINT) * b.n - CAST(b.su AS HUGEINT) * a.n)
+         |      * (CAST(a.su AS HUGEINT) * b.n - CAST(b.su AS HUGEINT) * a.n))
+         |      AS HUGEINT) AS dnum
+         |  FROM m a JOIN m b ON a.i1 = b.i1 AND a.label < b.label
+         |  GROUP BY 1, 2)
+         |SELECT CAST(label_a AS BIGINT) AS label_a,
+         |  CAST(label_b AS BIGINT) AS label_b,
+         |  ${q4("CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 100000000.0")} AS centroid_dist2,
+         |  CASE WHEN CAST(sa.scnum AS DOUBLE) / (CAST(sa.n AS DOUBLE) * CAST(sa.n AS DOUBLE))
+         |            + CAST(sb.scnum AS DOUBLE) / (CAST(sb.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) > 0.0
+         |    THEN ${q4("CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (CAST(sa.scnum AS DOUBLE) / (CAST(sa.n AS DOUBLE) * CAST(sa.n AS DOUBLE)) + CAST(sb.scnum AS DOUBLE) / (CAST(sb.n AS DOUBLE) * CAST(sb.n AS DOUBLE)))")}
+         |    ELSE 0.0 END AS fisher_ratio
+         |FROM pn
+         |JOIN sc sa ON sa.label = pn.label_a
+         |JOIN sc sb ON sb.label = pn.label_b
+         |ORDER BY label_a, label_b""".stripMargin,
+
     "q_top_eigenvector" -> powerIterationOracleSql,
     "q_dim_correlations" -> dimCorrelationsOracleSql,
     "q_pca_scores" -> pcaScoresOracleSql,
@@ -6242,6 +6287,20 @@ object SparkEntry {
          |LEFT JOIN lm ON lm.source = t.source
          |LEFT JOIN dups ON dups.source = t.source
          |ORDER BY t.source""".stripMargin,
+
+    // Mirror of TextAnalysis.readabilityBySource: exact letter/word/
+    // sentence-ender totals per source (DuckDB regexp_replace needs the
+    // 'g' flag to match Spark's replace-all), one IEEE CLI sequence.
+    "q_readability" ->
+      s"""WITH g AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS letters,
+         |    CAST(sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS words,
+         |    CAST(sum(length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))) AS BIGINT) AS sentences
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, letters, words, sentences,
+         |  CASE WHEN words > 0 THEN ${q4("0.0588 * (CAST(letters AS DOUBLE) * 100.0 / CAST(words AS DOUBLE)) - 0.296 * (CAST(sentences AS DOUBLE) * 100.0 / CAST(words AS DOUBLE)) - 15.8")} ELSE 0.0 END AS cli
+         |FROM g ORDER BY source""".stripMargin,
 
     // Mirror of TextAnalysis.collocations(k=25, minPairCount=5): the
     // bigram_lm token/pair shape, unigram marginals over ALL docs, Dice in

@@ -665,6 +665,77 @@ object Similarity {
     * 1e-4-unit longs before summing, so the group means are independent of
     * partition/aggregation order (a raw double sum is not) and the result is
     * bit-reproducible on any engine — including the SQL oracle. */
+  /** Fisher class-separability matrix over the embedding space — the
+    * one-frame diagnostic for "are these labels actually separable, and
+    * which pairs collide": for every label pair, the squared
+    * centroid-to-centroid distance over the summed within-class scatter
+    * (the two-class Fisher criterion, the quantity LDA maximizes). A
+    * label pair whose ratio sits near 0 shares its region of the space —
+    * exactly the pairs a downstream classifier will confuse
+    * ([[knnLabelAgreement]] measures that confusion empirically; this
+    * explains it geometrically).
+    *
+    * Exactness: components quantize to 1e-4 integer units AT THE SCAN
+    * (the [[labelCentroids]] lane), and everything until the final ratio
+    * is exact integer/DECIMAL(38,0) arithmetic on (sum, count, sum-of-
+    * squares) per (label, dimension): centroid distance² cross-multiplies
+    * to Σ(suₐ·n_b − su_b·nₐ)², within-class scatter is Σ(n·Σu² − su²)
+    * (König–Huygens), and the engine runs ONE fixed IEEE divide sequence
+    * per pair, floor-quantized. Embeddings are fixed-width by table
+    * contract (the gram/PCA assumption), so the per-dimension count
+    * equals the per-label count.
+    *
+    * Shape: one explode+agg to the (label, dim) moment frame (bounded by
+    * |labels|·d), a |labels|²·d pair join on dim, one agg to the
+    * |labels|² matrix. Nothing downstream of the first aggregation
+    * touches the corpus. */
+  def fisherSeparability(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val moments = embeddings.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * 10000.0).cast("long").as("u"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n"),
+        sum(col("u").cast(dec) * col("u").cast(dec)).as("sq"))
+      .localCheckpoint() // both pair-join sides + the per-label scatter
+    val scatter = moments
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("n").cast(dec) * col("sq") - col("su").cast(dec) * col("su").cast(dec))
+          .as("scnum"))
+    val a = moments.select(col("label").as("label_a"), col("pos"),
+      col("su").as("sua"), col("n").as("na"))
+    val pairNum = a.join(
+        moments.select(col("label").as("label_b"), col("pos"),
+          col("su").as("sub"), col("n").as("nb")), Seq("pos"))
+      .where(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum({
+          val d = col("sua").cast(dec) * col("nb").cast(dec) -
+            col("sub").cast(dec) * col("na").cast(dec)
+          d * d
+        }).as("dnum"))
+    val sa = scatter.select(col("label").as("label_a"),
+      col("n").as("sn_a"), col("scnum").as("scnum_a"))
+    val sb = scatter.select(col("label").as("label_b"),
+      col("n").as("sn_b"), col("scnum").as("scnum_b"))
+    val nanb = col("na").cast("double") * col("nb").cast("double")
+    val d2 = col("dnum").cast("double") / nanb / nanb
+    val sigA = col("scnum_a").cast("double") /
+      (col("sn_a").cast("double") * col("sn_a").cast("double"))
+    val sigB = col("scnum_b").cast("double") /
+      (col("sn_b").cast("double") * col("sn_b").cast("double"))
+    pairNum.join(broadcast(sa), Seq("label_a")).join(broadcast(sb), Seq("label_b"))
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        Cols.q4(d2 / 100000000.0).as("centroid_dist2"),
+        when(sigA + sigB > 0.0, Cols.q4(d2 / (sigA + sigB)))
+          .otherwise(lit(0.0)).as("fisher_ratio"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   def labelCentroids(embeddings: DataFrame): DataFrame = {
     val exploded = embeddings.select(col("label"),
       posexplode(col("embedding")).as(Seq("pos", "v")))

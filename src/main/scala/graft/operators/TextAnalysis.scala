@@ -770,6 +770,47 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Per-source Coleman–Liau readability — the grade-level estimate built
+    * ONLY from letter, word and sentence counts (Coleman & Liau 1975),
+    * chosen over Flesch exactly because it needs no syllable model:
+    * CLI = 0.0588·L − 0.296·S − 15.8 with L = letters per 100 words and
+    * S = sentences per 100 words. A training-corpus mix report wants this
+    * next to the quality gate: a "web" source reading at grade 18 is
+    * boilerplate/code contamination, grade 2 is listicle sludge.
+    *
+    * Exactness: letters (= [A-Za-z] runs kept), words (non-empty
+    * whitespace tokens) and sentence enders ([.!?]) are exact per-source
+    * long totals; CLI is ONE fixed IEEE sequence on the totals,
+    * floor-quantized. The corpus-level form (totals, not per-doc means)
+    * keeps a zero-word doc from poisoning a mean with a divide-by-zero —
+    * sources with zero words report CLI 0 (zero-signal).
+    *
+    * Shape: one scan-side projection (two regexp_replace + one split per
+    * doc, all codegen'd), one hash agg to the |sources| frame. */
+  def readabilityBySource(docs: DataFrame): DataFrame = {
+    val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("long")
+    val words = size(filter(split(col("text"), " "), t => length(t) > 0))
+      .cast("long")
+    val sentences = (length(col("text"))
+      - length(regexp_replace(col("text"), "[.!?]", ""))).cast("long")
+    val g = docs
+      .select(col("source"), letters.as("lt"), words.as("wd"), sentences.as("st"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lt")).as("letters"),
+        sum(col("wd")).as("words"), sum(col("st")).as("sentences"))
+    g.select(col("source"), col("n_docs"), col("letters"), col("words"),
+        col("sentences"),
+        when(col("words") > 0L, Cols.q4(
+          lit(0.0588) * (col("letters").cast("double") * 100.0
+            / col("words").cast("double"))
+            - lit(0.296) * (col("sentences").cast("double") * 100.0
+              / col("words").cast("double"))
+            - lit(15.8)))
+          .otherwise(lit(0.0)).as("cli"))
+      .orderBy(col("source"))
+  }
+
   /** Top-k collocations by Dice coefficient — open bigram mining over the
     * whole corpus, the discovery sibling of the DICTIONARY-driven
     * [[phraseCensus]]: dice(w₁w₂) = 2·c(w₁w₂) / (c(w₁)+c(w₂)) rewards

@@ -569,6 +569,34 @@ class OperatorSpec extends SparkSpec {
       ("of the", 5L, 10L, 10L, 0.5)), s"got $got")
   }
 
+  test("readability: Coleman-Liau from hand counts; zero-word source reports 0") {
+    // "The cat sat. The dog ran." -> 18 letters, 6 words, 2 enders:
+    // CLI = 0.0588*300 - 0.296*(200/6) - 15.8
+    val docs = Seq(
+      (1L, "a", "The cat sat. The dog ran."),
+      (2L, "b", ""))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.readabilityBySource(docs)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    val cli = math.floor((0.0588 * (18.0 * 100.0 / 6.0)
+      - 0.296 * (2.0 * 100.0 / 6.0) - 15.8) * 10000.0) / 10000.0
+    assert(got == List(("a", 1L, 18L, 6L, 2L, cli), ("b", 1L, 0L, 0L, 0L, 0.0)),
+      s"got $got")
+  }
+
+  test("Fisher separability: hand geometry — separated pair scores dist2/scatter exactly") {
+    // label 0 = {(0,0), (0.5,0)}: centroid (0.25,0), scatter 25e6 unit^2
+    // over n^2=4 -> sigma^2 = 6.25e6; label 1 = {(1,0), (1,0)}: scatter 0.
+    // dist2 = (0.25-1)^2 = 0.5625; fisher = 5.625e7 / 6.25e6 = 9.0
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.5f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.fisherSeparability(emb)
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(got == List((0L, 1L, 0.5625, 9.0)), s"got $got")
+  }
+
   test("cohort retention: offset-0 row is the full cohort; matrix bounded by cohort size") {
     val m = EventAnalytics.cohortRetention(Tables.events(spark, sf))
       .as[(Long, Long, Long, Long, Double)].collect()
