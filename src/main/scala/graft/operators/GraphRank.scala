@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Weighted PageRank in fixed-point integer arithmetic — the iterative
@@ -27,6 +27,24 @@ import org.apache.spark.sql.functions._
   * survivor selection over the near-dup graph).
   */
 object GraphRank {
+
+  /** Rows per partition for the bounded checkpoint frames the fixpoint
+    * loops re-materialize every round. Their partition count is a
+    * per-round task-scheduling cost, so it is DERIVED from the measured
+    * frame size — clamped to `defaultParallelism` — instead of pinned
+    * (r13 verdict: a pinned `coalesce(1)` on an unbounded vertex set
+    * would be a single-task choke at 100 TB, while the catalog-bounded
+    * graphs these typically run on still collapse to one task and keep
+    * the driver-latency win on the 16–37-job fixpoints). Each operator
+    * already pays one driver action on the checkpointed edge frame (an
+    * overflow guard or termination count), so the |E| read that sizes
+    * the partitioning is free — no extra job. */
+  private val RowsPerCheckpointPart = 65536L
+
+  private def ckParts(spark: SparkSession, rows: Long): Int = {
+    val want = (rows.max(0L) + RowsPerCheckpointPart - 1) / RowsPerCheckpointPart
+    want.max(1L).min(spark.sparkContext.defaultParallelism.toLong).toInt
+  }
 
   /** Ranks over an undirected weighted edge list `(item_a, item_b, pairs)`
     * (as produced by [[EventAnalytics.cooccurrenceCounts]]): each edge
@@ -69,9 +87,9 @@ object GraphRank {
     // edges); on a cluster the same role is played by persist().
     // bounded frames also coalesce before checkpointing: a 100-node rank
     // table spread over 32 shuffle partitions costs a 32-task job per
-    // round for nothing — partition counts here follow |V|/|E|, not the
-    // session's shuffle default
-    val outEdges = dir.join(strength, "src").coalesce(8).localCheckpoint()
+    // round for nothing — partition counts follow the MEASURED |E|
+    // (see [[ckParts]]), not the session's shuffle default
+    val outEdgesCk = dir.join(strength, "src").localCheckpoint()
     // Overflow headroom (same doctrine as Sampling.systematicWeighted's
     // documented bound): the per-edge contribution `rank * w` reaches
     // scale·max(w) in the worst case (one node holding all mass). Spark
@@ -81,14 +99,18 @@ object GraphRank {
     // edge frame; callers with heavier edges pass a smaller `scale`.
     // null max = empty edge frame (a legal input: a sparse corpus can have
     // zero verified pairs — r12 sparse fuzz); 0 passes the guard and the
-    // loop then runs over empty frames to an empty rank table
-    val maxW = Option(outEdges.agg(max(col("w"))).head()
-      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+    // loop then runs over empty frames to an empty rank table. The same
+    // driver action reads |E|, which sizes every loop frame's coalesce.
+    val head = outEdgesCk.agg(count(lit(1)), max(col("w"))).head()
+    val nE = head.getLong(0)
+    val maxW = Option(head.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L)
     require(maxW <= 0L || maxW <= Long.MaxValue / scale,
       s"weightedPageRank: scale=$scale x max edge weight=$maxW can overflow " +
         "Long in the per-edge contribution (rank*w); pass a smaller scale " +
         s"(need scale <= ${Long.MaxValue / maxW})")
-    val baseCk = base.coalesce(1).localCheckpoint()
+    val p = ckParts(edges.sparkSession, nE)
+    val outEdges = outEdgesCk.coalesce(p)
+    val baseCk = base.coalesce(p).localCheckpoint()
     var rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
     // checkpoint on a stride: each materialization is a full job round-trip
     // (~fixed driver latency at bounded |V|), and a 2-round plan over
@@ -154,15 +176,18 @@ object GraphRank {
       .select(col("node"),
         when(col("is_seed").isNotNull, lit(teleportSeed)).otherwise(lit(0L)).as("teleport"),
         when(col("is_seed").isNotNull, lit(seedShare)).otherwise(lit(0L)).as("rank0"))
-    val outEdges = dir.join(strength, "src").coalesce(8).localCheckpoint()
+    val outEdgesCk = dir.join(strength, "src").localCheckpoint()
     // null max = empty edge frame (a legal input: a sparse corpus can have
     // zero verified pairs — r12 sparse fuzz); 0 passes the guard and the
-    // loop then runs over empty frames to an empty rank table
-    val maxW = Option(outEdges.agg(max(col("w"))).head()
-      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+    // loop then runs over empty frames to an empty rank table; the same
+    // action reads |E| to size the loop frames' coalesce ([[ckParts]])
+    val head = outEdgesCk.agg(count(lit(1)), max(col("w"))).head()
+    val maxW = Option(head.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L)
     require(maxW <= 0L || maxW <= Long.MaxValue / scale,
       s"personalizedPageRank: scale=$scale x max edge weight=$maxW can overflow Long")
-    val baseCk = base.coalesce(1).localCheckpoint()
+    val p = ckParts(edges.sparkSession, head.getLong(0))
+    val outEdges = outEdgesCk.coalesce(p)
+    val baseCk = base.coalesce(p).localCheckpoint()
     val rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
     iterateRanks(outEdges, baseCk, rank, iterations)
       .orderBy(col("rank").desc, col("node").asc).limit(k)
@@ -206,8 +231,13 @@ object GraphRank {
     // seed labels: dist 0, root = self → packed = node id
     val seedDF = strength.orderBy(col("s").desc, col("src").asc).limit(seeds)
       .select(col("src").as("node"))
-    // propagation graph: (src, dst) only — w already folded into seed choice
-    val edgesCk = dir.select(col("src"), col("dst")).coalesce(8).localCheckpoint()
+    // propagation graph: (src, dst) only — w already folded into seed
+    // choice; the checkpointed frame's count sizes every loop coalesce
+    val edgesCk0 = dir.select(col("src"), col("dst")).localCheckpoint()
+    val p = ckParts(edges.sparkSession, edgesCk0.count())
+    val edgesCk = edgesCk0.coalesce(p)
+    // the seed frame is limit(seeds) rows — structurally bounded, so a
+    // single partition is exact, not a pinned guess
     var best = seedDF.select(col("node"), col("node").as("packed"))
       .coalesce(1).localCheckpoint()
     for (i <- 1 to hops) {
@@ -220,7 +250,7 @@ object GraphRank {
         .select(col("dst").as("node"), (col("packed") + Pack).as("packed"))
       val next = best.union(prop)
         .groupBy(col("node")).agg(min(col("packed")).as("packed"))
-      best = if (i % 2 == 0 || i == hops) next.coalesce(4).localCheckpoint() else next
+      best = if (i % 2 == 0 || i == hops) next.coalesce(p).localCheckpoint() else next
     }
     strength.select(col("src").as("node"))
       .join(best, Seq("node"), "left")
@@ -329,15 +359,18 @@ object GraphRank {
     * shuffle join on `src`. */
   def labelPropagation(edges: DataFrame, rounds: Int = 6): DataFrame = {
     require(rounds >= 1)
-    val dir = edges.select(col("item_a").cast("long").as("src"),
+    val dir0 = edges.select(col("item_a").cast("long").as("src"),
         col("item_b").cast("long").as("dst"), col("pairs").cast("long").as("w"))
       .union(edges.where(col("item_a") =!= col("item_b"))
         .select(col("item_b").cast("long").as("src"),
           col("item_a").cast("long").as("dst"), col("pairs").cast("long").as("w")))
-      .coalesce(8).localCheckpoint()
+      .localCheckpoint()
+    // |E| count off the cached blocks sizes every loop frame ([[ckParts]])
+    val p = ckParts(edges.sparkSession, dir0.count())
+    val dir = dir0.coalesce(p)
     var lab = dir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .coalesce(4).localCheckpoint()
+      .coalesce(p).localCheckpoint()
     for (i <- 1 to rounds) {
       val votes = dir
         .join(lab.withColumnRenamed("node", "src"), "src")
@@ -347,7 +380,7 @@ object GraphRank {
         .orderBy(col("v").desc, col("label").asc)
       val next = votes.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).select(col("node"), col("label"))
-      lab = if (i % 2 == 0 || i == rounds) next.coalesce(4).localCheckpoint()
+      lab = if (i % 2 == 0 || i == rounds) next.coalesce(p).localCheckpoint()
         else next
     }
     lab.groupBy(col("label"))
@@ -383,7 +416,11 @@ object GraphRank {
       .where(col("src").isNotNull)
       .groupBy(col("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .coalesce(1).localCheckpoint()
+      .localCheckpoint()
+    // the transition frame is ≤ |types|² rows — structurally bounded by
+    // the event-type catalog — but its coalesce is still derived from the
+    // measured count ([[ckParts]]), same rule as the unbounded graphs
+    val p = ckParts(events.sparkSession, trans.count())
     val states = trans.select(col("src").as("state"))
       .union(trans.select(col("dst").as("state"))).distinct()
     val strength = trans.groupBy(col("src")).agg(sum(col("w")).as("s"))
@@ -396,8 +433,8 @@ object GraphRank {
       .select(col("state"),
         lit((15L * (scale / k)) / 100L).as("teleport"),
         lit(scale / k).as("rank0"))
-      .coalesce(1).localCheckpoint()
-    val out = trans.join(strength, "src").coalesce(1).localCheckpoint()
+      .coalesce(p).localCheckpoint()
+    val out = trans.join(strength, "src").coalesce(p).localCheckpoint()
     var rank = base.select(col("state"), col("rank0").as("rank")).localCheckpoint()
     for (i <- 1 to iterations) {
       val contribs = out
@@ -491,28 +528,34 @@ object GraphRank {
   def hitsScores(edges: DataFrame, iterations: Int = 8, k: Int = 25,
                  scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && k >= 1 && scale >= 1)
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .coalesce(8).localCheckpoint()
+      .localCheckpoint()
     // null sum = empty edge frame (legal: a sparse corpus can have zero
     // transitions — the r12 sparse-fuzz doctrine); 0 passes the guard and
-    // the loop runs over empty frames to an empty score table
-    val totW = Option(e.agg(sum(col("w"))).head()
-      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
-    require(totW <= Long.MaxValue / (2 * scale),
+    // the loop runs over empty frames to an empty score table; the same
+    // action reads |E| to size every loop frame's coalesce ([[ckParts]])
+    val head = e0.agg(count(lit(1)), sum(col("w"))).head()
+    val totW = Option(head.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L)
+    val p = ckParts(edges.sparkSession, head.getLong(0))
+    val e = e0.coalesce(p)
+    // divide twice instead of forming 2*scale: a caller-supplied
+    // scale > Long.MaxValue/2 would wrap the product negative and let the
+    // guard pass vacuously (r13 ADVICE)
+    require(totW <= Long.MaxValue / 2 / scale,
       s"hitsScores: scale=$scale x total edge weight=$totW can overflow Long " +
         s"in the half-step sum (w*h); pass a smaller scale " +
-        s"(need scale <= ${Long.MaxValue / (2 * totW.max(1L))})")
+        s"(need scale <= ${Long.MaxValue / 2 / totW.max(1L)})")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().coalesce(1).localCheckpoint()
+      .distinct().coalesce(p).localCheckpoint()
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth = nodes.select(col("node"), lit(scale).as("a"))
     for (_ <- 1 to iterations) {
       val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("w") * col("h")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("araw"))
-        .coalesce(8).localCheckpoint()
+        .coalesce(p).localCheckpoint()
       auth = nodes.join(araw, Seq("node"), "left")
         .crossJoin(broadcast(araw.agg(max(col("araw")).as("amax"))))
         .select(col("node"),
@@ -521,7 +564,7 @@ object GraphRank {
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), (col("w") * col("a")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("hraw"))
-        .coalesce(8).localCheckpoint()
+        .coalesce(p).localCheckpoint()
       hub = nodes.join(hraw, Seq("node"), "left")
         .crossJoin(broadcast(hraw.agg(max(col("hraw")).as("hmax"))))
         .select(col("node"),

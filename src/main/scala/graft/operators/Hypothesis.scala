@@ -613,15 +613,19 @@ object Hypothesis {
     val rb = when(nTok < 40L, "short")
       .when(nTok < 200L, "mid").otherwise("long")
     val rated = docs.select(col("source"), ra.as("ra"), rb.as("rb"))
+    // coalesce(countWhen, 0): on a completely EMPTY corpus the ROLLUP
+    // grand-total grouping set still emits one row, where sum-based
+    // countWhen yields NULL while the oracle's count(*) FILTER yields 0
+    // (r13 ADVICE) — pin the zero so the strict compare holds on empty
     val g = rated.rollup(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        Cols.countWhen(col("ra") === col("rb")).as("agree"),
-        Cols.countWhen(col("ra") === "short").as("as_"),
-        Cols.countWhen(col("ra") === "mid").as("am"),
-        Cols.countWhen(col("ra") === "long").as("al"),
-        Cols.countWhen(col("rb") === "short").as("bs"),
-        Cols.countWhen(col("rb") === "mid").as("bm"),
-        Cols.countWhen(col("rb") === "long").as("bl"),
+        coalesce(Cols.countWhen(col("ra") === col("rb")), lit(0L)).as("agree"),
+        coalesce(Cols.countWhen(col("ra") === "short"), lit(0L)).as("as_"),
+        coalesce(Cols.countWhen(col("ra") === "mid"), lit(0L)).as("am"),
+        coalesce(Cols.countWhen(col("ra") === "long"), lit(0L)).as("al"),
+        coalesce(Cols.countWhen(col("rb") === "short"), lit(0L)).as("bs"),
+        coalesce(Cols.countWhen(col("rb") === "mid"), lit(0L)).as("bm"),
+        coalesce(Cols.countWhen(col("rb") === "long"), lit(0L)).as("bl"),
         grouping(col("source")).as("gr"))
     val peNum = col("as_") * col("bs") + col("am") * col("bm") +
       col("al") * col("bl")
@@ -629,8 +633,9 @@ object Hypothesis {
     g.select(
         when(col("gr") === 1, lit("ALL")).otherwise(col("source")).as("source"),
         col("n_docs"), col("agree"),
-        Cols.q4(col("agree").cast("double") / col("n_docs").cast("double"))
-          .as("raw_agreement"),
+        when(col("n_docs") > 0L,
+          Cols.q4(col("agree").cast("double") / col("n_docs").cast("double")))
+          .otherwise(lit(0.0)).as("raw_agreement"),
         when(denom > 0L,
           Cols.q4((col("n_docs") * col("agree") - peNum).cast("double")
             / denom.cast("double")))

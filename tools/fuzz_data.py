@@ -39,6 +39,11 @@ Variants (all deterministic: hash-based filters, no RNG):
            n_chars is recomputed so the length invariant holds.
            Exercises tokenizer/shingle/vocab/quality paths on the
            shapes real corpora carry.
+  unicode — documents injected with the Unicode case-folding probe
+           classes (Turkish İ/ı, Greek Σ/final-ς, German ß/ẞ) by hash
+           bucket, n_chars recomputed. Plain lower() is engine-defined
+           on these (Spark/Java vs DuckDB/utf8proc); the pinned
+           Cols.foldCase chain must keep every text query hash-exact.
   scale  — synthetic scale-up gate (r12 verdict #1): events, documents
            and embeddings replicated xN (4th arg, default 16; orders+
            lineitem x4 with consistent orderkey offsets) under FRESH ids.
@@ -93,10 +98,16 @@ for t in TABLES:
             # row-sample hash (unsalted, the 10% set was a strict subset of
             # the 40% sample: every nulled row survived -> 25% density and
             # the two knobs could not vary independently)
+            # event_type nulls draw from a THIRD salt (r13 verdict #1: the
+            # typeMixDrift null-mass gap was latent precisely because this
+            # variant only ever nulled user_ids) — ~10% of surviving rows
+            # lose their type, independently of the user_id nulling
             copy(f"""SELECT event_id, ts,
                        CASE WHEN {keep("'null:' || CAST(event_id AS VARCHAR)", 25)}
                             THEN NULL ELSE user_id END AS user_id,
-                       event_type, value, props
+                       CASE WHEN {keep("'nulltype:' || CAST(event_id AS VARCHAR)", 10)}
+                            THEN NULL ELSE event_type END AS event_type,
+                       value, props
                      FROM {s} WHERE {keep('event_id', 40)}""", t)
         elif t == "orders":
             copy(f"SELECT * FROM {s} WHERE {keep('o_orderkey', 50)}", t)
@@ -191,6 +202,30 @@ for t in TABLES:
                                     || substr(text, length(text) // 2 + 1)
                              ELSE text END
                          END AS text
+                       FROM {s})
+                     SELECT doc_id, text, lang, source,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                     FROM p""", t)
+        else:
+            copy(f"SELECT * FROM {s}", t)
+    elif variant == "unicode":
+        if t == "documents":
+            # inject exactly the probe classes the pinned fold covers
+            # (Turkish İ/ı, Greek Σ/ς, German ß) into hash-bucketed docs —
+            # plain lower() is engine-defined on these (Java vs utf8proc);
+            # Cols.foldCase must make every text query hash-exact anyway.
+            # n_chars recomputed in codepoints (both engines' length()).
+            copy(f"""WITH p AS (
+                       SELECT doc_id, lang, source,
+                         CASE (hash('uni:' || CAST(doc_id AS VARCHAR)) % 10)
+                           WHEN 0 THEN replace(text, 'i', 'İ')
+                           WHEN 1 THEN replace(text, 'i', 'ı')
+                           WHEN 2 THEN replace(text, 's', 'ß')
+                           WHEN 3 THEN replace(text, 's', 'ς')
+                           WHEN 4 THEN replace(text, 's', 'Σ')
+                           WHEN 5 THEN 'İstanbul ışık straße grüße Σοφία τέλος ' || text
+                           WHEN 6 THEN upper(replace(text, 'ss', 'ß'))
+                           ELSE text END AS text
                        FROM {s})
                      SELECT doc_id, text, lang, source,
                        CAST(length(text) AS BIGINT) AS n_chars
