@@ -207,6 +207,8 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_doc_fingerprints" -> ((s, d) =>
       TextAnalysis.fingerprinted(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_fold_census" -> ((s, d) => // pinned-casefold impact audit per source
+      TextAnalysis.foldAudit(Tables.documents(s, d))),
     "q_token_classes" -> ((s, d) => // RE2-safe regex tokenization classes
       TextAnalysis.tokenClasses(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_vocab_stats" -> ((s, d) => // vocabulary tf/df top-20
@@ -221,6 +223,10 @@ object SparkEntry {
       TextAnalysis.bigramLmScores(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => // BPE merge-pair candidates (tokenizer training step 1)
       TextAnalysis.bpePairs(Tables.documents(s, d), 20)),
+    "q_bpe_merges" -> ((s, d) => // BPE merge table, 6 applied rounds (step 2)
+      TextAnalysis.bpeMergeTable(Tables.documents(s, d), 6)),
+    "q_bpe_token_census" -> ((s, d) => // post-merge tokenized-corpus census
+      TextAnalysis.bpeTokenCensus(Tables.documents(s, d), 6, 30)),
     "q_vocab_growth" -> ((s, d) => // Heaps-law saturation audit
       TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     "q_fulfillment_latency" -> ((s, d) => // fact-to-fact join, bounded census
@@ -271,7 +277,7 @@ object SparkEntry {
     "q_exact_dedup_counts" -> ((s, d) =>
       Tables.documents(s, d).groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
-          countDistinct(md5(lower(col("text")))).as("distinct_docs"))
+          countDistinct(md5(graft.functions.Cols.foldCase(col("text")))).as("distinct_docs"))
         .orderBy(col("source"))),
     "q_exact_dedup_keep" -> ((s, d) => // survivor profile after exact dedup
       Dedup.survivorsBySource(Tables.documents(s, d))),
@@ -349,7 +355,7 @@ object SparkEntry {
         concat(lit("batch:"), col("doc_id").cast("string"))) % 5 < 1
       def fp(df: org.apache.spark.sql.DataFrame) =
         df.select(col("doc_id"), col("source"), col("n_chars"),
-          md5(lower(col("text"))).as("fingerprint"))
+          md5(graft.functions.Cols.foldCase(col("text"))).as("fingerprint"))
       val admitted = BloomJoin.antiJoin(
         fp(docs.where(inBatch)), fp(docs.where(!inBatch)), "fingerprint", "fingerprint")
       admitted.groupBy(col("source"))
@@ -727,6 +733,38 @@ object SparkEntry {
 
   /** Mirror of Cols.q4: floor-quantized double, bit-identical cross-engine. */
   private def q4(x: String) = s"(floor(($x) * 10000.0) / 10000.0)"
+
+  /** Unrolled-rounds BPE oracle shared by q_bpe_merges / q_bpe_token_census
+    * (mirrors TextAnalysis.bpeRounds; AS MATERIALIZED per the fixpoint-
+    * oracle doctrine — a round CTE referenced twice re-expands
+    * exponentially otherwise). `finalSelect` consumes m1..mN and rN. */
+  private def bpeOracleSql(rounds: Int, finalSelect: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH r0 AS MATERIALIZED (
+        |  SELECT ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS rep,
+        |    count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS MATERIALIZED (
+        |  SELECT pr.a AS a, pr.b AS b, sum(freq) AS c FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(l)),
+        |      i -> {'a': l[i], 'b': l[i + 1]})) AS pr
+        |    FROM (SELECT string_split(trim(rep), '  ') AS l, freq FROM r${r - 1}) t) s
+        |  GROUP BY 1, 2),
+        |m$r AS MATERIALIZED (
+        |  SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        |r$r AS MATERIALIZED (
+        |  SELECT CASE WHEN m.a IS NULL THEN t.rep
+        |    ELSE replace(t.rep, ' ' || m.a || '  ' || m.b || ' ',
+        |                        ' ' || m.a || m.b || ' ') END AS rep, t.freq
+        |  FROM r${r - 1} t LEFT JOIN m$r m ON true)""".stripMargin)
+    }
+    sb.append("\n").append(finalSelect)
+    sb.toString
+  }
 
   /** Mirror of Dedup.PortableHash: first 48 bits of md5 as a BIGINT. */
   private def md5h48(x: String) =
@@ -2550,7 +2588,7 @@ object SparkEntry {
     // deterministic batch sample and its complement, on text fingerprints.
     "q_incremental_dedup" ->
       s"""WITH m AS (
-         |  SELECT doc_id, source, n_chars, md5(lower(text)) AS fp,
+         |  SELECT doc_id, source, n_chars, md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fp,
          |    ${md5h48("'batch:' || CAST(doc_id AS VARCHAR)")} % 5 < 1 AS in_batch
          |  FROM documents)
          |SELECT source, count(*) AS admitted_docs, CAST(sum(n_chars) AS BIGINT) AS admitted_chars
@@ -2696,7 +2734,7 @@ object SparkEntry {
     "q_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT source,
-        |    unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS token
+        |    unnest(list_filter(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' '), x -> len(x) > 0)) AS token
         |  FROM documents),
         |v AS (
         |  SELECT token FROM (SELECT token, count(*) AS tf FROM tok GROUP BY token)
@@ -3074,11 +3112,11 @@ object SparkEntry {
 
     "q_exact_dedup_counts" ->
       """SELECT source, count(*) AS docs,
-        |  count(DISTINCT md5(lower(text))) AS distinct_docs
+        |  count(DISTINCT md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')))) AS distinct_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_exact_dedup_keep" ->
-      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))))
         |SELECT source, count(*) AS surviving_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS surviving_chars
         |FROM documents JOIN k USING (doc_id)
@@ -3089,7 +3127,7 @@ object SparkEntry {
     // the two quantized doubles.
     "q_dedup_shift" ->
       s"""WITH b AS (SELECT source, count(*) AS docs_before FROM documents GROUP BY 1),
-         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')))),
          |a AS (
          |  SELECT source, count(*) AS docs_after
          |  FROM documents JOIN k USING (doc_id) GROUP BY 1),
@@ -3112,7 +3150,7 @@ object SparkEntry {
     "q_norm_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, source,
-        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |    md5(trim(regexp_replace(regexp_replace(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |  FROM documents),
         |g AS (SELECT fp, count(*) AS copies, min(doc_id) AS keep_id FROM f GROUP BY fp)
         |SELECT source, count(*) AS docs,
@@ -3288,11 +3326,26 @@ object SparkEntry {
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin,
 
+    // Mirror of TextAnalysis.bpeMergeTable: 6 unrolled merge rounds (see
+    // bpeOracleSql); each round's argmax CTE becomes one output row.
+    "q_bpe_merges" -> bpeOracleSql(6,
+      (1 to 6).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, a AS pair_a, b AS pair_b, " +
+          s"a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM m$r")
+        .mkString("SELECT round, pair_a, pair_b, merged, pair_count FROM (\n",
+          "\nUNION ALL ", "\n) ORDER BY round")),
+
+    // Mirror of TextAnalysis.bpeTokenCensus: symbol mass after round 6.
+    "q_bpe_token_census" -> bpeOracleSql(6,
+      "SELECT token, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (" +
+        "SELECT unnest(string_split(trim(rep), '  ')) AS token, freq FROM r6) s " +
+        "GROUP BY token ORDER BY n_tokens DESC, token ASC LIMIT 30"),
+
     // Mirror of TextAnalysis.vocabGrowth: first-seen doc per token, the
     // same power-of-2 ∪ {max} threshold grid, vocab-sized membership join.
     "q_vocab_growth" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
         |t2 AS (
         |  SELECT token, min(doc_id) AS first_doc FROM tok
         |  WHERE length(token) > 0 GROUP BY 1),
@@ -3318,7 +3371,7 @@ object SparkEntry {
 
     "q_vocab_stats" ->
       """WITH t AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents)
         |SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
         |FROM t WHERE length(token) > 0
         |GROUP BY token
@@ -3326,7 +3379,7 @@ object SparkEntry {
 
     "q_tfidf_top_terms" ->
       s"""WITH raw AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
          |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
          |dfreq AS (
@@ -3349,7 +3402,7 @@ object SparkEntry {
     // sum (so accumulation is exact integer addition on both engines).
     "q_bm25_top_docs" ->
       """WITH raw AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
         |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
         |globals AS (
@@ -3380,7 +3433,7 @@ object SparkEntry {
     // quantized one — both exactly as the engine computes them.
     "q_hybrid_search" ->
       """WITH raw AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
         |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
         |globals AS (
@@ -3436,8 +3489,25 @@ object SparkEntry {
         |FROM top ORDER BY rrf_x100 DESC, doc_id ASC""".stripMargin,
 
     "q_doc_fingerprints" ->
-      """SELECT doc_id, md5(lower(text)) AS fingerprint, lang, source, n_chars
+      """SELECT doc_id, md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirror of TextAnalysis.foldAudit: the pinned fold chain is written
+    // out verbatim (replace/replace/translate/lower — identical
+    // non-overlapping replace and codepoint translate semantics in both
+    // engines), so engine and oracle agree byte-for-byte even on the
+    // Unicode probe classes plain lower() diverges on.
+    "q_fold_census" ->
+      """WITH f AS (
+        |  SELECT source, text,
+        |    lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')) AS folded
+        |  FROM documents)
+        |SELECT source, count(*) AS docs,
+        |  CAST(count(*) FILTER (WHERE folded != text) AS BIGINT) AS changed_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS raw_ids,
+        |  CAST(count(DISTINCT md5(folded)) AS BIGINT) AS folded_ids,
+        |  CAST(coalesce(sum(length(folded) - length(text)), 0) AS BIGINT) AS chars_delta
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirror of DataQuality.fkIntegrity: per relationship, child count and
     // missing-parent orphan count (parent key sets are PKs on this data;
@@ -3754,7 +3824,7 @@ object SparkEntry {
     // integer pair-hit / pair-draw lanes with ONE final IEEE division.
     "q_char_concentration" ->
       s"""WITH s AS (
-         |  SELECT source, doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS t
+         |  SELECT source, doc_id, regexp_replace(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), '[^a-z]', '', 'g') AS t
          |  FROM documents),
          |ch AS (
          |  SELECT source, doc_id, unnest(string_split(t, '')) AS ch
@@ -4447,7 +4517,7 @@ object SparkEntry {
          |    ${q4("CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS dup_frac
          |  FROM pc GROUP BY doc_id),
          |scored AS (
-         |  SELECT t.doc_id, t.source, t.n_chars, md5(lower(t.text)) AS fp,
+         |  SELECT t.doc_id, t.source, t.n_chars, md5(lower(translate(replace(replace(t.text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fp,
          |    ((t.n_chars BETWEEN 100 AND 5000)
          |     AND ${q4("CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.2
          |     AND ${q4("CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.02
@@ -5224,7 +5294,7 @@ object SparkEntry {
     // occurrences), then the BRUTE-FORCE levenshtein ≤ 1 join the engine's
     // deletion-neighborhood candidates must reproduce exactly.
     "q_typo_recovery" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ') AS l FROM documents),
          |occ AS (
          |  SELECT doc_id, l[i] AS tok, i - 1 AS pos
          |  FROM tk, unnest(generate_series(1, len(l))) AS g(i)
@@ -5769,7 +5839,7 @@ object SparkEntry {
           "CAST(count(*) AS BIGINT) AS occurrences " +
           s"FROM occ a0 $joins WHERE a0.tok = '${ph.head}' HAVING count(*) > 0"
       }
-      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      """WITH tk AS (SELECT doc_id, string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ') AS l FROM documents),
         |occ AS (
         |  SELECT doc_id, i - 1 AS pos, l[i] AS tok
         |  FROM tk, unnest(generate_series(1, len(l))) AS g(i))
@@ -5933,7 +6003,9 @@ object SparkEntry {
          |  FROM r GROUP BY ROLLUP (source))
          |SELECT CASE WHEN gr = 1 THEN 'ALL' ELSE source END AS source,
          |  CAST(n_docs AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS agree,
-         |  ${q4("CAST(agree AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS raw_agreement,
+         |  CASE WHEN n_docs > 0
+         |    THEN ${q4("CAST(agree AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    ELSE 0.0 END AS raw_agreement,
          |  CASE WHEN n_docs * n_docs - (ras * rbs + ram * rbm + ral * rbl) > 0
          |    THEN ${q4("CAST(n_docs * agree - (ras * rbs + ram * rbm + ral * rbl) AS DOUBLE) / CAST(n_docs * n_docs - (ras * rbs + ram * rbm + ral * rbl) AS DOUBLE)")}
          |    ELSE 0.0 END AS kappa
@@ -6331,7 +6403,7 @@ object SparkEntry {
     // Jaccard until the final floor-1e4 division.
     "q_source_vocab_jaccard" ->
       s"""WITH tok AS (
-         |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+         |  SELECT source, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token
          |  FROM documents),
          |st AS (SELECT DISTINCT source, token FROM tok WHERE length(token) > 0),
          |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
@@ -6350,7 +6422,7 @@ object SparkEntry {
 
     "q_zipf_octaves" ->
       s"""WITH t AS (
-         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |  SELECT unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
          |f AS (
          |  SELECT token, CAST(count(*) AS BIGINT) AS freq
          |  FROM t WHERE length(token) > 0 GROUP BY 1),
@@ -6518,7 +6590,7 @@ object SparkEntry {
     val oneMinusP = (1.0 - Retrieval.RboP).toString
     val k = Retrieval.RboDepth
     s"""WITH raw AS (
-       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+       |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
        |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
        |globals AS (

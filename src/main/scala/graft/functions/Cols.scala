@@ -96,6 +96,29 @@ object Cols {
     * so NTZ wall-clock == epoch-as-UTC, matching a naive-timestamp oracle. */
   def tsSec(c: Column): Column = unix_timestamp(c.cast("timestamp"))
 
+  /** Pinned cross-engine Unicode case fold for the tokenizer/fingerprint
+    * paths — the explicit normalization step COVERAGE's round-12 probe
+    * prescribed ("pin NFC + casefold ahead of tokenization rather than
+    * rely on any engine's incidental lower()"). Plain `lower()` is
+    * engine-defined on a handful of classes: Spark/Java maps 'İ' → i +
+    * combining dot and applies the Greek final-sigma context rule, while
+    * DuckDB/utf8proc maps 'İ' → plain i and Σ → σ unconditionally — so a
+    * Unicode corpus hash-diverges even when both engines are "right".
+    * The fold substitutes the divergent classes FIRST (İ/ı → i, Σ/ς → σ,
+    * ß/ẞ → ss — the full-casefold forms, applied with plain
+    * non-overlapping `replace`/codepoint `translate`, identical semantics
+    * in both engines), then lowercases: after the substitution neither
+    * engine's context rules have anything left to disagree on. On pure
+    * ASCII every step is a no-op, so ASCII corpora are bit-identical to
+    * raw `lower()`. The oracle mirrors the exact chain
+    * (`lower(translate(replace(replace(x,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))`).
+    * All replace/translate/lower steps are codegen'd Catalyst
+    * expressions — the fold stays inside WholeStageCodegen on the scan. */
+  def foldCase(c: Column): Column =
+    lower(translate(
+      replace(replace(c, lit("ß"), lit("ss")), lit("ẞ"), lit("ss")),
+      "İıΣς", "iiσσ"))
+
   /** Epoch seconds of the enclosing hour, from an epoch-seconds long column
     * (tumbling 1h window key, reference T2 streaming_processor.py:281
     * `window(timestamp, "1 hour")`). Integral arithmetic: ts_sec ≈ 1.7e9 is

@@ -561,7 +561,7 @@ object CorpusFilters {
       .join(repetitionStats(docs).select(col("doc_id"), col("dup_ngram_frac")),
         Seq("doc_id"))
       .join(docs.select(col("doc_id"), col("n_chars"),
-        md5(lower(col("text"))).as("fp")), Seq("doc_id"))
+        md5(Cols.foldCase(col("text"))).as("fp")), Seq("doc_id"))
     val qOk = col("n_chars").between(100, 5000) &&
       col("type_token_ratio") >= 0.2 && col("stopword_ratio") >= 0.02 &&
       col("dup_ngram_frac") <= 0.7

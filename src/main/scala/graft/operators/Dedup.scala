@@ -43,7 +43,7 @@ object Dedup {
   /** Exact duplicate groups by normalized-content hash. Returns one row per
     * duplicated fingerprint with the canonical (min) doc_id kept. */
   def exactDupGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(lower(col("text"))).as("fingerprint"))
+    docs.groupBy(md5(Cols.foldCase(col("text"))).as("fingerprint"))
       .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_doc_id"))
       .where(col("copies") > 1)
 
@@ -53,7 +53,7 @@ object Dedup {
     * an arbitrary first row per partition ordering). */
   def exactDeduped(docs: DataFrame): DataFrame = {
     val keep = docs
-      .groupBy(md5(lower(col("text"))).as("fp"))
+      .groupBy(md5(Cols.foldCase(col("text"))).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     docs.join(keep, Seq("doc_id"), "left_semi")
@@ -105,7 +105,7 @@ object Dedup {
     * case, punctuation or spacing collapse to one fingerprint. A pure
     * projection — rides the scan. */
   def normalizedFp(text: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]", " "), " +", " ")))
+    md5(trim(regexp_replace(regexp_replace(Cols.foldCase(text), "[^a-z0-9]", " "), " +", " ")))
 
   /** Per-source census of normalized-exact dedup: total docs, docs in a
     * >1-copy normalized group, and the keep/drop split under the

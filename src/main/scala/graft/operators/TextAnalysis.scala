@@ -90,7 +90,7 @@ object TextAnalysis {
     * stream as a left join + conditional count. */
   def vocabCoverage(docs: DataFrame, k: Int = 1000): DataFrame = {
     val tok = docs.select(col("source"),
-      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+      explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("token").asc).limit(k)
       .select(col("token"), lit(1L).as("in_vocab"))
@@ -253,7 +253,7 @@ object TextAnalysis {
     * the partial counts; the exact per-doc distinct for doc_freq rides the
     * same exchange via count(distinct doc_id) partial aggregation). */
   def vocabStats(docs: DataFrame, n: Int = 20): DataFrame =
-    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+    docs.select(col("doc_id"), explode(split(Cols.foldCase(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("term_freq"), countDistinct(col("doc_id")).as("doc_freq"))
@@ -270,7 +270,7 @@ object TextAnalysis {
     * top-k window. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tokens = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .select(col("doc_id"), explode(split(Cols.foldCase(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -311,7 +311,7 @@ object TextAnalysis {
   def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 10,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = docs.select(col("doc_id"),
-      filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+      filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0).as("toks"))
     val globals = base
       .agg(sum(size(col("toks"))).as("n_tokens"), count(lit(1)).as("n_docs"))
       .select((col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avgdl"),
@@ -356,8 +356,35 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the normalized text — the exact-dedup key.
     * (The rolling/shingle hashes used for near-dup live in [[Dedup]].) */
   def fingerprinted(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(lower(col("text"))).as("fingerprint"),
+    docs.select(col("doc_id"), md5(Cols.foldCase(col("text"))).as("fingerprint"),
       col("lang"), col("source"), col("n_chars"))
+
+  /** Case-fold impact census for [[Cols.foldCase]] — the audit a pipeline
+    * runs when pinning an explicit normalization step ahead of
+    * tokenization (COVERAGE's round-12 Unicode-probe prescription made a
+    * first-class operator, r14): per source, how many documents the fold
+    * actually rewrites, how many exact-identity classes the fold merges
+    * (distinct md5 before vs after — the fold-aware dedup impact), and
+    * the total character growth (ß → ss lengthens text; everything else
+    * is 1:1). On a pure-ASCII corpus `changed_docs` counts exactly the
+    * docs with uppercase letters and `chars_delta` is 0 — the census is
+    * still meaningful as a case-profile.
+    *
+    * Shape: ONE projection (the fold chain is codegen'd scalar work on
+    * the scan) + one hash aggregation by source; the two distinct-md5
+    * counts ride the same exchange as partial distinct aggregates. No
+    * joins, no windows — linear in corpus bytes at any scale. */
+  def foldAudit(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("text"),
+        Cols.foldCase(col("text")).as("folded"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        Cols.countWhen(col("folded") =!= col("text")).as("changed_docs"),
+        countDistinct(md5(col("text"))).as("raw_ids"),
+        countDistinct(md5(col("folded"))).as("folded_ids"),
+        coalesce(sum(length(col("folded")).cast("long")
+          - length(col("text")).cast("long")), lit(0L)).as("chars_delta"))
+      .orderBy(col("source"))
 
   // ------------------------------------------------------------- chunking
 
@@ -418,7 +445,7 @@ object TextAnalysis {
   def vocabGrowth(docs: DataFrame): DataFrame = {
     val first = docs
       .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+        explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
       .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
     val m = first.agg(max(col("first_doc")).as("m"))
     val grid = m.select(explode(expr(
@@ -480,6 +507,90 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(k)
+  }
+
+  /** BPE merge training, step 2 of Sennrich et al. 2016 (the step that
+    * makes [[bpePairs]]' candidate counting an end-to-end tokenizer-
+    * training story): run `rounds` merge rounds, each selecting the most
+    * frequent adjacent symbol pair (ties → lexicographically smaller
+    * (a, b) — the determinism rule) and applying it greedily
+    * left-to-right, non-overlapping, across the whole vocabulary.
+    * Returns the merge table — (round, pair_a, pair_b, merged,
+    * pair_count) — the artifact a BPE tokenizer ships.
+    *
+    * Representation doctrine (what makes the apply step exactly portable):
+    * each vocabulary word is held as its symbol sequence joined by TWO
+    * spaces with single-space padding (`" a  b  c  "`), so applying merge
+    * (a,b) is ONE plain (non-regex) `replace` of `" a  b "` with
+    * `" ab "` — and because a match consumes only the trailing single
+    * space of the pattern, the second space of each double delimiter is
+    * left to start the next match: consecutive occurrences all merge in
+    * one pass, while overlapping ones ("a a a" under (a,a)) merge
+    * greedily left-to-right exactly as BPE defines. Both engines'
+    * `replace` scan left-to-right without rescanning replaced output, so
+    * the oracle (which unrolls the same rounds as MATERIALIZED CTEs — the
+    * fixpoint-oracle doctrine) is byte-identical by construction.
+    *
+    * Scale shape: like step 1, every round runs on the VOCABULARY (one
+    * corpus-sized word count up front, then |vocab|-sized pair explodes /
+    * replaces) — the reason BPE training is feasible at 100 TB. Each
+    * round's 1-row argmax rides the plan as a broadcast single-row left
+    * join (`ON true`; a round with no pairs left merges nothing — the
+    * empty-frame guard), never a driver collect; the vocabulary frame is
+    * localCheckpointed per round so round N never replays rounds 1..N−1. */
+  def bpeMergeTable(docs: DataFrame, rounds: Int = 6): DataFrame =
+    bpeRounds(docs, rounds)._2
+
+  /** The tokenized-corpus census after [[bpeMergeTable]]'s merges: token
+    * mass by post-merge symbol, top `k` by (count desc, token asc) — the
+    * "what does the trained tokenizer actually emit on this corpus" view.
+    * Same vocabulary-sized train; the census explodes the final symbol
+    * sequences weighted by word frequency. */
+  def bpeTokenCensus(docs: DataFrame, rounds: Int = 6, k: Int = 30): DataFrame = {
+    val rep = bpeRounds(docs, rounds)._1
+    rep.select(col("freq"), explode(split(trim(col("rep")), "  ")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("token").asc).limit(k)
+  }
+
+  /** Shared BPE trainer: returns (final vocabulary representation frame,
+    * merge table). See [[bpeMergeTable]] for the doctrine. */
+  private def bpeRounds(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1)
+    val words = docs
+      .select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // " a  b  c  ": regexp (.) does not match \n in either engine, but the
+    // corpus contract is single-space-separated tokens with no newlines
+    var rep = words.select(
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1  ")).as("rep"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val pairs = rep.select(col("freq"), split(trim(col("rep")), "  ").as("l"))
+        .where(size(col("l")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("a"),
+              element_at(col("l"), i + 1).as("b")))).as("z"))
+        .select(col("freq"), col("z.a").as("a"), col("z.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("c"))
+      val m = pairs.orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
+        .localCheckpoint() // 1-row merge rule; feeds both rep' and the table
+      merges += m.select(lit(r.toLong).as("round"), col("a").as("pair_a"),
+        col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
+        col("c").as("pair_count"))
+      rep = rep.join(broadcast(m), lit(true), "left")
+        .select(
+          when(col("a").isNull, col("rep"))
+            .otherwise(replace(col("rep"),
+              concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
+              concat(lit(" "), col("a"), col("b"), lit(" ")))).as("rep"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    (rep, merges.reduce(_ unionAll _).orderBy(col("round")))
   }
 
   def bigramLmScores(docs: DataFrame): DataFrame = {
@@ -567,7 +678,7 @@ object TextAnalysis {
     * widen to DECIMAL(38,0) beyond. */
   def letterConcentration(docs: DataFrame): DataFrame = {
     val letters = docs.select(col("source"), col("doc_id"),
-        regexp_replace(lower(col("text")), "[^a-z]", "").as("t"))
+        regexp_replace(Cols.foldCase(col("text")), "[^a-z]", "").as("t"))
       .where(col("t") =!= "")
       .select(col("source"), col("doc_id"), explode(split(col("t"), "")).as("ch"))
       .where(col("ch") =!= "") // Spark's split("") emits a trailing ""
@@ -633,7 +744,7 @@ object TextAnalysis {
     * shorter tokens collides with closed-class words everywhere). */
   def typoRecoveryCensus(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+        posexplode(split(Cols.foldCase(col("text")), " ")).as(Seq("pos", "tok")))
       .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 4)
     val vocab = occ.select(col("tok").as("clean")).distinct()
     val h = Dedup.PortableHash(
@@ -678,7 +789,7 @@ object TextAnalysis {
     // and materialize once — each phrase term then probes the SMALL frame
     // instead of re-scanning and re-exploding the corpus per term.
     val toks = docs.select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+        posexplode(split(Cols.foldCase(col("text")), " ")).as(Seq("pos", "tok")))
       .where(col("tok").isin(dict: _*))
       .localCheckpoint(false)
     val perPhrase = phrases.map { ph =>
@@ -719,7 +830,7 @@ object TextAnalysis {
     * ratio. */
   def zipfOctaves(docs: DataFrame, maxRank: Long = 1024L): DataFrame = {
     val freq = docs
-      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .select(explode(split(Cols.foldCase(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val w = org.apache.spark.sql.expressions.Window
@@ -750,7 +861,7 @@ object TextAnalysis {
   def sourceVocabJaccard(docs: DataFrame): DataFrame = {
     val st = docs
       .select(col("source"),
-        explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+        explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
       .distinct()
       .localCheckpoint() // three consumers: both join sides + the sizes
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))

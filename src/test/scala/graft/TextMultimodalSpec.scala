@@ -153,6 +153,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == List(("ab", 5L), ("ba", 2L), ("cd", 1L)))
   }
 
+  test("BPE merge application: crafted cascade, greedy non-overlap, dry round") {
+    // word freqs: aaab→3, ab→1
+    // r1 pairs: (a,a)=6 (two per aaab — greedy LTR merges only the FIRST),
+    //           (a,b)=4 → merge (a,a): aaab→[aa,a,b]
+    // r2 pairs: (aa,a)=3, (a,b)=4 → merge (a,b): [aa,ab] / [ab]
+    // r3 pairs: (aa,ab)=3 → merge → [aaab] / [ab]
+    // r4: no pairs left → NO row (the empty-argmax guard), reps unchanged
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergeTable(docs, 4)
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(merges == List(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 4L),
+      (3L, "aa", "ab", "aaab", 3L)))
+    val census = TextAnalysis.bpeTokenCensus(docs, 4, 10)
+      .as[(String, Long)].collect().toList
+    assert(census == List(("aaab", 3L), ("ab", 1L)))
+  }
+
+  test("pinned case fold: probe classes and ASCII no-op") {
+    import graft.functions.Cols
+    val out = Seq("Straße", "ẞ", "ΣΟΦΙΑΣ", "τέλος", "İzmir", "ı", "Hello")
+      .toDF("s").select(Cols.foldCase(col("s"))).as[String].collect().toList
+    assert(out == List("strasse", "ss", "σοφιασ", "τέλοσ", "izmir", "i", "hello"))
+  }
+
+  test("fold audit: identity merges, char growth, per-source census") {
+    val docs = Seq(
+      (1L, "s1", "Straße"), (2L, "s1", "strasse"), (3L, "s2", "abc")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.foldAudit(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    // s1: "Straße" folds to "strasse" (changed, +1 char), identities merge 2→1
+    assert(got == List(("s1", 2L, 1L, 2L, 1L, 1L), ("s2", 1L, 0L, 1L, 1L, 0L)))
+  }
+
   test("hybrid search: rrf arithmetic, monotone order, rank bounds") {
     val out = graft.operators.Retrieval.hybridTopDocs(
       Tables.documents(spark, sf), Tables.embeddings(spark, sf),
