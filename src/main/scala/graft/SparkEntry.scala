@@ -135,7 +135,9 @@ object SparkEntry {
     "q_order_deciles_approx" -> ((s, d) => // histogram decile BOUNDARIES
       Relational.orderValueDecilesHist(s, d)),
     "q_salted_agg" -> ((s, d) => { // skew-aware two-stage aggregation
-      val ev = Tables.events(s, d)
+      // typed keys only (null-category doctrine, r14); the salting op
+      // itself stays key-generic
+      val ev = Tables.events(s, d).where(col("event_type").isNotNull)
       Skew.saltedSumCount(ev, Seq("event_type"),
           graft.functions.Cols.cents(col("value")), col("event_id"), 16)
         .select(col("event_type"),
@@ -227,6 +229,8 @@ object SparkEntry {
       TextAnalysis.bpeMergeTable(Tables.documents(s, d), 6)),
     "q_bpe_token_census" -> ((s, d) => // post-merge tokenized-corpus census
       TextAnalysis.bpeTokenCensus(Tables.documents(s, d), 6, 30)),
+    "q_bpe_fertility" -> ((s, d) => // pieces-per-word tokenizer fit by source
+      TextAnalysis.bpeFertility(Tables.documents(s, d), 6)),
     "q_vocab_growth" -> ((s, d) => // Heaps-law saturation audit
       TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     "q_fulfillment_latency" -> ((s, d) => // fact-to-fact join, bounded census
@@ -607,6 +611,10 @@ object SparkEntry {
       Sampling.balancedSample(Tables.embeddings(s, d))),
     "q_code_detect" -> ((s, d) => // code-vs-prose structural screen per source
       CorpusFilters.codeProseCensus(Tables.documents(s, d))),
+    "q_pii_census" -> ((s, d) => // email/ip/id/phone token screen per source
+      Redact.piiCensus(Tables.documents(s, d))),
+    "q_pii_redaction" -> ((s, d) => // sentinel-redaction identity-impact census
+      Redact.piiRedactionProfile(Tables.documents(s, d))),
     "q_zipf_octaves" -> ((s, d) => // log-free Zipf power-law readout
       TextAnalysis.zipfOctaves(Tables.documents(s, d))),
     "q_source_vocab_jaccard" -> ((s, d) => // lexical-overlap matrix between sources
@@ -742,7 +750,7 @@ object SparkEntry {
     val sb = new StringBuilder
     sb.append(
       """WITH r0 AS MATERIALIZED (
-        |  SELECT ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS rep,
+        |  SELECT word, ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS rep,
         |    count(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE length(word) > 0 GROUP BY word)""".stripMargin)
@@ -757,7 +765,7 @@ object SparkEntry {
         |m$r AS MATERIALIZED (
         |  SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
         |r$r AS MATERIALIZED (
-        |  SELECT CASE WHEN m.a IS NULL THEN t.rep
+        |  SELECT t.word, CASE WHEN m.a IS NULL THEN t.rep
         |    ELSE replace(t.rep, ' ' || m.a || '  ' || m.b || ' ',
         |                        ' ' || m.a || m.b || ' ') END AS rep, t.freq
         |  FROM r${r - 1} t LEFT JOIN m$r m ON true)""".stripMargin)
@@ -1969,7 +1977,8 @@ object SparkEntry {
          |) ORDER BY metric_key""".stripMargin,
 
     "q_event_type_distribution" ->
-      s"""WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+      s"""WITH c AS (SELECT event_type, count(*) AS cnt FROM events
+         |  WHERE event_type IS NOT NULL GROUP BY 1)
          |SELECT event_type, cnt,
          |  ${pct("cnt", "sum(cnt) OVER ()")} AS pct_of_total
          |FROM c ORDER BY event_type""".stripMargin,
@@ -2119,7 +2128,7 @@ object SparkEntry {
       """WITH dh AS (
         |  SELECT DISTINCT event_type,
         |    CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
         |n AS (SELECT event_type, count(*) AS exact_distinct FROM dh GROUP BY 1),
         |kth AS (
         |  SELECT event_type, h FROM (
@@ -2326,10 +2335,11 @@ object SparkEntry {
         |ORDER BY n_events DESC, entity ASC""".stripMargin,
 
     "q_last_window" ->
-      """WITH a AS (SELECT max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS anchor_sec FROM events)
+      """WITH e AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+        |a AS (SELECT max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS anchor_sec FROM e)
         |SELECT event_type, count(*) AS cnt,
         |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
-        |FROM events, a
+        |FROM e, a
         |WHERE CAST(epoch(date_trunc('second', ts)) AS BIGINT) > anchor_sec - 86400
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -2504,7 +2514,8 @@ object SparkEntry {
       """SELECT event_type,
         |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS total_value,
         |  count(*) AS rows
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Bucketization is invisible in the result: the oracle is the plain
     // range-predicate join against the same integer-arithmetic band table.
@@ -2922,13 +2933,15 @@ object SparkEntry {
     "q_streaming_complete_mode" ->
       """SELECT event_type, count(*) AS events,
         |  (CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0) AS revenue
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Double delivery is fully suppressed by within-watermark dedup state,
     // so the streamed result equals the plain batch census.
     "q_streaming_dedup" ->
       """SELECT event_type, count(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_price_quantiles" ->
       s"""SELECT o_orderpriority, count(*) AS orders,
@@ -3341,6 +3354,21 @@ object SparkEntry {
         "SELECT unnest(string_split(trim(rep), '  ')) AS token, freq FROM r6) s " +
         "GROUP BY token ORDER BY n_tokens DESC, token ASC LIMIT 30"),
 
+    // Mirror of TextAnalysis.bpeFertility: round-6 piece counts joined onto
+    // per-source word frequencies.
+    "q_bpe_fertility" -> bpeOracleSql(6,
+      s"""SELECT s.source, CAST(sum(s.n) AS BIGINT) AS words,
+         |  CAST(sum(s.n * p.pieces) AS BIGINT) AS pieces,
+         |  CAST(count(DISTINCT s.word) AS BIGINT) AS vocab,
+         |  ${q4("CAST(sum(s.n * p.pieces) AS DOUBLE) / CAST(sum(s.n) AS DOUBLE)")} AS fertility
+         |FROM (
+         |  SELECT source, word, count(*) AS n FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) w
+         |  WHERE length(word) > 0 GROUP BY 1, 2) s
+         |JOIN (SELECT word, len(string_split(trim(rep), '  ')) AS pieces FROM r6) p
+         |  USING (word)
+         |GROUP BY s.source ORDER BY s.source""".stripMargin),
+
     // Mirror of TextAnalysis.vocabGrowth: first-seen doc per token, the
     // same power-of-2 ∪ {max} threshold grid, vocab-sized membership join.
     "q_vocab_growth" ->
@@ -3610,7 +3638,7 @@ object SparkEntry {
         |  min(event_id) AS first_event_id,
         |  max(event_id) AS last_event_id,
         |  count(*) AS events
-        |FROM events WHERE user_id IS NOT NULL
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_purchase_baskets" ->
@@ -4057,7 +4085,7 @@ object SparkEntry {
         |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |          '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
         |        '[0-9]{2,}', '<NUM>', 'g')) AS red_len
-        |  FROM events)
+        |  FROM events WHERE event_type IS NOT NULL)
         |SELECT event_type, count(*) AS events,
         |  CAST(sum(runs) AS BIGINT) AS digit_runs,
         |  CAST(sum(raw_len) AS BIGINT) AS raw_chars,
@@ -4160,7 +4188,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lpv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_carry,
         |  CAST(sum(CASE WHEN lpv IS NOT NULL THEN CAST(floor(lpv * 100.0) AS BIGINT)
         |           ELSE 0 END) AS BIGINT) AS carry_cents
-        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM f WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Mirror of EventAnalytics.cooccurrenceCounts (windowSize=2): the same
     // per-user total order, one lag per offset, unordered-normalized pairs.
@@ -4566,7 +4595,7 @@ object SparkEntry {
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type,
          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-         |  FROM events),
+         |  FROM events WHERE event_type IS NOT NULL),
          |b AS (
          |  SELECT event_type AS next_type,
          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
@@ -5134,7 +5163,7 @@ object SparkEntry {
          |  SELECT event_type,
          |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
          |m AS (
          |  SELECT event_type, CAST(count(*) AS BIGINT) AS h,
          |    CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n * n) AS BIGINT) AS snn
@@ -5811,7 +5840,7 @@ object SparkEntry {
       s"""WITH t AS (
          |  SELECT event_type,
          |    CASE WHEN ${md5h48("'usplit:' || CAST(user_id AS VARCHAR)")} % 5 < 1 THEN 1 ELSE 0 END AS tst
-         |  FROM events WHERE user_id IS NOT NULL),
+         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
          |per AS (
          |  SELECT event_type,
          |    CAST(sum(1 - tst) AS BIGINT) AS train_n,
@@ -6015,7 +6044,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
         |    event_type
-        |  FROM events),
+        |  FROM events WHERE event_type IS NOT NULL),
         |ob AS (
         |  SELECT event_type, (day + 3) % 7 AS dow, count(*) AS o
         |  FROM e GROUP BY 1, 2),
@@ -6294,6 +6323,59 @@ object SparkEntry {
          |  ${pct("code_docs", "docs")} AS code_pct,
          |  ${pct("symbol_chars", "chars")} AS symbol_density_pct
          |FROM g ORDER BY source""".stripMargin,
+
+    // Mirror of CorpusFilters.piiCensus: anchored full-token grammars on
+    // suffix-stripped whitespace tokens (no \b — RE2's boundary is
+    // ASCII-only vs Java's Unicode-aware one), precedence
+    // email → ipv4 → national-id → phone.
+    "q_pii_census" ->
+      s"""WITH tk AS (
+         |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id,
+         |    CASE WHEN regexp_matches(t, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}$$') THEN 'email'
+         |         WHEN regexp_matches(t, '^([0-9]{1,3}\\.){3}[0-9]{1,3}$$') THEN 'ip'
+         |         WHEN regexp_matches(t, '^[0-9]{3}-[0-9]{2}-[0-9]{4}$$') THEN 'id'
+         |         WHEN regexp_matches(t, '^(\\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})$$') THEN 'phone'
+         |    END AS pii
+         |  FROM (SELECT source, doc_id,
+         |          regexp_replace(token, '[.,;:!?]+$$', '') AS t FROM tk) s),
+         |d AS (
+         |  SELECT source, doc_id, count(*) AS toks,
+         |    count(*) FILTER (WHERE pii = 'email') AS e,
+         |    count(*) FILTER (WHERE pii = 'ip') AS i,
+         |    count(*) FILTER (WHERE pii = 'id') AS nid,
+         |    count(*) FILTER (WHERE pii = 'phone') AS p
+         |  FROM c GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(count(*) FILTER (WHERE e + i + nid + p > 0) AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(e) AS BIGINT) AS email_tokens,
+         |  CAST(sum(i) AS BIGINT) AS ip_tokens,
+         |  CAST(sum(nid) AS BIGINT) AS id_tokens,
+         |  CAST(sum(p) AS BIGINT) AS phone_tokens,
+         |  CAST(sum(e + i + nid + p) AS BIGINT) AS pii_tokens,
+         |  CAST(sum(toks) AS BIGINT) AS tokens,
+         |  ${pct("sum(e + i + nid + p)", "sum(toks)")} AS pii_pct
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirror of CorpusFilters.piiRedactionProfile: whole-token sentinel
+    // replacement under the same grammars, identity census before/after.
+    "q_pii_redaction" ->
+      """WITH r AS (
+        |  SELECT source, text,
+        |    array_to_string(list_transform(string_split(text, ' '), tk ->
+        |      CASE WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\.[a-zA-Z]{2,}$') THEN '<EMAIL>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN '<IP>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^[0-9]{3}-[0-9]{2}-[0-9]{4}$') THEN '<ID>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^(\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})$') THEN '<PHONE>'
+        |           ELSE tk END), ' ') AS red
+        |  FROM documents)
+        |SELECT source, count(*) AS docs,
+        |  CAST(count(*) FILTER (WHERE red != text) AS BIGINT) AS redacted_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS raw_ids,
+        |  CAST(count(DISTINCT md5(red)) AS BIGINT) AS redacted_ids
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirror of TextAnalysis.zipfOctaves: vocabulary-bounded frequency
     // ranks, power-of-two rank selection, consecutive-octave ratio.

@@ -704,4 +704,5 @@ object CorpusFilters {
         Cols.pct4(col("symbol_chars"), col("chars")).as("symbol_density_pct"))
       .orderBy(col("source"))
   }
+
 }

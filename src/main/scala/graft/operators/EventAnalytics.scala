@@ -229,7 +229,11 @@ object EventAnalytics {
     * plan is: shuffle-agg by type → tiny broadcast-sized window. Fine at any
     * scale because the window input is |distinct types|. */
   def eventTypeDistribution(events: DataFrame): DataFrame = {
-    val counts = events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    // null-category doctrine (r14, the nulls-fuzz event_type extension):
+    // the distribution is over KNOWN types, and a null group would also
+    // hash-diverge on engine null-sort order
+    val counts = events.where(col("event_type").isNotNull)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     counts.select(
       col("event_type"), col("cnt"),
       Cols.pct4(col("cnt"), sum(col("cnt")).over(Window.partitionBy())).as("pct_of_total"))
@@ -314,7 +318,9 @@ object EventAnalytics {
   def typeTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
     val rowW = Window.partitionBy(col("prev_type"))
-    events
+    // null-category doctrine (r14): untyped events are dropped BEFORE the
+    // lag, so the chain skips them rather than emitting null-typed states
+    events.where(col("event_type").isNotNull)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
@@ -349,6 +355,9 @@ object EventAnalytics {
     * partition-order independent and engine-portable). */
   def lastKnownValueProfile(events: DataFrame): DataFrame =
     lastKnownValueFill(events)
+      // the FILL runs over every event; only the census keys drop the null
+      // type group (null-category doctrine, r14)
+      .where(col("event_type").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         Cols.countWhen(col("last_purchase_value").isNotNull).as("with_carry"),
@@ -597,7 +606,10 @@ object EventAnalytics {
     * streaming_processor.py:382-383, made deterministic: min_by/max_by on
     * the monotone event_id instead of order-dependent first()). */
   def firstLastPerUser(events: DataFrame): DataFrame =
-    events.where(col("user_id").isNotNull) // per-user census: identified users only
+    // identified users only; typed events only (null-category doctrine,
+    // r14 — DuckDB's arg_min/arg_max SKIP null values while Spark's
+    // min_by/max_by return them, so a null-typed endpoint hash-diverges)
+    events.where(col("user_id").isNotNull && col("event_type").isNotNull)
       .groupBy(col("user_id"))
       .agg(
         min_by(col("event_type"), col("event_id")).as("first_event_type"),
@@ -667,8 +679,11 @@ object EventAnalytics {
     * ecommerce-dashboard.json:18). The scalar max is computed as a subquery
     * joined by cross-broadcast — no driver collect. */
   def lastWindowCounts(events: DataFrame, windowSeconds: Long = 86400): DataFrame = {
-    val anchor = events.agg(max(col("ts_sec")).as("anchor_sec"))
-    events
+    // null-category doctrine (r14): typed events only — the anchor too, so
+    // both lanes window off the same filtered stream
+    val typed = events.where(col("event_type").isNotNull)
+    val anchor = typed.agg(max(col("ts_sec")).as("anchor_sec"))
+    typed
       .join(broadcast(anchor))
       .where(col("ts_sec") > col("anchor_sec") - windowSeconds)
       .groupBy(col("event_type"))

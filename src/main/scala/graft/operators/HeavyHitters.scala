@@ -43,7 +43,10 @@ object HeavyHitters {
     * corrupt the k-th order statistic. */
   def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
     val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
-    events.select(col("event_type"), h.as("h")).where(col("h").isNotNull).distinct()
+    // null-category doctrine (r14): known types only (the null group would
+    // also hash-diverge on engine null-sort order)
+    events.where(col("event_type").isNotNull)
+      .select(col("event_type"), h.as("h")).where(col("h").isNotNull).distinct()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_distinct"),
         graft.plans.TopKAggregate.topk(

@@ -538,7 +538,11 @@ object Hypothesis {
     * frame. Output: one row — n, table dims, chi2 (1e4-floored), dof,
     * and Cramér's V = sqrt(chi2/(n·min(r−1,c−1))) (1e4-floored). */
   def chisqIndependence(events: DataFrame): DataFrame = {
-    val observed = events
+    // null-category doctrine (r14, the typeMixDrift grid precedent): a
+    // null type level cannot match the completed grid's equi-join, so its
+    // row marginal collapses to 0 and e = 0 divides by zero — known types
+    // only, mirrored in the oracle
+    val observed = events.where(col("event_type").isNotNull)
       .withColumn("dow", (expr("ts_sec div 86400") + 3) % 7)
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Cols
+
 /** PII / sensitive-token redaction — the scrubbing stage a training-data
   * pipeline runs before text leaves the ingest zone. Patterns are RE2-safe
   * (character classes and counted repetition only — no lookarounds, no
@@ -40,7 +42,8 @@ object Redact {
     * stack) and measures the size delta redaction causes. */
   def eventsProfile(events: DataFrame): DataFrame = {
     val redacted = redactAll(col("props"))
-    events.select(col("event_type"),
+    // null-category doctrine (r14): the per-type census keeps known types
+    events.where(col("event_type").isNotNull).select(col("event_type"),
         size(regexp_extract_all(col("props"), lit("[0-9]{2,}"), lit(0))).cast("long").as("runs"),
         length(col("props")).cast("long").as("raw_len"),
         length(redacted).cast("long").as("red_len"))
@@ -50,5 +53,89 @@ object Redact {
         sum(col("raw_len")).as("raw_chars"),
         sum(col("red_len")).as("redacted_chars"))
       .orderBy(col("event_type"))
+  }
+
+  /** PII token patterns shared by [[piiCensus]] and [[piiRedactionProfile]].
+    * Portability doctrine: every pattern is anchored `^…$` and matched
+    * against individual whitespace tokens (suffix punctuation stripped),
+    * NEVER free-scanned with `\b` — RE2's word boundary is ASCII-only
+    * while Java's is Unicode-aware, so `\b` silently diverges next to
+    * non-ASCII letters (the unicode fuzz corpus has them). Anchored
+    * full-token match + an ASCII-only suffix strip keeps Spark and the
+    * DuckDB oracle byte-identical. Precedence email → ipv4 → national-id →
+    * phone; the id/phone grammars are disjoint ({2} vs {3,4} middle
+    * groups) but ipv4 must precede phone (a 10-12-digit run is not an ip,
+    * yet order is pinned anyway so the rule is total, not incidental). */
+  private val PiiSuffixStrip = "[.,;:!?]+$"
+  private val PiiEmail = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}$"
+  private val PiiIpv4  = "^([0-9]{1,3}\\.){3}[0-9]{1,3}$"
+  private val PiiId    = "^[0-9]{3}-[0-9]{2}-[0-9]{4}$"
+  private val PiiPhone = "^(\\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})$"
+
+  /** PII detection census — the privacy screen a training-data pipeline
+    * runs before release (emails, IPv4 addresses, SSN-shaped national
+    * ids, phone numbers): per source, how many documents carry at least
+    * one PII token, the per-class token counts, and the PII share of
+    * total token mass. Detection is per-token (see the pattern doctrine
+    * above) on the RAW text — no case fold: e-mail localparts are
+    * case-significant and all grammars here are caseless digits/symbols
+    * anyway.
+    *
+    * Shape: one explode + two hash aggregations (doc roll-up, then the
+    * bounded per-source census) — the standard token-census exchange,
+    * linear in corpus tokens, no joins. */
+  def piiCensus(docs: DataFrame): DataFrame = {
+    val t = regexp_replace(col("token"), PiiSuffixStrip, "")
+    val cls = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), col("doc_id"),
+        when(t.rlike(PiiEmail), "email").when(t.rlike(PiiIpv4), "ip")
+          .when(t.rlike(PiiId), "id").when(t.rlike(PiiPhone), "phone")
+          .as("pii"))
+    val perDoc = cls.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("toks"),
+        Cols.countWhen(col("pii") === "email").as("e"),
+        Cols.countWhen(col("pii") === "ip").as("i"),
+        Cols.countWhen(col("pii") === "id").as("d"),
+        Cols.countWhen(col("pii") === "phone").as("p"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        Cols.countWhen(col("e") + col("i") + col("d") + col("p") > 0L)
+          .as("docs_with_pii"),
+        sum(col("e")).as("email_tokens"), sum(col("i")).as("ip_tokens"),
+        sum(col("d")).as("id_tokens"), sum(col("p")).as("phone_tokens"),
+        sum(col("toks")).as("tokens"),
+        sum(col("e") + col("i") + col("d") + col("p")).as("pii_tokens"))
+      .select(col("source"), col("docs"), col("docs_with_pii"),
+        col("email_tokens"), col("ip_tokens"), col("id_tokens"),
+        col("phone_tokens"), col("pii_tokens"), col("tokens"),
+        Cols.pct4(col("pii_tokens"), col("tokens")).as("pii_pct"))
+      .orderBy(col("source"))
+  }
+
+  /** PII redaction profile — the remediation action behind [[piiCensus]]
+    * (same grammar set): every matching token is replaced whole by its
+    * class sentinel (`<EMAIL>`/`<IP>`/`<ID>`/`<PHONE>`), and the census
+    * reports, per source, how many documents were rewritten and how the
+    * exact-identity space changes under redaction (distinct md5 before vs
+    * after — redaction typically MERGES near-identical boilerplate that
+    * differed only in the embedded address). The rewrite is a single
+    * codegen'd higher-order transform over the token array — no UDFs, no
+    * shuffle before the census aggregation. */
+  def piiRedactionProfile(docs: DataFrame): DataFrame = {
+    val red = concat_ws(" ", transform(split(col("text"), " "), tk => {
+      val c = regexp_replace(tk, PiiSuffixStrip, "")
+      when(c.rlike(PiiEmail), lit("<EMAIL>")).when(c.rlike(PiiIpv4), lit("<IP>"))
+        .when(c.rlike(PiiId), lit("<ID>")).when(c.rlike(PiiPhone), lit("<PHONE>"))
+        .otherwise(tk)
+    }))
+    docs.select(col("source"), col("text"), red.as("red"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        Cols.countWhen(col("red") =!= col("text")).as("redacted_docs"),
+        countDistinct(md5(col("text"))).as("raw_ids"),
+        countDistinct(md5(col("red"))).as("redacted_ids"))
+      .orderBy(col("source"))
   }
 }

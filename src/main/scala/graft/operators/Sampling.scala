@@ -157,8 +157,8 @@ object Sampling {
     import graft.functions.Cols
     val isTest = Dedup.PortableHash(
       concat(lit("usplit:"), col("user_id").cast("string"))) % den < num
-    val per = events.where(col("user_id").isNotNull)
-      .select(col("event_type"), isTest.as("t"))
+    val per = events.where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), isTest.as("t")) // typed covariate only (r14)
       .groupBy(col("event_type"))
       .agg(Cols.countWhen(!col("t")).as("train_n"), Cols.countWhen(col("t")).as("test_n"))
     val totals = per.agg(sum(col("train_n")).as("tr_tot"), sum(col("test_n")).as("te_tot"))

@@ -914,7 +914,8 @@ object Stats {
     * hourly frame; the sample-variance/mean ratio is one fixed IEEE
     * expression per type (guarded for single-hour types). */
   def burstiness(events: DataFrame): DataFrame = {
-    val hourly = events
+    // null-category doctrine (r14): per-type dispersion — known types only
+    val hourly = events.where(col("event_type").isNotNull)
       .groupBy(col("event_type"),
         (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).as("hour_sec"))
       .agg(count(lit(1)).as("n"))

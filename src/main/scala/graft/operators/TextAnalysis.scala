@@ -553,8 +553,34 @@ object TextAnalysis {
       .orderBy(col("n_tokens").desc, col("token").asc).limit(k)
   }
 
-  /** Shared BPE trainer: returns (final vocabulary representation frame,
-    * merge table). See [[bpeMergeTable]] for the doctrine. */
+  /** Tokenizer fertility under the trained BPE — pieces emitted per
+    * whitespace word, by source: the tokenizer-fit metric multilingual
+    * pipelines watch (a source whose fertility runs high pays more
+    * sequence budget per word than the tokenizer was trained for). Runs
+    * the same [[bpeMergeTable]] rounds, then joins the |vocab|-sized
+    * piece counts back onto per-source word frequencies — corpus-sized
+    * work is ONE word count; everything after is vocabulary-sized. */
+  def bpeFertility(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val rep = bpeRounds(docs, rounds)._1
+    val pieces = rep.select(col("word"),
+      size(split(trim(col("rep")), "  ")).cast("long").as("pieces"))
+    val srcWords = docs.select(col("source"),
+        explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    srcWords.join(pieces, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("words"),
+        sum(col("n") * col("pieces")).as("pieces"),
+        countDistinct(col("word")).as("vocab"))
+      .select(col("source"), col("words"), col("pieces"), col("vocab"),
+        Cols.q4(col("pieces").cast("double") / col("words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared BPE trainer: returns (final vocabulary representation frame
+    * `(word, rep, freq)`, merge table). See [[bpeMergeTable]] for the
+    * doctrine. */
   private def bpeRounds(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1)
     val words = docs
@@ -562,7 +588,7 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     // " a  b  c  ": regexp (.) does not match \n in either engine, but the
     // corpus contract is single-space-separated tokens with no newlines
-    var rep = words.select(
+    var rep = words.select(col("word"),
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1  ")).as("rep"),
         col("freq"))
       .localCheckpoint()
@@ -582,7 +608,7 @@ object TextAnalysis {
         col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
         col("c").as("pair_count"))
       rep = rep.join(broadcast(m), lit(true), "left")
-        .select(
+        .select(col("word"),
           when(col("a").isNull, col("rep"))
             .otherwise(replace(col("rep"),
               concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),

@@ -45,6 +45,9 @@ object StreamingDedup {
     // no-data batch would only evict state we are about to discard
     MemorySinkRunner.run(spark, deduped, "graft_stream_dedup", shufflePartitions = 8,
         needNoDataBatch = false)
+      // dedup state processes every row; only the census drops the null
+      // type group (null-category doctrine, r14)
+      .where(col("event_type").isNotNull)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }

@@ -179,7 +179,8 @@ object StreamingHourly {
     val schema = stagedSchema(spark, path)
     val stream = spark.readStream.schema(schema).parquet(path)
 
-    val agg = stream.groupBy(col("event_type"))
+    // null-category doctrine (r14): the per-type census keeps known types
+    val agg = stream.where(col("event_type").isNotNull).groupBy(col("event_type"))
       .agg(count(lit(1)).as("events"),
         Cols.sumDec2When(col("event_type") === "purchase", col("value")).as("revenue"))
 

@@ -349,4 +349,29 @@ class CorpusFiltersSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("sampled") == minN,
       s"label=${r.getAs[Long]("label")} kept ${r.getAs[Long]("sampled")} != $minN"))
   }
+
+  test("PII census: anchored grammars, suffix strip, per-source mass") {
+    val docs = Seq(
+      (1L, "s1", "contact bob@example.com or 555-123-4567 now"),
+      (2L, "s1", "server at 10.0.0.1, ssn 123-45-6789."),
+      (3L, "s2", "clean text only")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.Redact.piiCensus(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toList
+    assert(got == List(
+      ("s1", 2L, 2L, 1L, 1L, 1L, 1L, 4L, 10L, 40.0),
+      ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 3L, 0.0)))
+  }
+
+  test("PII redaction profile: whole-token sentinels, identity census") {
+    val docs = Seq(
+      (1L, "s1", "contact bob@example.com or 555-123-4567 now"),
+      (2L, "s1", "server at 10.0.0.1, ssn 123-45-6789."),
+      (3L, "s2", "clean text only")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.Redact.piiRedactionProfile(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("s1", 2L, 2L, 2L, 2L), ("s2", 1L, 0L, 1L, 1L)))
+  }
 }

@@ -172,6 +172,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(census == List(("aaab", 3L), ("ab", 1L)))
   }
 
+  test("BPE fertility: pieces-per-word joined back by source") {
+    // rounds=2 on the cascade corpus: merges (a,a)->aa then (a,b)->ab, so
+    // aaab -> [aa, ab] (2 pieces), ab -> [ab] (1 piece)
+    val docs = Seq(
+      (1L, "s1", "aaab aaab ab"), (2L, "s2", "aaab")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.bpeFertility(docs, 2)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(("s1", 3L, 5L, 2L, 1.6666), ("s2", 1L, 2L, 1L, 2.0)))
+  }
+
   test("pinned case fold: probe classes and ASCII no-op") {
     import graft.functions.Cols
     val out = Seq("Straße", "ẞ", "ΣΟΦΙΑΣ", "τέλος", "İzmir", "ı", "Hello")
