@@ -269,8 +269,15 @@ object Bench {
     val baselineJson =
       f"""{"n":${Baseline43.size},"present":${baselinePresent.size},""" +
         f""""sum":${baselinePresent.map(_.best).sum}%.3f}"""
+    // run identity (r13 verdict #2): the stdout line the driver records and
+    // the sidecar this run writes carry the SAME id — an md5 of the
+    // per-query timings — so the round ledger can link them bit-for-bit
+    // and "which run is the committed record" is never ambiguous again
+    val runId = java.security.MessageDigest.getInstance("MD5")
+      .digest(qs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","run_id":"$runId","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // untruncated sidecar: the driver's recorded bench tail clips the first
     // ~20 query entries, so every run also lands the full per-query JSON on
@@ -293,7 +300,7 @@ object Bench {
       "\"" + k + "\":" + s"""{"t":$tCol,"gc_ms":$gc1$w$rt,"min":$minCol$e}"""
     }.mkString("{", ",", "}")
     val sidecarLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"calibration":$calJson,"families":$famJson,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","run_id":"$runId","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"calibration":$calJson,"families":$famJson,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "bench_full_latest.json") // cwd-relative: portable across machines
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),

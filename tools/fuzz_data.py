@@ -200,6 +200,8 @@ for t in TABLES:
                              WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 72
                                THEN upper(substr(text, 1, length(text) // 2))
                                     || substr(text, length(text) // 2 + 1)
+                             WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 80
+                               THEN text || ' contact admin@corp-mail.com at 192.168.10.20 or 555-867-5309 ref 987-65-4320.'
                              ELSE text END
                          END AS text
                        FROM {s})
