@@ -231,6 +231,10 @@ object SparkEntry {
       TextAnalysis.bpeTokenCensus(Tables.documents(s, d), 6, 30)),
     "q_bpe_fertility" -> ((s, d) => // pieces-per-word tokenizer fit by source
       TextAnalysis.bpeFertility(Tables.documents(s, d), 6)),
+    "q_length_curriculum" -> ((s, d) => // equal-mass length stages, histogram ranks
+      TextAnalysis.lengthCurriculum(Tables.documents(s, d), 4)),
+    "q_dedup_bias" -> ((s, d) => // kept-vs-dropped quality/mass skew of exact dedup
+      Dedup.dedupBiasAudit(Tables.documents(s, d))),
     "q_vocab_growth" -> ((s, d) => // Heaps-law saturation audit
       TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     "q_fulfillment_latency" -> ((s, d) => // fact-to-fact join, bounded census
@@ -3368,6 +3372,61 @@ object SparkEntry {
          |JOIN (SELECT word, len(string_split(trim(rep), '  ')) AS pieces FROM r6) p
          |  USING (word)
          |GROUP BY s.source ORDER BY s.source""".stripMargin),
+
+    // Mirror of TextAnalysis.lengthCurriculum: exact token-count histogram,
+    // cumulative-rank boundaries b_k = min{t : 4*cum >= k*n}, stage =
+    // 1 + #{boundaries strictly below} — all integer comparisons.
+    "q_length_curriculum" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS nt
+         |  FROM documents),
+         |h AS (SELECT nt, count(*) AS cnt FROM u GROUP BY 1),
+         |c AS (SELECT nt, sum(cnt) OVER (ORDER BY nt) AS cum,
+         |             sum(cnt) OVER () AS n FROM h),
+         |b AS (SELECT min(CASE WHEN 4 * cum >= 1 * n THEN nt END) AS b1,
+         |             min(CASE WHEN 4 * cum >= 2 * n THEN nt END) AS b2,
+         |             min(CASE WHEN 4 * cum >= 3 * n THEN nt END) AS b3 FROM c),
+         |s AS (
+         |  SELECT CAST(1 + (CASE WHEN u.nt > b.b1 THEN 1 ELSE 0 END)
+         |               + (CASE WHEN u.nt > b.b2 THEN 1 ELSE 0 END)
+         |               + (CASE WHEN u.nt > b.b3 THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+         |    u.nt, u.source
+         |  FROM u CROSS JOIN b)
+         |SELECT stage, count(*) AS docs, CAST(sum(nt) AS BIGINT) AS tokens,
+         |  CAST(min(nt) AS BIGINT) AS min_tok, CAST(max(nt) AS BIGINT) AS max_tok,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS sources,
+         |  ${pct("count(*)", "sum(count(*)) OVER ()")} AS doc_share_pct
+         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // Mirror of Dedup.dedupBiasAudit: keep-lowest-id per folded-content
+    // fingerprint, kept/dropped mass + mean 1e-4-unit quality per source.
+    "q_dedup_bias" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks,
+         |    md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fp
+         |  FROM documents),
+         |k AS (SELECT fp, min(doc_id) AS keep_id FROM t GROUP BY fp),
+         |s AS (
+         |  SELECT t.source,
+         |    CASE WHEN t.doc_id = k.keep_id THEN 1 ELSE 0 END AS kept,
+         |    CAST(len(list_filter(t.toks, x -> len(x) > 0)) AS BIGINT) AS nt,
+         |    CAST(floor(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+         |      + least(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0, 1.0)
+         |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0)) / 3.0) * 10000.0) AS BIGINT) AS qual_u
+         |  FROM t JOIN k USING (fp))
+         |SELECT source, count(*) AS docs,
+         |  CAST(count(*) FILTER (WHERE kept = 0) AS BIGINT) AS dropped_docs,
+         |  CAST(sum(nt) AS BIGINT) AS tokens,
+         |  CAST(sum(CASE WHEN kept = 0 THEN nt ELSE 0 END) AS BIGINT) AS dropped_tokens,
+         |  ${pct("sum(CASE WHEN kept = 0 THEN nt ELSE 0 END)", "sum(nt)")} AS dropped_token_pct,
+         |  CASE WHEN count(*) FILTER (WHERE kept = 1) > 0
+         |    THEN ${q4("CAST(sum(CASE WHEN kept = 1 THEN qual_u ELSE 0 END) AS DOUBLE) / 10000.0 / CAST(count(*) FILTER (WHERE kept = 1) AS DOUBLE)")}
+         |    ELSE 0.0 END AS kept_mean_quality,
+         |  CASE WHEN count(*) FILTER (WHERE kept = 0) > 0
+         |    THEN ${q4("CAST(sum(CASE WHEN kept = 0 THEN qual_u ELSE 0 END) AS DOUBLE) / 10000.0 / CAST(count(*) FILTER (WHERE kept = 0) AS DOUBLE)")}
+         |    ELSE 0.0 END AS dropped_mean_quality
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirror of TextAnalysis.vocabGrowth: first-seen doc per token, the
     // same power-of-2 ∪ {max} threshold grid, vocab-sized membership join.

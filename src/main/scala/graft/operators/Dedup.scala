@@ -894,4 +894,49 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Dedup selection-bias audit — the census a pipeline reads after exact
+    * dedup to see WHAT the keep-lowest-id rule removed, per source: doc
+    * and token mass dropped, and the mean quality (the
+    * [[TextAnalysis.qualityScored]] 1e-4-unit score) of kept vs dropped
+    * documents. Duplicated mass is usually template/boilerplate, so a
+    * dropped-quality mean well below the kept mean is the expected
+    * healthy signature; parity instead warns that dedup is eating
+    * original prose (e.g. a mirrored feed). A source CAN lose all its
+    * docs (the survivor of a cross-source cluster belongs to whichever
+    * source holds the lowest id) — both means are zero-guarded.
+    *
+    * Shape: one fingerprint window (partition = fp; a hot fingerprint is
+    * a dup cluster, the object of study) to flag survivors, one join back
+    * onto the |docs|-row unit frame, one per-source hash aggregation. */
+  def dedupBiasAudit(docs: DataFrame): DataFrame = {
+    val keepW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    val flagged = docs
+      .select(col("doc_id"), md5(Cols.foldCase(col("text"))).as("fp"))
+      .withColumn("kept",
+        (col("doc_id") === min(col("doc_id")).over(keepW)).cast("long"))
+      .select(col("doc_id"), col("kept"))
+    val u = TextAnalysis.budgetUnits(docs)
+    u.join(flagged, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        Cols.countWhen(col("kept") === 0L).as("dropped_docs"),
+        sum(col("n_tok")).as("tokens"),
+        sum(when(col("kept") === 0L, col("n_tok")).otherwise(0L)).as("dropped_tokens"),
+        sum(when(col("kept") === 1L, col("qual_u")).otherwise(0L)).as("kq"),
+        sum(when(col("kept") === 0L, col("qual_u")).otherwise(0L)).as("dq"))
+      .select(col("source"), col("docs"), col("dropped_docs"),
+        col("tokens"), col("dropped_tokens"),
+        Cols.pct4(col("dropped_tokens"), col("tokens")).as("dropped_token_pct"),
+        when(col("docs") - col("dropped_docs") > 0L,
+          Cols.q4(col("kq").cast("double") / 10000.0
+            / (col("docs") - col("dropped_docs")).cast("double")))
+          .otherwise(lit(0.0)).as("kept_mean_quality"),
+        when(col("dropped_docs") > 0L,
+          Cols.q4(col("dq").cast("double") / 10000.0
+            / col("dropped_docs").cast("double")))
+          .otherwise(lit(0.0)).as("dropped_mean_quality"))
+      .orderBy(col("source"))
+  }
 }

@@ -359,6 +359,49 @@ object TextAnalysis {
     docs.select(col("doc_id"), md5(Cols.foldCase(col("text"))).as("fingerprint"),
       col("lang"), col("source"), col("n_chars"))
 
+  /** Length-quantile curriculum assignment — stage documents into
+    * `stages` equal-mass length bands (short → long), the standard
+    * length-based curriculum / sequence-bucketing step a training
+    * pipeline runs before batch packing. Reports per stage: doc and
+    * token mass, the realized token-count range, source diversity, and
+    * the doc share.
+    *
+    * Boundary doctrine (the [[Relational.priceQuantilesHist]] shape —
+    * NO global sort, NO ntile): token counts are already integers, so
+    * the exact-count histogram (|distinct n_tok| ≤ max doc length rows)
+    * is the full distribution; a cumulative window over that bounded
+    * frame yields stage boundaries b_k = min{t : stages·cum(t) ≥ k·n}
+    * — pure integer comparisons, engine-exact — and each doc's stage is
+    * 1 + #{boundaries strictly below its count} via a broadcast of the
+    * (stages−1)-value boundary row. At 100 TB the per-row work is one
+    * histogram aggregation and one broadcast comparison. */
+  def lengthCurriculum(docs: DataFrame, stages: Int = 4): DataFrame = {
+    require(stages >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+    val u = budgetUnits(docs).select(col("doc_id"), col("source"), col("n_tok"))
+    val hist = u.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("n_tok"),
+      sum(col("cnt")).over(w.orderBy(col("n_tok"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)).as("cum"),
+      sum(col("cnt")).over(w.partitionBy()).as("n"))
+    val bcols = (1 until stages).map(k =>
+      min(when(lit(stages.toLong) * col("cum") >= lit(k.toLong) * col("n"),
+        col("n_tok"))).as(s"b$k"))
+    val bounds = cum.agg(bcols.head, bcols.tail: _*)
+    val staged = u.crossJoin(broadcast(bounds))
+      .withColumn("stage", (1 until stages).foldLeft(lit(1L)) { (acc, k) =>
+        acc + when(col("n_tok") > col(s"b$k"), 1L).otherwise(0L) })
+    staged.groupBy(col("stage"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+        countDistinct(col("source")).as("sources"))
+      .select(col("stage"), col("docs"), col("tokens"), col("min_tok"),
+        col("max_tok"), col("sources"),
+        Cols.pct4(col("docs"), sum(col("docs")).over(w.partitionBy()))
+          .as("doc_share_pct"))
+      .orderBy(col("stage"))
+  }
+
   /** Case-fold impact census for [[Cols.foldCase]] — the audit a pipeline
     * runs when pinning an explicit normalization step ahead of
     * tokenization (COVERAGE's round-12 Unicode-probe prescription made a

@@ -183,6 +183,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == List(("s1", 3L, 5L, 2L, 1.6666), ("s2", 1L, 2L, 1L, 2.0)))
   }
 
+  test("length curriculum: histogram-rank boundaries, equal-mass stages") {
+    // n_tok 1..8, stages 4 -> boundaries b_k = min{t : 4*cum >= k*8} = 2,4,6
+    val docs = (1 to 8).map { k =>
+      val tx = Seq.fill(k)("t").mkString(" ")
+      (k.toLong, "s", tx, "en", tx.length.toLong)
+    }.toDF("doc_id", "source", "text", "lang", "n_chars")
+    val got = TextAnalysis.lengthCurriculum(docs, 4)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 2L, 3L, 1L, 2L, 1L, 25.0), (2L, 2L, 7L, 3L, 4L, 1L, 25.0),
+      (3L, 2L, 11L, 5L, 6L, 1L, 25.0), (4L, 2L, 15L, 7L, 8L, 1L, 25.0)))
+  }
+
+  test("dedup bias audit: cross-source survivor, kept vs dropped means") {
+    val docs = Seq(
+      (1L, "s1", "dup text one"), (2L, "s1", "dup text one"),
+      (3L, "s2", "dup text one"), (4L, "s2", "unique two")
+    ).map { case (id, src, tx) => (id, src, tx, "en", tx.length.toLong) }
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+    val got = graft.operators.Dedup.dedupBiasAudit(docs)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toList
+    // fp("dup text one") keeps doc 1 (s1); docs 2 and 3 drop — s2 loses a
+    // doc to a survivor held by s1. qual_u = 3333 for every doc here
+    // (ttr-only signal), so both means read 0.3333.
+    assert(got == List(
+      ("s1", 2L, 1L, 6L, 3L, 50.0, 0.3333, 0.3333),
+      ("s2", 2L, 1L, 5L, 3L, 60.0, 0.3333, 0.3333)))
+  }
+
   test("pinned case fold: probe classes and ASCII no-op") {
     import graft.functions.Cols
     val out = Seq("Straße", "ẞ", "ΣΟΦΙΑΣ", "τέλος", "İzmir", "ı", "Hello")
