@@ -364,6 +364,24 @@ class CorpusFiltersSpec extends SparkSpec {
       ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 3L, 0.0)))
   }
 
+  test("PII grammar boundaries: suffix-only strip, leading punct blocks") {
+    val docs = Seq(
+      (1L, "s", "(bob@example.com stays because leading paren survives"),
+      (2L, "s", "10.0.0.256 is-not-an-ip-grammar-问题 but 10.0.0.25 is"),
+      (3L, "s", "5551234567 bare ten digits is a phone 555123456789013 is not")
+    ).toDF("doc_id", "source", "text")
+    val r = graft.operators.Redact.piiCensus(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    // only the clean ip and the bare 10-digit phone match: the leading
+    // "(" is not stripped (suffix-only rule), 256 octets still fit the
+    // 1-3-digit grammar? no — "10.0.0.256" matches [0-9]{1,3} per octet,
+    // so it IS counted: the grammar is shape-level, stated in scaladoc
+    assert(r._4 == 0L)                  // no emails (leading paren blocks)
+    assert(r._5 == 2L)                  // both dotted quads count (shape-level)
+    assert(r._7 == 1L)                  // one phone: 10 digits, not 15
+  }
+
   test("PII redaction profile: whole-token sentinels, identity census") {
     val docs = Seq(
       (1L, "s1", "contact bob@example.com or 555-123-4567 now"),

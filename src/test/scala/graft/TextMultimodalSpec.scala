@@ -183,6 +183,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == List(("s1", 3L, 5L, 2L, 1.6666), ("s2", 1L, 2L, 1L, 2.0)))
   }
 
+  test("pinned case fold: idempotent, and char mass grows only via ß/ẞ") {
+    import graft.functions.Cols
+    val corpus = Tables.documents(spark, sf)
+      .select(col("text"), Cols.foldCase(col("text")).as("f1"))
+      .select(col("text"), col("f1"), Cols.foldCase(col("f1")).as("f2"),
+        (length(col("f1")) - length(col("text"))).as("delta"),
+        (length(col("text"))
+          - length(translate(col("text"), "ßẞ", ""))).as("eszetts"))
+    // fold(fold(x)) == fold(x): the fold is a projection, safe to re-apply
+    assert(corpus.where(col("f1") =!= col("f2")).count() == 0)
+    // every char of growth is one ß/ẞ -> ss expansion; nothing shrinks
+    assert(corpus.where(col("delta") =!= col("eszetts")).count() == 0)
+  }
+
+  test("BPE census conserves character mass: merging never loses a char") {
+    // sum(len(token) * n_tokens) over the FULL census == total word-char
+    // mass: every merge concatenates, never drops
+    val docs = Tables.documents(spark, sf)
+    val census = TextAnalysis.bpeTokenCensus(docs, 4, Int.MaxValue)
+      .agg(sum(length(col("token")).cast("long") * col("n_tokens"))).head().getLong(0)
+    val mass = docs.select(explode(
+        filter(split(col("text"), " "), t => length(t) > 0)).as("w"))
+      .agg(sum(length(col("w")).cast("long"))).head().getLong(0)
+    assert(census == mass, s"census char mass $census != corpus word mass $mass")
+  }
+
   test("length curriculum: histogram-rank boundaries, equal-mass stages") {
     // n_tok 1..8, stages 4 -> boundaries b_k = min{t : 4*cum >= k*8} = 2,4,6
     val docs = (1 to 8).map { k =>
