@@ -6097,7 +6097,7 @@ object SparkEntry {
          |  CASE WHEN n_docs * n_docs - (ras * rbs + ram * rbm + ral * rbl) > 0
          |    THEN ${q4("CAST(n_docs * agree - (ras * rbs + ram * rbm + ral * rbl) AS DOUBLE) / CAST(n_docs * n_docs - (ras * rbs + ram * rbm + ral * rbl) AS DOUBLE)")}
          |    ELSE 0.0 END AS kappa
-         |FROM g ORDER BY source ASC NULLS FIRST""".stripMargin,
+         |FROM g WHERE n_docs > 0 ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "q_chisq_independence" ->
       """WITH e AS (
@@ -6383,7 +6383,7 @@ object SparkEntry {
          |  ${pct("symbol_chars", "chars")} AS symbol_density_pct
          |FROM g ORDER BY source""".stripMargin,
 
-    // Mirror of CorpusFilters.piiCensus: anchored full-token grammars on
+    // Mirror of Redact.piiCensus: anchored full-token grammars on
     // suffix-stripped whitespace tokens (no \b — RE2's boundary is
     // ASCII-only vs Java's Unicode-aware one), precedence
     // email → ipv4 → national-id → phone.
@@ -6393,13 +6393,13 @@ object SparkEntry {
          |  FROM documents),
          |c AS (
          |  SELECT source, doc_id,
-         |    CASE WHEN regexp_matches(t, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}$$') THEN 'email'
-         |         WHEN regexp_matches(t, '^([0-9]{1,3}\\.){3}[0-9]{1,3}$$') THEN 'ip'
-         |         WHEN regexp_matches(t, '^[0-9]{3}-[0-9]{2}-[0-9]{4}$$') THEN 'id'
-         |         WHEN regexp_matches(t, '^(\\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})$$') THEN 'phone'
+         |    CASE WHEN regexp_matches(t, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}\\z') THEN 'email'
+         |         WHEN regexp_matches(t, '^([0-9]{1,3}\\.){3}[0-9]{1,3}\\z') THEN 'ip'
+         |         WHEN regexp_matches(t, '^[0-9]{3}-[0-9]{2}-[0-9]{4}\\z') THEN 'id'
+         |         WHEN regexp_matches(t, '^(\\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})\\z') THEN 'phone'
          |    END AS pii
          |  FROM (SELECT source, doc_id,
-         |          regexp_replace(token, '[.,;:!?]+$$', '') AS t FROM tk) s),
+         |          regexp_replace(token, '[.,;:!?]+\\z', '') AS t FROM tk) s),
          |d AS (
          |  SELECT source, doc_id, count(*) AS toks,
          |    count(*) FILTER (WHERE pii = 'email') AS e,
@@ -6418,16 +6418,16 @@ object SparkEntry {
          |  ${pct("sum(e + i + nid + p)", "sum(toks)")} AS pii_pct
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
-    // Mirror of CorpusFilters.piiRedactionProfile: whole-token sentinel
+    // Mirror of Redact.piiRedactionProfile: whole-token sentinel
     // replacement under the same grammars, identity census before/after.
     "q_pii_redaction" ->
       """WITH r AS (
         |  SELECT source, text,
         |    array_to_string(list_transform(string_split(text, ' '), tk ->
-        |      CASE WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\.[a-zA-Z]{2,}$') THEN '<EMAIL>'
-        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^([0-9]{1,3}\.){3}[0-9]{1,3}$') THEN '<IP>'
-        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^[0-9]{3}-[0-9]{2}-[0-9]{4}$') THEN '<ID>'
-        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+$', ''), '^(\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})$') THEN '<PHONE>'
+        |      CASE WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\.[a-zA-Z]{2,}\z') THEN '<EMAIL>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^([0-9]{1,3}\.){3}[0-9]{1,3}\z') THEN '<IP>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^[0-9]{3}-[0-9]{2}-[0-9]{4}\z') THEN '<ID>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^(\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})\z') THEN '<PHONE>'
         |           ELSE tk END), ' ') AS red
         |  FROM documents)
         |SELECT source, count(*) AS docs,

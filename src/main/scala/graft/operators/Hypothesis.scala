@@ -617,10 +617,13 @@ object Hypothesis {
     val rb = when(nTok < 40L, "short")
       .when(nTok < 200L, "mid").otherwise("long")
     val rated = docs.select(col("source"), ra.as("ra"), rb.as("rb"))
-    // coalesce(countWhen, 0): on a completely EMPTY corpus the ROLLUP
-    // grand-total grouping set still emits one row, where sum-based
-    // countWhen yields NULL while the oracle's count(*) FILTER yields 0
-    // (r13 ADVICE) — pin the zero so the strict compare holds on empty
+    // Empty-corpus contract (r13 ADVICE, corrected r14 self-review):
+    // Spark's rollup emits ZERO rows on empty input while DuckDB's
+    // GROUP BY ROLLUP emits the 0-count grand-total row — so the oracle
+    // drops it (WHERE n_docs > 0) and both lanes agree on an empty frame.
+    // On non-empty input every group has >= 1 row, so the coalesces and
+    // the n_docs guard below are defensive belt-and-braces, not load-
+    // bearing.
     val g = rated.rollup(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(Cols.countWhen(col("ra") === col("rb")), lit(0L)).as("agree"),

@@ -56,21 +56,25 @@ object Redact {
   }
 
   /** PII token patterns shared by [[piiCensus]] and [[piiRedactionProfile]].
-    * Portability doctrine: every pattern is anchored `^…$` and matched
+    * Portability doctrine: every pattern is anchored `^…\z` and matched
     * against individual whitespace tokens (suffix punctuation stripped),
     * NEVER free-scanned with `\b` — RE2's word boundary is ASCII-only
     * while Java's is Unicode-aware, so `\b` silently diverges next to
-    * non-ASCII letters (the unicode fuzz corpus has them). Anchored
-    * full-token match + an ASCII-only suffix strip keeps Spark and the
-    * DuckDB oracle byte-identical. Precedence email → ipv4 → national-id →
+    * non-ASCII letters (the unicode fuzz corpus has them) — and the
+    * anchors are `^…\z`, never `…$`: Java's `$` matches BEFORE a final
+    * newline while RE2's matches only at end-of-string, so a token
+    * carrying a trailing newline would classify differently (r14
+    * self-review finding, probed in both engines); `\z` is absolute
+    * end-of-text in both. Anchored full-token match + an ASCII-only
+    * suffix strip keeps Spark and the DuckDB oracle byte-identical. Precedence email → ipv4 → national-id →
     * phone; the id/phone grammars are disjoint ({2} vs {3,4} middle
     * groups) but ipv4 must precede phone (a 10-12-digit run is not an ip,
     * yet order is pinned anyway so the rule is total, not incidental). */
-  private val PiiSuffixStrip = "[.,;:!?]+$"
-  private val PiiEmail = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}$"
-  private val PiiIpv4  = "^([0-9]{1,3}\\.){3}[0-9]{1,3}$"
-  private val PiiId    = "^[0-9]{3}-[0-9]{2}-[0-9]{4}$"
-  private val PiiPhone = "^(\\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})$"
+  private val PiiSuffixStrip = "[.,;:!?]+\\z"
+  private val PiiEmail = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}\\z"
+  private val PiiIpv4  = "^([0-9]{1,3}\\.){3}[0-9]{1,3}\\z"
+  private val PiiId    = "^[0-9]{3}-[0-9]{2}-[0-9]{4}\\z"
+  private val PiiPhone = "^(\\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})\\z"
 
   /** PII detection census — the privacy screen a training-data pipeline
     * runs before release (emails, IPv4 addresses, SSN-shaped national

@@ -382,6 +382,16 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(r._7 == 1L)                  // one phone: 10 digits, not 15
   }
 
+  test("PII anchors are \\z-absolute: a trailing newline blocks the match") {
+    // Java's `$` matches before a final newline; RE2's does not — the \z
+    // anchors make Spark refuse the match exactly like the DuckDB oracle
+    val docs = Seq((1L, "s", "ssn 123-45-6789\n")).toDF("doc_id", "source", "text")
+    val r = graft.operators.Redact.piiCensus(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(r._7 == 0L && r._3 == 0L, s"newline-carrying token must not classify: $r")
+  }
+
   test("PII redaction profile: whole-token sentinels, identity census") {
     val docs = Seq(
       (1L, "s1", "contact bob@example.com or 555-123-4567 now"),

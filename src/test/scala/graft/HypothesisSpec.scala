@@ -526,4 +526,12 @@ class HypothesisSpec extends SparkSpec {
       ("b", 2L, 0L, 0.0, -1.0),
       ("c", 2L, 2L, 1.0, 0.0)), s"got $got")
   }
+
+  test("rater kappa: empty corpus emits zero rows (matches oracle's n_docs>0)") {
+    import spark.implicits._
+    // Spark's rollup emits no rows on empty input; DuckDB's ROLLUP emits a
+    // 0-count grand total that the oracle drops — both lanes agree on 0
+    val empty = Seq.empty[(String, Long, String)].toDF("source", "n_chars", "text")
+    assert(Hypothesis.raterKappa(empty).count() == 0)
+  }
 }
