@@ -6895,7 +6895,7 @@ object SparkEntry {
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type,
          |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-         |  FROM events),
+         |  FROM events WHERE event_type IS NOT NULL),
          |b AS (
          |  SELECT event_type AS dst,
          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS src

@@ -540,7 +540,7 @@ object CorpusFilters {
     *   1. quality gate (length band + TTR + stopword + repetition — the
     *      [[qualityGateProfile]] rule stack);
     *   2. exact dedup among gate survivors (keep lowest doc_id per
-    *      md5(lower(text)) — [[Dedup.exactDeduped]]'s survivor rule);
+    *      md5(foldCase(text)) — [[Dedup.exactDeduped]]'s survivor rule);
     *   3. benchmark holdout (hash-designated eval split, held out rather
     *      than dropped) and contamination (≥ `minShared` 3-grams shared
     *      with the held-out set — [[decontaminatedProfile]]'s rule);

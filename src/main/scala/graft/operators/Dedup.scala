@@ -906,17 +906,23 @@ object Dedup {
     * docs (the survivor of a cross-source cluster belongs to whichever
     * source holds the lowest id) — both means are zero-guarded.
     *
-    * Shape: one fingerprint window (partition = fp; a hot fingerprint is
-    * a dup cluster, the object of study) to flag survivors, one join back
-    * onto the |docs|-row unit frame, one per-source hash aggregation. */
+    * Shape: the survivor per fingerprint comes from `groupBy(fp).agg(min)`
+    * — map-side partial combine, so a mega duplicate cluster (10 M copies
+    * of one boilerplate template is exactly what this audit studies)
+    * reduces locally before any exchange — then ONE equi-join of the
+    * |fp|-row keeper frame back onto the doc frame (AQE-splittable if a
+    * hot fp still dominates a join partition), one join onto the
+    * |docs|-row unit frame, one per-source hash aggregation. A
+    * `Window.partitionBy(fp)` flag would compute the same thing but move
+    * every row of the hottest cluster through a single task — the shape
+    * [[exactDeduped]] already avoids, so this audit avoids it too. */
   def dedupBiasAudit(docs: DataFrame): DataFrame = {
-    val keepW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp"))
-    val flagged = docs
+    val fps = docs
       .select(col("doc_id"), md5(Cols.foldCase(col("text"))).as("fp"))
-      .withColumn("kept",
-        (col("doc_id") === min(col("doc_id")).over(keepW)).cast("long"))
-      .select(col("doc_id"), col("kept"))
+    val keepers = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val flagged = fps.join(keepers, "fp")
+      .select(col("doc_id"),
+        (col("doc_id") === col("keep_id")).cast("long").as("kept"))
     val u = TextAnalysis.budgetUnits(docs)
     u.join(flagged, "doc_id")
       .groupBy(col("source"))

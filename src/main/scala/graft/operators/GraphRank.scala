@@ -413,7 +413,12 @@ object GraphRank {
                        scale: Long = 1000000000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    // null-category doctrine (same rule as typeTransitions): a null-typed
+    // event is no state — skip it BEFORE the lag so it neither emits a
+    // NULL chain state nor breaks a real A→B adjacency into A→NULL/NULL→B.
+    // The oracle's `e` CTE filters identically.
     val trans = events
+      .where(col("event_type").isNotNull)
       .withColumn("src", lag(col("event_type"), 1).over(w))
       .where(col("src").isNotNull)
       .groupBy(col("src"), col("event_type").as("dst"))

@@ -103,7 +103,22 @@ object Stats {
     * doctrine — no per-round jobs, no driver loop), with the per-day
     * (level, trend) path accumulated in the struct and exploded back to
     * rows. The day list is calendar-bounded (the [[theilSenDailyRevenue]]
-    * posture), so the collected array is O(days), not O(rows). */
+    * posture), so the collected array is O(days), not O(rows).
+    *
+    * FORMAL SCALE ACCEPTANCE (ADVICE r13 #3, closed r15): the
+    * `concat(acc.out, array(…))` path emit copies the accumulated array
+    * each step — O(days²) element copies per group. Unlike the sibling
+    * [[cusumDailyVolume]] (whose max(0, prev+d) recurrence solved to an
+    * exact O(days) windowed reflection form), this coupled (l, b) pair is
+    * div-TRUNCATED each step, which destroys the linearity any closed
+    * form or block-parallel scan would need — the fold is irreducibly
+    * sequential, and the only removable cost is the path copy. Accepted
+    * with arithmetic: the frame is calendar-bounded, so a 10-year corpus
+    * is 3 653 days → ≤ 3 653²/2 ≈ 6.7 M 4-field struct copies ONCE per
+    * priority group (5 groups), ~10⁸ word moves total — milliseconds on
+    * one core, independent of corpus row count (100 TB changes the hash
+    * agg below this, not the fold). Revisit only if the day axis ever
+    * becomes unbounded (e.g. per-minute grain → 5.3 M rows/decade). */
   def holtLinearDailyRevenue(orders: DataFrame, alphaPct: Int = 30,
                              betaPct: Int = 20): DataFrame = {
     require(alphaPct >= 0 && alphaPct <= 100 && betaPct >= 0 && betaPct <= 100)
@@ -210,36 +225,41 @@ object Stats {
     * no floats anywhere.
     *
     * Shape: one hash agg to the calendar-bounded daily frame, then the
-    * whole recurrence as ONE `aggregate()` expression over the sorted day
-    * list (the [[holtLinearDailyRevenue]] / Spectral.powerIteration
-    * doctrine), exploded back to one row per day. */
+    * recurrence via the EXACT Lindley-reflection closed form instead of a
+    * sequential fold: cp_t = max(0, cp_{t−1} + d_t) with additive integer
+    * increments d_t solves to cp_t = S_t − min(0, min_{j≤t} S_j) over the
+    * prefix sums S (the reflected-walk identity — pure integer adds, so
+    * bit-identical to the recurrence on any engine; the oracle runs the
+    * raw recursive CTE and hash-matches). That makes the whole detector
+    * two cumulative window passes over the calendar-bounded daily frame —
+    * O(days) work, no O(days²) path concat (the shape ADVICE r13 #3
+    * flagged; [[holtLinearDailyRevenue]]'s coupled div-truncated
+    * recurrence has no such closed form and keeps the fold under a formal
+    * acceptance). The single-partition global window is bounded by the
+    * calendar, not the corpus ([[rollingMedianDailyRevenue]] posture). */
   def cusumDailyVolume(events: DataFrame, baselineDays: Int = 7): DataFrame = {
     require(baselineDays >= 1)
     val daily = events
       .withColumn("day", expr("ts_sec div 86400"))
       .groupBy(col("day")).agg(count(lit(1)).as("c"))
-    val packed = daily.agg(
-      expr("array_sort(collect_list(struct(day, c)))").as("ds"))
-      .select(col("ds"),
-        expr(s"least(size(ds), $baselineDays)").cast("long").as("nb"),
-        expr(s"aggregate(slice(ds, 1, least(size(ds), $baselineDays)), 0L," +
-          " (acc, x) -> acc + x.c)").as("sumb"))
-    val cpNext = "greatest(0L, acc.cp + (x.c * nb - sumb) - (sumb div 2))"
-    val cnNext = "greatest(0L, acc.cn - (x.c * nb - sumb) - (sumb div 2))"
-    packed.select(explode(expr(
-      s"""aggregate(ds,
-         |  named_struct('cp', 0L, 'cn', 0L,
-         |    'out', CAST(array() AS
-         |      ARRAY<STRUCT<day: BIGINT, c: BIGINT, cp: BIGINT, cn: BIGINT>>)),
-         |  (acc, x) -> named_struct(
-         |    'cp', $cpNext,
-         |    'cn', $cnNext,
-         |    'out', concat(acc.out, array(named_struct(
-         |      'day', x.day, 'c', x.c, 'cp', $cpNext, 'cn', $cnNext)))),
-         |  acc -> acc.out)""".stripMargin)).as("r"), col("sumb"))
-      .select((col("r.day") * 86400L).as("day_sec"), col("r.c").as("events"),
-        col("r.cp").as("cusum_pos"), col("r.cn").as("cusum_neg"),
-        (col("r.cp") > col("sumb") * 5L || col("r.cn") > col("sumb") * 5L)
+      .localCheckpoint()
+    // baseline over the first `baselineDays` calendar days — a broadcast
+    // scalar frame (nb, sumb), same role as the fold's slice() seed
+    val base = daily.orderBy(col("day")).limit(baselineDays)
+      .agg(count(lit(1)).as("nb"), sum(col("c")).as("sumb"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(base))
+      .select(col("day"), col("c"), col("sumb"),
+        (col("c") * col("nb") - col("sumb") - expr("sumb div 2")).as("dp"),
+        (-(col("c") * col("nb") - col("sumb")) - expr("sumb div 2")).as("dn"))
+      .withColumn("sp", sum(col("dp")).over(wCum))
+      .withColumn("sn", sum(col("dn")).over(wCum))
+      .withColumn("cp", col("sp") - least(lit(0L), min(col("sp")).over(wCum)))
+      .withColumn("cn", col("sn") - least(lit(0L), min(col("sn")).over(wCum)))
+      .select((col("day") * 86400L).as("day_sec"), col("c").as("events"),
+        col("cp").as("cusum_pos"), col("cn").as("cusum_neg"),
+        (col("cp") > col("sumb") * 5L || col("cn") > col("sumb") * 5L)
           .as("alarm"))
       .orderBy(col("day_sec"))
   }

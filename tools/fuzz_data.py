@@ -44,6 +44,13 @@ Variants (all deterministic: hash-based filters, no RNG):
            bucket, n_chars recomputed. Plain lower() is engine-defined
            on these (Spark/Java vs DuckDB/utf8proc); the pinned
            Cols.foldCase chain must keep every text query hash-exact.
+  megadup — ~30% of documents collapse onto ONE boilerplate template and
+           another ~10% onto its Title-Case twin (same foldCase
+           fingerprint → one ~40% mega duplicate cluster, the hot-fp
+           shape the dedup/bias-audit family must survive without a
+           single-task funnel); n_chars recomputed. The r14 `skew`
+           variant only skews events.user_id — this is the documents-side
+           analogue.
   scale  — synthetic scale-up gate (r12 verdict #1): events, documents
            and embeddings replicated xN (4th arg, default 16; orders+
            lineitem x4 with consistent orderkey offsets) under FRESH ids.
@@ -227,6 +234,32 @@ for t in TABLES:
                            WHEN 4 THEN replace(text, 's', 'Σ')
                            WHEN 5 THEN 'İstanbul ışık straße grüße Σοφία τέλος ' || text
                            WHEN 6 THEN upper(replace(text, 'ss', 'ß'))
+                           ELSE text END AS text
+                       FROM {s})
+                     SELECT doc_id, text, lang, source,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                     FROM p""", t)
+        else:
+            copy(f"SELECT * FROM {s}", t)
+    elif variant == "megadup":
+        if t == "documents":
+            # one giant duplicate cluster: 30% exact template + 10% its
+            # Title-Case twin (identical under foldCase fingerprints, so
+            # the exact-dedup family sees ONE ~40% hot fingerprint while
+            # the raw-text paths still see two distinct strings)
+            tmpl = ("subscribe to our newsletter for updates terms of "
+                    "service apply all rights reserved contact support "
+                    "for help")
+            twin = ("Subscribe To Our Newsletter For Updates Terms Of "
+                    "Service Apply All Rights Reserved Contact Support "
+                    "For Help")
+            copy(f"""WITH p AS (
+                       SELECT doc_id, lang, source,
+                         CASE
+                           WHEN (hash('mega:' || CAST(doc_id AS VARCHAR)) % 100) < 30
+                             THEN '{tmpl}'
+                           WHEN (hash('mega:' || CAST(doc_id AS VARCHAR)) % 100) < 40
+                             THEN '{twin}'
                            ELSE text END AS text
                        FROM {s})
                      SELECT doc_id, text, lang, source,

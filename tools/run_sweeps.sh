@@ -3,7 +3,7 @@
 # Each gate = full Verify (every registered query) + strict oracle compare.
 # Usage: tools/run_sweeps.sh [gate ...]   (default: all gates)
 # Gates: sf0.001 sf0.01 sf0.1 cpus7 rocksdb nulls ties sparse oneday skew
-#        shuffled text unicode scale
+#        shuffled text unicode megadup scale
 # Exits non-zero on the first failing gate; prints one PASS/FAIL line per
 # gate so the round's COVERAGE table can cite this script's output.
 set -u
@@ -51,7 +51,7 @@ fuzz_gate() { # variant [amp]
 }
 
 rc=0
-for g in "${@:-sf0.001 sf0.01 sf0.1 cpus7 rocksdb nulls ties sparse oneday skew shuffled text unicode scale}"; do
+for g in "${@:-sf0.001 sf0.01 sf0.1 cpus7 rocksdb nulls ties sparse oneday skew shuffled text unicode megadup scale}"; do
   for gate in $g; do
     case "$gate" in
       sf0.001) run_gate sf0001 /root/testdata/sf0.001 /tmp/v_sf0001 ;;
