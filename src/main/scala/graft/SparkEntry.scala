@@ -2603,7 +2603,7 @@ object SparkEntry {
     // deterministic batch sample and its complement, on text fingerprints.
     "q_incremental_dedup" ->
       s"""WITH m AS (
-         |  SELECT doc_id, source, n_chars, md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fp,
+         |  SELECT doc_id, source, n_chars, md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ'))) AS fp,
          |    ${md5h48("'batch:' || CAST(doc_id AS VARCHAR)")} % 5 < 1 AS in_batch
          |  FROM documents)
          |SELECT source, count(*) AS admitted_docs, CAST(sum(n_chars) AS BIGINT) AS admitted_chars
@@ -2749,7 +2749,7 @@ object SparkEntry {
     "q_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT source,
-        |    unnest(list_filter(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' '), x -> len(x) > 0)) AS token
+        |    unnest(list_filter(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' '), x -> len(x) > 0)) AS token
         |  FROM documents),
         |v AS (
         |  SELECT token FROM (SELECT token, count(*) AS tf FROM tok GROUP BY token)
@@ -3129,11 +3129,11 @@ object SparkEntry {
 
     "q_exact_dedup_counts" ->
       """SELECT source, count(*) AS docs,
-        |  count(DISTINCT md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')))) AS distinct_docs
+        |  count(DISTINCT md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')))) AS distinct_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_exact_dedup_keep" ->
-      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))))
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ'))))
         |SELECT source, count(*) AS surviving_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS surviving_chars
         |FROM documents JOIN k USING (doc_id)
@@ -3144,7 +3144,7 @@ object SparkEntry {
     // the two quantized doubles.
     "q_dedup_shift" ->
       s"""WITH b AS (SELECT source, count(*) AS docs_before FROM documents GROUP BY 1),
-         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')))),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')))),
          |a AS (
          |  SELECT source, count(*) AS docs_after
          |  FROM documents JOIN k USING (doc_id) GROUP BY 1),
@@ -3167,7 +3167,7 @@ object SparkEntry {
     "q_norm_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, source,
-        |    md5(trim(regexp_replace(regexp_replace(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |    md5(trim(regexp_replace(regexp_replace(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |  FROM documents),
         |g AS (SELECT fp, count(*) AS copies, min(doc_id) AS keep_id FROM f GROUP BY fp)
         |SELECT source, count(*) AS docs,
@@ -3404,7 +3404,7 @@ object SparkEntry {
     "q_dedup_bias" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks,
-         |    md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fp
+         |    md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ'))) AS fp
          |  FROM documents),
          |k AS (SELECT fp, min(doc_id) AS keep_id FROM t GROUP BY fp),
          |s AS (
@@ -3432,7 +3432,7 @@ object SparkEntry {
     // same power-of-2 ∪ {max} threshold grid, vocab-sized membership join.
     "q_vocab_growth" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token FROM documents),
         |t2 AS (
         |  SELECT token, min(doc_id) AS first_doc FROM tok
         |  WHERE length(token) > 0 GROUP BY 1),
@@ -3458,7 +3458,7 @@ object SparkEntry {
 
     "q_vocab_stats" ->
       """WITH t AS (
-        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents)
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token FROM documents)
         |SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
         |FROM t WHERE length(token) > 0
         |GROUP BY token
@@ -3466,7 +3466,7 @@ object SparkEntry {
 
     "q_tfidf_top_terms" ->
       s"""WITH raw AS (
-         |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
+         |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token FROM documents),
          |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
          |dfreq AS (
@@ -3489,7 +3489,7 @@ object SparkEntry {
     // sum (so accumulation is exact integer addition on both engines).
     "q_bm25_top_docs" ->
       """WITH raw AS (
-        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token FROM documents),
         |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
         |globals AS (
@@ -3520,7 +3520,7 @@ object SparkEntry {
     // quantized one — both exactly as the engine computes them.
     "q_hybrid_search" ->
       """WITH raw AS (
-        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
+        |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token FROM documents),
         |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
         |globals AS (
@@ -3576,7 +3576,7 @@ object SparkEntry {
         |FROM top ORDER BY rrf_x100 DESC, doc_id ASC""".stripMargin,
 
     "q_doc_fingerprints" ->
-      """SELECT doc_id, md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fingerprint, lang, source, n_chars
+      """SELECT doc_id, md5(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ'))) AS fingerprint, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Mirror of TextAnalysis.foldAudit: the pinned fold chain is written
@@ -3587,7 +3587,7 @@ object SparkEntry {
     "q_fold_census" ->
       """WITH f AS (
         |  SELECT source, text,
-        |    lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')) AS folded
+        |    lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')) AS folded
         |  FROM documents)
         |SELECT source, count(*) AS docs,
         |  CAST(count(*) FILTER (WHERE folded != text) AS BIGINT) AS changed_docs,
@@ -3911,7 +3911,7 @@ object SparkEntry {
     // integer pair-hit / pair-draw lanes with ONE final IEEE division.
     "q_char_concentration" ->
       s"""WITH s AS (
-         |  SELECT source, doc_id, regexp_replace(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), '[^a-z]', '', 'g') AS t
+         |  SELECT source, doc_id, regexp_replace(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), '[^a-z]', '', 'g') AS t
          |  FROM documents),
          |ch AS (
          |  SELECT source, doc_id, unnest(string_split(t, '')) AS ch
@@ -4605,7 +4605,7 @@ object SparkEntry {
          |    ${q4("CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS dup_frac
          |  FROM pc GROUP BY doc_id),
          |scored AS (
-         |  SELECT t.doc_id, t.source, t.n_chars, md5(lower(translate(replace(replace(t.text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))) AS fp,
+         |  SELECT t.doc_id, t.source, t.n_chars, md5(lower(translate(replace(replace(t.text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ'))) AS fp,
          |    ((t.n_chars BETWEEN 100 AND 5000)
          |     AND ${q4("CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.2
          |     AND ${q4("CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)")} >= 0.02
@@ -5382,7 +5382,7 @@ object SparkEntry {
     // occurrences), then the BRUTE-FORCE levenshtein ≤ 1 join the engine's
     // deletion-neighborhood candidates must reproduce exactly.
     "q_typo_recovery" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ') AS l FROM documents),
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ') AS l FROM documents),
          |occ AS (
          |  SELECT doc_id, l[i] AS tok, i - 1 AS pos
          |  FROM tk, unnest(generate_series(1, len(l))) AS g(i)
@@ -5927,7 +5927,7 @@ object SparkEntry {
           "CAST(count(*) AS BIGINT) AS occurrences " +
           s"FROM occ a0 $joins WHERE a0.tok = '${ph.head}' HAVING count(*) > 0"
       }
-      """WITH tk AS (SELECT doc_id, string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ') AS l FROM documents),
+      """WITH tk AS (SELECT doc_id, string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ') AS l FROM documents),
         |occ AS (
         |  SELECT doc_id, i - 1 AS pos, l[i] AS tok
         |  FROM tk, unnest(generate_series(1, len(l))) AS g(i))
@@ -6386,7 +6386,7 @@ object SparkEntry {
     // Mirror of Redact.piiCensus: anchored full-token grammars on
     // suffix-stripped whitespace tokens (no \b — RE2's boundary is
     // ASCII-only vs Java's Unicode-aware one), precedence
-    // email → ipv4 → national-id → phone.
+    // email → ipv4 → ipv6 → national-id → IBAN → phone.
     "q_pii_census" ->
       s"""WITH tk AS (
          |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
@@ -6395,7 +6395,9 @@ object SparkEntry {
          |  SELECT source, doc_id,
          |    CASE WHEN regexp_matches(t, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z]{2,}\\z') THEN 'email'
          |         WHEN regexp_matches(t, '^([0-9]{1,3}\\.){3}[0-9]{1,3}\\z') THEN 'ip'
+         |         WHEN regexp_matches(t, '^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,6}(:[0-9a-fA-F]{1,4}){1,6}|::[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){0,6})\\z') THEN 'ip6'
          |         WHEN regexp_matches(t, '^[0-9]{3}-[0-9]{2}-[0-9]{4}\\z') THEN 'id'
+         |         WHEN regexp_matches(t, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\z') THEN 'iban'
          |         WHEN regexp_matches(t, '^(\\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})\\z') THEN 'phone'
          |    END AS pii
          |  FROM (SELECT source, doc_id,
@@ -6404,18 +6406,22 @@ object SparkEntry {
          |  SELECT source, doc_id, count(*) AS toks,
          |    count(*) FILTER (WHERE pii = 'email') AS e,
          |    count(*) FILTER (WHERE pii = 'ip') AS i,
+         |    count(*) FILTER (WHERE pii = 'ip6') AS i6,
          |    count(*) FILTER (WHERE pii = 'id') AS nid,
+         |    count(*) FILTER (WHERE pii = 'iban') AS ib,
          |    count(*) FILTER (WHERE pii = 'phone') AS p
          |  FROM c GROUP BY 1, 2)
          |SELECT source, CAST(count(*) AS BIGINT) AS docs,
-         |  CAST(count(*) FILTER (WHERE e + i + nid + p > 0) AS BIGINT) AS docs_with_pii,
+         |  CAST(count(*) FILTER (WHERE e + i + i6 + nid + ib + p > 0) AS BIGINT) AS docs_with_pii,
          |  CAST(sum(e) AS BIGINT) AS email_tokens,
          |  CAST(sum(i) AS BIGINT) AS ip_tokens,
+         |  CAST(sum(i6) AS BIGINT) AS ip6_tokens,
          |  CAST(sum(nid) AS BIGINT) AS id_tokens,
+         |  CAST(sum(ib) AS BIGINT) AS iban_tokens,
          |  CAST(sum(p) AS BIGINT) AS phone_tokens,
-         |  CAST(sum(e + i + nid + p) AS BIGINT) AS pii_tokens,
+         |  CAST(sum(e + i + i6 + nid + ib + p) AS BIGINT) AS pii_tokens,
          |  CAST(sum(toks) AS BIGINT) AS tokens,
-         |  ${pct("sum(e + i + nid + p)", "sum(toks)")} AS pii_pct
+         |  ${pct("sum(e + i + i6 + nid + ib + p)", "sum(toks)")} AS pii_pct
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirror of Redact.piiRedactionProfile: whole-token sentinel
@@ -6426,7 +6432,9 @@ object SparkEntry {
         |    array_to_string(list_transform(string_split(text, ' '), tk ->
         |      CASE WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\.[a-zA-Z]{2,}\z') THEN '<EMAIL>'
         |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^([0-9]{1,3}\.){3}[0-9]{1,3}\z') THEN '<IP>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,6}(:[0-9a-fA-F]{1,4}){1,6}|::[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){0,6})\z') THEN '<IP6>'
         |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^[0-9]{3}-[0-9]{2}-[0-9]{4}\z') THEN '<ID>'
+        |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\z') THEN '<IBAN>'
         |           WHEN regexp_matches(regexp_replace(tk, '[.,;:!?]+\z', ''), '^(\+?[0-9]{10,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4})\z') THEN '<PHONE>'
         |           ELSE tk END), ' ') AS red
         |  FROM documents)
@@ -6544,7 +6552,7 @@ object SparkEntry {
     // Jaccard until the final floor-1e4 division.
     "q_source_vocab_jaccard" ->
       s"""WITH tok AS (
-         |  SELECT source, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token
+         |  SELECT source, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token
          |  FROM documents),
          |st AS (SELECT DISTINCT source, token FROM tok WHERE length(token) > 0),
          |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
@@ -6563,7 +6571,7 @@ object SparkEntry {
 
     "q_zipf_octaves" ->
       s"""WITH t AS (
-         |  SELECT unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
+         |  SELECT unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token FROM documents),
          |f AS (
          |  SELECT token, CAST(count(*) AS BIGINT) AS freq
          |  FROM t WHERE length(token) > 0 GROUP BY 1),
@@ -6731,7 +6739,7 @@ object SparkEntry {
     val oneMinusP = (1.0 - Retrieval.RboP).toString
     val k = Retrieval.RboDepth
     s"""WITH raw AS (
-       |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ')), ' ')) AS token FROM documents),
+       |  SELECT doc_id, unnest(string_split(lower(translate(replace(replace(text,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ')), ' ')) AS token FROM documents),
        |tok AS (SELECT doc_id, token FROM raw WHERE length(token) > 0),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
        |globals AS (

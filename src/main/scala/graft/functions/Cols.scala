@@ -108,16 +108,35 @@ object Cols {
     * ß/ẞ → ss — the full-casefold forms, applied with plain
     * non-overlapping `replace`/codepoint `translate`, identical semantics
     * in both engines), then lowercases: after the substitution neither
-    * engine's context rules have anything left to disagree on. On pure
+    * engine's context rules have anything left to disagree on.
+    *
+    * The r15 BMP completeness sweep (`tools.FoldSweep` ×
+    * `tools/foldcase_sweep.py`: every U+0020..U+FFFF codepoint, bare and
+    * in letter context, both engines on the identical chain) found 13
+    * further divergent codepoints — ALL Unicode-version skew, where JDK
+    * 17 (Unicode 13+) knows a case pair that DuckDB's utf8proc tables
+    * predate, so Java lowercases and DuckDB passes through: Cyrillic
+    * TJE U+1C89, Glagolitic CAUDATE CHRIVI U+2C2F, and eleven Latin
+    * Extended-D capitals (OLD POLISH O U+A7C0, D/S WITH SHORT STROKE
+    * OVERLAY U+A7C7/U+A7C9, RAMS HORN U+A7CB, C WITH PALATAL HOOK
+    * U+A7CC, CLOSED INSULAR G U+A7D0, MIDDLE SCOTS S U+A7D6, SIGMOID S
+    * U+A7D8, LAMBDA U+A7DA, LAMBDA WITH STROKE U+A7DC, REVERSED HALF H
+    * U+A7F5). Each is pre-substituted capital → its JDK lowercase in the
+    * translate below, after which `lower()` is a no-op on the class in
+    * BOTH engines. The probed classes the r12 audit found (İıΣςßẞ) keep
+    * their original slots. Sweep artifact: `foldsweep_r15.json` (0
+    * remaining divergences, 126 912 rows). Ligatures ﬁ/ﬂ do NOT diverge
+    * (neither engine decomposes on lower() — full-casefold-only
+    * mappings stay out of scope by design). On pure
     * ASCII every step is a no-op, so ASCII corpora are bit-identical to
     * raw `lower()`. The oracle mirrors the exact chain
-    * (`lower(translate(replace(replace(x,'ß','ss'),'ẞ','ss'),'İıΣς','iiσσ'))`).
+    * (`lower(translate(replace(replace(x,'ß','ss'),'ẞ','ss'),'İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ','iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ'))`).
     * All replace/translate/lower steps are codegen'd Catalyst
     * expressions — the fold stays inside WholeStageCodegen on the scan. */
   def foldCase(c: Column): Column =
     lower(translate(
       replace(replace(c, lit("ß"), lit("ss")), lit("ẞ"), lit("ss")),
-      "İıΣς", "iiσσ"))
+      "İıΣςᲉⰯꟀꟇꟉꟋꟌꟐꟖꟘꟚꟜꟵ", "iiσσᲊⱟꟁꟈꟊɤꟍꟑꟗꟙꟛƛꟶ"))
 
   /** Epoch seconds of the enclosing hour, from an epoch-seconds long column
     * (tumbling 1h window key, reference T2 streaming_processor.py:281

@@ -354,14 +354,34 @@ class CorpusFiltersSpec extends SparkSpec {
     val docs = Seq(
       (1L, "s1", "contact bob@example.com or 555-123-4567 now"),
       (2L, "s1", "server at 10.0.0.1, ssn 123-45-6789."),
-      (3L, "s2", "clean text only")
+      (3L, "s2", "clean text only"),
+      (4L, "s3", "node 2001:db8::ff00 pays DE89370400440532013000 fast")
     ).toDF("doc_id", "source", "text")
     val got = graft.operators.Redact.piiCensus(docs)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
       .collect().toList
     assert(got == List(
-      ("s1", 2L, 2L, 1L, 1L, 1L, 1L, 4L, 10L, 40.0),
-      ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 3L, 0.0)))
+      ("s1", 2L, 2L, 1L, 1L, 0L, 1L, 0L, 1L, 4L, 10L, 40.0),
+      ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3L, 0.0),
+      ("s3", 1L, 1L, 0L, 0L, 1L, 0L, 1L, 0L, 2L, 5L, 40.0)))
+  }
+
+  test("PII ipv6/iban grammar boundaries: forms, strip interaction, case") {
+    val docs = Seq(
+      // full 8-group, interior ::, leading :: — all classify
+      (1L, "s", "2001:0db8:85a3:0000:0000:8a2e:0370:7334 a::b ::1"),
+      // trailing :: is eaten by the shared suffix strip (documented miss);
+      // lowercase iban does NOT classify (uppercase wire shape only);
+      // a 14-char iban (CC+2+10) is under the ISO length envelope
+      (2L, "s", "fe80:: de89370400440532013000 DE8937040044"),
+      // iban at max BBAN length 30 classifies; 31 does not
+      (3L, "s", ("GB12" + "A" * 30) + " " + ("GB12" + "A" * 31))
+    ).toDF("doc_id", "source", "text")
+    val r = graft.operators.Redact.piiCensus(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(r._6 == 3L, s"ipv6 tokens: $r")   // ip6_tokens
+    assert(r._8 == 1L, s"iban tokens: $r")   // iban_tokens
   }
 
   test("PII grammar boundaries: suffix-only strip, leading punct blocks") {
@@ -371,7 +391,7 @@ class CorpusFiltersSpec extends SparkSpec {
       (3L, "s", "5551234567 bare ten digits is a phone 555123456789013 is not")
     ).toDF("doc_id", "source", "text")
     val r = graft.operators.Redact.piiCensus(docs)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
       .collect().head
     // only the clean ip and the bare 10-digit phone match: the leading
     // "(" is not stripped (suffix-only rule), 256 octets still fit the
@@ -379,7 +399,7 @@ class CorpusFiltersSpec extends SparkSpec {
     // so it IS counted: the grammar is shape-level, stated in scaladoc
     assert(r._4 == 0L)                  // no emails (leading paren blocks)
     assert(r._5 == 2L)                  // both dotted quads count (shape-level)
-    assert(r._7 == 1L)                  // one phone: 10 digits, not 15
+    assert(r._9 == 1L)                  // one phone: 10 digits, not 15
   }
 
   test("PII anchors are \\z-absolute: a trailing newline blocks the match") {
@@ -387,9 +407,10 @@ class CorpusFiltersSpec extends SparkSpec {
     // anchors make Spark refuse the match exactly like the DuckDB oracle
     val docs = Seq((1L, "s", "ssn 123-45-6789\n")).toDF("doc_id", "source", "text")
     val r = graft.operators.Redact.piiCensus(docs)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
       .collect().head
-    assert(r._7 == 0L && r._3 == 0L, s"newline-carrying token must not classify: $r")
+    assert(r._7 == 0L && r._9 == 0L && r._3 == 0L,
+      s"newline-carrying token must not classify: $r")
   }
 
   test("PII redaction profile: whole-token sentinels, identity census") {

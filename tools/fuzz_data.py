@@ -40,8 +40,12 @@ Variants (all deterministic: hash-based filters, no RNG):
            Exercises tokenizer/shingle/vocab/quality paths on the
            shapes real corpora carry.
   unicode — documents injected with the Unicode case-folding probe
-           classes (Turkish İ/ı, Greek Σ/final-ς, German ß/ẞ) by hash
-           bucket, n_chars recomputed. Plain lower() is engine-defined
+           classes (Turkish İ/ı, Greek Σ/final-ς, German ß/ẞ, plus the
+           r15 BMP-sweep version-skew capitals: Cyrillic TJE, Glagolitic
+           CAUDATE CHRIVI, Latin Ext-D OLD POLISH O / S WITH STROKE /
+           MIDDLE SCOTS S / LAMBDA WITH STROKE / REVERSED HALF H — JDK
+           lowercases these, utf8proc passes through) by hash bucket,
+           n_chars recomputed. Plain lower() is engine-defined
            on these (Spark/Java vs DuckDB/utf8proc); the pinned
            Cols.foldCase chain must keep every text query hash-exact.
   megadup — ~30% of documents collapse onto ONE boilerplate template and
@@ -208,7 +212,7 @@ for t in TABLES:
                                THEN upper(substr(text, 1, length(text) // 2))
                                     || substr(text, length(text) // 2 + 1)
                              WHEN (hash('text:' || CAST(doc_id AS VARCHAR)) % 100) < 80
-                               THEN text || ' contact admin@corp-mail.com at 192.168.10.20 or 555-867-5309 ref 987-65-4320.'
+                               THEN text || ' contact admin@corp-mail.com at 192.168.10.20 or 555-867-5309 ref 987-65-4320 via 2001:db8::ff00 and ::1 acct DE89370400440532013000.'
                              ELSE text END
                          END AS text
                        FROM {s})
@@ -234,6 +238,7 @@ for t in TABLES:
                            WHEN 4 THEN replace(text, 's', 'Σ')
                            WHEN 5 THEN 'İstanbul ışık straße grüße Σοφία τέλος ' || text
                            WHEN 6 THEN upper(replace(text, 'ss', 'ß'))
+                           WHEN 7 THEN 'Ᲊilde Ⱟlag Ꟁpole Ƛambda Ꟶalf Ꟊhort Ꟗcots ' || text
                            ELSE text END AS text
                        FROM {s})
                      SELECT doc_id, text, lang, source,
