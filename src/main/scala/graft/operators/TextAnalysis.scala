@@ -580,7 +580,9 @@ object TextAnalysis {
     * round's 1-row argmax rides the plan as a broadcast single-row left
     * join (`ON true`; a round with no pairs left merges nothing — the
     * empty-frame guard), never a driver collect; the vocabulary frame is
-    * localCheckpointed per round so round N never replays rounds 1..N−1. */
+    * localCheckpointed at stride 4 (r15: the r14 measurement showed the
+    * per-round job round-trips, not the vocabulary math, dominate toy-
+    * scale wall — see [[bpeRounds]]). */
   def bpeMergeTable(docs: DataFrame, rounds: Int = 6): DataFrame =
     bpeRounds(docs, rounds)._2
 
@@ -626,6 +628,22 @@ object TextAnalysis {
     * doctrine. */
   private def bpeRounds(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1)
+    // Checkpoint cadence (r14 verdict task 4): the 1-row argmax `m` is
+    // materialized EVERY round — it is the sequential decision the next
+    // round depends on, it feeds two consumers (merge table + rep
+    // update), and leaving it lazy would re-embed each round's pair agg
+    // twice per descendant (2^k plan growth within a stride). The
+    // vocabulary `rep` frame, by contrast, only needs a checkpoint every
+    // ckStride rounds: between checkpoints, round r+1's pair agg replays
+    // ≤ ckStride−1 broadcast-join+replace projections over the |vocab|-
+    // row frame — narrow, codegen'd, cheap — while each SKIPPED
+    // checkpoint saves a full vocabulary materialization plus a driver
+    // job round-trip, the measured floor of the 6-round train (r14: the
+    // full train = 12 bounded checkpoint jobs). Stride 4 follows the
+    // markovStationary precedent (fewer, deeper checkpoints win when the
+    // per-round frame is cheap to recompute); the rounds-vs-wall curve
+    // lives in BENCH_bpe_rounds_r15.json.
+    val ckStride = 4
     val words = docs
       .select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -650,14 +668,14 @@ object TextAnalysis {
       merges += m.select(lit(r.toLong).as("round"), col("a").as("pair_a"),
         col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
         col("c").as("pair_count"))
-      rep = rep.join(broadcast(m), lit(true), "left")
+      val next = rep.join(broadcast(m), lit(true), "left")
         .select(col("word"),
           when(col("a").isNull, col("rep"))
             .otherwise(replace(col("rep"),
               concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
               concat(lit(" "), col("a"), col("b"), lit(" ")))).as("rep"),
           col("freq"))
-        .localCheckpoint()
+      rep = if (r % ckStride == 0 || r == rounds) next.localCheckpoint() else next
     }
     (rep, merges.reduce(_ unionAll _).orderBy(col("round")))
   }

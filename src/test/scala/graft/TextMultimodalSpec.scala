@@ -172,6 +172,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(census == List(("aaab", 3L), ("ab", 1L)))
   }
 
+  test("BPE deep train: dry rounds past vocabulary collapse stay inert") {
+    // same cascade corpus, rounds=12 (3 stride-4 checkpoint windows, r15):
+    // all merge mass is exhausted after round 3 — rounds 4..12 must emit
+    // NO rows and leave the final representation identical to rounds=4
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val deep = TextAnalysis.bpeMergeTable(docs, 12)
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(deep == List(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 4L),
+      (3L, "aa", "ab", "aaab", 3L)))
+    val census = TextAnalysis.bpeTokenCensus(docs, 12, 10)
+      .as[(String, Long)].collect().toList
+    assert(census == List(("aaab", 3L), ("ab", 1L)))
+  }
+
   test("BPE fertility: pieces-per-word joined back by source") {
     // rounds=2 on the cascade corpus: merges (a,a)->aa then (a,b)->ab, so
     // aaab -> [aa, ab] (2 pieces), ab -> [ab] (1 piece)
