@@ -35,6 +35,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[streaming] object MemorySinkRunner {
   private val counter = new AtomicInteger()
 
+  /** Raw `StreamingQueryProgress.json` lines of the most recent run —
+    * dev-only hook for [[ScaleProbe]]'s per-micro-batch state-store
+    * curve. Runs on this object are serialized (see lifecycle contract),
+    * so a plain var is safe. */
+  private[streaming] var lastRunProgress: Seq[String] = Nil
+
   private def ckBase: Path = {
     val shm = Paths.get("/dev/shm")
     if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
@@ -137,6 +143,7 @@ private[streaming] object MemorySinkRunner {
       if (debug) q.recentProgress.foreach(p =>
         System.err.println(s"[msr] $name batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}" +
           (if (sys.env.get("GRAFT_STREAM_DEBUG_FULL").contains("1")) s"\n${p.json}" else "")))
+      lastRunProgress = q.recentProgress.toSeq.map(_.json)
       val sunk = spark.table(name)
       // parallelize, not a driver LocalRelation: a local relation converts
       // every external Row to InternalRow on ONE thread per action — ~1 s

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Streaming state-store scale probe (r14 verdict task 3): runs the
+  * stateful streaming family on a SCALED events corpus (the ×16 fuzz
+  * variant) delivered as time-ordered micro-batches, and records, per
+  * query, wall-clock plus the per-micro-batch `stateOperators` curve
+  * (rows total/updated/removed, memory/RocksDB bytes) from
+  * StreamingQueryProgress. Launch under `SPARK_GRAFT_ROCKSDB=1` for the
+  * RocksDB arm; default HDFS-backed store otherwise.
+  *
+  * Delivery shape: the corpus is sliced into `slices` TIME-ORDERED
+  * single-file parquets with pinned modification times (the file source
+  * processes oldest-first), `maxFilesPerTrigger=1` — so the watermark
+  * advances batch by batch and state EVICTION is visible in the curve,
+  * not just final state size. Time-ordered delivery keeps append-mode
+  * results identical to the one-batch run (the StreamingSpec
+  * slicing-independence invariant), so this probe measures machinery,
+  * never different semantics. Dev-only; not part of the driver contract.
+  *
+  * Usage: runMain graft.streaming.ScaleProbe <sfDir> <outDir> [slices]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir  = args.headOption.getOrElse("/tmp/fuzz_scale")
+    val outDir = Paths.get(args.lift(1).getOrElse("/tmp/stream_scale"))
+    val slices = args.lift(2).map(_.toInt).getOrElse(12)
+    Files.createDirectories(outDir)
+    val spark = GraftSession.build("graft-stream-scale")
+
+    val all = sliceTimeOrdered(spark,
+      graft.sources.Tables.events(spark, sfDir), slices, "all")
+    def typed(t: String) = sliceTimeOrdered(spark,
+      graft.sources.Tables.events(spark, sfDir).where(col("event_type") === t),
+      math.max(slices / 2, 2), t)
+    val p = typed("purchase")
+    val v = typed("view")
+    val mfpt = Map("maxFilesPerTrigger" -> "1")
+
+    val runs: Seq[(String, () => DataFrame)] = Seq(
+      "q_streaming_hourly" -> (() =>
+        StreamingHourly.closedHourlyMetricsFrom(spark, all, mfpt)),
+      "q_streaming_sliding" -> (() =>
+        StreamingHourly.slidingHourCountsFrom(spark, all, mfpt)),
+      "q_streaming_sessions" -> (() =>
+        StreamingSessions.closedSessionsFrom(spark, all, mfpt)),
+      "q_streaming_update_mode" -> (() =>
+        StreamingSessions.updatedUserHourlyFrom(spark, all, mfpt)),
+      "q_streaming_dedup" -> (() =>
+        StreamingDedup.dedupedTypeCountsFrom(spark, all, mfpt)),
+      "q_streaming_full_outer_join" -> (() =>
+        StreamingJoin.purchaseViewPairsFullFrom(spark, p, v, mfpt)),
+      "q_streaming_join_hourly" -> (() =>
+        StreamingJoin.purchaseViewPairsHourlyFrom(spark, p, v, mfpt)))
+
+    for ((name, f) <- runs) {
+      val t0 = System.nanoTime()
+      val rows = f().count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val lines = MemorySinkRunner.lastRunProgress
+      Files.write(outDir.resolve(s"$name.jsonl"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      println(f"""[sprobe] {"query":"$name","wall_s":$wall%.3f,"result_rows":$rows,"batches":${lines.size}}""")
+    }
+    spark.stop()
+  }
+
+  /** Write `k` time-ordered single-file parquet slices of `df` under a
+    * fresh directory, modification times pinned ascending (the file
+    * source's delivery order), and return the directory path. */
+  private def sliceTimeOrdered(spark: SparkSession, df: DataFrame,
+                               k: Int, tag: String): String = {
+    import scala.jdk.CollectionConverters._
+    val events = df.select(col("*"))
+    val r = events.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val step = (hi - lo) / k + 1
+    val srcDir = Files.createTempDirectory(s"graft_scale_slices_$tag")
+    for (i <- 0 until k) {
+      val slice = events.where(col("ts_sec") >= lo + i * step
+        && col("ts_sec") < lo + (i + 1) * step)
+      val tmp = Files.createTempDirectory(s"graft_scale_slice_${tag}_$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part: Path = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dest = srcDir.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    srcDir.toString
+  }
+}

@@ -33,10 +33,15 @@ object StreamingDedup {
     * profiled per event type on the captured output. Every duplicate is
     * suppressed by the watermark-bounded state, so the result equals the
     * plain batch census of the source — which is the SQL oracle. */
-  def dedupedTypeCounts(spark: SparkSession, dir: String): DataFrame = {
-    val path   = StreamingHourly.stagedEventsDir(spark, dir)
+  def dedupedTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    dedupedTypeCountsFrom(spark, StreamingHourly.stagedEventsDir(spark, dir), Map.empty)
+
+  /** [[dedupedTypeCounts]] over an explicit staged source + options (the
+    * ScaleProbe / slicing-test hook, same pattern as the other families). */
+  private[graft] def dedupedTypeCountsFrom(spark: SparkSession, path: String,
+                                           options: Map[String, String]): DataFrame = {
     val schema = StreamingHourly.stagedSchema(spark, path)
-    def src(): DataFrame = spark.readStream.schema(schema).parquet(path)
+    def src(): DataFrame = spark.readStream.options(options).schema(schema).parquet(path)
       .withColumn("event_time", timestamp_seconds(graft.sources.Tables.tsSec(schema)))
     val doubled = src().unionByName(src())
     val deduped = byKeyWithinWatermark(doubled, "event_time", "10 minutes")

@@ -64,6 +64,34 @@ object StreamingJoin {
       .orderBy(col("hour_sec"))
   }
 
+  /** Full-outer variant over explicit per-side staged sources + options
+    * (the ScaleProbe hook — time-ordered per-side slices with
+    * maxFilesPerTrigger). */
+  private[graft] def purchaseViewPairsFullFrom(spark: SparkSession, pPath: String,
+                                               vPath: String,
+                                               options: Map[String, String]): DataFrame = {
+    val joined = joinedPairsFrom(spark, pPath, vPath, "full_outer", options)
+    MemorySinkRunner.run(spark, joined.drop("p_time"), "graft_stream_join_from",
+        shufflePartitions = 4, needNoDataBatch = true)
+      .orderBy(col("purchase_id").asc_nulls_last, col("view_id").asc_nulls_last)
+  }
+
+  /** Chained join→window-agg variant over explicit per-side sources +
+    * options (ScaleProbe hook). */
+  private[graft] def purchaseViewPairsHourlyFrom(spark: SparkSession, pPath: String,
+                                                 vPath: String,
+                                                 options: Map[String, String]): DataFrame = {
+    val joined = joinedPairsFrom(spark, pPath, vPath, "inner", options)
+    val agg = joined
+      .groupBy(window(col("p_time"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("p_sec") - col("v_sec")).as("lag_sec_sum"))
+      .select(unix_timestamp(col("w.start")).as("hour_sec"),
+        col("pairs"), col("lag_sec_sum"))
+    MemorySinkRunner.run(spark, agg, "graft_stream_join_hourly_from", shufflePartitions = 4)
+      .orderBy(col("hour_sec"))
+  }
+
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val joined = joinedPairs(spark, dir, joinType)
     // join output is a few hundred rows; state-store open/commit per
@@ -78,15 +106,23 @@ object StreamingJoin {
       .orderBy(col("purchase_id").asc_nulls_last, col("view_id").asc_nulls_last)
   }
 
-  private def joinedPairs(spark: SparkSession, dir: String, joinType: String): DataFrame = {
+  private def joinedPairs(spark: SparkSession, dir: String, joinType: String): DataFrame =
+    joinedPairsFrom(spark,
+      StreamingHourly.stagedTypeDir(spark, dir, "purchase"),
+      StreamingHourly.stagedTypeDir(spark, dir, "view"),
+      joinType, Map.empty)
+
+  private[graft] def joinedPairsFrom(spark: SparkSession, pPath: String, vPath: String,
+                                     joinType: String,
+                                     options: Map[String, String]): DataFrame = {
     // per-side staged slices (materialized predicate pushdown): each side
     // scans only its own event type instead of both sides decoding the
     // whole table — identical results, 40% of the scan volume. The
     // defensive `where` stays (it rides the parquet scan for free).
     def side(eventType: String): DataFrame = {
-      val path   = StreamingHourly.stagedTypeDir(spark, dir, eventType)
+      val path   = if (eventType == "purchase") pPath else vPath
       val schema = StreamingHourly.stagedSchema(spark, path)
-      spark.readStream.schema(schema).parquet(path)
+      spark.readStream.options(options).schema(schema).parquet(path)
         // null users excluded: stream-stream state is keyed by user, and
         // the engines' null-key outer-emission rules differ (the r12 fuzz
         // sweep caught the full-outer view lane under-emitting) — identified

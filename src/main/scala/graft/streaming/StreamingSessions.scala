@@ -82,10 +82,15 @@ object StreamingSessions {
     * windows still open at the final watermark are included — that is the
     * append/update semantic difference, and the oracle states it by having
     * NO closure filter. */
-  def updatedUserHourly(spark: SparkSession, dir: String): DataFrame = {
-    val path   = StreamingHourly.stagedEventsDir(spark, dir)
+  def updatedUserHourly(spark: SparkSession, dir: String): DataFrame =
+    updatedUserHourlyFrom(spark, StreamingHourly.stagedEventsDir(spark, dir), Map.empty)
+
+  /** [[updatedUserHourly]] over an explicit staged source + options (the
+    * ScaleProbe / slicing-test hook, same pattern as [[sessionAggFrom]]). */
+  private[graft] def updatedUserHourlyFrom(spark: SparkSession, path: String,
+                                           options: Map[String, String]): DataFrame = {
     val schema = StreamingHourly.stagedSchema(spark, path)
-    val stream = spark.readStream.schema(schema).parquet(path)
+    val stream = spark.readStream.options(options).schema(schema).parquet(path)
       // per-user upsert target: null users excluded, oracle mirrored
       .where(col("user_id").isNotNull)
       .withColumn("ts_sec", graft.sources.Tables.tsSec(schema))
