@@ -526,4 +526,28 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CUSUM reflection form == the raw max(0,·) recurrence on random series") {
+    // the r15 rewrite computes cp/cn via prefix-sum − running-min (the
+    // Lindley reflection identity); this pins it to the direct recurrence
+    // the oracle's recursive CTE runs, fold by fold on the driver
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val got = graft.operators.Stats.cusumDailyVolume(toDf(rows))
+          .as[(Long, Long, Long, Long, Boolean)].collect().toList
+        val byDay = rows.groupBy(_._2 / 86400L).map { case (d, rs) => d -> rs.size.toLong }
+        val days = byDay.keys.toSeq.sorted
+        val nb = math.min(days.size, 7).toLong
+        val sumb = days.take(7).map(byDay).sum
+        var (cp, cn) = (0L, 0L)
+        val expect = days.map { d =>
+          val dev = byDay(d) * nb - sumb
+          cp = math.max(0L, cp + dev - sumb / 2)
+          cn = math.max(0L, cn - dev - sumb / 2)
+          (d * 86400L, byDay(d), cp, cn, cp > 5 * sumb || cn > 5 * sumb)
+        }.toList
+        assert(got == expect, s"engine=$got naive=$expect")
+      }
+    }
+  }
 }
