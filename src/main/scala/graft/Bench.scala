@@ -276,8 +276,17 @@ object Bench {
     val runId = java.security.MessageDigest.getInstance("MD5")
       .digest(qs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
+    // self-identifying tail (r15 verdict task 4): the driver's capture
+    // clips the FRONT of this line, so every provenance field must ALSO
+    // appear AFTER the per-query map — a `summary` object as the final key
+    // keeps the record one JSON line while guaranteeing any surviving tail
+    // carries run_id/total/baseline43/load indices on its own
+    val summaryJson =
+      f""""summary":{"run_id":"$runId","total":$total%.3f,"n":${results.size},""" +
+        f""""failed_n":${failed.size},"baseline43_sum":${baselinePresent.map(_.best).sum}%.3f,""" +
+        f""""load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"sf":"$sfDir"}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","run_id":"$runId","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","run_id":"$runId","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir",$summaryJson}"""
     println(line)
     // untruncated sidecar: the driver's recorded bench tail clips the first
     // ~20 query entries, so every run also lands the full per-query JSON on
@@ -300,7 +309,7 @@ object Bench {
       "\"" + k + "\":" + s"""{"t":$tCol,"gc_ms":$gc1$w$rt,"min":$minCol$e}"""
     }.mkString("{", ",", "}")
     val sidecarLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","run_id":"$runId","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"calibration":$calJson,"families":$famJson,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","run_id":"$runId","load_index":$loadIndex%.2f,"load_shuffle_index":$loadShufIndex%.2f,"calibration":$calJson,"families":$famJson,"baseline43":$baselineJson,"queries":$qs,"failed":$failedJson,"detail":$detail,"sf":"$sfDir",$summaryJson}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "bench_full_latest.json") // cwd-relative: portable across machines
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),

@@ -37,9 +37,13 @@ private[streaming] object MemorySinkRunner {
 
   /** Raw `StreamingQueryProgress.json` lines of the most recent run —
     * dev-only hook for [[ScaleProbe]]'s per-micro-batch state-store
-    * curve. Runs on this object are serialized (see lifecycle contract),
-    * so a plain var is safe. */
+    * curve. Captured ONLY while [[captureProgress]] is set (ScaleProbe
+    * flips it for its runs): the production driver-contract queries must
+    * not retain a suite-lifetime copy of the last query's full progress
+    * JSON on the driver (r15 ADVICE). Runs on this object are serialized
+    * (see lifecycle contract), so plain vars are safe. */
   private[streaming] var lastRunProgress: Seq[String] = Nil
+  private[streaming] var captureProgress: Boolean = false
 
   private def ckBase: Path = {
     val shm = Paths.get("/dev/shm")
@@ -143,7 +147,7 @@ private[streaming] object MemorySinkRunner {
       if (debug) q.recentProgress.foreach(p =>
         System.err.println(s"[msr] $name batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}" +
           (if (sys.env.get("GRAFT_STREAM_DEBUG_FULL").contains("1")) s"\n${p.json}" else "")))
-      lastRunProgress = q.recentProgress.toSeq.map(_.json)
+      if (captureProgress) lastRunProgress = q.recentProgress.toSeq.map(_.json)
       val sunk = spark.table(name)
       // parallelize, not a driver LocalRelation: a local relation converts
       // every external Row to InternalRow on ONE thread per action — ~1 s

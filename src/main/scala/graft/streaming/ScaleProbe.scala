@@ -33,6 +33,13 @@ object ScaleProbe {
     val slices = args.lift(2).map(_.toInt).getOrElse(12)
     Files.createDirectories(outDir)
     val spark = GraftSession.build("graft-stream-scale")
+    // the probe's whole point is the per-micro-batch curve: widen the
+    // progress ring buffer well past slices + no-data batches (default 100
+    // silently drops the OLDEST updates — r15 ADVICE), and turn on the
+    // dev-only capture hook for the duration of the probe
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(1000, slices * 8).toString)
+    MemorySinkRunner.captureProgress = true
 
     val all = sliceTimeOrdered(spark,
       graft.sources.Tables.events(spark, sfDir), slices, "all")
@@ -60,6 +67,7 @@ object ScaleProbe {
         StreamingJoin.purchaseViewPairsHourlyFrom(spark, p, v, mfpt)))
 
     for ((name, f) <- runs) {
+      MemorySinkRunner.lastRunProgress = Nil // never attribute a stale curve
       val t0 = System.nanoTime()
       val rows = f().count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -68,6 +76,8 @@ object ScaleProbe {
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
       println(f"""[sprobe] {"query":"$name","wall_s":$wall%.3f,"result_rows":$rows,"batches":${lines.size}}""")
     }
+    MemorySinkRunner.captureProgress = false
+    MemorySinkRunner.lastRunProgress = Nil
     spark.stop()
   }
 
@@ -79,21 +89,42 @@ object ScaleProbe {
     import scala.jdk.CollectionConverters._
     val events = df.select(col("*"))
     val r = events.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+    // an empty/filtered-to-nothing corpus yields null min/max — fail with
+    // a message naming the real problem, not an NPE (r15 ADVICE)
+    require(!r.isNullAt(0),
+      s"sliceTimeOrdered($tag): events frame is empty — nothing to slice")
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val step = (hi - lo) / k + 1
     val srcDir = Files.createTempDirectory(s"graft_scale_slices_$tag")
+    var written = 0
     for (i <- 0 until k) {
       val slice = events.where(col("ts_sec") >= lo + i * step
         && col("ts_sec") < lo + (i + 1) * step)
-      val tmp = Files.createTempDirectory(s"graft_scale_slice_${tag}_$i")
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part: Path = Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).next()
-      val dest = srcDir.resolve(f"slice_$i%02d.parquet")
-      Files.move(part, dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      // step rounding can leave trailing slices empty: an empty write would
+      // still emit a zero-row part file and burn a no-op trigger per empty
+      // slice — skip them up front, renumbering densely so delivery order
+      // stays contiguous (r15 ADVICE)
+      if (!slice.isEmpty) {
+        val tmp = Files.createTempDirectory(s"graft_scale_slice_${tag}_$i")
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part: Path = {
+          val listing = Files.list(tmp)
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .nextOption()
+            .getOrElse(throw new IllegalStateException(
+              s"sliceTimeOrdered($tag): slice $i wrote no parquet part file under $tmp"))
+          finally listing.close()
+        }
+        val dest = srcDir.resolve(f"slice_$written%02d.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + written * 60000L))
+        written += 1
+      }
     }
+    require(written > 0,
+      s"sliceTimeOrdered($tag): all $k slices were empty — check the time-range math")
     srcDir.toString
   }
 }
