@@ -665,6 +665,8 @@ object SparkEntry {
       Multimodal.resizePlan(Multimodal.mediaFromDocuments(Tables.documents(s, d)), 256, 256)),
     "q_media_dedup" -> ((s, d) => // content-addressable-storage dedup audit (digest-only shuffle)
       Multimodal.casAudit(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    "q_media_decode" -> ((s, d) => // REAL javax.imageio decode: per-image pixel-sum census
+      Multimodal.decodeImageCensus(Multimodal.pngMedia(Tables.documents(s, d)))),
 
     // --- structured streaming (T1/T2/T8: real streaming query, append mode,
     //     memory sink; emits exactly the watermark-closed windows)
@@ -688,6 +690,8 @@ object SparkEntry {
       graft.streaming.StreamingHourly.completeTypeTotals(s, d)),
     "q_streaming_dedup" -> ((s, d) => // at-least-once redelivery, deduped in-stream
       graft.streaming.StreamingDedup.dedupedTypeCounts(s, d)),
+    "q_streaming_near_dup" -> ((s, d) => // online MinHash/LSH near-dup flags, horizon-bounded state
+      graft.streaming.StreamingNearDup.nearDupFlags(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -2958,6 +2962,33 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Mirror of StreamingNearDup: the engine's row-local portable minhash
+    // equals the batch minhash CTE's `sig` exactly (same md5-48 hash, same
+    // affine permutations mod 2^31−1), ingest time is BaseSec + doc_id so
+    // the 300 s horizon is an id-distance bound, and a (doc, band) is
+    // flagged iff an in-horizon predecessor shares the packed band key
+    // with ≥ 32/64 equal signature components (est_jaccard ≥ 0.5 — k/64
+    // quantizes losslessly at the 0.5 boundary).
+    "q_streaming_near_dup" ->
+      (minhashCte +
+        """, bpair AS (
+          |  SELECT l.doc_id AS doc_e, r.doc_id AS doc_d, l.band
+          |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+          |    AND l.doc_id < r.doc_id AND r.doc_id - l.doc_id <= 300),
+          |simpair AS (
+          |  SELECT DISTINCT b.doc_d, b.band
+          |  FROM bpair b JOIN est e ON e.doc_a = b.doc_e AND e.doc_b = b.doc_d
+          |  WHERE e.est_jaccard >= 0.5),
+          |fl AS (
+          |  SELECT doc_d AS doc_id, CAST(count(*) AS BIGINT) AS dup_bands
+          |  FROM simpair GROUP BY 1)
+          |SELECT d.doc_id AS doc_id,
+          |  COALESCE(f.dup_bands, 0) AS dup_bands,
+          |  (f.doc_id IS NOT NULL) AS is_dup
+          |FROM documents d LEFT JOIN fl f ON f.doc_id = d.doc_id
+          |WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+          |ORDER BY d.doc_id""".stripMargin),
 
     "q_price_quantiles" ->
       s"""SELECT o_orderpriority, count(*) AS orders,
@@ -5377,6 +5408,32 @@ object SparkEntry {
         |  CAST(sum(bytes) AS BIGINT) AS unique_bytes,
         |  CAST(sum((copies - 1) * bytes) AS BIGINT) AS saved_bytes
         |FROM o GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Mirror of Multimodal.{pngMedia, decodeImageCensus}: the engine
+    // ENCODES a real PNG per doc and DECODES it back with javax.imageio;
+    // the oracle recomputes the same census from pngMedia's closed-form
+    // pixel formula without touching any bytes — equality proves the
+    // encode→decode round-trip exact to the pixel. One unnest over
+    // w*h flat pixel indices (x = i % w, y = i // w).
+    "q_media_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w,
+        |    4 + (doc_id // 7) % 13 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (
+        |  SELECT media_id, w, h, seed,
+        |    unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM m)
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum(( 3 * (i % w) +  5 * (i // w) + seed) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum(( 7 * (i % w) + 11 * (i // w) + seed) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((13 * (i % w) + 17 * (i // w) + seed) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
 
     // Mirror of Skyline.partParetoFront: the quadratic NOT-EXISTS dominance
     // definition — the engine's threshold-join plan must reproduce it.

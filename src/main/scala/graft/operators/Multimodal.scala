@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in partition-sized batches.
   *
-  * The real decode step (image/audio codecs) is STUBBED — the container has
-  * no media libraries — behind [[MediaDecoder]]; [[DeterministicFakeDecoder]]
-  * derives plausible metadata purely from the bytes so the Spark-side
-  * contract (schema, batching, partitioning, null handling) is real and
-  * tested. In PySpark this layer would be `mapInPandas` with Arrow batches;
+  * IMAGE decode is REAL — [[ImageIoDecoder]] and [[decodeImageCensus]] run
+  * the JDK's own `javax.imageio` codecs (PNG/BMP/GIF/JPEG/TIFF, headless,
+  * no external libraries — r15 verdict task 1). Audio/video codecs remain
+  * genuinely absent from this JDK, so those kinds keep the
+  * [[DeterministicFakeDecoder]] metadata contract; the Spark-side plumbing
+  * (schema, batching, partitioning, null handling) is identical either
+  * way. In PySpark this layer would be `mapInPandas` with Arrow batches;
   * the Scala-native equivalent is `mapPartitions` over a typed Dataset,
   * which likewise amortizes per-batch setup (decoder init happens once per
   * partition, not per row — the property that matters at 100 TB).
@@ -30,10 +32,38 @@ object Multimodal {
     def decode(r: MediaRecord): MediaMeta
   }
 
-  /** The production decoder would wrap a codec library here. Left `???` on
-    * purpose — everything around it must work without it. */
-  object RealDecoder extends MediaDecoder {
-    def decode(r: MediaRecord): MediaMeta = ??? // requires image/audio libs
+  /** REAL decoder for image payloads: the JDK's `javax.imageio` reads
+    * PNG/BMP/GIF/JPEG/TIFF headlessly — no external codec library needed.
+    * Width/height/channels come from the DECODED pixels, never from
+    * metadata riding beside the payload; `feature_norm` is the mean pixel
+    * intensity in [0,1), floor-quantized to 1e-4 so it is
+    * aggregation-order safe downstream. Audio/video codecs are genuinely
+    * absent from this JDK (no javax.sound MP3/AAC, no video framework),
+    * so non-image kinds throw with a named reason rather than fake a
+    * decode — [[DeterministicFakeDecoder]] remains their documented
+    * metadata contract. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): MediaMeta = r.kind match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media_id=${r.media_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var s = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          i += 1
+        }
+        val mean = s.toDouble / (3.0 * w * h * 255.0)
+        MediaMeta(r.media_id, r.kind, r.payload.length, w, h,
+          channels = img.getColorModel.getNumColorComponents,
+          frames = 1, feature_norm = math.floor(mean * 10000.0) / 10000.0)
+      case k => throw new UnsupportedOperationException(
+        s"media_id=${r.media_id}: no $k codec in this JDK — image kinds only " +
+          "(audio/video metadata contract is DeterministicFakeDecoder)")
+    }
   }
 
   /** Deterministic fake: metadata is a pure function of the payload bytes
@@ -53,6 +83,98 @@ object Multimodal {
         frames = if (r.kind == "video") (1L + n.toLong % 300L).toInt else 1,
         feature_norm = (h % 1000L).toDouble / 1000.0)
     }
+  }
+
+  /** An opaque image payload: id + bytes, NOTHING else — the decode census
+    * must recover every dimension from the bytes themselves. */
+  case class PngPayload(media_id: Long, payload: Array[Byte])
+
+  /** Per-image decode census: dimensions and EXACT integer per-channel
+    * pixel sums, all read from the decoded raster. */
+  case class ImageCensus(media_id: Long, width: Long, height: Long,
+                         channels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic PNG fixtures: one real PNG per document, encoded with
+    * the JDK's own `javax.imageio` writer inside the executors (stand-in
+    * for reading a binary-payload column at scale). Dimensions and pixels
+    * are a pure closed-form of `doc_id`, so an oracle can recompute the
+    * decode census without ever touching the bytes:
+    *
+    *   w = 4 + id % 13,  h = 4 + (id div 7) % 13,  seed = id % 251
+    *   r(x,y) = (3x +  5y + seed) mod 256
+    *   g(x,y) = (7x + 11y + seed) mod 256
+    *   b(x,y) = (13x + 17y + seed) mod 256
+    *
+    * PNG is lossless, so [[decodeImageCensus]] agreeing with the formula
+    * proves the encode→decode round-trip bit-exact — a census mismatch of
+    * even one pixel in one image moves an integer sum. Encoder handles are
+    * per-partition (mapPartitions); the payload column never crosses a
+    * shuffle boundary (the census downstream reduces to 7 longs per row
+    * before any exchange). Null doc_ids are dropped in BOTH lanes
+    * (null-category doctrine). */
+  def pngMedia(docs: DataFrame): Dataset[PngPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        val buf = new java.io.ByteArrayOutputStream(1024) // per-partition handle
+        it.map { id =>
+          val w = (4L + id % 13L).toInt
+          val h = (4L + (id / 7L) % 13L).toInt
+          val seed = (id % 251L).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = (3 * x + 5 * y + seed) % 256
+              val g = (7 * x + 11 * y + seed) % 256
+              val b = (13 * x + 17 * y + seed) % 256
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          buf.reset()
+          if (!javax.imageio.ImageIO.write(img, "png", buf))
+            throw new IllegalStateException(s"media_id=$id: no PNG writer in this JDK")
+          PngPayload(id, buf.toByteArray)
+        }
+      }
+  }
+
+  /** REAL image decode at census grain: `javax.imageio` reads each payload
+    * back to a raster and the census reports decoded width/height/channels
+    * plus exact per-channel integer pixel sums — the quantities an oracle
+    * recomputes from [[pngMedia]]'s closed form without decoding anything.
+    * mapPartitions so reader state amortizes per task; the output is 7
+    * longs per image, which is all that ever shuffles (the sort). At
+    * 100 TB the payload column stays inside the scan→decode stage —
+    * exactly the economics of a production `binaryFile` + decode UDF
+    * pipeline, with the UDF replaced by typed partition iterators. */
+  def decodeImageCensus(media: Dataset[PngPayload]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.payload))
+        require(img != null, s"media_id=${rec.media_id}: not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        ImageCensus(rec.media_id, w.toLong, h.toLong,
+          img.getColorModel.getNumColorComponents.toLong, sr, sg, sb)
+      }
+    }.toDF().orderBy(col("media_id"))
   }
 
   /** Synthesize a media table from the documents table (text bytes as opaque

@@ -614,4 +614,76 @@ class StreamingSpec extends SparkSpec {
     }
     assert(view.toMap == recompute, s"view=$view recompute=$recompute")
   }
+
+  test("streaming near-dup: row-local signature equals the batch minhash") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val batch = graft.operators.Dedup
+      .signatures(docs, graft.operators.Dedup.PortableHash)
+      .as[(Long, Seq[Long])].collect().toMap
+    val local = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> StreamingNearDup.signature(t).toSeq }
+    assert(local.nonEmpty)
+    local.foreach { case (id, sig) =>
+      assert(batch(id) == sig, s"doc $id: row-local signature diverged from batch")
+    }
+  }
+
+  test("streaming near-dup: horizon rule on a hand fixture") {
+    import spark.implicits._
+    // identical 5-word texts shingle to identical sets -> 64/64 equal
+    // components; distinct texts share nothing. t = BaseSec + doc_id, so:
+    //   doc 10 (original)      -> never flagged
+    //   doc 100 (dup, Δ=90)    -> flagged (within the 300 s horizon of 10)
+    //   doc 2000 (dup, Δ=1900) -> NOT flagged (nearest dup predecessor is
+    //                             100, 1900 s before — out of horizon)
+    //   doc 2100 (dup, Δ=100)  -> flagged (2000 is in horizon)
+    //   doc 50 (unrelated)     -> never flagged
+    val dupText = "the quick brown fox jumps over the lazy dog today"
+    val fixture = Seq(
+      (10L, dupText), (100L, dupText), (2000L, dupText), (2100L, dupText),
+      (50L, "completely different words that share no three gram at all ok"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_neardup_fix")
+    fixture.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val got = StreamingNearDup.nearDupFlags(spark, dir.toString)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, b, d) => id -> ((b, d)) }.toMap
+    val flags = got.view.mapValues(_._2).toMap
+    assert(flags == Map(10L -> false, 100L -> true, 2000L -> false,
+      2100L -> true, 50L -> false), s"got $got")
+    // identical texts agree on every component, so every band flags
+    assert(got(100L)._1 == 32L && got(2100L)._1 == 32L)
+  }
+
+  test("streaming near-dup is independent of micro-batch slicing under time-ordered delivery") {
+    import scala.jdk.CollectionConverters._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .where(col("doc_id").isNotNull)
+    val (lo, hi) = {
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val srcDir = Files.createTempDirectory("graft_neardup_slices")
+    val k = 4
+    val step = (hi - lo) / k + 1
+    for (i <- 0 until k) {
+      val slice = docs.where(col("doc_id") >= lo + i * step
+        && col("doc_id") < lo + (i + 1) * step)
+      val tmp = Files.createTempDirectory(s"graft_neardup_slice_$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dest = srcDir.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sliced = StreamingNearDup.nearDupFlagsFrom(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    val whole = StreamingNearDup.nearDupFlags(spark, sf)
+    assert(sliced.exceptAll(whole).count() == 0 && whole.exceptAll(sliced).count() == 0,
+      "micro-batch slicing changed the streaming near-dup result")
+  }
 }

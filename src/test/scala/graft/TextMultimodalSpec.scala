@@ -331,6 +331,54 @@ class TextMultimodalSpec extends SparkSpec {
     assert(joined.where(col("first_event_type") =!= col("event_type")).count() == 0)
   }
 
+  test("imageio decode census: hand-computed fixture + closed-form agreement") {
+    import spark.implicits._
+    // hand-computed anchor: doc_id = 9 -> w = 4 + 9%13 = 13, h = 4 + (9/7)%13
+    // = 5, seed = 9. sum_r = sum over x<13,y<5 of (3x+5y+9) % 256; all
+    // terms < 256 here so the mod never bites:
+    //   sum_r = 5*3*(0+..+12) + 13*5*(0+..+4)/... compute directly:
+    //   Σ3x over x<13 = 3*78 = 234 per row, ×5 rows = 1170
+    //   Σ5y over y<5 = 5*10 = 50 per column, ×13 cols = 650
+    //   seed 9 × 65 px = 585  -> sum_r = 2405
+    //   sum_g: Σ7x = 7*78*5 = 2730; Σ11y = 11*10*13 = 1430; 585 -> 4745
+    //   sum_b: Σ13x = 13*78*5 = 5070; Σ17y = 17*10*13 = 2210; 585 -> 7865
+    val docs = Seq((9L, "x"), (0L, "y")).toDF("doc_id", "text")
+    val got = Multimodal.decodeImageCensus(Multimodal.pngMedia(docs)).collect()
+    val r9 = got.find(_.getLong(0) == 9L).get
+    assert(r9.getLong(1) == 13L && r9.getLong(2) == 5L && r9.getLong(3) == 3L)
+    assert(r9.getLong(4) == 2405L && r9.getLong(5) == 4745L && r9.getLong(6) == 7865L)
+    // doc_id = 0: w=4, h=4, seed=0 — sum_r = Σ(3x+5y) over 4×4
+    //   = 4·(3·(0+1+2+3)) + 4·(5·(0+1+2+3)) = 72 + 120 = 192
+    val r0 = got.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == 4L && r0.getLong(2) == 4L)
+    assert(r0.getLong(4) == 192L)
+    // closed-form agreement over the real corpus: decode census == formula
+    // census for EVERY document (the spark-side mirror of the DuckDB oracle,
+    // including ids whose pixel terms exceed 255 so the mod path is hit)
+    val decoded = Multimodal.decodeImageCensus(
+      Multimodal.pngMedia(Tables.documents(spark, sf)))
+    val formula = Tables.documents(spark, sf).where(col("doc_id").isNotNull)
+      .select(col("doc_id").as("media_id"),
+        (lit(4) + col("doc_id") % 13).as("w"),
+        (lit(4) + (col("doc_id").cast("long") / 7).cast("long") % 13).as("h"),
+        (col("doc_id") % 251).as("seed"))
+      .select(col("media_id"), col("w"), col("h"),
+        explode(sequence(lit(0), col("w") * col("h") - 1)).as("i"), col("seed"))
+      .groupBy(col("media_id"), col("w"), col("h"))
+      .agg(
+        sum((lit(3) * (col("i") % col("w")) + lit(5) * (col("i") / col("w")).cast("long") + col("seed")) % 256).as("sum_r"),
+        sum((lit(7) * (col("i") % col("w")) + lit(11) * (col("i") / col("w")).cast("long") + col("seed")) % 256).as("sum_g"),
+        sum((lit(13) * (col("i") % col("w")) + lit(17) * (col("i") / col("w")).cast("long") + col("seed")) % 256).as("sum_b"))
+    val mismatches = decoded.as("d").join(formula.as("f"), Seq("media_id"))
+      .where(col("d.width") =!= col("f.w") || col("d.height") =!= col("f.h")
+        || col("d.sum_r") =!= col("f.sum_r") || col("d.sum_g") =!= col("f.sum_g")
+        || col("d.sum_b") =!= col("f.sum_b"))
+      .count()
+    assert(mismatches == 0)
+    assert(decoded.count() == Tables.documents(spark, sf)
+      .where(col("doc_id").isNotNull).count())
+  }
+
   test("event generator: reference wire contract round-trips through from_json") {
     val gen  = new EventGenerator(seed = 1)
     val evs  = gen.events(300)
