@@ -667,6 +667,8 @@ object SparkEntry {
       Multimodal.casAudit(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     "q_media_decode" -> ((s, d) => // REAL javax.imageio decode: per-image pixel-sum census
       Multimodal.decodeImageCensus(Multimodal.pngMedia(Tables.documents(s, d)))),
+    "q_audio_decode" -> ((s, d) => // REAL javax.sound WAV decode: per-clip sample-sum census
+      Multimodal.decodeAudioCensus(Multimodal.wavMedia(Tables.documents(s, d)))),
 
     // --- structured streaming (T1/T2/T8: real streaming query, append mode,
     //     memory sink; emits exactly the watermark-closed windows)
@@ -5434,6 +5436,29 @@ object SparkEntry {
         |  CAST(sum(( 7 * (i % w) + 11 * (i // w) + seed) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((13 * (i % w) + 17 * (i // w) + seed) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
+
+    // Mirror of Multimodal.{wavMedia, decodeAudioCensus}: the engine
+    // encodes a real RIFF/WAVE file per doc (16-bit PCM LE mono 8 kHz) and
+    // decodes it back with javax.sound.sampled; the oracle recomputes the
+    // sample-sum census from the closed form — equality proves the WAV
+    // round-trip exact to the sample.
+    "q_audio_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 241 AS n,
+        |    doc_id % 9973 AS seed
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |sm AS (
+        |  SELECT media_id, n, seed,
+        |    unnest(generate_series(0, n - 1)) AS i
+        |  FROM m)
+        |SELECT media_id,
+        |  CAST(n AS BIGINT) AS frames,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(sum((1103 * i + seed) % 65536 - 32768) AS BIGINT) AS sum_samples
+        |FROM sm GROUP BY media_id, n ORDER BY media_id""".stripMargin,
 
     // Mirror of Skyline.partParetoFront: the quadratic NOT-EXISTS dominance
     // definition — the engine's threshold-join plan must reproduce it.

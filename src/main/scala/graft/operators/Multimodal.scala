@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL — [[ImageIoDecoder]] and [[decodeImageCensus]] run
   * the JDK's own `javax.imageio` codecs (PNG/BMP/GIF/JPEG/TIFF, headless,
-  * no external libraries — r15 verdict task 1). Audio/video codecs remain
-  * genuinely absent from this JDK, so those kinds keep the
-  * [[DeterministicFakeDecoder]] metadata contract; the Spark-side plumbing
-  * (schema, batching, partitioning, null handling) is identical either
-  * way. In PySpark this layer would be `mapInPandas` with Arrow batches;
+  * no external libraries — r15 verdict task 1). AUDIO decode is real for
+  * PCM WAV — [[decodeAudioCensus]] runs `javax.sound.sampled`. Compressed
+  * audio (MP3/AAC) and video codecs remain genuinely absent from this
+  * JDK, so those kinds keep the [[DeterministicFakeDecoder]] metadata
+  * contract; the Spark-side plumbing (schema, batching, partitioning,
+  * null handling) is identical either way.
+  * In PySpark this layer would be `mapInPandas` with Arrow batches;
   * the Scala-native equivalent is `mapPartitions` over a typed Dataset,
   * which likewise amortizes per-batch setup (decoder init happens once per
   * partition, not per row — the property that matters at 100 TB).
@@ -37,10 +39,11 @@ object Multimodal {
     * Width/height/channels come from the DECODED pixels, never from
     * metadata riding beside the payload; `feature_norm` is the mean pixel
     * intensity in [0,1), floor-quantized to 1e-4 so it is
-    * aggregation-order safe downstream. Audio/video codecs are genuinely
-    * absent from this JDK (no javax.sound MP3/AAC, no video framework),
-    * so non-image kinds throw with a named reason rather than fake a
-    * decode — [[DeterministicFakeDecoder]] remains their documented
+    * aggregation-order safe downstream. COMPRESSED audio codecs (MP3/AAC)
+    * and every video framework are genuinely absent from this JDK — PCM
+    * WAV decode exists and is exercised by [[decodeAudioCensus]] — so
+    * non-image kinds here throw with a named reason rather than fake a
+    * decode; [[DeterministicFakeDecoder]] remains their documented
     * metadata contract. */
   object ImageIoDecoder extends MediaDecoder {
     def decode(r: MediaRecord): MediaMeta = r.kind match {
@@ -173,6 +176,80 @@ object Multimodal {
         }
         ImageCensus(rec.media_id, w.toLong, h.toLong,
           img.getColorModel.getNumColorComponents.toLong, sr, sg, sb)
+      }
+    }.toDF().orderBy(col("media_id"))
+  }
+
+  /** An opaque audio payload: id + WAV bytes, nothing else. */
+  case class WavPayload(media_id: Long, payload: Array[Byte])
+
+  /** Per-clip decode census: format fields and the EXACT integer sample
+    * sum, all read from the decoded PCM stream. */
+  case class AudioCensus(media_id: Long, frames: Long, channels: Long,
+                         sample_rate: Long, bits: Long, sum_samples: Long)
+
+  /** Deterministic WAV fixtures — the audio sibling of [[pngMedia]]: one
+    * real RIFF/WAVE file per document (16-bit signed PCM little-endian,
+    * mono, 8 kHz), written with the JDK's own `javax.sound.sampled`.
+    * Frame count and samples are a closed-form of `doc_id`:
+    *
+    *   frames = 16 + id % 241,  seed = id % 9973
+    *   sample(i) = ((1103·i + seed) mod 65536) − 32768
+    *
+    * WAV PCM is lossless, so [[decodeAudioCensus]] agreeing with the
+    * formula proves the encode→decode round-trip exact to the sample. */
+  def wavMedia(docs: DataFrame): Dataset[WavPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (16L + id % 241L).toInt
+          val seed = (id % 9973L).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((1103 * i + seed) % 65536) - 32768
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavPayload(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL audio decode at census grain: `javax.sound.sampled` parses each
+    * RIFF payload back to its PCM stream; the census reports the decoded
+    * frame count, format fields, and the exact integer sample sum — the
+    * quantities the oracle recomputes from [[wavMedia]]'s closed form.
+    * Same partition-iterator economics as [[decodeImageCensus]]. */
+  def decodeAudioCensus(media: Dataset[WavPayload]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.payload))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"media_id=${rec.media_id}: unexpected decoded format $fmt")
+        val bytes = ais.readAllBytes()
+        var (i, sum) = (0, 0L)
+        while (i + 1 < bytes.length) {
+          sum += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+          i += 2
+        }
+        AudioCensus(rec.media_id, ais.getFrameLength, fmt.getChannels.toLong,
+          fmt.getSampleRate.toLong, fmt.getSampleSizeInBits.toLong, sum)
       }
     }.toDF().orderBy(col("media_id"))
   }

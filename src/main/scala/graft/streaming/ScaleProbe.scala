@@ -42,15 +42,22 @@ object ScaleProbe {
     MemorySinkRunner.captureProgress = true
 
     val all = sliceTimeOrdered(spark,
-      graft.sources.Tables.events(spark, sfDir), slices, "all")
+      graft.sources.Tables.events(spark, sfDir), slices, "all", "ts_sec")
     def typed(t: String) = sliceTimeOrdered(spark,
       graft.sources.Tables.events(spark, sfDir).where(col("event_type") === t),
-      math.max(slices / 2, 2), t)
+      math.max(slices / 2, 2), t, "ts_sec")
     val p = typed("purchase")
     val v = typed("view")
+    // documents' ingest time is BaseSec + doc_id (StreamingNearDup), so
+    // id-ordered slices ARE time-ordered slices
+    val docs = sliceTimeOrdered(spark,
+      graft.sources.Tables.documents(spark, sfDir).where(col("doc_id").isNotNull),
+      slices, "docs", "doc_id")
     val mfpt = Map("maxFilesPerTrigger" -> "1")
 
     val runs: Seq[(String, () => DataFrame)] = Seq(
+      "q_streaming_near_dup" -> (() =>
+        StreamingNearDup.nearDupFlagsFrom(spark, docs, mfpt)),
       "q_streaming_hourly" -> (() =>
         StreamingHourly.closedHourlyMetricsFrom(spark, all, mfpt)),
       "q_streaming_sliding" -> (() =>
@@ -85,10 +92,10 @@ object ScaleProbe {
     * fresh directory, modification times pinned ascending (the file
     * source's delivery order), and return the directory path. */
   private def sliceTimeOrdered(spark: SparkSession, df: DataFrame,
-                               k: Int, tag: String): String = {
+                               k: Int, tag: String, timeCol: String): String = {
     import scala.jdk.CollectionConverters._
     val events = df.select(col("*"))
-    val r = events.agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+    val r = events.agg(min(col(timeCol)), max(col(timeCol))).head()
     // an empty/filtered-to-nothing corpus yields null min/max — fail with
     // a message naming the real problem, not an NPE (r15 ADVICE)
     require(!r.isNullAt(0),
@@ -98,8 +105,8 @@ object ScaleProbe {
     val srcDir = Files.createTempDirectory(s"graft_scale_slices_$tag")
     var written = 0
     for (i <- 0 until k) {
-      val slice = events.where(col("ts_sec") >= lo + i * step
-        && col("ts_sec") < lo + (i + 1) * step)
+      val slice = events.where(col(timeCol) >= lo + i * step
+        && col(timeCol) < lo + (i + 1) * step)
       // step rounding can leave trailing slices empty: an empty write would
       // still emit a zero-row part file and burn a no-op trigger per empty
       // slice — skip them up front, renumbering densely so delivery order

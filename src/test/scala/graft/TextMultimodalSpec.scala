@@ -379,6 +379,19 @@ class TextMultimodalSpec extends SparkSpec {
       .where(col("doc_id").isNotNull).count())
   }
 
+  test("wav decode census: hand-computed fixture") {
+    import spark.implicits._
+    // doc_id = 5: n = 16 + 5 = 21 frames, seed = 5.
+    //   1103·i + 5 stays < 65536 for i < 22, so the mod never bites:
+    //   sum = Σ_{i<21}(1103·i + 5 − 32768) = 1103·210 + 21·(5 − 32768)
+    //       = 231630 − 688023 = −456393
+    val docs = Seq((5L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.decodeAudioCensus(Multimodal.wavMedia(docs)).head()
+    assert(got.getLong(1) == 21L && got.getLong(2) == 1L
+      && got.getLong(3) == 8000L && got.getLong(4) == 16L)
+    assert(got.getLong(5) == -456393L)
+  }
+
   test("event generator: reference wire contract round-trips through from_json") {
     val gen  = new EventGenerator(seed = 1)
     val evs  = gen.events(300)
