@@ -669,6 +669,8 @@ object SparkEntry {
       Multimodal.decodeImageCensus(Multimodal.pngMedia(Tables.documents(s, d)))),
     "q_audio_decode" -> ((s, d) => // REAL javax.sound WAV decode: per-clip sample-sum census
       Multimodal.decodeAudioCensus(Multimodal.wavMedia(Tables.documents(s, d)))),
+    "q_resize_exec" -> ((s, d) => // REAL decode->resize->encode->decode chain, pixel-exact
+      Multimodal.resizeExec(Multimodal.pngMedia(Tables.documents(s, d)), 2)),
 
     // --- structured streaming (T1/T2/T8: real streaming query, append mode,
     //     memory sink; emits exactly the watermark-closed windows)
@@ -5459,6 +5461,37 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS bits,
         |  CAST(sum((1103 * i + seed) % 65536 - 32768) AS BIGINT) AS sum_samples
         |FROM sm GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+
+    // Mirror of Multimodal.resizeExec (stride 2): nearest-neighbor
+    // downsample keeps exactly the even-coordinate pixels of pngMedia's
+    // closed form — the oracle sums the formula over the SURVIVING
+    // coordinates (x' = i % ow, y' = i // ow sample source pixel
+    // (2x', 2y')), proving the decode → resize → encode → decode chain
+    // exact to the pixel.
+    "q_resize_exec" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w,
+        |    4 + (doc_id // 7) % 13 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |d AS (
+        |  SELECT media_id, w, h, seed,
+        |    (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+        |  FROM m),
+        |px AS (
+        |  SELECT media_id, ow, oh, seed,
+        |    2 * (unnest(generate_series(0, ow * oh - 1)) % ow) AS x,
+        |    2 * (unnest(generate_series(0, ow * oh - 1)) // ow) AS y
+        |  FROM d)
+        |SELECT media_id,
+        |  CAST(ow AS BIGINT) AS width,
+        |  CAST(oh AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum(( 3 * x +  5 * y + seed) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum(( 7 * x + 11 * y + seed) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((13 * x + 17 * y + seed) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id, ow, oh ORDER BY media_id""".stripMargin,
 
     // Mirror of Skyline.partParetoFront: the quadratic NOT-EXISTS dominance
     // definition — the engine's threshold-join plan must reproduce it.

@@ -144,6 +144,13 @@ object GraphRank {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+      // stride 2, MEASURED against stride 4 (r16, warm same-JVM reps at
+      // sf0.1): stride 4 ran q_entity_pagerank 1.68 → 2.32 s and
+      // q_personalized_pagerank 1.68 → 2.33 s median — on these
+      // CORPUS-sized rank frames the deeper unmaterialized plan costs
+      // more than the saved checkpoint barriers, the opposite of the BPE
+      // and Markov results (whose per-round frames are vocabulary-/
+      // |types|-sized). Stride choice is frame-size-dependent.
       rank = if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
     }
     rank

@@ -180,6 +180,57 @@ object Multimodal {
     }.toDF().orderBy(col("media_id"))
   }
 
+  /** REAL resize EXECUTION — the pixel work [[resizePlan]] only sizes:
+    * decode each PNG, nearest-neighbor downsample by integer `stride`
+    * (out(x,y) = in(stride·x, stride·y), out dims = ceil(dim/stride)),
+    * RE-ENCODE the result to PNG, decode it AGAIN, and report the final
+    * census — so the oracle's agreement proves the full
+    * decode → transform → encode → decode chain exact to the pixel, not
+    * just a single decode. Per-partition iterator economics as above; at
+    * 100 TB this stage is the bandwidth reducer (payload bytes shrink
+    * ~stride² before anything downstream touches them). */
+  def resizeExec(media: Dataset[PngPayload], stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val buf = new java.io.ByteArrayOutputStream(1024)
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.payload))
+        require(img != null, s"media_id=${rec.media_id}: not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val ow = (w + stride - 1) / stride
+        val oh = (h + stride - 1) / stride
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            out.setRGB(x, y, img.getRGB(x * stride, y * stride) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val px = back.getRGB(0, 0, back.getWidth, back.getHeight, null, 0, back.getWidth)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        ImageCensus(rec.media_id, back.getWidth.toLong, back.getHeight.toLong,
+          back.getColorModel.getNumColorComponents.toLong, sr, sg, sb)
+      }
+    }.toDF().orderBy(col("media_id"))
+  }
+
   /** An opaque audio payload: id + WAV bytes, nothing else. */
   case class WavPayload(media_id: Long, payload: Array[Byte])
 

@@ -439,6 +439,40 @@ class HypothesisSpec extends SparkSpec {
       && r.getAs[Double]("mean_per_hour") > 0.0))
   }
 
+  test("temperature smoothing compresses the share range monotonically") {
+    // τ = 2 sampling (share^(1/2), renormalized) must (a) preserve the
+    // source ordering (sqrt is monotone), (b) up-weight every source below
+    // the uniform share and down-weight every source above it, and (c)
+    // strictly shrink the max/min share ratio (to its square root, up to
+    // the 1e-4 output quantization) — the "compresses the weight range"
+    // property of the mBERT/XLM-R sampling rule.
+    val mt = CorpusFilters.mixtureTemperature(Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getAs[Double]("token_share_pct"),
+        r.getAs[Double]("sampled_share_pct")))
+      .sortBy(_._1)
+    assert(mt.length >= 2, "need at least two sources for a range")
+    mt.sliding(2).foreach { case Array((t1, s1), (t2, s2)) =>
+      assert(t1 <= t2 && s1 <= s2 + 1e-3,
+        s"sampled shares must preserve token-share order: ($t1,$s1) vs ($t2,$s2)")
+    }
+    val uniform = 100.0 / mt.length
+    mt.foreach { case (t, s) =>
+      if (t < uniform - 0.1) assert(s >= t - 1e-3, s"below-uniform source must not shrink: $t -> $s")
+      if (t > uniform + 0.1) assert(s <= t + 1e-3, s"above-uniform source must not grow: $t -> $s")
+    }
+    val (tMin, sMin) = mt.head
+    val (tMax, sMax) = mt.last
+    if (tMin > 0 && tMax / tMin > 1.01) {
+      val rawRatio = tMax / tMin
+      val smoothed = sMax / sMin
+      assert(smoothed < rawRatio,
+        s"share ratio must compress: $rawRatio -> $smoothed")
+      assert(math.abs(smoothed - math.sqrt(rawRatio)) < 0.02 * math.sqrt(rawRatio),
+        s"τ=2 compresses the ratio to its square root: got $smoothed vs ${math.sqrt(rawRatio)}")
+    }
+  }
+
   test("chi-square: a crafted independent table scores ~0; a deterministic one scores V=1") {
     // independent: every (type, dow) cell has exactly 5 events -> chi2 = 0
     val indep = (for {

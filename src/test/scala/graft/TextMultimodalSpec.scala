@@ -379,6 +379,19 @@ class TextMultimodalSpec extends SparkSpec {
       .where(col("doc_id").isNotNull).count())
   }
 
+  test("resize exec: hand-computed fixture (odd dims, ceil division)") {
+    import spark.implicits._
+    // doc_id = 9 -> in 13×5 seed 9; stride 2 keeps x ∈ {0,2,…,12} (7 cols),
+    // y ∈ {0,2,4} (3 rows) -> out 7×3. All pixel terms < 256 here:
+    //   sum_r = 3·(0+2+…+12)·3 + 5·(0+2+4)·7 + 9·21 = 378+210+189 = 777
+    //   sum_g = 7·42·3 + 11·6·7 + 189 = 882+462+189 = 1533
+    //   sum_b = 13·42·3 + 17·6·7 + 189 = 1638+714+189 = 2541
+    val docs = Seq((9L, "x")).toDF("doc_id", "text")
+    val r = Multimodal.resizeExec(Multimodal.pngMedia(docs), 2).head()
+    assert(r.getLong(1) == 7L && r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 777L && r.getLong(5) == 1533L && r.getLong(6) == 2541L)
+  }
+
   test("wav decode census: hand-computed fixture") {
     import spark.implicits._
     // doc_id = 5: n = 16 + 5 = 21 frames, seed = 5.
