@@ -88,6 +88,72 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------- per-partition codec handles
+  //
+  // The static entry points (`ImageIO.read/write`, `AudioSystem.write/
+  // getAudioInputStream`) run a provider-REGISTRY lookup on every call, and
+  // the sound registry (`JDK13Services.getProviders`) is a GLOBAL
+  // synchronized section — jstack on a 32-thread x64 run showed all 32
+  // executor threads convoying on that lock (~400 µs/row, vs ~30 µs of
+  // actual codec work). Resolving the SPI handle ONCE per partition and
+  // reusing it is the whole point of the mapPartitions shape; these
+  // helpers use only public API (javax.imageio.ImageReader/Writer,
+  // javax.sound.sampled.spi via ServiceLoader).
+
+  private def pngWriterHandle(): javax.imageio.ImageWriter = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(it.hasNext, "no PNG writer in this JDK")
+    it.next()
+  }
+
+  private def pngReaderHandle(): javax.imageio.ImageReader = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    require(it.hasNext, "no PNG reader in this JDK")
+    it.next()
+  }
+
+  private def encodePng(w: javax.imageio.ImageWriter,
+                        img: java.awt.image.BufferedImage,
+                        buf: java.io.ByteArrayOutputStream): Array[Byte] = {
+    buf.reset()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+    w.setOutput(out)
+    w.write(img)
+    out.close()
+    buf.toByteArray
+  }
+
+  private def decodePng(r: javax.imageio.ImageReader,
+                        bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    r.setInput(in, true, true)
+    val img = r.read(0)
+    in.close()
+    img
+  }
+
+  private def wavWriterHandle(): javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer in this JDK"))
+  }
+
+  /** All installed audio readers; the caller probes once and reuses the
+    * matching reader for the partition (payloads share one container). */
+  private def wavReaderHandle(probe: Array[Byte]): javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => false }
+      }
+      .getOrElse(throw new IllegalStateException("no reader accepts the WAVE payload"))
+  }
+
   /** An opaque image payload: id + bytes, NOTHING else — the decode census
     * must recover every dimension from the bytes themselves. */
   case class PngPayload(media_id: Long, payload: Array[Byte])
@@ -120,8 +186,18 @@ object Multimodal {
     import spark.implicits._
     docs.where(col("doc_id").isNotNull)
       .select(col("doc_id").cast("long")).as[Long]
+      // fan the 8-byte id column out across the cores BEFORE the CPU-bound
+      // codec stage: the ids come off a scan whose task count follows FILE
+      // sizes (one small parquet = one task locally), while the codec work
+      // is per-ROW — this exchange is the local mirror of the file-level
+      // parallelism a real cluster gets for free, and it moves nothing but
+      // the ids (measured x64: audio census 157 s -> seconds)
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
-        val buf = new java.io.ByteArrayOutputStream(1024) // per-partition handle
+        // per-partition handles: writer resolved once (registry lookup is
+        // a global lock — see the codec-handle section above)
+        val writer = pngWriterHandle()
+        val buf = new java.io.ByteArrayOutputStream(1024)
         it.map { id =>
           val w = (4L + id % 13L).toInt
           val h = (4L + (id / 7L) % 13L).toInt
@@ -140,10 +216,7 @@ object Multimodal {
             }
             y += 1
           }
-          buf.reset()
-          if (!javax.imageio.ImageIO.write(img, "png", buf))
-            throw new IllegalStateException(s"media_id=$id: no PNG writer in this JDK")
-          PngPayload(id, buf.toByteArray)
+          PngPayload(id, encodePng(writer, img, buf))
         }
       }
   }
@@ -161,10 +234,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      val reader = pngReaderHandle() // once per partition, not per row
       it.map { rec =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(rec.payload))
-        require(img != null, s"media_id=${rec.media_id}: not a decodable image")
+        val img = decodePng(reader, rec.payload)
         val (w, h) = (img.getWidth, img.getHeight)
         val px = img.getRGB(0, 0, w, h, null, 0, w)
         var (sr, sg, sb) = (0L, 0L, 0L)
@@ -194,11 +266,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      val reader = pngReaderHandle() // per-partition codec handles
+      val writer = pngWriterHandle()
       val buf = new java.io.ByteArrayOutputStream(1024)
       it.map { rec =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(rec.payload))
-        require(img != null, s"media_id=${rec.media_id}: not a decodable image")
+        val img = decodePng(reader, rec.payload)
         val (w, h) = (img.getWidth, img.getHeight)
         val ow = (w + stride - 1) / stride
         val oh = (h + stride - 1) / stride
@@ -213,10 +285,7 @@ object Multimodal {
           }
           y += 1
         }
-        buf.reset()
-        javax.imageio.ImageIO.write(out, "png", buf)
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val back = decodePng(reader, encodePng(writer, out, buf))
         val px = back.getRGB(0, 0, back.getWidth, back.getHeight, null, 0, back.getWidth)
         var (sr, sg, sb) = (0L, 0L, 0L)
         var i = 0
@@ -254,7 +323,14 @@ object Multimodal {
     import spark.implicits._
     docs.where(col("doc_id").isNotNull)
       .select(col("doc_id").cast("long")).as[Long]
+      // id-only fan-out ahead of the codec stage — see [[pngMedia]]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        // the WAVE SPI writer resolved once per partition — the static
+        // AudioSystem.write path runs a globally-synchronized provider
+        // lookup per call (see the codec-handle section)
+        val writer = wavWriterHandle()
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
         it.map { id =>
           val n = (16L + id % 241L).toInt
           val seed = (id % 9973L).toInt
@@ -266,12 +342,10 @@ object Multimodal {
             pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           WavPayload(id, bos.toByteArray)
         }
       }
@@ -286,8 +360,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      // reader probed on the first payload, reused for the partition (all
+      // payloads share one container format)
+      var reader: javax.sound.sampled.spi.AudioFileReader = null
       it.map { rec =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        if (reader == null) reader = wavReaderHandle(rec.payload)
+        val ais = reader.getAudioInputStream(
           new java.io.ByteArrayInputStream(rec.payload))
         val fmt = ais.getFormat
         require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED

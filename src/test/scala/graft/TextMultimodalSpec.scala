@@ -377,6 +377,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(mismatches == 0)
     assert(decoded.count() == Tables.documents(spark, sf)
       .where(col("doc_id").isNotNull).count())
+    // the MediaDecoder-trait path: ImageIoDecoder fills MediaMeta from the
+    // DECODED raster (width = 4 + id % 13 etc.), and feature_norm is the
+    // quantized mean intensity in [0, 1)
+    val media = Multimodal.pngMedia(docs)
+      .select(col("media_id"), lit("image").as("kind"), col("payload"))
+    val metas = Multimodal.decodeAll(media, Multimodal.ImageIoDecoder).collect()
+    assert(metas.length == 2)
+    val m9 = metas.find(_.media_id == 9L).get
+    assert(m9.width == 13 && m9.height == 5 && m9.channels == 3 && m9.frames == 1)
+    // mean = (2405 + 4745 + 7865) / (3 * 65 * 255) = 15015 / 49725
+    val want = math.floor(15015.0 / 49725.0 * 10000.0) / 10000.0
+    assert(m9.feature_norm == want)
+    // non-image kinds refuse with a named reason instead of faking a decode
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAll(media.withColumn("kind", lit("video")),
+        Multimodal.ImageIoDecoder).collect()
+    }
+    assert(ex.getMessage.contains("codec") || String.valueOf(ex.getCause).contains("codec"))
   }
 
   test("resize exec: hand-computed fixture (odd dims, ceil division)") {
