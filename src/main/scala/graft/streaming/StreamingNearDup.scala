@@ -41,7 +41,16 @@ import graft.operators.Dedup
   *    dropped as soon as the watermark passes `t + horizon` (event-time
   *    timeout), so total state is bounded by the horizon's document count
   *    × 32 bands regardless of stream length — the plateau property
-  *    measured for the exact-dedup family in BENCH_streaming_scale_r15.
+  *    measured for the exact-dedup family in BENCH_streaming_scale_r15
+  *    and for this operator at ×64 in BENCH_streaming_scale_r16.
+  *  - Per-arrival verify cost is a scan of the bucket's in-horizon entry
+  *    list with an EARLY EXIT on the first verifying predecessor — true
+  *    duplicates (the common hot-bucket mass, e.g. the megadup gate's
+  *    boilerplate) match on the first compare, so a hot bucket of m
+  *    near-identical docs costs O(m) total, not O(m²); only an
+  *    adversarial bucket of band-colliding NON-duplicates degrades to the
+  *    horizon-bounded quadratic, the same worst case the batch banded
+  *    join carries (and the LSH banding makes rare by construction).
   *
   * Documents carry no timestamp, so ingest time is pinned as
   * `t = BaseSec + doc_id` seconds (strictly increasing in doc_id — ties
