@@ -671,6 +671,8 @@ object SparkEntry {
       Multimodal.decodeAudioCensus(Multimodal.wavMedia(Tables.documents(s, d)))),
     "q_resize_exec" -> ((s, d) => // REAL decode->resize->encode->decode chain, pixel-exact
       Multimodal.resizeExec(Multimodal.pngMedia(Tables.documents(s, d)), 2)),
+    "q_frame_sample_exec" -> ((s, d) => // REAL multi-frame GIF decode + stride-2 frame sampling
+      Multimodal.frameSampleExec(Multimodal.gifMedia(Tables.documents(s, d)), 2)),
 
     // --- structured streaming (T1/T2/T8: real streaming query, append mode,
     //     memory sink; emits exactly the watermark-closed windows)
@@ -5492,6 +5494,35 @@ object SparkEntry {
         |  CAST(sum(( 7 * x + 11 * y + seed) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((13 * x + 17 * y + seed) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id, ow, oh ORDER BY media_id""".stripMargin,
+
+    // Mirror of Multimodal.{gifMedia, frameSampleExec} (stride 2): the
+    // engine writes a real animated GIF per doc (grayscale -> lossless
+    // palette), counts frames from the stream, and decodes every 2nd
+    // frame; the oracle sums the closed-form gray values over exactly the
+    // sampled frame indices (3-arg generate_series walks 0,2,4,…).
+    "q_frame_sample_exec" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    2 + doc_id % 9 AS frames,
+        |    4 + doc_id % 11 AS w,
+        |    4 + (doc_id // 7) % 11 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |fr AS (
+        |  SELECT media_id, frames, w, h, seed,
+        |    unnest(generate_series(0, frames - 1, 2)) AS f
+        |  FROM m),
+        |px AS (
+        |  SELECT media_id, frames, w, h, seed, f,
+        |    unnest(generate_series(0, w * h - 1)) AS i
+        |  FROM fr)
+        |SELECT media_id,
+        |  CAST(frames AS BIGINT) AS frames,
+        |  CAST((frames - 1) // 2 + 1 AS BIGINT) AS sampled_frames,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((3 * (i % w) + 5 * (i // w) + 11 * f + seed) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY media_id, frames, w, h ORDER BY media_id""".stripMargin,
 
     // Mirror of Skyline.partParetoFront: the quadratic NOT-EXISTS dominance
     // definition — the engine's threshold-join plan must reproduce it.

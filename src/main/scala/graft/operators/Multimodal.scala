@@ -300,6 +300,128 @@ object Multimodal {
     }.toDF().orderBy(col("media_id"))
   }
 
+  /** An opaque multi-frame payload: id + animated-GIF bytes. */
+  case class GifPayload(media_id: Long, payload: Array[Byte])
+
+  /** Per-container frame-sampling census: container frame count, how many
+    * frames the stride keeps, dimensions, and the exact gray-sum over the
+    * SAMPLED frames only. */
+  case class FrameCensus(media_id: Long, frames: Long, sampled_frames: Long,
+                         width: Long, height: Long, sum_gray: Long)
+
+  /** Deterministic MULTI-FRAME fixtures: one real animated GIF per
+    * document (the JDK's own gif plugin writes and reads frame
+    * sequences). Grayscale keeps GIF lossless — ≤ 256 distinct colors per
+    * frame means the palette preserves every sample bit-exactly:
+    *
+    *   frames = 2 + id % 9,  w = 4 + id % 11,  h = 4 + (id div 7) % 11,
+    *   seed = id % 251,  gray(x,y,f) = (3x + 5y + 11f + seed) mod 256
+    */
+  def gifMedia(docs: DataFrame): Dataset[GifPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see [[pngMedia]]
+      .mapPartitions { it =>
+        val writer = {
+          val ws = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+          require(ws.hasNext, "no GIF writer in this JDK")
+          ws.next()
+        }
+        val buf = new java.io.ByteArrayOutputStream(2048)
+        it.map { id =>
+          val frames = (2L + id % 9L).toInt
+          val w = (4L + id % 11L).toInt
+          val h = (4L + (id / 7L) % 11L).toInt
+          val seed = (id % 251L).toInt
+          buf.reset()
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+          writer.setOutput(out)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < frames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, (3 * x + 5 * y + 11 * f + seed) % 256)
+                x += 1
+              }
+              y += 1
+            }
+            // interlace OFF, explicitly: the JDK gif writer's default
+            // INTERLACED row schedule mis-writes heights where an
+            // interlace pass lands empty (found: every h = 4 frame came
+            // back with row y = 2 missing) — sequential row order
+            // round-trips bit-exactly at every size
+            val meta = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img), null)
+            val fmt = meta.getNativeMetadataFormatName
+            val root = meta.getAsTree(fmt)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            var i = 0
+            while (i < root.getLength) {
+              if (root.item(i).getNodeName == "ImageDescriptor")
+                root.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                  .setAttribute("interlaceFlag", "FALSE")
+              i += 1
+            }
+            meta.setFromTree(fmt, root)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          out.close()
+          GifPayload(id, buf.toByteArray)
+        }
+      }
+  }
+
+  /** REAL frame-sampling EXECUTION — the per-frame decode work
+    * [[frameSamplePlan]] only sizes: open each animated container, count
+    * its frames from the stream (`getNumImages`), decode every
+    * `stride`-th frame, and census the SAMPLED frames' exact gray sums.
+    * `sampled_frames` realizes the plan's `floor((frames−1)/stride) + 1`
+    * by actual decode count; the skipped frames are never rasterized —
+    * the bandwidth economics of video-style sampling. Reader handle per
+    * partition (GIF needs `seekForwardOnly = false` for the frame
+    * count). */
+  def frameSampleExec(media: Dataset[GifPayload], stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val reader = {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        require(rs.hasNext, "no GIF reader in this JDK")
+        rs.next()
+      }
+      it.map { rec =>
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(rec.payload))
+        reader.setInput(in, false, true)
+        val frames = reader.getNumImages(true)
+        var (f, sampled, sum) = (0, 0L, 0L)
+        var (w, h) = (0L, 0L)
+        while (f < frames) {
+          val img = reader.read(f)
+          if (f == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+          sampled += 1
+          f += stride
+        }
+        in.close()
+        FrameCensus(rec.media_id, frames.toLong, sampled, w, h, sum)
+      }
+    }.toDF().orderBy(col("media_id"))
+  }
+
   /** An opaque audio payload: id + WAV bytes, nothing else. */
   case class WavPayload(media_id: Long, payload: Array[Byte])
 

@@ -410,6 +410,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getLong(4) == 777L && r.getLong(5) == 1533L && r.getLong(6) == 2541L)
   }
 
+  test("gif frame-sample exec: hand-computed fixture incl. the h=4 interlace case") {
+    import spark.implicits._
+    // doc_id = 4 -> frames 6, 8×4, seed 4; stride 2 samples f ∈ {0,2,4}.
+    //   per-frame sum = 3·28·4 + 5·6·8 + (11f+4)·32 = 704 + 352f
+    //   total = 3·704 + 352·(0+2+4) = 4224
+    // h = 4 is exactly the height the JDK gif writer's INTERLACED default
+    // mis-wrote (row y = 2 vanished) — this fixture is the regression
+    // guard for the explicit interlaceFlag=FALSE metadata.
+    val docs = Seq((4L, "x"), (0L, "y")).toDF("doc_id", "text")
+    val got = Multimodal.frameSampleExec(Multimodal.gifMedia(docs), 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r4 = got(4L)
+    assert(r4.getLong(1) == 6L && r4.getLong(2) == 3L
+      && r4.getLong(3) == 8L && r4.getLong(4) == 4L)
+    assert(r4.getLong(5) == 4224L)
+    // doc_id = 0 -> frames 2, 4×4, seed 0; only f = 0 sampled; sum = 192
+    val r0 = got(0L)
+    assert(r0.getLong(1) == 2L && r0.getLong(2) == 1L && r0.getLong(5) == 192L)
+  }
+
   test("wav decode census: hand-computed fixture") {
     import spark.implicits._
     // doc_id = 5: n = 16 + 5 = 21 frames, seed = 5.
