@@ -311,6 +311,11 @@ object SparkEntry {
       // 100 TB dedup pipeline actually feeds CC (the exact prefix join is
       // the small-corpus/audit path, oracle-checked as q_jaccard_join)
       Dedup.dedupClusters(verifiedPairsShared(s, d)).orderBy(col("doc_id"))),
+    "q_cc_altstar" -> ((s, d) => // same components via alternating large/small-star
+      // (Kiveris et al. SoCC'14): O(log n) rounds independent of component
+      // diameter — the deep-component scale path; shares q_dedup_clusters'
+      // oracle because the fixpoint is the same component-min labeling
+      Dedup.ccAlternatingStar(verifiedPairsShared(s, d)).orderBy(col("doc_id"))),
     "q_cluster_survivors" -> ((s, d) => { // survivor selection per near-dup cluster
       val docs = Tables.documents(s, d)
       Dedup.clusterSurvivors(
@@ -438,6 +443,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKmeansTopK(emb, emb.where(col("vec_id") < 5), 5)
     }),
+    "q_semdedup" -> ((s, d) => // SemDeDup: k-means cells, within-cell cosine prune
+      Similarity.semDedupProfile(Tables.embeddings(s, d))),
     "q_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .select(col("label"), graft.functions.Cols.asDec4(Similarity.norm(col("centroid"))).as("centroid_norm"))
@@ -669,6 +676,8 @@ object SparkEntry {
       Multimodal.decodeImageCensus(Multimodal.pngMedia(Tables.documents(s, d)))),
     "q_audio_decode" -> ((s, d) => // REAL javax.sound WAV decode: per-clip sample-sum census
       Multimodal.decodeAudioCensus(Multimodal.wavMedia(Tables.documents(s, d)))),
+    "q_audio_features" -> ((s, d) => // windowed RMS energy + zero crossings over decoded PCM
+      Multimodal.audioFeatureCensus(Multimodal.wavMedia(Tables.documents(s, d)))),
     "q_resize_exec" -> ((s, d) => // REAL decode->resize->encode->decode chain, pixel-exact
       Multimodal.resizeExec(Multimodal.pngMedia(Tables.documents(s, d)), 2)),
     "q_frame_sample_exec" -> ((s, d) => // REAL multi-frame GIF decode + stride-2 frame sampling
@@ -698,6 +707,8 @@ object SparkEntry {
       graft.streaming.StreamingDedup.dedupedTypeCounts(s, d)),
     "q_streaming_near_dup" -> ((s, d) => // online MinHash/LSH near-dup flags, horizon-bounded state
       graft.streaming.StreamingNearDup.nearDupFlags(s, d)),
+    "q_streaming_asof" -> ((s, d) => // online backward as-of attribution, per-user state
+      graft.streaming.StreamingAsOf.purchaseAttribution(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -1642,6 +1653,49 @@ object SparkEntry {
        |      FROM scored)
        |SELECT query_id, rank, neighbor_id, ${q4("cos")} AS cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of Similarity.semDedupProfile: the identical unrolled two-round
+    * Lloyd CTEs as q_ivf_kmeans_topk (same seeds, same exact 1e-4-unit
+    * centroid means, same max-dot/lowest-cell assignment), then the
+    * within-cell lower-id cosine-prune rule stated as one self-join. The
+    * cosine is the same IEEE op sequence both engines run: left-fold dot,
+    * sqrt norms, dot / (a_nrm * b_nrm). */
+  private val semDedupOracleSql: String = {
+    val norm = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    def assign(cents: String) =
+      s"""SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dot("e.embedding", "c.c_emb")} DESC, c.cell_id ASC) AS cr
+         |    FROM embeddings e CROSS JOIN $cents c)
+         |  WHERE cr = 1""".stripMargin
+    def centUpdate(assigned: String) =
+      s"""SELECT cell_id, list(c ORDER BY pos) AS c_emb FROM (
+         |    SELECT cell_id, r.i AS pos,
+         |      (CAST(sum(CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE)) AS c
+         |    FROM $assigned, range(64) r(i) GROUP BY cell_id, r.i)
+         |  GROUP BY cell_id""".stripMargin
+    s"""WITH cent0 AS (
+       |  SELECT min(vec_id) AS cell_id, arg_min(embedding, vec_id) AS c_emb
+       |  FROM embeddings
+       |  GROUP BY ${md5h48("CAST(vec_id AS VARCHAR)")} % 16),
+       |a1 AS (${assign("cent0")}),
+       |cent1 AS (${centUpdate("a1")}),
+       |a2 AS (${assign("cent1")}),
+       |cent2 AS (${centUpdate("a2")}),
+       |af AS (${assign("cent2")}),
+       |cells AS (
+       |  SELECT vec_id, cell_id, embedding, $norm AS nrm FROM af),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  WHERE ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)
+       |SELECT c.vec_id, c.cell_id, (d.vec_id IS NULL) AS kept
+       |FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** Mirror of Quantize.pqTopK (m=4 subspaces × 16 codewords over dim 64):
@@ -2996,6 +3050,34 @@ object SparkEntry {
           |WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
           |ORDER BY d.doc_id""".stripMargin),
 
+    // Mirror of streaming.StreamingAsOf: the batch backward as-of rule
+    // (same view-dedup and tie order as q_asof_attribution) restricted to
+    // watermark-closed purchases — the engine resolves a purchase when the
+    // watermark strictly passes p_sec + 1 s, which with the 600 s delay and
+    // whole-second watermarks is exactly p_sec ≤ max(ts) − 602 — with the
+    // 3600 s attribution horizon applied at resolution (outside-horizon
+    // matches emit with null attribution, LEFT semantics).
+    "q_streaming_asof" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_type
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL),
+        |wm AS (SELECT max(ts_sec) - 600 AS w FROM base),
+        |v AS (SELECT user_id, ts_sec, max(event_id) AS view_id
+        |      FROM base WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, ts_sec
+        |      FROM base, wm WHERE event_type = 'purchase' AND ts_sec + 2 <= wm.w),
+        |a AS (
+        |  SELECT p.user_id, p.event_id, p.ts_sec, v.view_id, v.ts_sec AS v_sec
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec)
+        |SELECT user_id, event_id, ts_sec,
+        |  CASE WHEN v_sec IS NOT NULL AND ts_sec - v_sec <= 3600
+        |       THEN view_id END AS attributed_view_id,
+        |  CASE WHEN v_sec IS NOT NULL AND ts_sec - v_sec <= 3600
+        |       THEN ts_sec - v_sec END AS lag_sec
+        |FROM a ORDER BY event_id""".stripMargin,
+
     "q_price_quantiles" ->
       s"""SELECT o_orderpriority, count(*) AS orders,
          |  ${q4("quantile_cont(o_totalprice, 0.5)")} AS median_price,
@@ -4235,6 +4317,7 @@ object SparkEntry {
     "q_ivf_topk" -> ivfOracleSql,
 
     "q_ivf_kmeans_topk" -> ivfKmeansOracleSql,
+    "q_semdedup" -> semDedupOracleSql,
 
     // Native ASOF LEFT JOIN states the as-of semantics directly — both the
     // union+window composition and the custom physical operator must
@@ -5082,6 +5165,14 @@ object SparkEntry {
       (lshVerifiedPairsCte + ccLayersSql() +
         "\nSELECT doc_id, label AS cluster_id FROM l10 ORDER BY doc_id"),
 
+    // Alternating-star CC computes the SAME component-min labeling over the
+    // SAME verified pair stream — one oracle text serves both operators,
+    // and a hash match here proves the O(log n)-round path agrees with the
+    // unrolled propagation the oracle states.
+    "q_cc_altstar" ->
+      (lshVerifiedPairsCte + ccLayersSql() +
+        "\nSELECT doc_id, label AS cluster_id FROM l10 ORDER BY doc_id"),
+
     // Mirror of Dedup.clusterSurvivors over the same clusters: per-doc
     // exact 1e-4-unit quality (identical IEEE op sequence to
     // q_quality_by_source), survivor = highest qual_u then lowest doc_id.
@@ -5463,6 +5554,39 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS bits,
         |  CAST(sum((1103 * i + seed) % 65536 - 32768) AS BIGINT) AS sum_samples
         |FROM sm GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+
+    // Mirror of Multimodal.audioFeatureCensus: the same closed-form PCM,
+    // with zero crossings as a lag() sign comparison (the i=0 NULL falls
+    // into ELSE 0, matching the engine's i>0 guard), exact integer Σ s²
+    // total and per-64-sample-window energies, max window reported.
+    "q_audio_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 241 AS n,
+        |    doc_id % 9973 AS seed
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |sv AS (
+        |  SELECT media_id, n, i, i // 64 AS wdw,
+        |    (1103 * i + seed) % 65536 - 32768 AS s
+        |  FROM (SELECT media_id, n, seed,
+        |          unnest(generate_series(0, n - 1)) AS i FROM m)),
+        |zc AS (
+        |  SELECT media_id, sum(CASE WHEN neg <> pneg THEN 1 ELSE 0 END) AS z
+        |  FROM (SELECT media_id, (s < 0) AS neg,
+        |          lag(s < 0) OVER (PARTITION BY media_id ORDER BY i) AS pneg
+        |        FROM sv)
+        |  GROUP BY media_id),
+        |we AS (SELECT media_id, wdw, sum(s * s) AS e FROM sv GROUP BY 1, 2),
+        |ag AS (SELECT media_id, count(*) AS nw, sum(e) AS energy, max(e) AS mx
+        |       FROM we GROUP BY 1)
+        |SELECT m.media_id,
+        |  CAST(m.n AS BIGINT) AS frames,
+        |  CAST(ag.nw AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(zc.z, 0) AS BIGINT) AS zero_crossings,
+        |  CAST(ag.energy AS BIGINT) AS energy,
+        |  CAST(ag.mx AS BIGINT) AS max_window_energy
+        |FROM m JOIN ag USING (media_id) JOIN zc USING (media_id)
+        |ORDER BY m.media_id""".stripMargin,
 
     // Mirror of Multimodal.resizeExec (stride 2): nearest-neighbor
     // downsample keeps exactly the even-coordinate pixels of pngMedia's

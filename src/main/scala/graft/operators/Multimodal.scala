@@ -505,6 +505,61 @@ object Multimodal {
     }.toDF().orderBy(col("media_id"))
   }
 
+  /** Per-clip windowed audio features over REAL decoded PCM. */
+  case class AudioFeatures(media_id: Long, frames: Long, n_windows: Long,
+                           zero_crossings: Long, energy: Long,
+                           max_window_energy: Long)
+
+  /** Audio FEATURE extraction at census grain — the signal-level stage an
+    * audio curation pipeline runs after decode (silence/clipping detection,
+    * speech-band activity proxies): per clip, over the `javax.sound`-decoded
+    * PCM stream, exact integer
+    *  - zero-crossing count (sign changes across consecutive samples,
+    *    `s < 0` vs `s ≥ 0`),
+    *  - total energy Σ s² (16-bit samples square below 2³⁰ — exact in a
+    *    long at any clip length that fits memory),
+    *  - per-`window`-sample energy, reported as the max window (the
+    *    loudest-burst statistic).
+    * All quantities are integers of the decoded samples, so the oracle
+    * recomputes them from [[wavMedia]]'s closed form — agreement proves the
+    * decode AND the feature fold, not just the byte round-trip. Same
+    * per-partition codec-handle economics as [[decodeAudioCensus]]. */
+  def audioFeatureCensus(media: Dataset[WavPayload], window: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      var reader: javax.sound.sampled.spi.AudioFileReader = null
+      it.map { rec =>
+        if (reader == null) reader = wavReaderHandle(rec.payload)
+        val ais = reader.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.payload))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"media_id=${rec.media_id}: unexpected decoded format $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var (i, zc, energy, wEnergy, maxW) = (0, 0L, 0L, 0L, 0L)
+        var prevNeg = false
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          energy += s * s
+          wEnergy += s * s
+          if ((i + 1) % window == 0 || i + 1 == n) {
+            if (wEnergy > maxW) maxW = wEnergy
+            wEnergy = 0L
+          }
+          i += 1
+        }
+        AudioFeatures(rec.media_id, n.toLong, ((n + window - 1) / window).toLong,
+          zc, energy, maxW)
+      }
+    }.toDF().orderBy(col("media_id"))
+  }
+
   /** Synthesize a media table from the documents table (text bytes as opaque
     * payload) — stand-in for `spark.read.format("binaryFile")` at scale. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =

@@ -891,4 +891,51 @@ object Similarity {
         col("mmr_score"))
       .orderBy(col("query_id"), col("pick"))
   }
+
+  /** SemDeDup semantic deduplication (Abbas, Tirumala, Simig, Ganguli,
+    * Morcos, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): k-means the embedding
+    * corpus, then compare vectors ONLY within their cluster and drop every
+    * vector whose cosine with a LOWER-id same-cluster member reaches τ —
+    * the published recipe for pruning semantically redundant (not merely
+    * near-identical) training examples, where the clustering bounds the
+    * pairwise search the way LSH bands bound [[nearDupCosineLsh]].
+    *
+    * The keep-rule here is deterministic lowest-id-wins (the paper keeps
+    * the member with the lowest cosine to the cluster centroid; the rule is
+    * a per-group ranking choice and changes no plan shape — id order makes
+    * the result bit-stable and lets the oracle state it in one EXISTS).
+    *
+    * Scale shape: the index build is [[kmeansCentroids]] (broadcast-join
+    * Lloyd rounds, bit-deterministic), assignment is one broadcast join,
+    * and the only shuffle joins are hash-partitioned on cell_id. The
+    * within-cell comparison is quadratic IN THE CELL — the paper's own
+    * cost model — so numCells is the knob that bounds it: k grows with the
+    * corpus (SemDeDup used 50k clusters for LAION-440M) keeping cell sizes
+    * roughly constant, and a skew-heavy corpus can re-bucket its largest
+    * cells hierarchically. At the gate scale k=16 matches the oracle's
+    * unrolled Lloyd CTEs verbatim.
+    *
+    * Output: one row per vector — its cell and whether SemDeDup keeps it. */
+  def semDedupProfile(embeddings: DataFrame, tau: Double = 0.4,
+                      numCells: Int = 16, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(embeddings, numCells, iters)
+    val cells = assignCells(embeddings.select(col("vec_id"), col("embedding")), cents)
+      .select(col("cell_id"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .localCheckpoint() // both sides of the pair join + the output read it
+    val a = cells.select(col("cell_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = cells.select(col("cell_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .where(col("a_id") < col("b_id"))
+      .where(fvecDot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("d", lit(1))
+    cells.select(col("vec_id"), col("cell_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("d").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -368,4 +368,69 @@ class DedupSpec extends SparkSpec {
         "the 0.5 sweep row must equal the registered pipeline's pair count")
     }
   }
+
+  test("alternating-star CC equals min-label propagation on adversarial graph shapes") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "chain-13" -> (1L until 13L).map(i => (i, i + 1)),
+      "star" -> Seq((7L, 2L), (7L, 3L), (7L, 9L), (7L, 11L)),
+      "cycle" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)),
+      "two-comps+selfpair" -> Seq((5L, 6L), (6L, 7L), (20L, 21L), (30L, 30L)),
+      "dup-mirrored-pairs" -> Seq((2L, 1L), (1L, 2L), (3L, 2L)))
+    shapes.foreach { case (name, ps) =>
+      val pairs = ps.toDF("doc_a", "doc_b")
+      val star = asMap(Dedup.ccAlternatingStar(pairs))
+      val prop = asMap(Dedup.dedupClusters(pairs))
+      assert(star == prop, s"$name: alternating-star $star != propagation $prop")
+    }
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.ccAlternatingStar(noPairs).count() == 0)
+  }
+
+  test("alternating-star CC equals propagation on the real near-dup pair graph") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardJoinPrefix(docs, 1, 2).select("doc_a", "doc_b")
+    val star = Dedup.ccAlternatingStar(pairs).as[(Long, Long)].collect().toMap
+    val prop = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("semdedup: within-cell lower-id prune rule equals the brute-force recompute") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val out = Similarity.semDedupProfile(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell_id"), r.getAs[Boolean]("kept")))
+    assert(out.length == emb.count())
+    assert(out.exists(!_._3), "τ=0.4 must drop something on the test corpus")
+    assert(out.exists(_._3), "τ=0.4 must keep something on the test corpus")
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // recompute the prune decision per vector from the operator's OWN cell
+    // assignment (the assignment itself is oracle-verified via
+    // q_ivf_kmeans_topk, which shares the unrolled-Lloyd CTEs)
+    val byCell = out.groupBy(_._2)
+    out.foreach { case (id, cell, kept) =>
+      val expectDropped = byCell(cell).exists { case (a, _, _) =>
+        a < id && cos(vecs(a), vecs(id)) >= 0.4 }
+      assert(kept == !expectDropped, s"vec $id in cell $cell: kept=$kept")
+    }
+  }
+
+  test("alternating-star CC collapses a depth-4096 chain within its logarithmic round cap") {
+    // the deep-component case the operator exists for: min-label
+    // propagation needs 4095 synchronous rounds here (dedupClusters'
+    // default 50-round cap rightly throws), alternating-star finishes
+    // inside its default 25-round cap (theory: O(log² n), log₂ 4096 = 12)
+    val chain = (1L until 4096L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.ccAlternatingStar(chain).as[(Long, Long)].collect()
+    assert(cc.length == 4096 && cc.forall(_._2 == 1L),
+      "chain must collapse to one cluster labeled by its minimum")
+    intercept[IllegalStateException] { Dedup.dedupClusters(chain).collect() }
+  }
 }

@@ -686,4 +686,96 @@ class StreamingSpec extends SparkSpec {
     assert(sliced.exceptAll(whole).count() == 0 && whole.exceptAll(sliced).count() == 0,
       "micro-batch slicing changed the streaming near-dup result")
   }
+
+  /** Stage a crafted events table for the streaming as-of fixture tests. */
+  private def stageEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_asof_fix")
+    rows.toDF("event_id", "ts_sec", "user_id", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("ts_sec")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    dir.toString
+  }
+
+  test("streaming as-of: latest-view tie rule, horizon nulls, and watermark closure on a hand fixture") {
+    val B = 1600000000L
+    val rows = Seq(
+      // user 1: views at 100 / 150 / 150 (same-sec dedup to max id 12)
+      (10L, B + 100, 1L, "view"), (11L, B + 150, 1L, "view"),
+      (12L, B + 150, 1L, "view"),
+      (20L, B + 160, 1L, "purchase"), // -> view 12, lag 10
+      (21L, B + 100, 1L, "purchase"), // equal-second view admissible -> 10, lag 0
+      // user 2: latest view is 3601 s before the purchase -> out of horizon
+      (30L, B + 200, 2L, "view"), (40L, B + 3801, 2L, "purchase"),
+      // user 3: no views at all
+      (50L, B + 300, 3L, "purchase"),
+      // user 4: in-horizon match at distance 600
+      (60L, B + 5000, 4L, "view"), (61L, B + 5600, 4L, "purchase"),
+      // user 5: purchase too close to the stream end -> NOT closed
+      (70L, B + 19500, 5L, "purchase"),
+      // stream-end anchor: final watermark = B + 20000 - 600; closure
+      // admits p_sec <= B + 19398
+      (99L, B + 20000, 9L, "view"))
+    val got = StreamingAsOf.purchaseAttribution(spark, stageEvents(rows))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got == Map(
+      20L -> ((Some(12L), Some(10L))),
+      21L -> ((Some(10L), Some(0L))),
+      40L -> ((None, None)),
+      50L -> ((None, None)),
+      61L -> ((Some(60L), Some(600L)))), s"got $got")
+  }
+
+  test("streaming as-of equals the batch as-of rule under closure + horizon on the real corpus") {
+    val streamed = StreamingAsOf.purchaseAttribution(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .where(col("event_type").isin("view", "purchase") && col("user_id").isNotNull)
+    val wmSec = ev.agg(max(col("ts_sec"))).head().getLong(0) - 600
+    val batch = graft.operators.AsOfJoin.purchaseAttribution(
+        graft.sources.Tables.events(spark, sf))
+      .where(col("ts_sec") + 2 <= wmSec)
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        when(col("lag_sec") <= 3600, col("attributed_view_id")).as("attributed_view_id"),
+        when(col("lag_sec") <= 3600, col("lag_sec")).as("lag_sec"))
+    assert(streamed.count() > 0, "closure must admit purchases on the test corpus")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming as-of diverged from the closed batch rule")
+  }
+
+  test("streaming as-of is independent of micro-batch slicing under time-ordered delivery") {
+    import scala.jdk.CollectionConverters._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("__sec", graft.sources.Tables.tsSec(
+        spark.read.parquet(s"$sf/events.parquet").schema))
+    val (lo, hi) = {
+      val r = ev.agg(min(col("__sec")), max(col("__sec"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val srcDir = Files.createTempDirectory("graft_asof_slices")
+    val k = 4
+    val step = (hi - lo) / k + 1
+    for (i <- 0 until k) {
+      val slice = ev.where(col("__sec") >= lo + i * step
+        && col("__sec") < lo + (i + 1) * step).drop("__sec")
+      val tmp = Files.createTempDirectory(s"graft_asof_slice_$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dest = srcDir.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sliced = StreamingAsOf.purchaseAttributionFrom(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    val whole = StreamingAsOf.purchaseAttribution(spark, sf)
+    assert(sliced.exceptAll(whole).count() == 0 && whole.exceptAll(sliced).count() == 0,
+      "micro-batch slicing changed the streaming as-of result")
+  }
 }

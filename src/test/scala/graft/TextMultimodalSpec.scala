@@ -443,6 +443,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.getLong(5) == -456393L)
   }
 
+  test("audio features: engine census over decoded PCM equals the closed-form recompute") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (100L, "y"), (240L, "z"), (9973L, "w"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioFeatureCensus(Multimodal.wavMedia(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 4)
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      val n = (16L + id % 241L).toInt
+      val seed = (id % 9973L).toInt
+      val s = Array.tabulate(n)(i => ((1103 * i + seed) % 65536 - 32768).toLong)
+      val zc = (1 until n).count(i => (s(i) < 0) != (s(i - 1) < 0)).toLong
+      val energy = s.map(v => v * v).sum
+      val windows = s.grouped(64).map(_.map(v => v * v).sum).toSeq
+      val r = got(id)
+      assert(r.getLong(1) == n.toLong, s"doc $id frames")
+      assert(r.getLong(2) == windows.length.toLong, s"doc $id windows")
+      assert(r.getLong(3) == zc, s"doc $id zero crossings")
+      assert(r.getLong(4) == energy, s"doc $id energy")
+      assert(r.getLong(5) == windows.max, s"doc $id max window energy")
+    }
+  }
+
   test("event generator: reference wire contract round-trips through from_json") {
     val gen  = new EventGenerator(seed = 1)
     val evs  = gen.events(300)
