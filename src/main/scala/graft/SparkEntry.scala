@@ -678,6 +678,8 @@ object SparkEntry {
       Multimodal.decodeAudioCensus(Multimodal.wavMedia(Tables.documents(s, d)))),
     "q_audio_features" -> ((s, d) => // windowed RMS energy + zero crossings over decoded PCM
       Multimodal.audioFeatureCensus(Multimodal.wavMedia(Tables.documents(s, d)))),
+    "q_image_features" -> ((s, d) => // luminance sum + 4-bin histogram over decoded pixels
+      Multimodal.imageFeatureCensus(Multimodal.pngMedia(Tables.documents(s, d)))),
     "q_resize_exec" -> ((s, d) => // REAL decode->resize->encode->decode chain, pixel-exact
       Multimodal.resizeExec(Multimodal.pngMedia(Tables.documents(s, d)), 2)),
     "q_frame_sample_exec" -> ((s, d) => // REAL multi-frame GIF decode + stride-2 frame sampling
@@ -709,6 +711,8 @@ object SparkEntry {
       graft.streaming.StreamingNearDup.nearDupFlags(s, d)),
     "q_streaming_asof" -> ((s, d) => // online backward as-of attribution, per-user state
       graft.streaming.StreamingAsOf.purchaseAttribution(s, d)),
+    "q_streaming_topk" -> ((s, d) => // per-closed-window top-5 user leaderboard
+      graft.streaming.StreamingTopK.hourlyTopUsers(s, d)),
   )
 
   // ----------------------------------------------------------------------
@@ -3877,6 +3881,26 @@ object SparkEntry {
          |SELECT h.* FROM h, m WHERE h.hour_sec + 3600 <= m.max_sec - 600
          |ORDER BY hour_sec""".stripMargin,
 
+    // Mirror of streaming.StreamingTopK: per-hour per-user counts under the
+    // same append-mode closure rule as q_streaming_hourly (watermark over
+    // the user-filtered stream the engine watermarks), then the
+    // deterministic leaderboard rank (events DESC, user ASC) the engine
+    // computes over the closed captures.
+    "q_streaming_topk" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT max(ts_sec) AS mx FROM e),
+        |g AS (SELECT hour_sec, user_id, count(*) AS events FROM e GROUP BY 1, 2),
+        |r AS (SELECT hour_sec, user_id, events,
+        |        row_number() OVER (PARTITION BY hour_sec
+        |          ORDER BY events DESC, user_id ASC) AS rank
+        |      FROM g)
+        |SELECT hour_sec, CAST(rank AS BIGINT) AS rank, user_id, events
+        |FROM r, m WHERE rank <= 5 AND hour_sec + 3600 <= m.mx - 600
+        |ORDER BY hour_sec, rank""".stripMargin,
+
     // Chained stateful mirror: the batch interval join aggregated per
     // purchase hour; a window emits iff its end clears the join's OUTPUT
     // watermark = global watermark − the join's 1 h max event-time range
@@ -5505,6 +5529,34 @@ object SparkEntry {
         |  CAST(sum(bytes) AS BIGINT) AS unique_bytes,
         |  CAST(sum((copies - 1) * bytes) AS BIGINT) AS saved_bytes
         |FROM o GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Mirror of Multimodal.imageFeatureCensus: the same closed-form pixels,
+    // integer luminance (r+g+b)//3 per pixel, exact sum + 64-wide 4-bin
+    // histogram — all integer arithmetic, so a hash match proves the
+    // decode AND the feature fold.
+    "q_image_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w,
+        |    4 + (doc_id // 7) % 13 AS h,
+        |    doc_id % 251 AS seed
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |lv AS (
+        |  SELECT media_id, w, h,
+        |    ((( 3 * (i % w) +  5 * (i // w) + seed) % 256)
+        |     + (( 7 * (i % w) + 11 * (i // w) + seed) % 256)
+        |     + ((13 * (i % w) + 17 * (i // w) + seed) % 256)) // 3 AS lum
+        |  FROM (SELECT media_id, w, h, seed,
+        |          unnest(generate_series(0, w * h - 1)) AS i FROM m))
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |  CAST(sum(CASE WHEN lum // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN lum // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN lum // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN lum // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        |FROM lv GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
 
     // Mirror of Multimodal.{pngMedia, decodeImageCensus}: the engine
     // ENCODES a real PNG per doc and DECODES it back with javax.imageio;

@@ -422,6 +422,44 @@ object Multimodal {
     }.toDF().orderBy(col("media_id"))
   }
 
+  /** Per-image luminance features over REAL decoded pixels. */
+  case class ImageFeatures(media_id: Long, width: Long, height: Long,
+                           lum_sum: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Image FEATURE extraction at census grain — the pixel-statistics stage
+    * an image curation pipeline runs after decode (exposure/contrast
+    * screens, dark/blank frame detection): per image, over the
+    * `javax.imageio`-decoded raster, integer luminance `⌊(r+g+b)/3⌋` per
+    * pixel, reported as the exact luminance sum plus a 4-bin histogram
+    * (64-wide bins — the shadows/low-mid/high-mid/highlights split). All
+    * integer arithmetic of decoded pixel bytes, so the oracle recomputes
+    * every output from [[pngMedia]]'s closed form — agreement proves decode
+    * AND feature fold. Same per-partition reader-handle economics as
+    * [[decodeImageCensus]]; only 8 longs per image ever shuffle. */
+  def imageFeatureCensus(media: Dataset[PngPayload]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val reader = pngReaderHandle()
+      it.map { rec =>
+        val img = decodePng(reader, rec.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val bins = new Array[Long](4)
+        var (i, lumSum) = (0, 0L)
+        while (i < px.length) {
+          val p = px(i)
+          val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          lumSum += lum
+          bins(lum >> 6) += 1
+          i += 1
+        }
+        ImageFeatures(rec.media_id, w.toLong, h.toLong, lumSum,
+          bins(0), bins(1), bins(2), bins(3))
+      }
+    }.toDF().orderBy(col("media_id"))
+  }
+
   /** An opaque audio payload: id + WAV bytes, nothing else. */
   case class WavPayload(media_id: Long, payload: Array[Byte])
 

@@ -748,6 +748,30 @@ class StreamingSpec extends SparkSpec {
       "streaming as-of diverged from the closed batch rule")
   }
 
+  test("streaming top-k leaderboard equals the closed-window batch recompute") {
+    val got = StreamingTopK.hourlyTopUsers(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf).where(col("user_id").isNotNull)
+    val mx = ev.agg(max(col("ts_sec"))).head().getLong(0)
+    val g = ev
+      .withColumn("hour_sec", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+      .groupBy(col("hour_sec"), col("user_id")).agg(count(lit(1)).as("events"))
+      .where(col("hour_sec") + 3600 <= mx - 600)
+    val rw = org.apache.spark.sql.expressions.Window.partitionBy(col("hour_sec"))
+      .orderBy(col("events").desc, col("user_id").asc)
+    val want = g.withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("hour_sec"), col("rank"), col("user_id"), col("events"))
+    assert(got.count() > 0, "closure must admit windows on the test corpus")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming leaderboard diverged from the closed-window batch rank")
+    // ranks are dense 1..k' per window
+    val byWin = got.collect().groupBy(_.getAs[Long]("hour_sec"))
+    byWin.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length.toLong), "ranks must be dense per window")
+    }
+  }
+
   test("streaming as-of is independent of micro-batch slicing under time-ordered delivery") {
     import scala.jdk.CollectionConverters._
     val ev = spark.read.parquet(s"$sf/events.parquet")

@@ -466,6 +466,32 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image features: engine census over decoded pixels equals the closed-form recompute") {
+    import spark.implicits._
+    val ids = Seq(3L, 5L, 77L, 250L)
+    val docs = ids.map(i => (i, "t")).toDF("doc_id", "text")
+    val got = Multimodal.imageFeatureCensus(Multimodal.pngMedia(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val w = (4L + id % 13L).toInt
+      val h = (4L + (id / 7L) % 13L).toInt
+      val seed = (id % 251L).toInt
+      val lums = for (y <- 0 until h; x <- 0 until w) yield {
+        val r = (3 * x + 5 * y + seed) % 256
+        val g = (7 * x + 11 * y + seed) % 256
+        val b = (13 * x + 17 * y + seed) % 256
+        (r + g + b) / 3
+      }
+      val r = got(id)
+      assert(r.getLong(1) == w.toLong && r.getLong(2) == h.toLong, s"doc $id dims")
+      assert(r.getLong(3) == lums.map(_.toLong).sum, s"doc $id lum_sum")
+      (0 to 3).foreach { bin =>
+        assert(r.getLong(4 + bin) == lums.count(_ / 64 == bin).toLong,
+          s"doc $id bin $bin")
+      }
+    }
+  }
+
   test("event generator: reference wire contract round-trips through from_json") {
     val gen  = new EventGenerator(seed = 1)
     val evs  = gen.events(300)
