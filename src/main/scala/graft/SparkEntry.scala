@@ -365,7 +365,9 @@ object SparkEntry {
     "q_span_dedup_profile" -> ((s, d) => // the census's ACTION step: remove dup spans
       CorpusFilters.spanDedupProfile(Tables.documents(s, d), 50)),
     "q_incremental_dedup" -> ((s, d) => { // new batch vs corpus, bloom anti join
-      val docs = Tables.documents(s, d)
+      // md5-lane fan-out (Spread.byKey, no-op at scale); batch and corpus
+      // branches then share ONE exchange instead of scanning+hashing twice
+      val docs = operators.Spread.byKey(Tables.documents(s, d), col("doc_id"))
       val inBatch = Dedup.PortableHash(
         concat(lit("batch:"), col("doc_id").cast("string"))) % 5 < 1
       def fp(df: org.apache.spark.sql.DataFrame) =

@@ -43,7 +43,8 @@ object Dedup {
   /** Exact duplicate groups by normalized-content hash. Returns one row per
     * duplicated fingerprint with the canonical (min) doc_id kept. */
   def exactDupGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(Cols.foldCase(col("text"))).as("fingerprint"))
+    Spread.byKey(docs, col("doc_id")) // fold+md5 fan-out, no-op at scale
+      .groupBy(md5(Cols.foldCase(col("text"))).as("fingerprint"))
       .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_doc_id"))
       .where(col("copies") > 1)
 
@@ -52,7 +53,7 @@ object Dedup {
     * so the "which row survives" rule is deterministic (dropDuplicates keeps
     * an arbitrary first row per partition ordering). */
   def exactDeduped(docs: DataFrame): DataFrame = {
-    val keep = docs
+    val keep = Spread.byKey(docs, col("doc_id")) // fold+md5 fan-out, no-op at scale
       .groupBy(md5(Cols.foldCase(col("text"))).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
@@ -114,8 +115,9 @@ object Dedup {
     * (hash equi-join, co-partitioned; a hot fingerprint meets one stats row,
     * so skew stays on the join's probe side where AQE splits it). */
   def normalizedDedupProfile(docs: DataFrame): DataFrame = {
-    val fps = docs.select(col("doc_id"), col("source"),
-      normalizedFp(col("text")).as("fp"))
+    val fps = Spread.byKey(docs, col("doc_id")) // fold+regex+md5 fan-out, no-op at scale
+      .select(col("doc_id"), col("source"),
+        normalizedFp(col("text")).as("fp"))
     val groups = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
     fps.join(groups, Seq("fp"))
@@ -134,10 +136,18 @@ object Dedup {
     * doc length) instead of re-splitting the text per shingle (quadratic).
     * Docs shorter than w contribute their full text as a single shingle.
     * `keep` carries extra doc columns (e.g. `source`) through the explode —
-    * cheaper than joining them back onto the exploded table. */
+    * cheaper than joining them back onto the exploded table.
+    *
+    * Pre-explosion spread ([[Spread.byKey]]): ahead of the ×(tokens−w+1)
+    * explode + per-shingle hashing, the docs frame fans out on doc_id when
+    * the scan cannot parallelize it itself (a one-row-group parquet input
+    * — every local SF — delivers ALL rows to one task, serializing the
+    * whole shingle lane; measured at sf0.1 the single-task
+    * shingle+signature stages were ~0.9 s of q_near_dup_verified's 2.5 s
+    * wall). At scale the scan splits suffice and the exchange vanishes. */
   def shingleRows(docs: DataFrame, w: Int = 3, keep: Seq[String] = Nil): DataFrame = {
     val kept = keep.map(col)
-    docs
+    Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id") +: kept :+ split(col("text"), " ").as("toks"): _*)
       .select(col("doc_id") +: kept :+ explode(
         when(size(col("toks")) < w, array(concat_ws(" ", col("toks"))))
@@ -642,6 +652,11 @@ object Dedup {
     // self-looped edge set once instead of re-running its union+distinct
     // inside each propagation job
     val edges = ccEdges(pairs).localCheckpoint()
+    // one cheap count over the materialized blocks (the ckParts
+    // stated-honestly precedent) buys the per-round broadcast decision —
+    // labels ≤ |E| rows on the self-looped edge set — once, instead of
+    // AQE re-deriving it per stage per round ([[LoopPlan]], r16)
+    val labelEst = edges.count() * 24L
     def out(l: DataFrame) = l.select(col("doc_id"), col("label").as("cluster_id"))
     // fixpoint proof: per-vertex labels are monotonically non-increasing,
     // so Σ label strictly decreases until the fixpoint and is constant at
@@ -661,13 +676,14 @@ object Dedup {
     val init = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
       .select(col("src").as("doc_id"), col("label"))
     var round = math.min(2, maxRounds)
-    var (labels, sums) = ckptRoundsWithSums(edges, init, round - 1)
+    var (labels, sums) = ckptRoundsWithSums(edges, init, round - 1, labelEst)
     if (sums.head == null) return out(labels) // no pairs → no vertices, sum of nothing
     var converged = fixAt(sums)
     var prevSum = sums.last
     while (!converged && round < maxRounds) {
       val steps = math.min(stride, maxRounds - round)
-      val (l2, ss) = ckptRoundsWithSums(edges, ccRound(edges, labels), steps - 1)
+      val (l2, ss) =
+        ckptRoundsWithSums(edges, ccRound(edges, labels, labelEst), steps - 1, labelEst)
       labels = l2
       converged = fixAt(prevSum +: ss)
       prevSum = ss.last
@@ -677,7 +693,8 @@ object Dedup {
       // the cap may coincide with the fixpoint itself: one confirming
       // round distinguishes "converged at exactly maxRounds" from "still
       // descending" (labels are unchanged by the extra round if converged)
-      val (l2, ss) = ckptRoundsWithSums(edges, ccRound(edges, labels), 0)
+      val (l2, ss) =
+        ckptRoundsWithSums(edges, ccRound(edges, labels, labelEst), 0, labelEst)
       labels = l2
       converged = ss.head.compareTo(prevSum) == 0
     }
@@ -699,13 +716,18 @@ object Dedup {
     * so the bounded wait is paid at most once per JVM. Sums are null for
     * an empty frame — the caller's empty-graph signal. */
   @volatile private[graft] var checkpointDrivesObservation = true
-  private def ckptRoundsWithSums(edges: DataFrame, first: DataFrame, extra: Int)
+  private def ckptRoundsWithSums(edges: DataFrame, first: DataFrame, extra: Int,
+                                 labelEst: Long = Long.MaxValue)
       : (DataFrame, Seq[java.math.BigDecimal]) = {
     val sumExpr = sum(col("label").cast("decimal(38,0)")).as("label_sum")
+    // static loop planning ([[LoopPlan]], r16): the stride's joins carry
+    // the measured-size broadcast decision, so AQE's per-exchange stage
+    // jobs inside each materialization are pure driver latency
+    LoopPlan.statically(edges.sparkSession) {
     if (checkpointDrivesObservation) {
       val obses = Vector.fill(extra + 1)(org.apache.spark.sql.Observation())
       var df = first.observe(obses(0), sumExpr)
-      for (i <- 1 to extra) df = ccRound(edges, df).observe(obses(i), sumExpr)
+      for (i <- 1 to extra) df = ccRound(edges, df, labelEst).observe(obses(i), sumExpr)
       val ckpt = df.localCheckpoint()
       try {
         // an EMPTY labels frame can surface as a zero-field metrics row
@@ -728,8 +750,11 @@ object Dedup {
     var l = first.localCheckpoint()
     val sums = Vector.newBuilder[java.math.BigDecimal]
     sums += aggSum(l)
-    for (_ <- 1 to extra) { l = ccRound(edges, l).localCheckpoint(); sums += aggSum(l) }
+    for (_ <- 1 to extra) {
+      l = ccRound(edges, l, labelEst).localCheckpoint(); sums += aggSum(l)
+    }
     (l, sums.result())
+    } // LoopPlan.statically
   }
 
   /** Fixed-round variant of [[dedupClusters]] — `rounds` synchronous
@@ -797,25 +822,35 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .where(col("hi") =!= col("lo")).distinct()
+    var edges = canon(pairs).localCheckpoint()
+    var n = edges.count()
+    // per-round min-frame broadcast decided from the MEASURED surviving
+    // edge count (mins ≤ 2n rows; the count is the termination check the
+    // loop already pays) — see [[LoopPlan]]; oversize graphs keep the
+    // unhinted shuffle join
+    def minsB(df: DataFrame): DataFrame =
+      LoopPlan.broadcastIfSmall(df, 2L * n * 24L)
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
-      sym.join(mins, Seq("u")).where(col("v") > col("u"))
+      sym.join(minsB(mins), Seq("u")).where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      e.join(mins, Seq("hi")).where(col("lo") =!= col("m"))
+      e.join(minsB(mins), Seq("hi")).where(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(mins.select(col("hi"), col("m").as("lo")))
         .distinct()
     }
-    var edges = canon(pairs).localCheckpoint()
-    var n = edges.count()
     var converged = n == 0L
     var round = 0
+    // measured-size broadcast hints only, NOT LoopPlan.statically (r16
+    // A/B: static planning ran this loop SLOWER, 2.48 vs 1.82 s — the
+    // star rewrites' distinct/union shuffles profit from AQE coalescing
+    // the way the BPE train does, unlike the pure Pregel loops)
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val n2 = next.count()
@@ -939,9 +974,16 @@ object Dedup {
 
   /** One synchronous min-label round: min over N(v) ∪ {v} via the
     * self-looped edge set. */
-  private def ccRound(edges: DataFrame, labels: DataFrame): DataFrame =
+  /** `labelEstBytes`: measured size bound for the label frame (|V| ≤ |E|
+    * on the self-looped edge set) — lets [[LoopPlan.broadcastIfSmall]]
+    * make the broadcast decision once per loop instead of AQE re-deriving
+    * it per stage per round; `Long.MaxValue` (the test-anchor fixed-rounds
+    * path) never hints. */
+  private def ccRound(edges: DataFrame, labels: DataFrame,
+                      labelEstBytes: Long = Long.MaxValue): DataFrame =
     edges
-      .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+      .join(LoopPlan.broadcastIfSmall(
+        labels.select(col("doc_id").as("dst"), col("label")), labelEstBytes), Seq("dst"))
       .groupBy(col("src")).agg(min(col("label")).as("label"))
       .select(col("src").as("doc_id"), col("label"))
 
@@ -953,7 +995,8 @@ object Dedup {
     * shuffle (groupBy doc_id) with O(bits) state per doc — at 100 TB this is
     * a standard map-side-combine agg. */
   def simhashes(docs: DataFrame, hash: HashFn = FastHash, bits: Int = 64): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tok = Spread.byKey(docs, col("doc_id")) // explode+hash fan-out, no-op at scale
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), hash(col("t")).as("h"))
     val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))

@@ -648,7 +648,11 @@ object EventAnalytics {
     * purchase count, not the corpus. Item-count frames are
     * catalog-bounded and broadcast. */
   def associationRules(events: DataFrame, minSupport: Long = 5): DataFrame = {
-    val items = withParsedProps(events)
+    // JSON-parse fan-out + basket-keyed layout (Spread.byKey, no-op at
+    // scale): the parse lane otherwise runs on the one-row-group scan
+    // task, and hashing on user_id up front co-partitions the pair
+    // self-join below on its join key
+    val items = Spread.byKey(withParsedProps(events), col("user_id"))
       .where(col("event_type") === "purchase" && col("k").isNotNull
         && col("user_id").isNotNull)
       .select(col("user_id"), col("k").cast("long").as("item"))

@@ -118,7 +118,7 @@ object GraphRank {
     // (~fixed driver latency at bounded |V|), and a 2-round plan over
     // checkpointed inputs is still shallow — same trick as the clustering
     // fixpoint's stride-3 (`Dedup.scala`)
-    iterateRanks(outEdges, baseCk, rank, iterations)
+    iterateRanks(outEdges, baseCk, rank, iterations, scoreEstBytes = nE * 24L)
   }
 
   /** The shared fixed-point loop: one equi-join + one agg per round over a
@@ -133,27 +133,39 @@ object GraphRank {
     * unhinted plan degrades gracefully to a shuffle-hash join on the node
     * id. */
   private def iterateRanks(outEdges: DataFrame, baseCk: DataFrame,
-                           rank0: DataFrame, iterations: Int): DataFrame = {
-    var rank = rank0
-    for (i <- 1 to iterations) {
-      val contribs = outEdges
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("(rank * w) div s").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      val next = baseCk
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
-      // stride 2, MEASURED against stride 4 (r16, warm same-JVM reps at
-      // sf0.1): stride 4 ran q_entity_pagerank 1.68 → 2.32 s and
-      // q_personalized_pagerank 1.68 → 2.33 s median — on these
-      // CORPUS-sized rank frames the deeper unmaterialized plan costs
-      // more than the saved checkpoint barriers, the opposite of the BPE
-      // and Markov results (whose per-round frames are vocabulary-/
-      // |types|-sized). Stride choice is frame-size-dependent.
-      rank = if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
+                           rank0: DataFrame, iterations: Int,
+                           scoreEstBytes: Long): DataFrame = {
+    // loop planning (see [[LoopPlan]], r16): static planning per round —
+    // AQE's per-exchange query-stage jobs dominated these loops' wall at
+    // sub-second task time — with the rank-frame broadcast decided ONCE
+    // from the measured |E| (|V| ≤ |E| here: every node has an out-edge
+    // by construction) instead of re-estimated per stage per round.
+    // Oversize graphs keep the unhinted shuffle join on ckParts-sized
+    // partitions, exactly the degradation the old AQE path provided.
+    def scoreB(df: DataFrame): DataFrame =
+      LoopPlan.broadcastIfSmall(df, scoreEstBytes)
+    LoopPlan.statically(outEdges.sparkSession) {
+      var rank = rank0
+      for (i <- 1 to iterations) {
+        val contribs = outEdges
+          .join(scoreB(rank.withColumnRenamed("node", "src")), "src")
+          .select(col("dst").as("node"), expr("(rank * w) div s").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+        val next = baseCk
+          .join(scoreB(contribs), Seq("node"), "left")
+          .select(col("node"),
+            expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+        // stride 2, MEASURED against stride 4 (r16, warm same-JVM reps at
+        // sf0.1): stride 4 ran q_entity_pagerank 1.68 → 2.32 s and
+        // q_personalized_pagerank 1.68 → 2.33 s median — on these
+        // CORPUS-sized rank frames the deeper unmaterialized plan costs
+        // more than the saved checkpoint barriers, the opposite of the BPE
+        // and Markov results (whose per-round frames are vocabulary-/
+        // |types|-sized). Stride choice is frame-size-dependent.
+        rank = if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
+      }
+      rank
     }
-    rank
   }
 
   /** Personalized PageRank: teleport mass flows ONLY to a seed set (here
@@ -198,7 +210,8 @@ object GraphRank {
     val outEdges = outEdgesCk.coalesce(p)
     val baseCk = base.coalesce(p).localCheckpoint()
     val rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
-    iterateRanks(outEdges, baseCk, rank, iterations)
+    iterateRanks(outEdges, baseCk, rank, iterations,
+        scoreEstBytes = head.getLong(0) * 24L)
       .orderBy(col("rank").desc, col("node").asc).limit(k)
   }
 
@@ -243,23 +256,28 @@ object GraphRank {
     // propagation graph: (src, dst) only — w already folded into seed
     // choice; the checkpointed frame's count sizes every loop coalesce
     val edgesCk0 = dir.select(col("src"), col("dst")).localCheckpoint()
-    val p = ckParts(edges.sparkSession, edgesCk0.count())
+    val nEdges0 = edgesCk0.count()
+    val p = ckParts(edges.sparkSession, nEdges0)
     val edgesCk = edgesCk0.coalesce(p)
     // the seed frame is limit(seeds) rows — structurally bounded, so a
     // single partition is exact, not a pinned guess
     var best = seedDF.select(col("node"), col("node").as("packed"))
       .coalesce(1).localCheckpoint()
-    for (i <- 1 to hops) {
-      // labels are |reached| ≤ |V| rows; NO broadcast hint (the
-      // labelPropagation doctrine) — AQE broadcasts from measured size on
-      // a vocabulary-bounded graph and shuffle-hashes on the node id when
-      // the reached set outgrows the executors
-      val prop = edgesCk
-        .join(best.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("packed") + Pack).as("packed"))
-      val next = best.union(prop)
-        .groupBy(col("node")).agg(min(col("packed")).as("packed"))
-      best = if (i % 2 == 0 || i == hops) next.coalesce(p).localCheckpoint() else next
+    // static loop planning ([[LoopPlan]], r16): reached ≤ |V| ≤ 2|E|, so
+    // the label broadcast is decided once from the measured edge count;
+    // oversize graphs keep the unhinted shuffle join (the degradation AQE
+    // provided, minus its per-round stage-job latency)
+    val nEdges = nEdges0
+    LoopPlan.statically(edges.sparkSession) {
+      for (i <- 1 to hops) {
+        val prop = edgesCk
+          .join(LoopPlan.broadcastIfSmall(
+            best.withColumnRenamed("node", "src"), 2L * nEdges * 24L), "src")
+          .select(col("dst").as("node"), (col("packed") + Pack).as("packed"))
+        val next = best.union(prop)
+          .groupBy(col("node")).agg(min(col("packed")).as("packed"))
+        best = if (i % 2 == 0 || i == hops) next.coalesce(p).localCheckpoint() else next
+      }
     }
     strength.select(col("src").as("node"))
       .join(best, Seq("node"), "left")
@@ -313,12 +331,17 @@ object GraphRank {
     // guarding the cumulative count ≤ maxRounds is exactly what makes
     // "oracle unrolled-maxRounds per k = fixpoint = engine" sound.
     var cumRounds = 0
-    val rows = ks.sorted.map { k =>
+    // static loop planning ([[LoopPlan]], r16): the keep-set broadcast is
+    // decided per round from the MEASURED surviving edge count n (the
+    // count each round already pays for the termination check — nodes ≤
+    // 2n); an oversize core keeps the unhinted shuffle semi-joins
+    val rows = LoopPlan.statically(spark) { ks.sorted.map { k =>
       var converged = n == 0L
       while (!converged && cumRounds < maxRounds) {
         val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        val keep = deg.where(col("d") >= k).select(col("node"))
+        val keep = LoopPlan.broadcastIfSmall(
+          deg.where(col("d") >= k).select(col("node")), 2L * n * 16L)
         val e2 = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
           .localCheckpoint()
@@ -331,7 +354,7 @@ object GraphRank {
       val nodes = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .distinct().count()
       (k.toLong, nodes, n)
-    }
+    } }
     rows.toDF("k", "core_nodes", "core_edges").orderBy(col("k"))
   }
 
@@ -375,22 +398,30 @@ object GraphRank {
           col("item_a").cast("long").as("dst"), col("pairs").cast("long").as("w")))
       .localCheckpoint()
     // |E| count off the cached blocks sizes every loop frame ([[ckParts]])
-    val p = ckParts(edges.sparkSession, dir0.count())
+    val nE = dir0.count()
+    val p = ckParts(edges.sparkSession, nE)
     val dir = dir0.coalesce(p)
     var lab = dir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .coalesce(p).localCheckpoint()
-    for (i <- 1 to rounds) {
-      val votes = dir
-        .join(lab.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(sum(col("w")).as("v"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
-        .orderBy(col("v").desc, col("label").asc)
-      val next = votes.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1).select(col("node"), col("label"))
-      lab = if (i % 2 == 0 || i == rounds) next.coalesce(p).localCheckpoint()
-        else next
+    // static loop planning ([[LoopPlan]], r16): label-frame broadcast
+    // decided once from the measured |E| (|V| ≤ |E|) instead of AQE
+    // re-deriving it per stage per round; oversize graphs keep the
+    // unhinted shuffle join — the same degradation AQE provided
+    LoopPlan.statically(edges.sparkSession) {
+      for (i <- 1 to rounds) {
+        val votes = dir
+          .join(LoopPlan.broadcastIfSmall(
+            lab.withColumnRenamed("node", "src"), nE * 24L), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(sum(col("w")).as("v"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+          .orderBy(col("v").desc, col("label").asc)
+        val next = votes.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select(col("node"), col("label"))
+        lab = if (i % 2 == 0 || i == rounds) next.coalesce(p).localCheckpoint()
+          else next
+      }
     }
     lab.groupBy(col("label"))
       .agg(count(lit(1)).as("nodes"), min(col("node")).as("min_node"),
@@ -424,8 +455,8 @@ object GraphRank {
     // event is no state — skip it BEFORE the lag so it neither emits a
     // NULL chain state nor breaks a real A→B adjacency into A→NULL/NULL→B.
     // The oracle's `e` CTE filters identically.
-    val trans = events
-      .where(col("event_type").isNotNull)
+    val trans = Spread.byKey(events.where(col("event_type").isNotNull),
+        col("user_id")) // pins the lag-window exchange's parallelism locally
       .withColumn("src", lag(col("event_type"), 1).over(w))
       .where(col("src").isNotNull)
       .groupBy(col("src"), col("event_type").as("dst"))
@@ -450,20 +481,25 @@ object GraphRank {
       .coalesce(p).localCheckpoint()
     val out = trans.join(strength, "src").coalesce(p).localCheckpoint()
     var rank = base.select(col("state"), col("rank0").as("rank")).localCheckpoint()
-    for (i <- 1 to iterations) {
-      val contribs = out
-        .join(broadcast(rank.withColumnRenamed("state", "src")), "src")
-        .select(col("dst").as("state"), expr("(rank * w) div s").as("c"))
-        .groupBy(col("state")).agg(sum(col("c")).as("in_mass"))
-      val next = base
-        .join(broadcast(contribs), Seq("state"), "left")
-        .select(col("state"),
-          expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
-      // stride-4 checkpointing: the |types|-row frames make each round's
-      // plan trivially cheap to recompute, so the driver round-trips of a
-      // materialization dominate — fewer, deeper checkpoints win here
-      // (unlike the corpus-sized PageRank frames at stride 2)
-      rank = if (i % 4 == 0 || i == iterations) next.localCheckpoint() else next
+    // static loop planning ([[LoopPlan]], r16): the broadcasts are already
+    // explicit (|types|²-bounded frames), so AQE's per-exchange stage jobs
+    // bought nothing — measured 56 driver jobs for 0.7 s of task time
+    LoopPlan.statically(events.sparkSession) {
+      for (i <- 1 to iterations) {
+        val contribs = out
+          .join(broadcast(rank.withColumnRenamed("state", "src")), "src")
+          .select(col("dst").as("state"), expr("(rank * w) div s").as("c"))
+          .groupBy(col("state")).agg(sum(col("c")).as("in_mass"))
+        val next = base
+          .join(broadcast(contribs), Seq("state"), "left")
+          .select(col("state"),
+            expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+        // stride-4 checkpointing: the |types|-row frames make each round's
+        // plan trivially cheap to recompute, so the driver round-trips of a
+        // materialization dominate — fewer, deeper checkpoints win here
+        // (unlike the corpus-sized PageRank frames at stride 2)
+        rank = if (i % 4 == 0 || i == iterations) next.localCheckpoint() else next
+      }
     }
     rank.orderBy(col("rank").desc, col("state").asc)
   }
@@ -563,27 +599,37 @@ object GraphRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().coalesce(p).localCheckpoint()
+    // loop planning (see [[LoopPlan]]): static planning per round — AQE's
+    // per-exchange query-stage jobs made the 8-round loop ~140 driver
+    // barriers for ~1.6 s of task time — with the score-frame broadcast
+    // decided ONCE from the measured |E| (|V| ≤ 2|E|, ~24 B/row) instead
+    // of re-estimated per stage per round; oversize graphs degrade to
+    // shuffle joins on the ckParts-sized partitions, exactly as under AQE
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth = nodes.select(col("node"), lit(scale).as("a"))
-    for (_ <- 1 to iterations) {
-      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("w") * col("h")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("araw"))
-        .coalesce(p).localCheckpoint()
-      auth = nodes.join(araw, Seq("node"), "left")
-        .crossJoin(broadcast(araw.agg(max(col("araw")).as("amax"))))
-        .select(col("node"),
-          coalesce(expr(s"araw div greatest(1L, amax div ${scale}L)"),
-            lit(0L)).as("a"))
-      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), (col("w") * col("a")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("hraw"))
-        .coalesce(p).localCheckpoint()
-      hub = nodes.join(hraw, Seq("node"), "left")
-        .crossJoin(broadcast(hraw.agg(max(col("hraw")).as("hmax"))))
-        .select(col("node"),
-          coalesce(expr(s"hraw div greatest(1L, hmax div ${scale}L)"),
-            lit(0L)).as("h"))
+    def scoreB(df: DataFrame): DataFrame =
+      LoopPlan.broadcastIfSmall(df, 2L * head.getLong(0) * 24L)
+    LoopPlan.statically(edges.sparkSession) {
+      for (_ <- 1 to iterations) {
+        val araw = e.join(scoreB(hub.withColumnRenamed("node", "src")), "src")
+          .select(col("dst").as("node"), (col("w") * col("h")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("araw"))
+          .coalesce(p).localCheckpoint()
+        auth = nodes.join(scoreB(araw), Seq("node"), "left")
+          .crossJoin(broadcast(araw.agg(max(col("araw")).as("amax"))))
+          .select(col("node"),
+            coalesce(expr(s"araw div greatest(1L, amax div ${scale}L)"),
+              lit(0L)).as("a"))
+        val hraw = e.join(scoreB(auth.withColumnRenamed("node", "dst")), "dst")
+          .select(col("src").as("node"), (col("w") * col("a")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("hraw"))
+          .coalesce(p).localCheckpoint()
+        hub = nodes.join(scoreB(hraw), Seq("node"), "left")
+          .crossJoin(broadcast(hraw.agg(max(col("hraw")).as("hmax"))))
+          .select(col("node"),
+            coalesce(expr(s"hraw div greatest(1L, hmax div ${scale}L)"),
+              lit(0L)).as("h"))
+      }
     }
     nodes.join(auth, Seq("node")).join(hub, Seq("node"))
       .select(col("node"), col("a").as("authority"), col("h").as("hub"))

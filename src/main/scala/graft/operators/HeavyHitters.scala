@@ -45,7 +45,7 @@ object HeavyHitters {
     val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
     // null-category doctrine (r14): known types only (the null group would
     // also hash-diverge on engine null-sort order)
-    events.where(col("event_type").isNotNull)
+    Spread.byKey(events.where(col("event_type").isNotNull), col("user_id"))
       .select(col("event_type"), h.as("h")).where(col("h").isNotNull).distinct()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_distinct"),
@@ -86,7 +86,8 @@ object HeavyHitters {
   def kmvSetOps(events: DataFrame, k: Int = 64,
                 sideA: String = "view", sideB: String = "purchase"): DataFrame = {
     val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
-    val dh = events.where(col("event_type").isin(sideA, sideB))
+    val dh = Spread.byKey(events.where(col("event_type").isin(sideA, sideB)),
+        col("user_id")) // per-row md5 fan-out, no-op at scale
       .select(col("event_type").as("side"), h.as("h"))
       .where(col("h").isNotNull).distinct()
       .localCheckpoint() // three consumers: per-side agg, union agg, (via sketch) lists
@@ -157,7 +158,7 @@ object HeavyHitters {
     * in the data. */
   def slidingDauKmv(events: DataFrame, windowDays: Int = 7, k: Int = 64): DataFrame = {
     val h = Dedup.PortableHash(concat(lit("kmv:"), col("user_id").cast("string")))
-    val dayHash = events.where(col("user_id").isNotNull)
+    val dayHash = Spread.byKey(events.where(col("user_id").isNotNull), col("user_id"))
       .select((col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day_sec"), h.as("h"))
       .distinct()
       .localCheckpoint() // feeds the day list, the sketch lane, the exact audit
@@ -198,15 +199,21 @@ object HeavyHitters {
     val keyed = events
       .select(get_json_object(col("props"), "$.k").cast("long").as("entity"))
       .where(col("entity").isNotNull)
+    // pre-aggregation spread (Spread.byKey): the JSON parse + Misra–Gries
+    // fold is the CPU here, and a one-row-group scan delivers every row to
+    // ONE task; hashing the 8-byte entity column across the cores
+    // parallelizes both consumers, and the two branches then share this
+    // one exchange (scan+parse run once, not twice). No-op at scale.
+    val spread = Spread.byKey(keyed, col("entity"))
     // one pass: total row count and the candidate sketch share the
     // aggregation; materialized once (1 row) for its two consumers
-    val sk = keyed
+    val sk = spread
       .agg(count(lit(1)).as("n_total"),
         FrequentItemsAggregate.candidates(col("entity"), capacity).as("cands"))
       .localCheckpoint()
     val cands = sk.select(explode(col("cands")).as("entity"))
     val totals = sk.select(col("n_total"))
-    keyed.join(broadcast(cands), Seq("entity"))
+    spread.join(broadcast(cands), Seq("entity"))
       .groupBy(col("entity")).agg(count(lit(1)).as("n_events"))
       .crossJoin(broadcast(totals))
       .where(col("n_events") * (capacity + 1) > col("n_total"))
@@ -232,13 +239,19 @@ object HeavyHitters {
     val keyed = events
       .select(get_json_object(col("props"), "$.k").cast("long").as("entity"))
       .where(col("entity").isNotNull)
-    val grid = keyed
+    // pre-explosion spread — same rationale as [[heavyEntities]]: the
+    // depth-way explode + per-cell portable md5 is the query's CPU
+    // (measured at sf0.1: two single-task stages were 1.7 s of the
+    // query's 1.8 s wall), and the grid/probe branches share the one
+    // exchange instead of scanning+parsing twice. No-op at scale.
+    val spread = Spread.byKey(keyed, col("entity"))
+    val grid = spread
       .select(col("entity"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
       .groupBy(col("row"),
         (Dedup.PortableHash(concat(lit("cms"), col("row").cast("string"), lit(":"),
           col("entity").cast("string"))) % width).as("slot"))
       .agg(count(lit(1)).as("c"))
-    val probes = keyed.groupBy(col("entity")).agg(count(lit(1)).as("exact_n"))
+    val probes = spread.groupBy(col("entity")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("entity").asc).limit(k)
     probes
       .select(col("entity"), col("exact_n"),

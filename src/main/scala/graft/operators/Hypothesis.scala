@@ -38,7 +38,7 @@ object Hypothesis {
   private[graft] def twoSampleCumFrame(orders: DataFrame,
                                        bucketBits: Int = 12): DataFrame = {
     val arm1 = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    val vals = orders
+    val vals = Spread.byKey(orders, col("o_orderkey")) // value-agg fan-out, no-op at scale
       .select(Cols.cents(col("o_totalprice")).as("v"), arm1.as("a1"))
       .groupBy(col("v"))
       .agg(Cols.countWhen(col("a1")).as("c1"),

@@ -41,8 +41,9 @@ object Importance {
   def importanceProfile(docs: DataFrame, targetPred: Column,
                         buckets: Int = 256, tag: String = "dsir"): DataFrame = {
     require(buckets > 0, "bucket count must be positive")
-    val docBuckets = docs.select(col("doc_id"), col("source"), col("lang"),
-      explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+    val docBuckets = Spread.byKey(docs, col("doc_id")) // explode+md5 fan-out
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
       .withColumn("bkt",
         Dedup.PortableHash(concat(lit(tag + ":"), col("tok"))) % buckets)
       .groupBy(col("doc_id"), col("source"), col("lang"), col("bkt"))

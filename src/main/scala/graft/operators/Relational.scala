@@ -297,9 +297,14 @@ object Relational {
     * `o_orderkey`, `o_totalprice`) — the testable core. */
   private[graft] def decilesByValue(ordersIn: DataFrame,
                                     width: Double = 1000.0): DataFrame = {
-    val orders = ordersIn
+    // bucket-lane fan-out (Spread.byKey, no-op at scale): the per-bucket
+    // ranking window's exchange otherwise AQE-coalesces to one partition
+    // on the local SFs, serializing the sort; hash(bucket) is pinned here
+    // and both the histogram and the ranking reuse it
+    val orders = Spread.byKey(ordersIn
       .select(col("o_orderkey"), col("o_totalprice"),
-        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+        floor(col("o_totalprice") / width).cast("long").as("bucket")),
+      col("bucket"))
     val hist = orders.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val wPrev = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -345,9 +350,11 @@ object Relational {
   private[graft] def quantilesCont(ordersIn: DataFrame, width: Double = 1000.0,
       qs: Seq[(String, Long, Long)] = Seq(("p25", 1L, 4L), ("p50", 2L, 4L),
         ("p75", 3L, 4L))): DataFrame = {
-    val orders = ordersIn
+    // bucket-lane fan-out — same rationale as [[decilesByValue]]
+    val orders = Spread.byKey(ordersIn
       .select(col("o_orderkey"), Cols.cents(col("o_totalprice")).as("cents"),
-        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+        floor(col("o_totalprice") / width).cast("long").as("bucket")),
+      col("bucket"))
     val hist = orders.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val wPrev = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -398,9 +405,11 @@ object Relational {
       qs: Seq[(String, Long, Long)] = Seq(("p25", 1L, 4L), ("p50", 2L, 4L),
         ("p75", 3L, 4L))): DataFrame = {
     val g = col(groupCol)
-    val orders = ordersIn
+    // (group, bucket)-lane fan-out — same rationale as [[decilesByValue]]
+    val orders = Spread.byKey(ordersIn
       .select(g, col("o_orderkey"), Cols.cents(col("o_totalprice")).as("cents"),
-        floor(col("o_totalprice") / width).cast("long").as("bucket"))
+        floor(col("o_totalprice") / width).cast("long").as("bucket")),
+      g, col("bucket"))
     val hist = orders.groupBy(g, col("bucket")).agg(count(lit(1)).as("cnt"))
     val wPrev = Window.partitionBy(g).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -500,11 +509,13 @@ object Relational {
   def weightedQuantiles(lineitem: DataFrame, width: Double = 1000.0,
       qs: Seq[(String, Long, Long)] = Seq(("p25", 1L, 4L), ("p50", 2L, 4L),
         ("p75", 3L, 4L))): DataFrame = {
-    val rows = lineitem.select(
+    // bucket-lane fan-out — same rationale as [[decilesByValue]]
+    val rows = Spread.byKey(lineitem.select(
       Cols.cents(col("l_extendedprice")).as("cents"),
       col("l_quantity").cast("long").as("w"),
       col("l_orderkey"), col("l_linenumber"),
-      floor(col("l_extendedprice") / width).cast("long").as("bucket"))
+      floor(col("l_extendedprice") / width).cast("long").as("bucket")),
+      col("bucket"))
     val hist = rows.groupBy(col("bucket")).agg(sum(col("w")).as("bw"))
     val wPrev = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

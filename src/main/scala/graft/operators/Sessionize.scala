@@ -42,7 +42,15 @@ object Sessionize {
   def withSessionId(events: DataFrame, gapSeconds: Long = DefaultGapSeconds): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("event_id")
     val cum    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events.where(col("user_id").isNotNull) // requires the normalized `ts_sec` column (Tables.events)
+    // window-lane fan-out (Spread.byKey, no-op at scale): the per-user
+    // window needs a hash(user_id) exchange anyway, but AQE's coalescing
+    // sees only the small byte size and folds it to ONE partition on the
+    // local SFs, serializing the sort+lag+cumsum lane of the whole session
+    // family; the explicit exchange pins session parallelism and every
+    // downstream per-user/per-session window rides it (hash(user_id)
+    // satisfies any (user_id, …) clustering) with no second exchange
+    Spread.byKey(events.where(col("user_id").isNotNull), col("user_id"))
+      // requires the normalized `ts_sec` column (Tables.events)
       .withColumn("is_new",
         when(lag(col("ts_sec"), 1).over(byUser).isNull
           || col("ts_sec") - lag(col("ts_sec"), 1).over(byUser) > gapSeconds, 1L)

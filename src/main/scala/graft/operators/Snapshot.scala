@@ -130,8 +130,12 @@ object Snapshot {
           sum(Cols.cents(col("o_totalprice"))).as(s"${pfx}_cents"))
     val isDelta = Dedup.PortableHash(
       concat(lit("inc:"), col("o_orderkey").cast("string"))) % 4 === 3
-    agg(orders.where(!isDelta), "base")
-      .join(agg(orders.where(isDelta), "delta"), Seq("o_orderpriority"), "full_outer")
+    // md5-lane fan-out (Spread.byKey, no-op at scale); the base and delta
+    // aggregations then consume ONE shared exchange (scan + per-row md5
+    // run once, not once per side)
+    val spread = Spread.byKey(orders, col("o_orderkey"))
+    agg(spread.where(!isDelta), "base")
+      .join(agg(spread.where(isDelta), "delta"), Seq("o_orderpriority"), "full_outer")
       .select(col("o_orderpriority"),
         (coalesce(col("base_orders"), lit(0L))
           + coalesce(col("delta_orders"), lit(0L))).as("orders"),
@@ -168,9 +172,17 @@ object Snapshot {
     val lDelta = Dedup.PortableHash(
       concat(lit("incb:"), col("l_orderkey").cast("string"), lit(":"),
         col("l_linenumber").cast("string"))) % 5 === 4
-    val o  = orders.select(col("o_orderkey"), col("o_orderpriority"), oDelta.as("od"))
-    val li = lineitem.select(col("l_orderkey").as("o_orderkey"),
-      Cols.cents(col("l_extendedprice")).as("cents"), lDelta.as("ld"))
+    // md5-lane fan-out + join-key layout (Spread.byKey, no-op at scale):
+    // the four delta terms below each reference these frames — one shared
+    // exchange per side means the scan + per-row md5 run ONCE, and
+    // hash-partitioning on o_orderkey co-partitions every term's join
+    val o  = Spread.byKey(
+      orders.select(col("o_orderkey"), col("o_orderpriority"), oDelta.as("od")),
+      col("o_orderkey"))
+    val li = Spread.byKey(
+      lineitem.select(col("l_orderkey").as("o_orderkey"),
+        Cols.cents(col("l_extendedprice")).as("cents"), lDelta.as("ld")),
+      col("o_orderkey"))
     def term(oSide: DataFrame, lSide: DataFrame) =
       oSide.join(lSide, Seq("o_orderkey"))
         .groupBy(col("o_orderpriority"))

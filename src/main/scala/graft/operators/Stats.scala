@@ -372,6 +372,15 @@ object Stats {
     val l = coded.withColumn("bj", explode(sequence(col("blk"), lit(numBlocks - 1))))
       .select(col("blk").as("bi"), col("bj"),
         col("day").as("d1"), col("y").as("y1"))
+      // pre-explosion spread (the [[bootstrapMedianCi]] rule): the daily
+      // frame is checkpointed on ONE tiny partition, and AQE broadcasts the
+      // other side of the block join — without an explicit exchange the
+      // entire days²/2 pair explosion lands on that single task (measured
+      // at sf0.1: the 2.9M-pair stage ran 1-task, ~2.6 s of the query's
+      // 4 s wall; 36-task after). Hash on the block-pair key the join
+      // needs, with an explicit partition count so AQE's coalescing (which
+      // only sees the ~11k-row PRE-explosion size) can't undo it.
+      .repartition(numBlocks * (numBlocks + 1) / 2, col("bi"), col("bj"))
     val r = coded.withColumn("bi", explode(sequence(lit(0), col("blk"))))
       .select(col("bi").as("ri"), col("blk").as("rj"),
         col("day").as("d2"), col("y").as("y2"))
@@ -470,7 +479,10 @@ object Stats {
     * long-vs-double with exact widening. R scores 4 = most recent
     * (≤ p25 of days-since), F/M score 4 = top quartile. */
   def rfmSegments(orders: DataFrame): DataFrame = {
-    val base = orders.select(col("o_custkey"),
+    // per-customer-agg fan-out on its own grouping key (Spread.byKey,
+    // no-op at scale)
+    val base = Spread.byKey(orders, col("o_custkey"))
+      .select(col("o_custkey"),
         Cols.tsSec(col("o_orderdate")).as("sec"),
         Cols.cents(col("o_totalprice")).as("cents"))
       .withColumn("day", expr("sec div 86400"))

@@ -46,7 +46,10 @@ object TextAnalysis {
   /** Per-doc raw score expressions plus their exact 1e-4-unit integer
     * quantizations (floor(x·10⁴) as long). Aggregations sum the integer
     * units — order-independent — never the quantized doubles. */
-  private def scoredUnits(docs: DataFrame): DataFrame = {
+  private def scoredUnits(docsIn: DataFrame): DataFrame = {
+    // CPU lane spread ([[Spread.byKey]] — no-op at scale): tokenization +
+    // stopword membership per doc serialized on the one-row-group scan task
+    val docs = Spread.byKey(docsIn, col("doc_id"))
     val toks  = tokens(col("text"))
     val nTok  = size(toks).cast("double")
     val ttr   = size(array_distinct(toks)).cast("double") / nTok
@@ -88,7 +91,8 @@ object TextAnalysis {
     * TakeOrderedAndProject (a bounded heap — never a global sort of the
     * vocabulary), then the k-row vocab broadcasts back onto the token
     * stream as a left join + conditional count. */
-  def vocabCoverage(docs: DataFrame, k: Int = 1000): DataFrame = {
+  def vocabCoverage(docsIn: DataFrame, k: Int = 1000): DataFrame = {
+    val docs = Spread.byKey(docsIn, col("doc_id")) // CPU-lane fan-out, no-op at scale
     val tok = docs.select(col("source"),
       explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
@@ -175,7 +179,10 @@ object TextAnalysis {
     * language by its stopword hit-rate; argmax with deterministic tie-break
     * on language code. A character-trigram model would be the production
     * upgrade; the plumbing (per-doc score vector → argmax) is identical. */
-  def languageId(docs: DataFrame): DataFrame = {
+  def languageId(docsIn: DataFrame): DataFrame = {
+    // four stopword-membership scans per doc — the CPU lane fans out
+    // (Spread.byKey, no-op at scale)
+    val docs = Spread.byKey(docsIn, col("doc_id"))
     val toks = tokens(col("text"))
     def score(words: Seq[String]): Column =
       size(filter(toks, t => t.isin(words: _*))).cast("double") / size(toks).cast("double")
@@ -253,7 +260,8 @@ object TextAnalysis {
     * the partial counts; the exact per-doc distinct for doc_freq rides the
     * same exchange via count(distinct doc_id) partial aggregation). */
   def vocabStats(docs: DataFrame, n: Int = 20): DataFrame =
-    docs.select(col("doc_id"), explode(split(Cols.foldCase(col("text")), " ")).as("token"))
+    Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
+      .select(col("doc_id"), explode(split(Cols.foldCase(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("term_freq"), countDistinct(col("doc_id")).as("doc_freq"))
@@ -269,7 +277,7 @@ object TextAnalysis {
     * identical subplan — exchange reuse runs it once — plus a per-doc
     * top-k window. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tokens = docs
+    val tokens = Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
       .select(col("doc_id"), explode(split(Cols.foldCase(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -310,7 +318,10 @@ object TextAnalysis {
     * (TakeOrderedAndProject), not a global sort. */
   def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 10,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val base = docs.select(col("doc_id"),
+    // CPU lane spread (Spread.byKey — no-op at scale): the fold + split +
+    // two array filters per doc ran on the single scan task (measured at
+    // sf0.1: ~all of the query's task time single-task)
+    val base = Spread.byKey(docs, col("doc_id")).select(col("doc_id"),
       filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0).as("toks"))
     val globals = base
       .agg(sum(size(col("toks"))).as("n_tokens"), count(lit(1)).as("n_docs"))
@@ -486,7 +497,7 @@ object TextAnalysis {
     * threshold grid, the vocab-sized membership join, the census — is
     * vocabulary-sized. All integers. */
   def vocabGrowth(docs: DataFrame): DataFrame = {
-    val first = docs
+    val first = Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
       .select(col("doc_id"),
         explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
       .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
@@ -539,7 +550,7 @@ object TextAnalysis {
     * bounded top-k heap (TakeOrderedAndProject, never a global sort) — is
     * vocabulary-sized. All counts are exact integers. */
   def bpePairs(docs: DataFrame, k: Int = 20): DataFrame = {
-    val words = docs
+    val words = Spread.byKey(docs, col("doc_id")) // explode fan-out, no-op at scale
       .select(explode(filter(tokens(col("text")), t => length(t) >= 2)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     words
@@ -609,7 +620,8 @@ object TextAnalysis {
     val rep = bpeRounds(docs, rounds)._1
     val pieces = rep.select(col("word"),
       size(split(trim(col("rep")), "  ")).cast("long").as("pieces"))
-    val srcWords = docs.select(col("source"),
+    val srcWords = Spread.byKey(docs, col("doc_id")) // explode fan-out, no-op at scale
+      .select(col("source"),
         explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
     srcWords.join(pieces, "word")
@@ -644,7 +656,7 @@ object TextAnalysis {
     // per-round frame is cheap to recompute); the rounds-vs-wall curve
     // lives in BENCH_bpe_rounds_r15.json.
     val ckStride = 4
-    val words = docs
+    val words = Spread.byKey(docs, col("doc_id")) // explode fan-out, no-op at scale
       .select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     // " a  b  c  ": regexp (.) does not match \n in either engine, but the
@@ -654,6 +666,12 @@ object TextAnalysis {
         col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // NOT LoopPlan.statically (r16, measured): unlike the graph loops,
+    // each BPE round runs several tiny-but-real shuffles whose partition
+    // counts AQE coalesces to ~1; static planning left them at the session
+    // default and the stride-replayed rounds multiplied that 32-way task
+    // fan-out (bpeFertility 3.4 → 4.8 s, task time 1.5 → 29 s). AQE's
+    // per-stage jobs are the cheaper evil on this loop shape.
     for (r <- 1 to rounds) {
       val pairs = rep.select(col("freq"), split(trim(col("rep")), "  ").as("l"))
         .where(size(col("l")) >= 2)
@@ -696,7 +714,7 @@ object TextAnalysis {
 
   /** One row per consecutive-token bigram occurrence (docs with ≥ 2 tokens). */
   private def bigramRows(docs: DataFrame): DataFrame =
-    docs
+    Spread.byKey(docs, col("doc_id")) // bigram explode fan-out, no-op at scale
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(
@@ -764,7 +782,8 @@ object TextAnalysis {
     * lanes hold to ~10¹⁸ letter-pairs (n ≤ 10⁴-char docs × 10¹⁰ docs);
     * widen to DECIMAL(38,0) beyond. */
   def letterConcentration(docs: DataFrame): DataFrame = {
-    val letters = docs.select(col("source"), col("doc_id"),
+    val letters = Spread.byKey(docs, col("doc_id")) // per-letter explode fan-out
+      .select(col("source"), col("doc_id"),
         regexp_replace(Cols.foldCase(col("text")), "[^a-z]", "").as("t"))
       .where(col("t") =!= "")
       .select(col("source"), col("doc_id"), explode(split(col("t"), "")).as("ch"))
@@ -830,7 +849,8 @@ object TextAnalysis {
     * Eligible = lowercase-alphabetic tokens of length ≥ 4 (deleting from
     * shorter tokens collides with closed-class words everywhere). */
   def typoRecoveryCensus(docs: DataFrame): DataFrame = {
-    val occ = docs.select(col("doc_id"),
+    val occ = Spread.byKey(docs, col("doc_id")) // posexplode fan-out, no-op at scale
+      .select(col("doc_id"),
         posexplode(split(Cols.foldCase(col("text")), " ")).as(Seq("pos", "tok")))
       .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 4)
     val vocab = occ.select(col("tok").as("clean")).distinct()
@@ -875,7 +895,8 @@ object TextAnalysis {
     // posting lists of a bounded dictionary are tiny next to the corpus)
     // and materialize once — each phrase term then probes the SMALL frame
     // instead of re-scanning and re-exploding the corpus per term.
-    val toks = docs.select(col("doc_id"),
+    val toks = Spread.byKey(docs, col("doc_id")) // posexplode fan-out, no-op at scale
+      .select(col("doc_id"),
         posexplode(split(Cols.foldCase(col("text")), " ")).as(Seq("pos", "tok")))
       .where(col("tok").isin(dict: _*))
       .localCheckpoint(false)
@@ -916,7 +937,7 @@ object TextAnalysis {
     * vocabulary-bounded exception), and only ≤11 rows survive to the
     * ratio. */
   def zipfOctaves(docs: DataFrame, maxRank: Long = 1024L): DataFrame = {
-    val freq = docs
+    val freq = Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
       .select(explode(split(Cols.foldCase(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
@@ -946,7 +967,7 @@ object TextAnalysis {
     * inter/(|A|+|B|−inter) is exact integers until one final floor-1e4
     * division. */
   def sourceVocabJaccard(docs: DataFrame): DataFrame = {
-    val st = docs
+    val st = Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
       .select(col("source"),
         explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
       .distinct()
