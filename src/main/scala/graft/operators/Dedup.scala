@@ -724,36 +724,45 @@ object Dedup {
     // the measured-size broadcast decision, so AQE's per-exchange stage
     // jobs inside each materialization are pure driver latency
     LoopPlan.statically(edges.sparkSession) {
-    if (checkpointDrivesObservation) {
-      val obses = Vector.fill(extra + 1)(org.apache.spark.sql.Observation())
-      var df = first.observe(obses(0), sumExpr)
-      for (i <- 1 to extra) df = ccRound(edges, df, labelEst).observe(obses(i), sumExpr)
-      val ckpt = df.localCheckpoint()
-      try {
-        // an EMPTY labels frame can surface as a zero-field metrics row
-        // (the observe node never sees a partition) — read it as the null
-        // sum the caller treats as the empty-graph signal, not an index
-        // error (found by the r12 sparse fuzz variant)
-        val sums = obses.map { o =>
-          val row = scala.concurrent.Await.result(
-            o.future, scala.concurrent.duration.Duration(5, "seconds"))
-          if (row.length == 0) null else row.getDecimal(0)
+    // result computed into a val, never `return`ed: a non-local return
+    // from a by-name block compiles to NonLocalReturnControl, which any
+    // future catch clause in `statically` (or running the body off-thread)
+    // would silently swallow (r16 advisory)
+    val viaObservation: Option[(DataFrame, Seq[java.math.BigDecimal])] =
+      if (!checkpointDrivesObservation) None
+      else {
+        val obses = Vector.fill(extra + 1)(org.apache.spark.sql.Observation())
+        var df = first.observe(obses(0), sumExpr)
+        for (i <- 1 to extra) df = ccRound(edges, df, labelEst).observe(obses(i), sumExpr)
+        val ckpt = df.localCheckpoint()
+        try {
+          // an EMPTY labels frame can surface as a zero-field metrics row
+          // (the observe node never sees a partition) — read it as the null
+          // sum the caller treats as the empty-graph signal, not an index
+          // error (found by the r12 sparse fuzz variant)
+          val sums = obses.map { o =>
+            val row = scala.concurrent.Await.result(
+              o.future, scala.concurrent.duration.Duration(5, "seconds"))
+            if (row.length == 0) null else row.getDecimal(0)
+          }
+          Some((ckpt, sums))
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            checkpointDrivesObservation = false // fall through to explicit path
+            None
         }
-        return (ckpt, sums)
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          checkpointDrivesObservation = false // fall through to explicit path
       }
+    viaObservation.getOrElse {
+      def aggSum(l: DataFrame): java.math.BigDecimal =
+        l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      var l = first.localCheckpoint()
+      val sums = Vector.newBuilder[java.math.BigDecimal]
+      sums += aggSum(l)
+      for (_ <- 1 to extra) {
+        l = ccRound(edges, l, labelEst).localCheckpoint(); sums += aggSum(l)
+      }
+      (l, sums.result())
     }
-    def aggSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var l = first.localCheckpoint()
-    val sums = Vector.newBuilder[java.math.BigDecimal]
-    sums += aggSum(l)
-    for (_ <- 1 to extra) {
-      l = ccRound(edges, l, labelEst).localCheckpoint(); sums += aggSum(l)
-    }
-    (l, sums.result())
     } // LoopPlan.statically
   }
 

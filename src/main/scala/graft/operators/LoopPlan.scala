@@ -34,15 +34,50 @@ private[operators] object LoopPlan {
   /** Run `body` (loop-round plan building + checkpoint materializations)
     * with adaptive execution off, restoring the previous setting even on
     * throw. Lazy frames the body RETURNS execute under the caller's
-    * setting — scope eager materializations inside. */
-  def statically[A](spark: SparkSession)(body: => A): A = {
+    * setting — scope eager materializations inside.
+    *
+    * Concurrency posture (r17, advisory): the toggle writes the
+    * SESSION-GLOBAL conf, so two `statically` blocks interleaving on one
+    * session could race the restore (A sets false, B reads prev=false, A
+    * restores true, B restores false — AQE left off). A process-wide lock
+    * serializes the blocks, making the save/restore pairing correct under
+    * any number of looping threads. What the lock cannot fix: an UNRELATED
+    * query planned concurrently on the same session while a loop holds the
+    * lock still plans without AQE (correct results, possibly a worse
+    * plan). The repo's drivers (Bench/Verify) run queries strictly
+    * sequentially and streaming micro-batches run on their own query
+    * plans, so that collision does not occur here; a future concurrent
+    * query driver should scope loops to `spark.cloneSession()` sessions
+    * instead (requires rebuilding the loop frames against the clone). */
+  private val staticLock = new java.util.concurrent.locks.ReentrantLock()
+  def statically[A](spark: SparkSession)(body: => A): A =
+    statically(spark, None)(body)
+
+  /** [[statically]] that additionally pins `spark.sql.shuffle.partitions`
+    * for the body (restored with AQE). For tiny-input loop materializations
+    * whose exchanges AQE was coalescing to ~1 partition: static planning
+    * alone would leave them at the 32-way session default — the r16
+    * counter-example — so the caller pins the coalesced count it measured.
+    * Callers MUST gate on input size ([[Spread.isTiny]]) so the scale path
+    * never sees a pinned partition count. */
+  def statically[A](spark: SparkSession, shufflePartitions: Option[Int])
+      (body: => A): A = {
     // GRAFT_LOOP_STATIC=0: dev-only A/B switch (leaves AQE on inside the
     // loops) — lets a single build measure both plans back-to-back
     if (sys.env.get("GRAFT_LOOP_STATIC").contains("0")) return body
     val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
+    val pKey = "spark.sql.shuffle.partitions"
+    staticLock.lock()
+    try {
+      val prev = spark.conf.get(key)
+      val prevParts = spark.conf.get(pKey)
+      spark.conf.set(key, "false")
+      shufflePartitions.foreach(p => spark.conf.set(pKey, p.toString))
+      try body finally {
+        spark.conf.set(key, prev)
+        spark.conf.set(pKey, prevParts)
+      }
+    } finally staticLock.unlock()
   }
 
   /** Broadcast-hint `df` iff the MEASURED size estimate fits the session's
@@ -50,7 +85,16 @@ private[operators] object LoopPlan {
     * convention) — the once-per-query, measured-stats version of the
     * decision AQE re-derives per stage per round. `estBytes` should come
     * from a row count the loop already pays (e.g. the overflow-guard |E|)
-    * times a conservative bytes/row. */
+    * times a conservative bytes/row.
+    *
+    * Safety factor (r17, advisory): the in-memory HashedRelation built for
+    * a forced `broadcast()` hint is typically several times the serialized
+    * row footprint the ×24B/row estimate approximates, so frames NEAR the
+    * threshold could force broadcasts AQE's measured-size check would have
+    * rejected — executor memory pressure at the margin. The hint therefore
+    * fires only when the estimate fits a QUARTER of the threshold;
+    * between thr/4 and thr the frame keeps the unhinted join (exactly the
+    * graceful degradation the AQE path provided). */
   def broadcastIfSmall(df: DataFrame, estBytes: Long): DataFrame = {
     val thr = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
       .stripSuffix("b").stripSuffix("B") match {
@@ -58,6 +102,6 @@ private[operators] object LoopPlan {
       case s => scala.util.Try(
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)).getOrElse(-1L)
     }
-    if (thr > 0 && estBytes <= thr) broadcast(df) else df
+    if (thr > 0 && estBytes <= thr / 4) broadcast(df) else df
   }
 }

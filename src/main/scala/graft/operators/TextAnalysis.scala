@@ -497,7 +497,12 @@ object TextAnalysis {
     * threshold grid, the vocab-sized membership join, the census — is
     * vocabulary-sized. All integers. */
   def vocabGrowth(docs: DataFrame): DataFrame = {
-    val first = Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
+    // NOT Spread.byKey (r17, measured): this lane's serialized CPU is only
+    // ~0.2-0.35 s at sf0.1 — under the spread, 32 tasks × fixed task
+    // overhead cost MORE than the serial lane saves (same-window warm A/B:
+    // 0.663 s off vs 0.748 s on; task time 0.23 s vs 5.4 s) and the r16
+    // driver pair showed +17%. Heavy lanes (bm25 6.2 s serial) keep it.
+    val first = docs
       .select(col("doc_id"),
         explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
       .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
@@ -655,7 +660,8 @@ object TextAnalysis {
     // markovStationary precedent (fewer, deeper checkpoints win when the
     // per-round frame is cheap to recompute); the rounds-vs-wall curve
     // lives in BENCH_bpe_rounds_r15.json.
-    val ckStride = 4
+    val tinyTrain = Spread.isTiny(docs) // gates the per-round static argmax below
+    val ckStride = if (tinyTrain) 1 else 4
     val words = Spread.byKey(docs, col("doc_id")) // explode fan-out, no-op at scale
       .select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -681,8 +687,22 @@ object TextAnalysis {
               element_at(col("l"), i + 1).as("b")))).as("z"))
         .select(col("freq"), col("z.a").as("a"), col("z.b").as("b"))
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("c"))
-      val m = pairs.orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
-        .localCheckpoint() // 1-row merge rule; feeds both rep' and the table
+      // Tiny-train static planning (r17, guide §1.2 driver latency): the
+      // per-round argmax materialization under AQE costs ~3 driver jobs
+      // (one per query stage) whose only adaptive decision is coalescing
+      // the vocabulary-sized pair-agg exchange to 1 partition. When the
+      // CORPUS is tiny ([[Spread.isTiny]] on the train input), make that
+      // decision statically — AQE off + shuffle partitions pinned to the
+      // 1 AQE always picked — so each round is ONE job (q_bpe_merges24:
+      // 120 → 54 jobs, warm wall 5.4 → 3.3 s same-window). At scale the
+      // gate is false and this is byte-for-byte the r16 AQE path (the r16
+      // counter-example — static planning over the WHOLE loop at the
+      // 32-way session default — stays reverted).
+      val m0 = pairs.orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
+      val m =
+        if (tinyTrain) LoopPlan.statically(docs.sparkSession, Some(1)) {
+          m0.localCheckpoint() // 1-row merge rule; feeds both rep' and the table
+        } else m0.localCheckpoint()
       merges += m.select(lit(r.toLong).as("round"), col("a").as("pair_a"),
         col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
         col("c").as("pair_count"))
@@ -937,7 +957,11 @@ object TextAnalysis {
     * vocabulary-bounded exception), and only ≤11 rows survive to the
     * ratio. */
   def zipfOctaves(docs: DataFrame, maxRank: Long = 1024L): DataFrame = {
-    val freq = Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
+    // NOT Spread.byKey (r17, measured): serialized CPU here is ~0.15 s at
+    // sf0.1 — the 36-task fan-out burned 2.3 s of task time to tie the
+    // 0.42 s serial wall (same-window warm A/B 0.38 on / 0.42 off, cold
+    // 0.93 / 0.85) and the r16 driver pair showed +42% under load.
+    val freq = docs
       .select(explode(split(Cols.foldCase(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
@@ -967,7 +991,11 @@ object TextAnalysis {
     * inter/(|A|+|B|−inter) is exact integers until one final floor-1e4
     * division. */
   def sourceVocabJaccard(docs: DataFrame): DataFrame = {
-    val st = Spread.byKey(docs, col("doc_id")) // fold+explode fan-out, no-op at scale
+    // NOT Spread.byKey (r17, measured): ~0.27 s serialized CPU at sf0.1 —
+    // same-window warm A/B 0.764 s off vs 0.807 s on (task time 0.33 s vs
+    // 6.4 s; cold rep 3.52 vs 4.45), r16 driver pair +18%. The distinct +
+    // localCheckpoint below already parallelize the join/agg stages.
+    val st = docs
       .select(col("source"),
         explode(filter(split(Cols.foldCase(col("text")), " "), t => length(t) > 0)).as("token"))
       .distinct()

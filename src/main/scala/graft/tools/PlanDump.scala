@@ -12,6 +12,31 @@ import graft.{GraftSession, SparkEntry}
   * sweeps the whole registry. Not part of the driver contract; used by the
   * optimization rounds to commit before/after plans under plans/r16/. */
 object PlanDump {
+  /** Renumber expression ids (`#NNNN`) and plan ids (`plan_id=NNNN`) by
+    * first appearance so two dumps of the SAME plan shape are byte-equal
+    * regardless of the session's expression-id counter (r16 verdict item
+    * 9: 34 of 126 committed before/after pairs differed only in id churn,
+    * inflating the "plan changed" census). First-appearance renumbering —
+    * not blanket replacement — preserves which attributes are the same
+    * attribute, so a REAL rewiring still diffs. */
+  private[tools] def normalizeIds(plan: String): String = {
+    def renumber(s: String, pat: scala.util.matching.Regex,
+                 fmt: Int => String): String = {
+      val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+      pat.replaceAllIn(s, m => {
+        val id = ids.getOrElseUpdate(m.group(1), ids.size)
+        scala.util.matching.Regex.quoteReplacement(fmt(id))
+      })
+    }
+    val a = renumber(plan, "#(\\d+)".r, i => s"#x$i")
+    val b = renumber(a, "plan_id=(\\d+)".r, i => s"plan_id=x$i")
+    // checkpoint RDD ids and operator source LINES also churn run-to-run
+    // (ids with session history, lines with unrelated edits above the
+    // call site) — normalize both so only structure diffs
+    val c = renumber(b, "MapPartitionsRDD\\[(\\d+)\\]".r, i => s"MapPartitionsRDD[x$i]")
+    c.replaceAll("\\.scala:\\d+", ".scala:_")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = Paths.get(args(1))
@@ -24,8 +49,8 @@ object PlanDump {
     for (name <- names) {
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        val plan = normalizeIds(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
         Files.write(outDir.resolve(s"$name.txt"),
           plan.getBytes(StandardCharsets.UTF_8))
         def c(pat: String): Int = pat.r.findAllIn(plan).length

@@ -7,7 +7,7 @@ import org.apache.spark.scheduler._
 import graft.{GraftSession, SparkEntry}
 
 /** Dev-only whole-suite profiler: `runMain graft.tools.ProfileAll <sfDir>
-  * [reps]` — runs every registered query once (like Bench: `.count()`),
+  * [q1,q2,...] [reps]` — runs every registered query once (like Bench: `.count()`),
   * with a listener attributing jobs/stages/tasks to the in-flight query.
   * Prints one line per query:
   *
@@ -30,9 +30,11 @@ object ProfileAll {
     catch { case e: Exception => System.err.println(s"[profileall] warm-up skipped: $e") }
 
     val stages = new ConcurrentLinkedQueue[(Int, Int, Long, Long)]() // id, tasks, taskMs, wallMs
-    var jobs = 0
+    // AtomicInteger: incremented from the listener-bus thread, read from
+    // main — a plain var could lose or read stale counts (r16 advisory)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
-      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.incrementAndGet()
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val wall = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b)
@@ -46,7 +48,7 @@ object ProfileAll {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
            .filter { case (n, _) => wanted.forall(_.contains(n)) };
          r <- 1 to reps) {
-      stages.clear(); jobs = 0
+      stages.clear(); jobs.set(0)
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(e.getClass.getSimpleName)
@@ -57,7 +59,7 @@ object ProfileAll {
       val taskTime = ss.map(_._3).sum / 1e3
       val stageWall = ss.map(_._4).sum / 1e3
       val bigSerial = ss.filter(s => s._2 == 1 && s._3 >= 100).map(_._3).sum / 1e3
-      println(f"[pa] $name rep=$r wall=$wall%.3f jobs=$jobs stages=${ss.size} " +
+      println(f"[pa] $name rep=$r wall=$wall%.3f jobs=${jobs.get} stages=${ss.size} " +
         f"tasks=${ss.map(_._2).sum} task=$taskTime%.2f stageWall=$stageWall%.2f " +
         f"serial1=$bigSerial%.2f${err.map(e => s" ERR=$e").getOrElse("")}")
     }
