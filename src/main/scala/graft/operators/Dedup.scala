@@ -722,8 +722,10 @@ object Dedup {
     val sumExpr = sum(col("label").cast("decimal(38,0)")).as("label_sum")
     // static loop planning ([[LoopPlan]], r16): the stride's joins carry
     // the measured-size broadcast decision, so AQE's per-exchange stage
-    // jobs inside each materialization are pure driver latency
-    LoopPlan.statically(edges.sparkSession) {
+    // jobs inside each materialization are pure driver latency; loop
+    // exchanges pinned to the measured label-frame partition count (r17)
+    LoopPlan.statically(edges.sparkSession,
+        LoopPlan.pinnedPartsForRows(edges.sparkSession, labelEst / 24L)) {
     // result computed into a val, never `return`ed: a non-local return
     // from a by-name block compiles to NonLocalReturnControl, which any
     // future catch clause in `statically` (or running the body off-thread)
@@ -989,12 +991,21 @@ object Dedup {
     * it per stage per round; `Long.MaxValue` (the test-anchor fixed-rounds
     * path) never hints. */
   private def ccRound(edges: DataFrame, labels: DataFrame,
-                      labelEstBytes: Long = Long.MaxValue): DataFrame =
+                      labelEstBytes: Long = Long.MaxValue): DataFrame = {
+    val labelSide = labels.select(col("doc_id").as("dst"), col("label"))
+    // pin==1 (the same measured-rows rule the statically site pins the
+    // loop's shuffle partitions with): skip the broadcast hint —
+    // SinglePartition joins run in-stage, saving the per-round
+    // broadcast-build job (r17)
+    val hinted =
+      if (LoopPlan.pinnedPartsForRows(edges.sparkSession, labelEstBytes / 24L)
+            .contains(1)) labelSide
+      else LoopPlan.broadcastIfSmall(labelSide, labelEstBytes)
     edges
-      .join(LoopPlan.broadcastIfSmall(
-        labels.select(col("doc_id").as("dst"), col("label")), labelEstBytes), Seq("dst"))
+      .join(hinted, Seq("dst"))
       .groupBy(col("src")).agg(min(col("label")).as("label"))
       .select(col("src").as("doc_id"), col("label"))
+  }
 
   // ---------------------------------------------------------------- simhash
 

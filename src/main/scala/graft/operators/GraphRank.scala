@@ -118,7 +118,8 @@ object GraphRank {
     // (~fixed driver latency at bounded |V|), and a 2-round plan over
     // checkpointed inputs is still shallow — same trick as the clustering
     // fixpoint's stride-3 (`Dedup.scala`)
-    iterateRanks(outEdges, baseCk, rank, iterations, scoreEstBytes = nE * 24L)
+    iterateRanks(outEdges, baseCk, rank, iterations, scoreEstBytes = nE * 24L,
+      parts = p)
   }
 
   /** The shared fixed-point loop: one equi-join + one agg per round over a
@@ -134,7 +135,7 @@ object GraphRank {
     * id. */
   private def iterateRanks(outEdges: DataFrame, baseCk: DataFrame,
                            rank0: DataFrame, iterations: Int,
-                           scoreEstBytes: Long): DataFrame = {
+                           scoreEstBytes: Long, parts: Int): DataFrame = {
     // loop planning (see [[LoopPlan]], r16): static planning per round —
     // AQE's per-exchange query-stage jobs dominated these loops' wall at
     // sub-second task time — with the rank-frame broadcast decided ONCE
@@ -142,9 +143,19 @@ object GraphRank {
     // by construction) instead of re-estimated per stage per round.
     // Oversize graphs keep the unhinted shuffle join on ckParts-sized
     // partitions, exactly the degradation the old AQE path provided.
+    // loop exchanges pinned to the measured ckParts count (r17): static
+    // planning left them at the session default, re-fanning every tiny
+    // contribution agg to 32 tasks; big graphs pass None (conf untouched)
+    val pin = LoopPlan.pinnedParts(outEdges.sparkSession, parts)
+    // single-partition loops skip the broadcast hint outright (r17): with
+    // both join sides SinglePartition the join runs in-stage with NO
+    // exchange, where a forced broadcast costs a build JOB per round — the
+    // dominant driver latency of this loop (q_centrality_survivors: 0.45 s
+    // task time under 50 jobs). Multi-partition loops keep the measured
+    // broadcast decision exactly as in r16.
     def scoreB(df: DataFrame): DataFrame =
-      LoopPlan.broadcastIfSmall(df, scoreEstBytes)
-    LoopPlan.statically(outEdges.sparkSession) {
+      if (pin.contains(1)) df else LoopPlan.broadcastIfSmall(df, scoreEstBytes)
+    LoopPlan.statically(outEdges.sparkSession, pin) {
       var rank = rank0
       for (i <- 1 to iterations) {
         val contribs = outEdges
@@ -211,7 +222,7 @@ object GraphRank {
     val baseCk = base.coalesce(p).localCheckpoint()
     val rank = baseCk.select(col("node"), col("rank0").as("rank")).localCheckpoint()
     iterateRanks(outEdges, baseCk, rank, iterations,
-        scoreEstBytes = head.getLong(0) * 24L)
+        scoreEstBytes = head.getLong(0) * 24L, parts = p)
       .orderBy(col("rank").desc, col("node").asc).limit(k)
   }
 
@@ -268,11 +279,16 @@ object GraphRank {
     // oversize graphs keep the unhinted shuffle join (the degradation AQE
     // provided, minus its per-round stage-job latency)
     val nEdges = nEdges0
-    LoopPlan.statically(edges.sparkSession) {
+    val pin = LoopPlan.pinnedParts(edges.sparkSession, p)
+    // pin==1: skip the label broadcast hint — SinglePartition joins run
+    // in-stage, saving the per-hop broadcast-build job (r17)
+    def labelB(df: DataFrame): DataFrame =
+      if (pin.contains(1)) df
+      else LoopPlan.broadcastIfSmall(df, 2L * nEdges * 24L)
+    LoopPlan.statically(edges.sparkSession, pin) {
       for (i <- 1 to hops) {
         val prop = edgesCk
-          .join(LoopPlan.broadcastIfSmall(
-            best.withColumnRenamed("node", "src"), 2L * nEdges * 24L), "src")
+          .join(labelB(best.withColumnRenamed("node", "src")), "src")
           .select(col("dst").as("node"), (col("packed") + Pack).as("packed"))
         val next = best.union(prop)
           .groupBy(col("node")).agg(min(col("packed")).as("packed"))
@@ -335,17 +351,44 @@ object GraphRank {
     // decided per round from the MEASURED surviving edge count n (the
     // count each round already pays for the termination check — nodes ≤
     // 2n); an oversize core keeps the unhinted shuffle semi-joins
-    val rows = LoopPlan.statically(spark) { ks.sorted.map { k =>
+    // pin==1: skip the keep-set broadcast hint — SinglePartition semi-joins
+    // run in-stage, saving the per-round broadcast-build job (r17)
+    val pin = LoopPlan.pinnedParts(spark, ckParts(spark, n))
+    val rows = LoopPlan.statically(spark, pin) { ks.sorted.map { k =>
       var converged = n == 0L
       while (!converged && cumRounds < maxRounds) {
         val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        val keep = LoopPlan.broadcastIfSmall(
-          deg.where(col("d") >= k).select(col("node")), 2L * n * 16L)
-        val e2 = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        val keep0 = deg.where(col("d") >= k).select(col("node"))
+        val keep =
+          if (pin.contains(1)) keep0
+          else LoopPlan.broadcastIfSmall(keep0, 2L * n * 16L)
+        // the termination count rides the checkpoint materialization as an
+        // observed metric (the Dedup.ckptRoundsWithSums pattern, r17): one
+        // job per round where checkpoint-then-count paid two. Same fallback
+        // discipline: if the checkpoint action ever stops driving the
+        // metrics listener, pay the explicit count and remember it.
+        val pruned = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-          .localCheckpoint()
-        val n2 = e2.count()
+        val n2Obs =
+          if (!Dedup.checkpointDrivesObservation) None
+          else {
+            val obs = org.apache.spark.sql.Observation()
+            val ckpt = pruned.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+            try {
+              val row = scala.concurrent.Await.result(
+                obs.future, scala.concurrent.duration.Duration(5, "seconds"))
+              // an empty frame can surface as a zero-field metrics row
+              Some((ckpt, if (row.length == 0) 0L else row.getLong(0)))
+            } catch {
+              case _: java.util.concurrent.TimeoutException =>
+                Dedup.checkpointDrivesObservation = false
+                None
+            }
+          }
+        val (e2, n2) = n2Obs.getOrElse {
+          val ckpt = pruned.localCheckpoint(); (ckpt, ckpt.count())
+        }
         converged = n2 == n
         e = e2; n = n2; cumRounds += 1
       }
@@ -408,11 +451,15 @@ object GraphRank {
     // decided once from the measured |E| (|V| ≤ |E|) instead of AQE
     // re-deriving it per stage per round; oversize graphs keep the
     // unhinted shuffle join — the same degradation AQE provided
-    LoopPlan.statically(edges.sparkSession) {
+    val pin = LoopPlan.pinnedParts(edges.sparkSession, p)
+    // pin==1: skip the label broadcast hint — SinglePartition joins run
+    // in-stage, saving the per-round broadcast-build job (r17)
+    def labelB(df: DataFrame): DataFrame =
+      if (pin.contains(1)) df else LoopPlan.broadcastIfSmall(df, nE * 24L)
+    LoopPlan.statically(edges.sparkSession, pin) {
       for (i <- 1 to rounds) {
         val votes = dir
-          .join(LoopPlan.broadcastIfSmall(
-            lab.withColumnRenamed("node", "src"), nE * 24L), "src")
+          .join(labelB(lab.withColumnRenamed("node", "src")), "src")
           .groupBy(col("dst").as("node"), col("label"))
           .agg(sum(col("w")).as("v"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
@@ -484,14 +531,19 @@ object GraphRank {
     // static loop planning ([[LoopPlan]], r16): the broadcasts are already
     // explicit (|types|²-bounded frames), so AQE's per-exchange stage jobs
     // bought nothing — measured 56 driver jobs for 0.7 s of task time
-    LoopPlan.statically(events.sparkSession) {
+    val pin = LoopPlan.pinnedParts(events.sparkSession, p)
+    // pin==1: skip the |types|²-bounded broadcast hints — SinglePartition
+    // joins run in-stage, saving the per-round broadcast-build job (r17)
+    def typeB(df: DataFrame): DataFrame =
+      if (pin.contains(1)) df else broadcast(df)
+    LoopPlan.statically(events.sparkSession, pin) {
       for (i <- 1 to iterations) {
         val contribs = out
-          .join(broadcast(rank.withColumnRenamed("state", "src")), "src")
+          .join(typeB(rank.withColumnRenamed("state", "src")), "src")
           .select(col("dst").as("state"), expr("(rank * w) div s").as("c"))
           .groupBy(col("state")).agg(sum(col("c")).as("in_mass"))
         val next = base
-          .join(broadcast(contribs), Seq("state"), "left")
+          .join(typeB(contribs), Seq("state"), "left")
           .select(col("state"),
             expr("teleport + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
         // stride-4 checkpointing: the |types|-row frames make each round's
@@ -607,9 +659,16 @@ object GraphRank {
     // shuffle joins on the ckParts-sized partitions, exactly as under AQE
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth = nodes.select(col("node"), lit(scale).as("a"))
+    // KEEPS the score-frame broadcast hint even when pinned to one
+    // partition (r17, measured): unlike the pagerank/CC loops, the edge
+    // frame here is ~1.7 MB at sf0.1 and the unhinted single-partition
+    // sort-merge join re-shuffles it TWICE per half-step — A/B 2.37 s
+    // (hint) vs 2.85 s (no hint). The pin alone still trims the stage
+    // fan-out.
+    val pin = LoopPlan.pinnedParts(edges.sparkSession, p)
     def scoreB(df: DataFrame): DataFrame =
       LoopPlan.broadcastIfSmall(df, 2L * head.getLong(0) * 24L)
-    LoopPlan.statically(edges.sparkSession) {
+    LoopPlan.statically(edges.sparkSession, pin) {
       for (_ <- 1 to iterations) {
         val araw = e.join(scoreB(hub.withColumnRenamed("node", "src")), "src")
           .select(col("dst").as("node"), (col("w") * col("h")).as("c"))

@@ -80,6 +80,28 @@ private[operators] object LoopPlan {
     } finally staticLock.unlock()
   }
 
+  /** Pin the loop body's shuffle-partition count to the MEASURED loop-frame
+    * partition count when that is BELOW the session's setting — i.e. the
+    * coalesced count AQE always picked for these tiny exchanges, decided
+    * once instead of per stage per round (r17; the r16 counter-examples
+    * all trace to static planning leaving loop exchanges at the 32-way
+    * session default). None — session conf untouched — when the measured
+    * count reaches the session's, so a cluster's deliberately higher
+    * shuffle parallelism is never shrunk by a loop. */
+  def pinnedParts(spark: SparkSession, parts: Int): Option[Int] = {
+    val session = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(Int.MaxValue)
+    if (parts > 0 && parts < session) Some(parts) else None
+  }
+
+  /** [[pinnedParts]] from a measured row count at the checkpoint-part
+    * granularity (64 Ki rows/partition — the GraphRank.ckParts rule). */
+  def pinnedPartsForRows(spark: SparkSession, rows: Long): Option[Int] = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val want = ((rows.max(0L) + 65535L) / 65536L).max(1L).min(cores).toInt
+    pinnedParts(spark, want)
+  }
+
   /** Broadcast-hint `df` iff the MEASURED size estimate fits the session's
     * `spark.sql.autoBroadcastJoinThreshold` (≤ 0 disables, Spark's own
     * convention) — the once-per-query, measured-stats version of the

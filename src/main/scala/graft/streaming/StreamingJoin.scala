@@ -60,7 +60,7 @@ object StreamingJoin {
         sum(col("p_sec") - col("v_sec")).as("lag_sec_sum"))
       .select(unix_timestamp(col("w.start")).as("hour_sec"),
         col("pairs"), col("lag_sec_sum"))
-    MemorySinkRunner.run(spark, agg, "graft_stream_join_hourly", shufflePartitions = 4)
+    MemorySinkRunner.run(spark, agg, "graft_stream_join_hourly", shufflePartitions = 2)
       .orderBy(col("hour_sec"))
   }
 
@@ -72,7 +72,7 @@ object StreamingJoin {
                                                options: Map[String, String]): DataFrame = {
     val joined = joinedPairsFrom(spark, pPath, vPath, "full_outer", options)
     MemorySinkRunner.run(spark, joined.drop("p_time"), "graft_stream_join_from",
-        shufflePartitions = 4, needNoDataBatch = true)
+        shufflePartitions = 2, needNoDataBatch = true)
       .orderBy(col("purchase_id").asc_nulls_last, col("view_id").asc_nulls_last)
   }
 
@@ -88,21 +88,25 @@ object StreamingJoin {
         sum(col("p_sec") - col("v_sec")).as("lag_sec_sum"))
       .select(unix_timestamp(col("w.start")).as("hour_sec"),
         col("pairs"), col("lag_sec_sum"))
-    MemorySinkRunner.run(spark, agg, "graft_stream_join_hourly_from", shufflePartitions = 4)
+    MemorySinkRunner.run(spark, agg, "graft_stream_join_hourly_from", shufflePartitions = 2)
       .orderBy(col("hour_sec"))
   }
 
   private def runJoin(spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val joined = joinedPairs(spark, dir, joinType)
     // join output is a few hundred rows; state-store open/commit per
-    // partition per side per micro-batch dominates, so keep partitions low.
+    // partition per side per micro-batch dominates, so keep partitions low
+    // (r17 sweep at sf0.1, GRAFT_STREAM_PARTS 2/4/8: walls 2.00/2.19/2.36 s
+    // outer, 2.85/2.94/3.70 s join_hourly; task time monotone in parts —
+    // a stream-stream join keeps 4 state stores per partition, so each
+    // partition is ~4 store open/commits per micro-batch).
     // Inner joins emit each pair as soon as both rows arrive, so the
     // watermark-advancing no-data batch adds nothing; LEFT OUTER emits its
     // null rows only on that batch and must keep it.
     // nulls-last on both keys: full-outer emits null purchase_id rows, and
     // the oracle engine's default ASC ordering puts nulls last
     MemorySinkRunner.run(spark, joined.drop("p_time"), "graft_stream_join",
-        shufflePartitions = 4, needNoDataBatch = joinType != "inner")
+        shufflePartitions = 2, needNoDataBatch = joinType != "inner")
       .orderBy(col("purchase_id").asc_nulls_last, col("view_id").asc_nulls_last)
   }
 
