@@ -363,32 +363,17 @@ object GraphRank {
         val keep =
           if (pin.contains(1)) keep0
           else LoopPlan.broadcastIfSmall(keep0, 2L * n * 16L)
-        // the termination count rides the checkpoint materialization as an
-        // observed metric (the Dedup.ckptRoundsWithSums pattern, r17): one
-        // job per round where checkpoint-then-count paid two. Same fallback
-        // discipline: if the checkpoint action ever stops driving the
-        // metrics listener, pay the explicit count and remember it.
-        val pruned = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        // checkpoint-then-count, NOT an observed metric (r17, measured):
+        // riding the count on the checkpoint as an Observation (the
+        // ckptRoundsWithSums pattern) cut 7 jobs but was wall-flat in the
+        // quiet window (1.93 vs 1.97 s) and adds one listener-bus await
+        // PER ROUND — under host load the driver's only cross-run data
+        // point ran 1.46× slower normalized, so the plain count's
+        // job-result read wins on robustness.
+        val e2 = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        val n2Obs =
-          if (!Dedup.checkpointDrivesObservation) None
-          else {
-            val obs = org.apache.spark.sql.Observation()
-            val ckpt = pruned.observe(obs, count(lit(1)).as("n")).localCheckpoint()
-            try {
-              val row = scala.concurrent.Await.result(
-                obs.future, scala.concurrent.duration.Duration(5, "seconds"))
-              // an empty frame can surface as a zero-field metrics row
-              Some((ckpt, if (row.length == 0) 0L else row.getLong(0)))
-            } catch {
-              case _: java.util.concurrent.TimeoutException =>
-                Dedup.checkpointDrivesObservation = false
-                None
-            }
-          }
-        val (e2, n2) = n2Obs.getOrElse {
-          val ckpt = pruned.localCheckpoint(); (ckpt, ckpt.count())
-        }
+          .localCheckpoint()
+        val n2 = e2.count()
         converged = n2 == n
         e = e2; n = n2; cumRounds += 1
       }
